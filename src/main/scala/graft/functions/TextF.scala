@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis / hashing functions, all native Catalyst expressions.
+  *
+  * Every hash here is built on `h32` — the first 8 hex chars of md5 parsed
+  * base-16 — because md5 is the one hash both Spark and DuckDB compute
+  * identically, which makes minhash / simhash / feature-hash embeddings
+  * oracle-checkable cross-engine (see the matching SQL builders in
+  * graft.queries.Sql).
+  */
+object TextF {
+
+  /** Lowercased whitespace tokens; empty strings dropped.
+    * DuckDB twin: list_filter(regexp_split_to_array(trim(lower(x)),'\s+'), t -> t <> '') */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => t =!= "")
+
+  /** Deterministic 32-bit cross-engine hash.
+    * DuckDB twin: CAST('0x' || substr(md5(x), 1, 8) AS BIGINT). */
+  def h32(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** Salted variant: h32(salt || x). */
+  def h32s(salt: String, c: Column): Column = h32(concat(lit(salt), c))
+
+  /** Word n-gram shingles ("a b c") over a token array; < n tokens → empty. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Distinct n-gram shingle set (dedup input). */
+  def shingleSet(toks: Column, n: Int): Column = array_distinct(shingles(toks, n))
+
+  /** MinHash signature component j over a shingle array: min over shingles
+    * of h32("j#" ++ s); empty input → -1. One column per j gives the
+    * k-component signature (minhash→band→bucket-join dedup path). */
+  def minhash(sh: Column, j: Int): Column =
+    coalesce(array_min(transform(sh, s => h32(concat(lit(s"$j#"), s)))), lit(-1L))
+
+  /** LSH band key: md5 over r consecutive signature components. */
+  def bandKey(sig: Seq[Column], from: Int, r: Int): Column =
+    md5(concat_ws(",", sig.slice(from, from + r).map(_.cast("string")): _*))
+
+  /** Bit j of a non-negative long < 2^32, via exact power-of-two double
+    * division (identical in DuckDB: CAST(floor(h/power(2,j)) AS BIGINT)%2).
+    * Exact because h has ≤ 32 significand bits and 2^j only shifts the
+    * exponent. */
+  private def bitAt(h: Column, j: Column): Column =
+    floor(h.cast("double") / pow(lit(2.0), j.cast("double"))).cast("long") % 2
+
+  /** 32-bit SimHash over a token array (term-frequency weighted): bit j is
+    * set iff Σ_tokens (2·bit_j(h32(tok)) − 1) > 0. */
+  def simhash32(toks: Column): Column = {
+    val hashes = transform(toks, t => h32(t))
+    aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, j) => {
+      val bitSum = aggregate(hashes, lit(0L),
+        (a2, h) => a2 + (lit(2L) * bitAt(h, j) - lit(1L)))
+      acc + when(bitSum > 0L, pow(lit(2.0), j.cast("double")).cast("long")).otherwise(lit(0L))
+    })
+  }
+
+  /** Feature-hash bucket (h32(tok) mod dim) and sign (±1 from a salted
+    * hash) — the deterministic hash-projection text embedder. */
+  def featureBucket(tok: Column, dim: Int): Column = h32(tok) % dim
+  def featureSign(tok: Column): Column = lit(2L) * (h32s("s#", tok) % 2) - lit(1L)
+
+  /** Rolling document fingerprint: min h32 over word 3-shingles ("the
+    * document fingerprinting (rolling hash)" op); < 3 tokens → -1. */
+  def fingerprint(toks: Column): Column =
+    coalesce(array_min(transform(shingles(toks, 3), s => h32(s))), lit(-1L))
+
+  /** Count of tokens that appear in a fixed vocabulary list. */
+  def hitCount(toks: Column, vocab: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(vocab)))
+}

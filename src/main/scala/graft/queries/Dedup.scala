@@ -1,0 +1,205 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.functions.{TextF, VectorF}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family over `documents` / `embeddings`:
+  *  - exact (hash-groupBy),
+  *  - n-gram Jaccard (blocked pairwise — the verification/oracle path),
+  *  - MinHash + LSH banding (the scale path: candidates come from a
+  *    band-bucket equi-join, never an O(n²) cross join),
+  *  - SimHash signatures,
+  *  - embedding-cosine near-dup.
+  *
+  * Scale notes: the pairwise variants block on low-cardinality keys (lang,
+  * label) *plus* a size-band predicate that is mathematically implied by
+  * the Jaccard threshold (|A∩B| ≤ min(|A|,|B|) ⇒ J ≥ τ ⇒ τ ≤ |A|/|B| ≤ 1/τ)
+  * — it prunes pairs before the expensive intersection without changing
+  * the result, so the oracle SQL can omit it. At 100 TB the LSH path is
+  * the real plan: signature computation is embarrassingly parallel and the
+  * band join shuffles only (band, bucket) keys.
+  */
+object Dedup {
+  import TextF._
+
+  private val MINHASH_K = 9
+  private val BANDS = 3 // 3 bands × r=3 rows
+  private val JACCARD_T = 0.8
+  private val MINHASH_VERIFY_T = 0.7
+  private val COSINE_T = 0.45
+
+  /** doc_id, lang, distinct 3-shingle set. */
+  private def shingleDf(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        shingleSet(tokens(col("text")), 3).as("sh"))
+      .withColumn("nsh", size(col("sh")))
+
+  private val shingleSql =
+    s"""SELECT doc_id, lang,
+       |    list_distinct(${Sql.shingles3("t")}) AS sh
+       |  FROM (SELECT doc_id, lang, ${Sql.toks()} AS t FROM documents)""".stripMargin
+
+  /** Jaccard over two distinct shingle arrays via intersection count only
+    * (|A∪B| = |A|+|B|−|A∩B|) — avoids engine-specific union semantics. */
+  private def jaccard(a: Column, b: Column, na: Column, nb: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (na.cast("double") + nb.cast("double") - inter)
+  }
+
+  private def jaccardSql(a: String, b: String) =
+    s"(len(list_filter($a, x -> list_contains($b, x)))::DOUBLE / " +
+      s"(len($a) + len($b) - len(list_filter($a, x -> list_contains($b, x)))))"
+
+  val q_dedup_exact = Q(
+    "q_dedup_exact",
+    (s, dir) => {
+      Tables(s, dir, "documents")
+        .groupBy(md5(lower(trim(col("text")))).as("text_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"))
+        .orderBy(col("keep_id"))
+    },
+    Some("""
+      |SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents
+      |GROUP BY md5(lower(trim(text)))
+      |ORDER BY keep_id
+      |""".stripMargin))
+
+  val q_dedup_ngram_jaccard = Q(
+    "q_dedup_ngram_jaccard",
+    (s, dir) => {
+      val d = shingleDf(s, dir)
+      val a = d.select(col("doc_id").as("doc_a"), col("lang"),
+        col("sh").as("sh_a"), col("nsh").as("na"))
+      val b = d.select(col("doc_id").as("doc_b"), col("lang"),
+        col("sh").as("sh_b"), col("nsh").as("nb"))
+      a.join(b, Seq("lang"))
+        .filter(col("doc_a") < col("doc_b"))
+        // size-band prefilter implied by J >= t (see scaladoc) — prunes
+        // before the O(|sh|) intersection, absent from the oracle on purpose
+        .filter(col("na").cast("double") * JACCARD_T <= col("nb") &&
+          col("nb").cast("double") * JACCARD_T <= col("na"))
+        .select(col("doc_a"), col("doc_b"),
+          jaccard(col("sh_a"), col("sh_b"), col("na"), col("nb")).as("jaccard"))
+        .filter(col("jaccard") >= JACCARD_T)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some(s"""
+      |WITH sh AS ($shingleSql)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  ${jaccardSql("a.sh", "b.sh")} AS jaccard
+      |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |WHERE ${jaccardSql("a.sh", "b.sh")} >= $JACCARD_T
+      |ORDER BY doc_a, doc_b
+      |""".stripMargin))
+
+  /** MinHash signatures (k=9) — integer-exact oracle check of the
+    * signature computation itself. */
+  val q_minhash_signatures = Q(
+    "q_minhash_signatures",
+    (s, dir) => {
+      val d = shingleDf(s, dir)
+      d.select(col("doc_id") +:
+        (0 until MINHASH_K).map(j => minhash(col("sh"), j).as(s"mh$j")): _*)
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val cols = (0 until MINHASH_K).map(j => s"${Sql.minhash("sh", j)} AS mh$j")
+      s"""
+      |WITH sh AS ($shingleSql)
+      |SELECT doc_id, ${cols.mkString(",\n  ")}
+      |FROM sh ORDER BY doc_id
+      |""".stripMargin
+    })
+
+  /** Full MinHash+LSH dedup: band signatures → bucket equi-join →
+    * Jaccard-verified pairs. The join key is (band index, md5 of r
+    * signature components) so only colliding docs ever meet. */
+  val q_dedup_minhash_lsh = Q(
+    "q_dedup_minhash_lsh",
+    (s, dir) => {
+      val d = shingleDf(s, dir)
+      val sig = d.select(col("doc_id"), col("sh"), col("nsh"),
+        array((0 until MINHASH_K).map(j => minhash(col("sh"), j)): _*).as("sig"))
+      val r = MINHASH_K / BANDS
+      val banded = sig.select(col("doc_id"), col("sh"), col("nsh"),
+        posexplode(array((0 until BANDS).map { b =>
+          md5(concat_ws(",",
+            (0 until r).map(i => element_at(col("sig"), b * r + i + 1).cast("string")): _*))
+        }: _*)).as(Seq("band", "bkey")))
+      val a = banded.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+        col("nsh").as("na"), col("band"), col("bkey"))
+      val b = banded.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+        col("nsh").as("nb"), col("band"), col("bkey"))
+      a.join(b, Seq("band", "bkey"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"),
+          col("na"), col("nb"))
+        .distinct()
+        .select(col("doc_a"), col("doc_b"),
+          jaccard(col("sh_a"), col("sh_b"), col("na"), col("nb")).as("jaccard"))
+        .filter(col("jaccard") >= MINHASH_VERIFY_T)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some {
+      val r = MINHASH_K / BANDS
+      val bandSelects = (0 until BANDS).map { b =>
+        val parts = (0 until r).map(i => s"sig[${b * r + i + 1}]::VARCHAR")
+        s"SELECT doc_id, sh, $b AS band, md5(${parts.mkString(" || ',' || ")}) AS bkey FROM sig"
+      }
+      val sigList = (0 until MINHASH_K).map(j => Sql.minhash("sh", j)).mkString(", ")
+      s"""
+      |WITH shs AS ($shingleSql),
+      |sig AS (SELECT doc_id, sh, [$sigList] AS sig FROM shs),
+      |banded AS (
+      |  ${bandSelects.mkString("\n  UNION ALL ")}
+      |),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    a.sh AS sh_a, b.sh AS sh_b
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, ${jaccardSql("sh_a", "sh_b")} AS jaccard
+      |FROM pairs
+      |WHERE ${jaccardSql("sh_a", "sh_b")} >= $MINHASH_VERIFY_T
+      |ORDER BY doc_a, doc_b
+      |""".stripMargin
+    })
+
+  val q_dedup_embedding = Q(
+    "q_dedup_embedding",
+    (s, dir) => {
+      // precompute norms once per side (gann.c:832-841 trick)
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          VectorF.l2Norm(col("embedding")).as("nrm"))
+      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        col("nrm").as("nrma"))
+      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+        col("nrm").as("nrmb"))
+      a.crossJoin(b)
+        .filter(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          round(VectorF.cosinePre(VectorF.dot(col("ea"), col("eb")),
+            col("nrma"), col("nrmb")), 6).as("cos_sim"))
+        .filter(col("cos_sim") >= COSINE_T)
+        .orderBy(col("vec_a"), col("vec_b"))
+    },
+    Some(s"""
+      |WITH n AS (SELECT vec_id, embedding, ${Sql.norm("embedding")} AS nrm FROM embeddings)
+      |SELECT vec_a, vec_b, cos_sim FROM (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |    round(${Sql.dotd("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cos_sim
+      |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+      |WHERE cos_sim >= $COSINE_T
+      |ORDER BY vec_a, vec_b
+      |""".stripMargin))
+
+  val all: Seq[Q] = Seq(
+    q_dedup_exact, q_dedup_ngram_jaccard, q_minhash_signatures,
+    q_dedup_minhash_lsh, q_dedup_embedding)
+}

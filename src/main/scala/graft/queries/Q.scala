@@ -1,0 +1,64 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One declared engine query: a Spark implementation plus (when the op is
+  * SQL-expressible) a DuckDB oracle that must hash-match it on the same
+  * parquet tables. `oracle = None` → the driver records a rows-only check
+  * (approximate ops: ANN, LSH-bucketed candidates, FastRP, ...).
+  */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String] = None)
+
+/** Shared DuckDB SQL fragments, mirroring graft.functions.{TextF, VectorF}
+  * exactly — same fold order, same hash, same decimal casts — so Spark and
+  * DuckDB produce bit-identical values.
+  */
+object Sql {
+  /** Whitespace tokens of lowercased text (TextF.tokens twin). */
+  def toks(col: String = "text"): String =
+    s"list_filter(regexp_split_to_array(trim(lower($col)), '\\s+'), t -> t <> '')"
+
+  /** TextF.h32 twin. */
+  def h32(x: String): String = s"CAST('0x' || substr(md5($x), 1, 8) AS BIGINT)"
+
+  /** Exact decimal sum surfaced as double (deterministic across engines,
+    * unlike a partition-order-dependent double sum). */
+  def dsum(x: String): String = s"CAST(sum(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
+
+  /** TPC-H revenue term extendedprice·(1−discount), exact decimal. */
+  val discPrice: String =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))"
+
+  def dsumExpr(x: String): String = s"CAST(sum($x) AS DOUBLE)"
+
+  /** Sequential-fold double dot product of two list columns (VectorF.dot
+    * twin; relies on both engines folding the element products in list
+    * order). */
+  def dotd(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a)+1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))"
+
+  def norm(a: String): String = s"sqrt(${dotd(a, a)})"
+
+  def cosine(a: String, b: String): String =
+    s"(${dotd(a, b)} / (${norm(a)} * ${norm(b)}))"
+
+  /** 3-shingle list over a token list t (TextF.shingles twin). */
+  def shingles3(t: String): String =
+    s"list_transform(range(1, greatest(len($t) - 1, 1)), i -> concat_ws(' ', $t[i], $t[i+1], $t[i+2]))"
+
+  /** TextF.minhash twin over a shingle list. */
+  def minhash(sh: String, j: Int): String =
+    s"coalesce(list_min(list_transform($sh, s -> ${h32(s"'$j#' || s")})), -1)"
+
+  /** TextF.simhash32 twin over a token list. */
+  def simhash32(t: String): String = {
+    val hs = s"list_transform($t, tk -> ${h32("tk")})"
+    s"""CAST(list_sum(list_transform(range(0, 32), j ->
+       |  CASE WHEN list_sum(list_transform($hs,
+       |         h -> 2 * (CAST(floor(h / power(2, j)) AS BIGINT) % 2) - 1)) > 0
+       |       THEN CAST(power(2, j) AS BIGINT) ELSE 0 END)) AS BIGINT)""".stripMargin
+  }
+}

@@ -1,0 +1,167 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.functions.TextF
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table: token counting,
+  * quality scoring, n-gram language ID, document fingerprinting, and the
+  * deterministic feature-hash text embedder (the offline stand-in for the
+  * reference's model-backed text vectorizers,
+  * radient/tasks/vectorizers/text/sbert.py:20-67 — same surface, hash
+  * projection instead of a neural encoder; see SURVEY.md §7.0).
+  *
+  * Everything is a narrow per-row projection (no shuffle except the final
+  * presentation ORDER BY and the embedder's groupBy), so each op scales
+  * linearly with input splits.
+  */
+object TextAnalysis {
+  import TextF._
+
+  /** Per-language marker vocabularies for the n-gram language-ID heuristic.
+    * Deterministic and tiny by design — the algorithm (hit-count argmax
+    * with a fixed priority order) is the operator under test. */
+  val langVocab: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "den"),
+    "es" -> Seq("el", "la", "de", "y", "es", "un", "una", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "un", "une", "les"),
+    "zh" -> Seq("de", "shi", "le", "zai", "he", "you", "wo", "ta"))
+
+  val stopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "or", "is", "to", "in", "it", "on", "for")
+
+  private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("(", ", ", ")")
+
+  val q_token_count = Q(
+    "q_token_count",
+    (s, dir) => {
+      val t = tokens(col("text"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(t).cast("long").as("n_tokens"),
+          size(array_distinct(t)).cast("long").as("n_unique"),
+          size(shingles(t, 2)).cast("long").as("n_bigrams"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      |SELECT doc_id,
+      |  len(t) AS n_tokens,
+      |  len(list_distinct(t)) AS n_unique,
+      |  CASE WHEN len(t) >= 2 THEN len(t) - 1 ELSE 0 END AS n_bigrams
+      |FROM (SELECT doc_id, ${Sql.toks()} AS t FROM documents)
+      |ORDER BY doc_id
+      |""".stripMargin))
+
+  val q_text_quality = Q(
+    "q_text_quality",
+    (s, dir) => {
+      val t = tokens(col("text"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), size(t).as("nt"),
+          hitCount(t, stopwords).as("sw"))
+        .select(col("doc_id"),
+          col("nt").cast("long").as("n_tokens"),
+          (col("n_chars").cast("double") / greatest(col("nt"), lit(1)))
+            .as("avg_token_span"),
+          (col("sw").cast("double") / greatest(col("nt"), lit(1)))
+            .as("stopword_ratio"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      |SELECT doc_id,
+      |  CAST(nt AS BIGINT) AS n_tokens,
+      |  CAST(n_chars AS DOUBLE) / greatest(nt, 1) AS avg_token_span,
+      |  CAST(sw AS DOUBLE) / greatest(nt, 1) AS stopword_ratio
+      |FROM (
+      |  SELECT doc_id, n_chars, len(t) AS nt,
+      |    len(list_filter(t, x -> x IN ${sqlList(stopwords)})) AS sw
+      |  FROM (SELECT doc_id, n_chars, ${Sql.toks()} AS t FROM documents))
+      |ORDER BY doc_id
+      |""".stripMargin))
+
+  val q_lang_id = Q(
+    "q_lang_id",
+    (s, dir) => {
+      val t = tokens(col("text"))
+      val withHits = Tables(s, dir, "documents")
+        .select(Seq(col("doc_id"), col("lang").as("true_lang")) ++
+          langVocab.map { case (l, v) => hitCount(t, v).as(s"hits_$l") }: _*)
+      // argmax with fixed priority order = first lang whose count ties max
+      val pred = langVocab.map(_._1).foldRight(lit("und"): org.apache.spark.sql.Column) {
+        case (l, acc) =>
+          val isMax = langVocab.map(_._1).filter(_ != l)
+            .map(o => col(s"hits_$l") >= col(s"hits_$o"))
+            .reduce(_ && _)
+          when(isMax && col(s"hits_$l") > 0, lit(l)).otherwise(acc)
+      }
+      withHits.withColumn("pred_lang", pred)
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val hitCols = langVocab.map { case (l, v) =>
+        s"len(list_filter(t, x -> x IN ${sqlList(v)})) AS hits_$l"
+      }.mkString(",\n    ")
+      val langs = langVocab.map(_._1)
+      val cases = langs.map { l =>
+        val cond = langs.filter(_ != l).map(o => s"hits_$l >= hits_$o").mkString(" AND ")
+        s"WHEN $cond AND hits_$l > 0 THEN '$l'"
+      }.mkString("\n    ")
+      s"""
+      |SELECT doc_id, true_lang, ${langs.map(l => s"hits_$l").mkString(", ")},
+      |  CASE $cases ELSE 'und' END AS pred_lang
+      |FROM (
+      |  SELECT doc_id, lang AS true_lang,
+      |    $hitCols
+      |  FROM (SELECT doc_id, lang, ${Sql.toks()} AS t FROM documents))
+      |ORDER BY doc_id
+      |""".stripMargin
+    })
+
+  val q_doc_fingerprint = Q(
+    "q_doc_fingerprint",
+    (s, dir) => {
+      val t = tokens(col("text"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          fingerprint(t).as("fingerprint"),
+          simhash32(t).as("simhash"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      |SELECT doc_id,
+      |  coalesce(list_min(list_transform(${Sql.shingles3("t")}, s -> ${Sql.h32("s")})), -1) AS fingerprint,
+      |  ${Sql.simhash32("t")} AS simhash
+      |FROM (SELECT doc_id, ${Sql.toks()} AS t FROM documents)
+      |ORDER BY doc_id
+      |""".stripMargin))
+
+  /** Deterministic feature-hash embedding (dim=16): bucket = h32(tok) mod
+    * dim, sign = ±1 from a salted hash, value = Σ signs. Integer-exact →
+    * oracle hash-matches with no float tolerance. Long format (doc_id,
+    * pos, val) keeps the oracle comparable without array equality. */
+  val q_embed_hash = Q(
+    "q_embed_hash",
+    (s, dir) => {
+      val dim = 16
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .select(col("doc_id"),
+          featureBucket(col("tok"), dim).as("pos"),
+          featureSign(col("tok")).as("sgn"))
+        .groupBy(col("doc_id"), col("pos"))
+        .agg(sum(col("sgn")).as("val"))
+        .orderBy(col("doc_id"), col("pos"))
+    },
+    Some(s"""
+      |SELECT doc_id,
+      |  ${Sql.h32("tok")} % 16 AS pos,
+      |  CAST(sum(2 * (${Sql.h32("'s#' || tok")} % 2) - 1) AS BIGINT) AS val
+      |FROM (SELECT doc_id, unnest(${Sql.toks()}) AS tok FROM documents)
+      |GROUP BY doc_id, pos
+      |ORDER BY doc_id, pos
+      |""".stripMargin))
+
+  val all: Seq[Q] = Seq(
+    q_token_count, q_text_quality, q_lang_id, q_doc_fingerprint, q_embed_hash)
+}

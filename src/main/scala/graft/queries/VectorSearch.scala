@@ -1,0 +1,159 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.functions.VectorF._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity-search surface: exact brute-force top-k (the reference's
+  * search semantics — filtered ANN top-k, tasks/sinks/milvus.py:122-127 —
+  * with the exact path as oracle), k-NN join, per-group vector math.
+  *
+  * Scale notes:
+  *  - single-query top-k broadcasts the 1-row query side and resolves to
+  *    TakeOrderedAndProject — per-partition bounded heap, k·P rows to the
+  *    driver (the distributed twin of gann.c:498-574's max-heap);
+  *  - the k-NN join ranks with a per-query Window after a blocked join;
+  *    at 100 TB the candidate set comes from the IVF/GANN probe
+  *    (graft.index) instead of a cross join — same ranking tail;
+  *  - norms are computed once per side before pairing (gann.c:832-841).
+  */
+object VectorSearch {
+
+  val q_vec_norms = Q(
+    "q_vec_norms",
+    (s, dir) => {
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          round(l2Norm(col("embedding")), 6).as("l2_norm"),
+          round(aggregate(col("embedding"), lit(0.0),
+            (acc, x) => acc + x.cast("double")), 6).as("comp_sum"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""
+      |SELECT vec_id, label,
+      |  round(${Sql.norm("embedding")}, 6) AS l2_norm,
+      |  round(list_sum(list_transform(embedding, x -> x::DOUBLE)), 6) AS comp_sum
+      |FROM embeddings ORDER BY vec_id
+      |""".stripMargin))
+
+  val q_knn_brute = Q(
+    "q_knn_brute",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"), l2Norm(col("embedding")).as("qn"))
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("label"),
+          round(cosinePre(dot(col("embedding"), col("qv")),
+            l2Norm(col("embedding")), col("qn")), 6).as("score"))
+        .orderBy(desc("score"), col("vec_id"))
+        .limit(10)
+    },
+    Some(s"""
+      |WITH q AS (SELECT embedding AS qv, ${Sql.norm("embedding")} AS qn
+      |           FROM embeddings WHERE vec_id = 0)
+      |SELECT vec_id, label,
+      |  round(${Sql.dotd("embedding", "qv")} / (${Sql.norm("embedding")} * qn), 6) AS score
+      |FROM embeddings, q WHERE vec_id <> 0
+      |ORDER BY score DESC, vec_id LIMIT 10
+      |""".stripMargin))
+
+  /** Filtered ANN-style top-k: predicate + distance ranking in one plan
+    * (the `filter='modality like ...'` search of the reference,
+    * examples/multimodal_rag.md:190-194). */
+  val q_knn_filtered = Q(
+    "q_knn_filtered",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 1)
+        .select(col("embedding").as("qv"), l2Norm(col("embedding")).as("qn"))
+      e.filter(col("label") % 2 === 0 && col("vec_id") =!= 1)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("label"),
+          round(l2Dist(col("embedding"), col("qv")), 6).as("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+        .limit(10)
+    },
+    Some(s"""
+      |WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1)
+      |SELECT vec_id, label,
+      |  round(sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+      |    i -> (embedding[i]::DOUBLE - qv[i]::DOUBLE) * (embedding[i]::DOUBLE - qv[i]::DOUBLE)))), 6) AS dist
+      |FROM embeddings, q
+      |WHERE label % 2 = 0 AND vec_id <> 1
+      |ORDER BY dist, vec_id LIMIT 10
+      |""".stripMargin))
+
+  /** k-NN join: top-3 neighbours (cosine) for each of the first 20 vectors,
+    * ranked by a per-query Window. */
+  val q_knn_join = Q(
+    "q_knn_join",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
+      val qs = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(desc("score"), col("vec_id"))
+      e.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(cosinePre(dot(col("embedding"), col("qv")), col("nrm"), col("qn")), 6)
+            .as("score"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .orderBy(col("qid"), col("rnk"))
+    },
+    Some(s"""
+      |WITH n AS (SELECT vec_id, embedding, ${Sql.norm("embedding")} AS nrm FROM embeddings),
+      |scored AS (
+      |  SELECT q.vec_id AS qid, c.vec_id,
+      |    round(${Sql.dotd("c.embedding", "q.embedding")} / (c.nrm * q.nrm), 6) AS score
+      |  FROM n q JOIN n c ON c.vec_id <> q.vec_id
+      |  WHERE q.vec_id < 20)
+      |SELECT qid, vec_id, score, rnk FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rnk
+      |  FROM scored)
+      |WHERE rnk <= 3 ORDER BY qid, rnk
+      |""".stripMargin))
+
+  /** Mean-pool centroid per label, long format (label, pos, mean_val). */
+  val q_meanpool_label = Q(
+    "q_meanpool_label",
+    (s, dir) => {
+      Tables(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(round(avg(col("v").cast("double")), 6).as("mean_val"))
+        .orderBy(col("label"), col("pos"))
+    },
+    Some("""
+      |SELECT label, i AS pos, round(avg(embedding[i + 1]::DOUBLE), 6) AS mean_val
+      |FROM embeddings, (SELECT unnest(range(0, 64)) AS i) idx
+      |GROUP BY label, i ORDER BY label, pos
+      |""".stripMargin))
+
+  /** Unit-normalized vectors, long format, first 10 ids. */
+  val q_vec_normalize = Q(
+    "q_vec_normalize",
+    (s, dir) => {
+      Tables(s, dir, "embeddings")
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id"), posexplode(normalize(col("embedding"))).as(Seq("pos", "vraw")))
+        .select(col("vec_id"), col("pos"), round(col("vraw"), 6).as("v"))
+        .orderBy(col("vec_id"), col("pos"))
+    },
+    Some(s"""
+      |SELECT vec_id, i AS pos,
+      |  round(embedding[i + 1]::DOUBLE / ${Sql.norm("embedding")}, 6) AS v
+      |FROM embeddings, (SELECT unnest(range(0, 64)) AS i) idx
+      |WHERE vec_id < 10
+      |ORDER BY vec_id, pos
+      |""".stripMargin))
+
+  val all: Seq[Q] = Seq(
+    q_vec_norms, q_knn_brute, q_knn_filtered, q_knn_join,
+    q_meanpool_label, q_vec_normalize)
+}
