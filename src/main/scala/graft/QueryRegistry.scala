@@ -10,7 +10,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object QueryRegistry {
   def all: Seq[Q] =
     Relational.all ++ TextAnalysis.all ++ Dedup.all ++ VectorSearch.all ++
-      Molecules.all
+      Molecules.all ++ Ann.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -1,0 +1,208 @@
+package graft.index
+
+import graft.functions.{TextF, VectorF}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed GANN-equivalent: a hyperplane spill tree built as an
+  * iterative DataFrame job, searched via a broadcast tree probe + leaf
+  * equi-join + exact re-rank.
+  *
+  * Reference semantics (radient/tasks/sinks/local/gann.py:113-193 +
+  * _gkmeans.py): per level, fit 2 centers per node, hyperplane = the
+  * perpendicular bisector of the centers (w = c1−c0,
+  * bias = −(c0+c1)·w/2, gann.py:146-147), children take the
+  * |leaf|·(0.5+spill) nearest rows on each side (overlapping spill,
+  * gann.py:150-166), recurse until leaves ≤ leafSize (MAX_LEAF_SIZE=200,
+  * gann.py:15).
+  *
+  * Divergences (documented, SURVEY.md §7.4): centers come from a
+  * deterministic driver-side 2-means over a hash-sampled subset (VC-bound
+  * subsampling in spirit, _gkmeans.py:26-36) and the split point is the
+  * exact per-node percentile of the projection — exactly balanced and
+  * deterministic, where the reference's gradient balanced k-means is
+  * stochastic.
+  *
+  * Scale shape: each level is one narrow pass over the vectors (a
+  * broadcast join against |nodes| hyperplanes + a percentile aggregate);
+  * only per-node statistics (counts, samples, quantiles) ever reach the
+  * driver. The assignment table is the index — write it partitioned by
+  * leaf and searches prune to the probed leaves.
+  */
+object GannIndex {
+
+  /** One split node; leaves have left = -1. */
+  final case class Node(id: Int, w: Array[Double], bias: Double,
+      loCut: Double, hiCut: Double, left: Int, right: Int)
+
+  final case class Model(nodes: Map[Int, Node], leaves: Seq[Int],
+      assign: DataFrame, idCol: String, vecCol: String) {
+
+    /** Leaf ids a query vector routes to (both children inside the spill
+      * band — the multi-probe that buys recall back, gann.c:917-940). */
+    def route(v: Array[Double]): Seq[Int] = {
+      def go(id: Int): Seq[Int] = nodes.get(id) match {
+        case None => Seq(id)
+        case Some(n) if n.left < 0 => Seq(n.id)
+        case Some(n) =>
+          val p = dotd(v, n.w) + n.bias
+          if (p <= n.loCut) go(n.left)
+          else if (p > n.hiCut) go(n.right)
+          else go(n.left) ++ go(n.right)
+      }
+      go(0)
+    }
+
+    /** Exact-rank top-k over the union of probed leaves for a batch of
+      * queries (qid, qvec). */
+    def search(queries: DataFrame, qid: String, qvec: String, k: Int): DataFrame = {
+      val spark = queries.sparkSession
+      val bc = spark.sparkContext.broadcast(nodes)
+      val routeUdf = udf { (v: Seq[Double]) =>
+        val ns = bc.value
+        def go(id: Int): Seq[Int] = ns.get(id) match {
+          case None => Seq(id)
+          case Some(n) if n.left < 0 => Seq(n.id)
+          case Some(n) =>
+            val p = dotd(v.toArray, n.w) + n.bias
+            if (p <= n.loCut) go(n.left)
+            else if (p > n.hiCut) go(n.right)
+            else go(n.left) ++ go(n.right)
+        }
+        go(0)
+      }
+      val probed = queries.select(col(qid), col(qvec),
+        explode(routeUdf(col(qvec).cast("array<double>"))).as("leaf"))
+      val w = Window.partitionBy(col(qid)).orderBy(col("dist"), col(idCol))
+      probed.join(assign.hint("shuffle_hash"), Seq("leaf"))
+        .filter(col(idCol) =!= col(qid))
+        .select(col(qid), col(idCol),
+          VectorF.l2Dist(col(qvec), col(vecCol)).as("dist"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+    }
+  }
+
+  private def dotd(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Deterministic driver-side 2-means (Lloyd, farthest-pair init) on a
+    * per-node sample. */
+  private def twoMeans(xs: Array[Array[Double]], iters: Int = 10): (Array[Double], Array[Double]) = {
+    val dim = xs(0).length
+    // deterministic init: first point + the point farthest from it
+    val c0 = xs(0).clone()
+    var far = xs(0); var fd = -1.0
+    for (x <- xs) {
+      val d = sqDist(x, c0); if (d > fd) { fd = d; far = x }
+    }
+    var a = c0; var b = far.clone()
+    var it = 0
+    while (it < iters) {
+      val sa = new Array[Double](dim); val sb = new Array[Double](dim)
+      var na = 0; var nb = 0
+      for (x <- xs) {
+        if (sqDist(x, a) <= sqDist(x, b)) { add(sa, x); na += 1 }
+        else { add(sb, x); nb += 1 }
+      }
+      if (na > 0) scale(sa, 1.0 / na) else sa.indices.foreach(i => sa(i) = a(i))
+      if (nb > 0) scale(sb, 1.0 / nb) else sb.indices.foreach(i => sb(i) = b(i))
+      a = sa; b = sb
+      it += 1
+    }
+    (a, b)
+  }
+
+  private def sqDist(x: Array[Double], y: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < x.length) { val d = x(i) - y(i); s += d * d; i += 1 }
+    s
+  }
+  private def add(acc: Array[Double], x: Array[Double]): Unit = {
+    var i = 0; while (i < x.length) { acc(i) += x(i); i += 1 }
+  }
+  private def scale(x: Array[Double], f: Double): Unit = {
+    var i = 0; while (i < x.length) { x(i) *= f; i += 1 }
+  }
+
+  /** Build the spill tree over (idCol, vecCol). */
+  def build(df: DataFrame, idCol: String, vecCol: String,
+      leafSize: Int = 200, spill: Double = 0.0,
+      sampleSize: Int = 256, maxDepth: Int = 20): Model = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    var assign = df.select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
+      .withColumn("leaf", lit(0)).cache()
+    var nodes = Map.empty[Int, Node]
+    var depth = 0
+    var done = false
+    while (!done && depth < maxDepth) {
+      val counts = assign.groupBy("leaf").count().as[(Int, Long)].collect().toMap
+      val active = counts.filter(_._2 > leafSize).keys.toSeq.sorted
+      if (active.isEmpty) done = true
+      else {
+        // hash-sample ≈sampleSize rows per active node in one pass
+        val rateMap = active.map(n => n -> math.min(1.0,
+          sampleSize * 1.5 / counts(n))).toMap
+        val rateCol = rateMap.foldLeft(lit(0.0)) { case (acc, (n, r)) =>
+          when(col("leaf") === n, lit(r)).otherwise(acc)
+        }
+        val sampled = assign
+          .filter(col("leaf").isInCollection(active))
+          .filter((TextF.h32(concat(lit(s"gann$depth#"), col(idCol).cast("string"))) % 10000)
+            .cast("double") < rateCol * 10000)
+          .select(col("leaf"), col(idCol), col(vecCol))
+          .collect()
+          .groupBy(_.getInt(0))
+        val planes = active.flatMap { n =>
+          sampled.get(n).map { rows =>
+            val xs = rows.sortBy(_.get(1).toString)
+              .take(sampleSize).map(_.getSeq[Double](2).toArray)
+            val (c0, c1) = twoMeans(xs)
+            val w = c0.indices.map(i => c1(i) - c0(i)).toArray
+            val bias = -0.5 * c0.indices.map(i => (c0(i) + c1(i)) * w(i)).sum
+            (n, w, bias)
+          }
+        }
+        if (planes.isEmpty) done = true
+        else {
+          val planeDf = broadcast(planes.toDF("leaf", "w", "bias"))
+          val projected = assign.join(planeDf, Seq("leaf"), "left")
+            .withColumn("proj",
+              when(col("w").isNotNull, VectorF.dot(col(vecCol), col("w")) + col("bias")))
+          val cuts = projected.filter(col("proj").isNotNull)
+            .groupBy("leaf")
+            .agg(expr(s"percentile(proj, ${0.5 - spill})").as("lo"),
+              expr(s"percentile(proj, ${0.5 + spill})").as("hi"))
+            .as[(Int, Double, Double)].collect()
+            .map { case (n, lo, hi) => n -> (lo, hi) }.toMap
+          nodes = nodes ++ planes.flatMap { case (n, w, bias) =>
+            cuts.get(n).map { case (lo, hi) =>
+              n -> Node(n, w, bias, lo, hi, 2 * n + 1, 2 * n + 2)
+            }
+          }
+          val cutDf = broadcast(cuts.toSeq.map { case (n, (lo, hi)) => (n, lo, hi) }
+            .toDF("leaf", "lo", "hi"))
+          val withCuts = projected.join(cutDf, Seq("leaf"), "left")
+          val untouched = withCuts.filter(col("proj").isNull)
+            .select(col(idCol), col(vecCol), col("leaf"))
+          val leftRows = withCuts.filter(col("proj").isNotNull && col("proj") <= col("hi"))
+            .select(col(idCol), col(vecCol), (col("leaf") * 2 + 1).as("leaf"))
+          val rightRows = withCuts.filter(col("proj").isNotNull && col("proj") > col("lo"))
+            .select(col(idCol), col(vecCol), (col("leaf") * 2 + 2).as("leaf"))
+          val next = untouched.union(leftRows).union(rightRows).cache()
+          next.count() // materialize before dropping parent
+          assign.unpersist()
+          assign = next
+          depth += 1
+        }
+      }
+    }
+    val leaves = assign.select("leaf").distinct().as[Int].collect().toSeq.sorted
+    Model(nodes, leaves, assign, idCol, vecCol)
+  }
+}

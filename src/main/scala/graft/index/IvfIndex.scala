@@ -1,0 +1,73 @@
+package graft.index
+
+import graft.functions.VectorF
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) ANN index: MLlib KMeans coarse quantizer →
+  * cluster-partitioned posting lists → nprobe-nearest-centroid probe →
+  * exact re-rank inside the probed clusters.
+  *
+  * This is the scale path for similarity search (SURVEY.md §4.3): the
+  * posting-list table is partitioned by `cluster`, so a probe reads
+  * nprobe/k of the data; the centroid table is tiny and broadcast. The
+  * brute-force path (VectorSearch.q_knn_*) is the recall oracle.
+  */
+object IvfIndex {
+
+  final case class Model(centroids: Array[(Int, Array[Double])],
+      assign: DataFrame, idCol: String, vecCol: String) {
+
+    def nearestClusters(v: Array[Double], nprobe: Int): Seq[Int] =
+      centroids.map { case (cid, c) =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { val d = v(i) - c(i); s += d * d; i += 1 }
+        (cid, s)
+      }.sortBy { case (cid, d) => (d, cid) }.take(nprobe).map(_._1).toSeq
+
+    /** Batch search: probe nprobe clusters per query, exact-rank top-k. */
+    def search(queries: DataFrame, qid: String, qvec: String,
+        k: Int, nprobe: Int): DataFrame = {
+      val spark = queries.sparkSession
+      val bc = spark.sparkContext.broadcast(centroids)
+      val np = nprobe
+      val probeUdf = udf { (v: Seq[Double]) =>
+        val cs = bc.value
+        val arr = v.toArray
+        cs.map { case (cid, c) =>
+          var s = 0.0; var i = 0
+          while (i < arr.length) { val d = arr(i) - c(i); s += d * d; i += 1 }
+          (cid, s)
+        }.sortBy { case (cid, d) => (d, cid) }.take(np).map(_._1).toSeq
+      }
+      val probed = queries.select(col(qid), col(qvec),
+        explode(probeUdf(col(qvec).cast("array<double>"))).as("cluster"))
+      val w = Window.partitionBy(col(qid)).orderBy(col("dist"), col(idCol))
+      probed.join(assign, Seq("cluster"))
+        .filter(col(idCol) =!= col(qid))
+        .select(col(qid), col(idCol),
+          VectorF.l2Dist(col(qvec), col(vecCol)).as("dist"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+    }
+  }
+
+  /** Train the coarse quantizer (seeded → deterministic) and assign every
+    * vector to its cluster. */
+  def build(df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 16, seed: Long = 42L): Model = {
+    val feat = df.select(col(idCol), col(vecCol))
+      .withColumn("features", array_to_vector(col(vecCol).cast("array<double>")))
+    val km = new KMeans().setK(k).setSeed(seed).setMaxIter(20)
+      .setFeaturesCol("features").setPredictionCol("cluster")
+    val model = km.fit(feat)
+    val assign = model.transform(feat)
+      .select(col(idCol), col(vecCol), col("cluster"))
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }
+    Model(centroids, assign, idCol, vecCol)
+  }
+}

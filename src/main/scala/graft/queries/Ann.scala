@@ -1,0 +1,42 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.index.{GannIndex, IvfIndex}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbour query entries. Approximate by design →
+  * no SQL oracle (the driver records rows-only; recall against the exact
+  * path is asserted in graft.index.AnnRecallSpec, never hash equality —
+  * SURVEY.md §7.4).
+  */
+object Ann {
+
+  val q_ann_ivf = Q(
+    "q_ann_ivf",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val model = IvfIndex.build(e, "vec_id", "embedding", k = 8)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      model.search(queries, "qid", "qv", k = 10, nprobe = 3)
+        .select(col("qid"), col("vec_id"), round(col("dist"), 6).as("dist"), col("rnk"))
+        .orderBy(col("qid"), col("rnk"))
+    },
+    None)
+
+  val q_ann_gann = Q(
+    "q_ann_gann",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val model = GannIndex.build(e, "vec_id", "embedding",
+        leafSize = 64, spill = 0.15)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      model.search(queries, "qid", "qv", k = 10)
+        .select(col("qid"), col("vec_id"), round(col("dist"), 6).as("dist"), col("rnk"))
+        .orderBy(col("qid"), col("rnk"))
+    },
+    None)
+
+  val all: Seq[Q] = Seq(q_ann_ivf, q_ann_gann)
+}

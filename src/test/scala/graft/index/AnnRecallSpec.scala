@@ -1,0 +1,87 @@
+package graft.index
+
+import graft.{TestSpark, functions}
+import graft.functions.VectorF
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ANN indexes are approximate — test recall@k against the exact
+  * brute-force path, never hash equality (SURVEY.md §7.4). */
+class AnnRecallSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val K = 10
+  private val NQ = 20
+
+  private lazy val emb = spark.read
+    .parquet(s"${TestSpark.sf0001}/embeddings.parquet").cache()
+
+  private lazy val queries = emb.filter(col("vec_id") < NQ)
+    .select(col("vec_id").as("qid"), col("embedding").as("qv")).cache()
+
+  /** exact top-K neighbour ids per query */
+  private lazy val exact: Map[Long, Set[Long]] = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
+    emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        VectorF.l2Dist(col("embedding"), col("qv")).as("dist"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select("qid", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+  }
+
+  private def recall(found: DataFrame): Double = {
+    val got = found.select("qid", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val per = exact.map { case (q, want) =>
+      got.getOrElse(q, Set.empty).intersect(want).size.toDouble / want.size
+    }
+    per.sum / per.size
+  }
+
+  test("IVF recall@10 beats 0.7 with nprobe=3 of k=8") {
+    val model = IvfIndex.build(emb, "vec_id", "embedding", k = 8)
+    val r = recall(model.search(queries, "qid", "qv", K, nprobe = 3))
+    info(f"IVF recall@$K = $r%.3f")
+    assert(r >= 0.7)
+  }
+
+  test("IVF recall rises with nprobe") {
+    val model = IvfIndex.build(emb, "vec_id", "embedding", k = 8)
+    val r1 = recall(model.search(queries, "qid", "qv", K, nprobe = 1))
+    val r8 = recall(model.search(queries, "qid", "qv", K, nprobe = 8))
+    info(f"IVF recall nprobe1=$r1%.3f nprobe8=$r8%.3f")
+    assert(r8 >= r1)
+    assert(r8 >= 0.999) // probing all clusters == exact
+  }
+
+  test("GANN spill tree recall@10 beats 0.5 at spill=0.15") {
+    val model = GannIndex.build(emb, "vec_id", "embedding",
+      leafSize = 64, spill = 0.15)
+    val r = recall(model.search(queries, "qid", "qv", K))
+    info(f"GANN recall@$K = $r%.3f (leaves=${model.leaves.size})")
+    assert(r >= 0.5)
+  }
+
+  test("GANN leaves are balanced and cover all vectors at spill=0") {
+    val model = GannIndex.build(emb, "vec_id", "embedding",
+      leafSize = 64, spill = 0.0)
+    val sizes = model.assign.groupBy("leaf").count()
+      .collect().map(_.getLong(1))
+    assert(sizes.sum == 500) // spill=0 → exact partition, no duplication
+    assert(sizes.max <= 64 + 1) // median split → balanced within rounding
+    val distinct = model.assign.select("vec_id").distinct().count()
+    assert(distinct == 500)
+  }
+
+  test("GANN spill duplicates only the boundary fraction") {
+    val m = GannIndex.build(emb, "vec_id", "embedding",
+      leafSize = 64, spill = 0.1)
+    val total = m.assign.count()
+    assert(total >= 500)
+    assert(total <= 500 * math.pow(1.2, 4).toLong + 500) // ≤ (1+2·spill)^depth blowup
+  }
+}
