@@ -1,0 +1,55 @@
+package graft.sink
+
+import graft.functions.VectorF
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Vector table sink + search entry — the Spark-native Milvus/GANN sink
+  * surface (radient/tasks/sinks/milvus.py:83-127, `todict` row shape
+  * vector.py:44-48): rows carry id, embedding, a precomputed `norm_sq`
+  * (gann.c:832-841 — turns L2 into one dot product at query time), and
+  * arbitrary metadata columns.
+  *
+  * Scale: written as parquet, optionally partitioned by a metadata column
+  * (partition pruning for filtered searches) — at 100 TB this is the
+  * posting-list layout; pair with graft.index.IvfIndex for cluster
+  * partitioning.
+  */
+object VectorTable {
+
+  /** Persist (id, embedding, norm_sq, metadata...) — `insert` parity. */
+  def write(df: DataFrame, path: String, idCol: String, vecCol: String,
+      partitionCol: Option[String] = None): Unit = {
+    val out = df.withColumn("norm_sq", VectorF.normSq(col(vecCol)))
+    val w = out.write.mode("overwrite")
+    partitionCol.fold(w)(c => w.partitionBy(c)).parquet(path)
+  }
+
+  def load(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Filtered exact top-k search — `search` parity
+    * (milvus.py:122-127: query vector + limit + boolean filter expr).
+    * Distance: "l2" or "cosine". The filter is a real Column predicate so
+    * Catalyst pushes it into the scan (the reference forwards an opaque
+    * string to Milvus; here pushdown is free). */
+  def search(table: DataFrame, vecCol: String, query: Seq[Double], k: Int,
+      metric: String = "l2", filter: Option[Column] = None): DataFrame = {
+    val qLit = array(query.map(lit): _*)
+    val filtered = filter.fold(table)(table.filter)
+    val scored = metric match {
+      case "l2" =>
+        // ‖q‖² + ‖v‖² − 2q·v with the persisted norm (gann.c:1069)
+        val qNormSq = query.map(x => x * x).sum
+        filtered.withColumn("distance",
+          sqrt(greatest(lit(qNormSq) + col("norm_sq")
+            - lit(2.0) * VectorF.dot(col(vecCol), qLit), lit(0.0))))
+      case "cosine" =>
+        filtered.withColumn("distance",
+          lit(1.0) - VectorF.dot(col(vecCol), qLit)
+            / (sqrt(col("norm_sq")) * lit(math.sqrt(query.map(x => x * x).sum))))
+      case other => throw new IllegalArgumentException(s"unknown metric $other")
+    }
+    scored.orderBy(col("distance"), col(scored.columns.head)).limit(k)
+  }
+}

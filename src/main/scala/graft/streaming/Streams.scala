@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface — the "persistent workflow" the reference
+  * left as a TODO (radient/orchestrate/workflow.py:55-56): the same
+  * DataFrame code runs over a file-arrival stream, plus watermarked
+  * windowed aggregation and custom keyed state.
+  *
+  * Scale shape: file-arrival sources scale to object-store listings;
+  * windowed aggregates keep state bounded by the watermark; keyed state
+  * shuffles once on user_id and lives in the state store.
+  */
+object Streams {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-arrival ingest of events-shaped parquet (IngestSource parity,
+    * radient/tasks/sources/ingest.py — continuous instead of one-shot). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** Watermarked sliding-window aggregate: counts + value sums per
+    * event_type per 10-minute window. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  final case class UserEvent(user_id: Long, value: Double)
+  final case class UserStat(user_id: Long, n: Long, total: Double)
+
+  /** Custom keyed state via mapGroupsWithState: running per-user totals
+    * (the mapGroupsWithState path from SURVEY.md §1.5). */
+  def runningUserTotals(events: DataFrame): Dataset[UserStat] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("value")).as[UserEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserStat, UserStat](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[UserEvent], state: GroupState[UserStat]) =>
+          val prev = state.getOption.getOrElse(UserStat(uid, 0L, 0.0))
+          var n = prev.n; var total = prev.total
+          rows.foreach { e => n += 1; total += e.value }
+          val next = UserStat(uid, n, total)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Run a streaming frame to completion against a memory sink and return
+    * the materialized result (test/local harness). */
+  def runToMemory(df: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Update()): DataFrame = {
+    val q = df.writeStream.outputMode(mode)
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    df.sparkSession.table(name)
+  }
+}

@@ -1,0 +1,89 @@
+package graft.vectorize
+
+import graft.functions.TextF
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.ml.stat.Summarizer
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** FastRP node embeddings (Chen et al. 2019) as distributed message
+  * passing — the Spark-native re-expression of the reference's sparse
+  * matmul chain (radient/tasks/vectorizers/graph/fastrp.py:32-53):
+  *
+  *   R    = sparse random projection rows (one per node, seeded hash)
+  *   L    = diag(0.5 · deg^β / n)
+  *   N_1  = A·L·R
+  *   out  = Σ_k weights[k] · N_k,  N_{k+1} = A·N_k
+  *
+  * Each `A·X` is one join edges⋈X on dst + one groupBy(src) vector-sum
+  * (MLlib Summarizer — single shuffle, map-side partial aggregation).
+  * The projection matrix R is never materialized on the driver: each row
+  * is a deterministic function of (node, component, seed) via TextF.h32,
+  * mirroring sklearn's SparseRandomProjection density 1/√d with values
+  * ±√(1/density)/√d (fastrp.py:31 defaults).
+  */
+object FastRP {
+
+  /** Seeded sparse-random-projection row for a node id column. */
+  def projectionRow(node: Column, dim: Int, seed: Long): Column = {
+    val density = 1.0 / math.sqrt(dim)
+    val s = math.sqrt(1.0 / density) / math.sqrt(dim)
+    transform(sequence(lit(0), lit(dim - 1)), k => {
+      val u = (TextF.h32(concat(lit(s"rp$seed#"), node.cast("string"),
+        lit("#"), k.cast("string"))) % 1000000L).cast("double") / 1000000.0
+      when(u < density / 2, lit(s))
+        .when(u < density, lit(-s))
+        .otherwise(lit(0.0))
+    })
+  }
+
+  /** A·X: propagate `vec` from dst to src along weighted edges and sum. */
+  private def propagate(edges: DataFrame, x: DataFrame): DataFrame = {
+    edges.join(x, edges("dst") === x("node"))
+      .select(edges("src"),
+        array_to_vector(transform(col("vec"), v => v * col("weight"))).as("m"))
+      .groupBy(col("src").as("node"))
+      .agg(vector_to_array(Summarizer.sum(col("m"))).as("vec"))
+  }
+
+  private def axpy(acc: DataFrame, w: Double, x: DataFrame): DataFrame =
+    acc.join(x.withColumnRenamed("vec", "xv"), Seq("node"), "fullouter")
+      .select(col("node"),
+        when(col("vec").isNull, transform(col("xv"), v => v * w))
+          .when(col("xv").isNull, col("vec"))
+          .otherwise(zip_with(col("vec"), col("xv"), (a, b) => a + b * w))
+          .as("vec"))
+
+  /** Node embeddings for a weighted edge list (src, dst, weight).
+    * Directed propagation like the reference's A @ X; pass a symmetrized
+    * edge list for undirected graphs. */
+  def embed(edges: DataFrame, dim: Int = 64,
+      weights: Seq[Double] = Seq(0.1, 0.2, 1.0, 3.0),
+      beta: Double = 0.0, seed: Long = 42L): DataFrame = {
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct().cache()
+    val n = nodes.count()
+    // L[j] = 0.5 * deg(j)^beta / n  (out-degree = row sum of A)
+    val deg = edges.groupBy(col("src").as("node"))
+      .agg(sum(col("weight")).as("deg"))
+    val lr = nodes.join(deg, Seq("node"), "left")
+      .select(col("node"),
+        transform(projectionRow(col("node"), dim, seed),
+          v => v * (lit(0.5) * pow(coalesce(col("deg"), lit(0.0)).cast("double"), beta) / n))
+          .as("vec"))
+    var nk = propagate(edges, lr).cache() // N_1 = A·L·R
+    var result = nk.select(col("node"),
+      transform(col("vec"), v => v * weights.head).as("vec"))
+    for (w <- weights.tail) {
+      val next = propagate(edges, nk).cache()
+      nk.unpersist()
+      nk = next
+      result = axpy(result, w, nk)
+    }
+    // nodes that received no messages get the zero vector
+    nodes.join(result, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("vec"),
+          transform(sequence(lit(0), lit(dim - 1)), _ => lit(0.0))).as("vec"))
+  }
+}

@@ -1,0 +1,149 @@
+package graft.vectorize
+
+import graft.functions.{TextF, VectorF}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns: image/audio/video as opaque `binary` columns with
+  * typed metadata, featurized by modality-dispatched per-partition
+  * decoders (the Spark twin of the reference's MultimodalVectorizer
+  * dispatch, radient/tasks/vectorizers/multimodal.py:31-42, and of its
+  * per-modality preprocess→vectorize→postprocess contract,
+  * tasks/vectorizers/_base.py:90-101).
+  *
+  * The real model decode (PIL/librosa/ImageBind in the reference) is NOT
+  * available offline — each decoder below is a clearly-marked
+  * deterministic STUB with the same shape: bytes in, fixed-dim float
+  * features out. The Spark-side plumbing is real: binary schema,
+  * mapPartitions with per-partition decoder init (the LazyLocalRunner
+  * pattern, radient/orchestrate/runners.py:49-60), unit-normalized output
+  * rows, modality stamped into metadata (_base.py:99).
+  */
+object Multimodal {
+
+  /** Canonical multimodal record schema (id, modality, data, path). */
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("modality", StringType),
+    StructField("data", BinaryType),
+    StructField("path", StringType)))
+
+  /** Decoder contract: the seam where a real model (ONNX session, JNI
+    * codec) would plug in — initialized once per partition. */
+  trait Decoder extends Serializable {
+    def init(): Unit = ()
+    def features(bytes: Array[Byte], dim: Int): Array[Float]
+  }
+
+  /** STUB image decoder: byte-value histogram over `dim` buckets — stands
+    * in for decode→resize→embed. Deterministic fake, NOT a real codec. */
+  object StubImageDecoder extends Decoder {
+    def features(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val h = new Array[Float](dim)
+      bytes.foreach(b => h((b & 0xff) % dim) += 1f)
+      h
+    }
+  }
+
+  /** STUB audio decoder: interprets bytes as int8 samples and emits
+    * windowed energy moments — stands in for waveform decode→embed. */
+  object StubAudioDecoder extends Decoder {
+    def features(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val h = new Array[Float](dim)
+      var i = 0
+      while (i < bytes.length) {
+        val v = bytes(i).toFloat / 128f
+        h(i % dim) += v * v
+        i += 1
+      }
+      h
+    }
+  }
+
+  /** STUB video decoder: frame-samples every `stride` bytes then applies
+    * the image stub — stands in for demux→frame-grab (video_demux
+    * semantics, radient/tasks/transforms/video_demux/default.py:23-61). */
+  object StubVideoDecoder extends Decoder {
+    def features(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val stride = math.max(1, bytes.length / 16)
+      StubImageDecoder.features(bytes.grouped(stride).map(_.head).toArray, dim)
+    }
+  }
+
+  def decoderFor(modality: String): Decoder = modality match {
+    case "image" => StubImageDecoder
+    case "audio" => StubAudioDecoder
+    case "video" => StubVideoDecoder
+    case other => throw new IllegalArgumentException(s"no decoder for $other")
+  }
+
+  /** Featurize binary columns by modality: one mapPartitions pass,
+    * decoder initialized per partition, unit-normalized `embedding` out.
+    * Text rows are routed to the hash embedder (native expressions) and
+    * unioned back — the per-modality branch-and-union plan from
+    * SURVEY.md §2.3. */
+  def featurize(df: DataFrame, dim: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("modality", StringType),
+      StructField("embedding", ArrayType(FloatType))))
+    val binary = df.filter(col("modality") =!= "text")
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val featurized = binary.select("id", "modality", "data")
+      .mapPartitions { rows =>
+        // per-partition init (LazyLocalRunner pattern): decoders are
+        // resolved once here, not per row
+        val decoders = Map(
+          "image" -> StubImageDecoder,
+          "audio" -> StubAudioDecoder,
+          "video" -> StubVideoDecoder)
+        decoders.values.foreach(_.init())
+        rows.map { r =>
+          val m = r.getString(1)
+          Row(r.getLong(0), m,
+            decoders(m).features(r.getAs[Array[Byte]](2), dim).toSeq)
+        }
+      }(encoder)
+    val text = df.filter(col("modality") === "text")
+      .select(col("id"), col("modality"),
+        HashEmbed.embed(col("data").cast("string"), dim).as("embedding"))
+    featurized.union(text)
+      .select(col("id"), col("modality"),
+        VectorF.normalize(col("embedding")).cast("array<float>").as("embedding"))
+  }
+
+  /** Interval clip-split of a samples column — the audio 2 s clip logic
+    * (radient/tasks/vectorizers/audio/imagebind.py:41-51) and the demux
+    * interval sampling, as a native flatMap: one row per clip. */
+  def clipSplit(df: DataFrame, samplesCol: String, rateCol: String,
+      clipSeconds: Double): DataFrame = {
+    val clipLen = (col(rateCol).cast("double") * clipSeconds).cast("int")
+    df.withColumn("n_clips",
+      ceil(size(col(samplesCol)).cast("double") / clipLen).cast("int"))
+      .select(col("*"),
+        posexplode(transform(sequence(lit(0), col("n_clips") - 1),
+          i => slice(col(samplesCol), i * clipLen + 1, clipLen)))
+          .as(Seq("clip_idx", "clip")))
+      .drop("n_clips", samplesCol)
+  }
+}
+
+/** Deterministic hash-projection text embedder (the offline stand-in for
+  * sbert, radient/tasks/vectorizers/text/sbert.py — same surface, signed
+  * feature hashing instead of a transformer). */
+object HashEmbed {
+  import org.apache.spark.sql.Column
+
+  /** Signed feature-hash embedding of a text column (unnormalized counts;
+    * integer-exact, see TextAnalysis.q_embed_hash for the oracle twin). */
+  def embed(text: Column, dim: Int): Column = {
+    val toks = TextF.tokens(text)
+    transform(sequence(lit(0), lit(dim - 1)), p =>
+      aggregate(toks, lit(0L), (acc, t) =>
+        acc + when(TextF.featureBucket(t, dim) === p.cast("long"),
+          TextF.featureSign(t)).otherwise(0L)).cast("float"))
+  }
+}

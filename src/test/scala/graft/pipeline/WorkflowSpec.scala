@@ -1,0 +1,45 @@
+package graft.pipeline
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class WorkflowSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("linear chain with implicit deps mirrors reference default") {
+    import spark.implicits._
+    val wf = new Workflow()
+      .source("docs", Seq((1L, "a b c"), (2L, "d e")).toDF("id", "text"))
+      .map("tokens", _.select(col("id"), explode(split(col("text"), " ")).as("tok")))
+      .map("counts", _.groupBy("id").count())
+    val out = wf.execute().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 2L))
+    assert(wf.stageNames == Seq("docs", "tokens", "counts"))
+  }
+
+  test("multi-dependency stage joins two inputs") {
+    import spark.implicits._
+    val wf = new Workflow()
+      .source("left", Seq((1L, "x")).toDF("id", "a"))
+      .source("right", Seq((1L, "y")).toDF("id", "b"))
+      .add("joined", ins => ins(0).join(ins(1), "id"), Seq("left", "right"))
+    assert(wf.execute().columns.toSeq == Seq("id", "a", "b"))
+    assert(wf.execute().count() == 1)
+  }
+
+  test("empty-input propagation (the reference's None short-circuit)") {
+    import spark.implicits._
+    val wf = new Workflow()
+      .source("src", Seq.empty[(Long, String)].toDF("id", "text"))
+      .map("downstream", _.filter(col("id") > 0).groupBy("text").count())
+    assert(wf.execute().count() == 0)
+  }
+
+  test("duplicate and unknown stage names are rejected") {
+    import spark.implicits._
+    val base = new Workflow().source("a", Seq(1).toDF("x"))
+    intercept[IllegalArgumentException](base.source("a", Seq(1).toDF("x")))
+    intercept[IllegalArgumentException](base.map("b", identity, dependency = "nope"))
+  }
+}
