@@ -13,11 +13,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Session conf needed to read the testdata: events.ts is parquet
+    * TIMESTAMP(NANOS), which Spark refuses by default; reading it as long
+    * nanos and truncating to micros matches DuckDB's TIMESTAMP cast, so
+    * the oracle agrees. Set once at session construction (Bench / Verify /
+    * TestSpark all pass it to their builders). */
+  val sessionConf: Map[String, String] =
+    Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark refuses by default;
-    // read it as long nanos and truncate to micros (exactly what DuckDB's
-    // TIMESTAMP cast does, so the oracle agrees).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // fallback for externally-built sessions that skipped sessionConf —
+    // set once, never flipped back, so unrelated reads see a stable conf
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(

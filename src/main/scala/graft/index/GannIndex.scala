@@ -24,11 +24,18 @@ import org.apache.spark.sql.functions._
   * deterministic, where the reference's gradient balanced k-means is
   * stochastic.
   *
-  * Scale shape: each level is one narrow pass over the vectors (a
-  * broadcast join against |nodes| hyperplanes + a percentile aggregate);
-  * only per-node statistics (counts, samples, quantiles) ever reach the
-  * driver. The assignment table is the index — write it partitioned by
-  * leaf and searches prune to the probed leaves.
+  * Scale shape: the tree (a few KB of hyperplanes) lives on the driver and
+  * is broadcast; every level's leaf assignment is derived FRESH from the
+  * base table by routing each vector through the tree-so-far — a single
+  * scan + UDF + explode whose logical plan stays constant-size per level.
+  * (The round-1 implementation instead stacked
+  * `union(untouched, left, right)` per level on top of the previous
+  * level's plan, growing the Catalyst plan ~3^depth — at sf0.1 that hit
+  * the 2 GB plan-string ceiling and spent 35 minutes in analysis alone.)
+  * Only per-node statistics (counts, samples, quantiles) ever reach the
+  * driver. The final assignment table is the index; at cluster scale it
+  * would be written partitioned by `leaf` so searches prune to the probed
+  * leaves.
   */
 object GannIndex {
 
@@ -36,42 +43,51 @@ object GannIndex {
   final case class Node(id: Int, w: Array[Double], bias: Double,
       loCut: Double, hiCut: Double, left: Int, right: Int)
 
+  /** Route a vector to its leaf set: descend by hyperplane sign, taking
+    * BOTH children inside the spill band (gann.c:917-940's multi-probe).
+    * Shared by the build (data-side assignment) and the search
+    * (query-side probe), so the two sides agree by construction. */
+  private[index] def routeLeaves(nodes: Map[Int, Node], v: Array[Double]): Seq[Int] = {
+    def go(id: Int): Seq[Int] = nodes.get(id) match {
+      case None => Seq(id)
+      case Some(n) if n.left < 0 => Seq(n.id)
+      case Some(n) =>
+        val p = dotd(v, n.w) + n.bias
+        if (p <= n.loCut) go(n.left)
+        else if (p > n.hiCut) go(n.right)
+        else go(n.left) ++ go(n.right)
+    }
+    go(0)
+  }
+
+  /** (id, vec, leaf) with one row per (row, routed leaf) — constant-size
+    * plan regardless of tree depth. */
+  private def routed(base: DataFrame, nodes: Map[Int, Node],
+      idCol: String, vecCol: String): DataFrame = {
+    val spark = base.sparkSession
+    if (nodes.isEmpty) base.withColumn("leaf", lit(0))
+    else {
+      val bc = spark.sparkContext.broadcast(nodes)
+      val routeUdf = udf { (v: Seq[Double]) => routeLeaves(bc.value, v.toArray) }
+      base.withColumn("leaf", explode(routeUdf(col(vecCol))))
+    }
+  }
+
   final case class Model(nodes: Map[Int, Node], leaves: Seq[Int],
       assign: DataFrame, idCol: String, vecCol: String) {
 
-    /** Leaf ids a query vector routes to (both children inside the spill
-      * band — the multi-probe that buys recall back, gann.c:917-940). */
-    def route(v: Array[Double]): Seq[Int] = {
-      def go(id: Int): Seq[Int] = nodes.get(id) match {
-        case None => Seq(id)
-        case Some(n) if n.left < 0 => Seq(n.id)
-        case Some(n) =>
-          val p = dotd(v, n.w) + n.bias
-          if (p <= n.loCut) go(n.left)
-          else if (p > n.hiCut) go(n.right)
-          else go(n.left) ++ go(n.right)
-      }
-      go(0)
-    }
+    /** Leaf ids a query vector routes to. */
+    def route(v: Array[Double]): Seq[Int] = routeLeaves(nodes, v)
 
     /** Exact-rank top-k over the union of probed leaves for a batch of
-      * queries (qid, qvec). */
+      * queries (qid, qvec). With spill > 0 a candidate can be reached via
+      * both probed children, so candidates are de-duplicated per (query,
+      * id) before ranking — the DataFrame twin of the C kernel's
+      * open-addressing candidate set (gann.c:944-993). */
     def search(queries: DataFrame, qid: String, qvec: String, k: Int): DataFrame = {
       val spark = queries.sparkSession
       val bc = spark.sparkContext.broadcast(nodes)
-      val routeUdf = udf { (v: Seq[Double]) =>
-        val ns = bc.value
-        def go(id: Int): Seq[Int] = ns.get(id) match {
-          case None => Seq(id)
-          case Some(n) if n.left < 0 => Seq(n.id)
-          case Some(n) =>
-            val p = dotd(v.toArray, n.w) + n.bias
-            if (p <= n.loCut) go(n.left)
-            else if (p > n.hiCut) go(n.right)
-            else go(n.left) ++ go(n.right)
-        }
-        go(0)
-      }
+      val routeUdf = udf { (v: Seq[Double]) => routeLeaves(bc.value, v.toArray) }
       val probed = queries.select(col(qid), col(qvec),
         explode(routeUdf(col(qvec).cast("array<double>"))).as("leaf"))
       val w = Window.partitionBy(col(qid)).orderBy(col("dist"), col(idCol))
@@ -79,6 +95,8 @@ object GannIndex {
         .filter(col(idCol) =!= col(qid))
         .select(col(qid), col(idCol),
           VectorF.l2Dist(col(qvec), col(vecCol)).as("dist"))
+        .groupBy(col(qid), col(idCol))
+        .agg(min(col("dist")).as("dist"))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= k)
     }
@@ -135,12 +153,13 @@ object GannIndex {
       sampleSize: Int = 256, maxDepth: Int = 20): Model = {
     val spark = df.sparkSession
     import spark.implicits._
-    var assign = df.select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
-      .withColumn("leaf", lit(0)).cache()
+    val base = df.select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
+      .cache()
     var nodes = Map.empty[Int, Node]
     var depth = 0
     var done = false
     while (!done && depth < maxDepth) {
+      val assign = routed(base, nodes, idCol, vecCol)
       val counts = assign.groupBy("leaf").count().as[(Int, Long)].collect().toMap
       val active = counts.filter(_._2 > leafSize).keys.toSeq.sorted
       if (active.isEmpty) done = true
@@ -171,10 +190,8 @@ object GannIndex {
         if (planes.isEmpty) done = true
         else {
           val planeDf = broadcast(planes.toDF("leaf", "w", "bias"))
-          val projected = assign.join(planeDf, Seq("leaf"), "left")
-            .withColumn("proj",
-              when(col("w").isNotNull, VectorF.dot(col(vecCol), col("w")) + col("bias")))
-          val cuts = projected.filter(col("proj").isNotNull)
+          val cuts = assign.join(planeDf, Seq("leaf"))
+            .withColumn("proj", VectorF.dot(col(vecCol), col("w")) + col("bias"))
             .groupBy("leaf")
             .agg(expr(s"percentile(proj, ${0.5 - spill})").as("lo"),
               expr(s"percentile(proj, ${0.5 + spill})").as("hi"))
@@ -185,23 +202,11 @@ object GannIndex {
               n -> Node(n, w, bias, lo, hi, 2 * n + 1, 2 * n + 2)
             }
           }
-          val cutDf = broadcast(cuts.toSeq.map { case (n, (lo, hi)) => (n, lo, hi) }
-            .toDF("leaf", "lo", "hi"))
-          val withCuts = projected.join(cutDf, Seq("leaf"), "left")
-          val untouched = withCuts.filter(col("proj").isNull)
-            .select(col(idCol), col(vecCol), col("leaf"))
-          val leftRows = withCuts.filter(col("proj").isNotNull && col("proj") <= col("hi"))
-            .select(col(idCol), col(vecCol), (col("leaf") * 2 + 1).as("leaf"))
-          val rightRows = withCuts.filter(col("proj").isNotNull && col("proj") > col("lo"))
-            .select(col(idCol), col(vecCol), (col("leaf") * 2 + 2).as("leaf"))
-          val next = untouched.union(leftRows).union(rightRows).cache()
-          next.count() // materialize before dropping parent
-          assign.unpersist()
-          assign = next
           depth += 1
         }
       }
     }
+    val assign = routed(base, nodes, idCol, vecCol).cache()
     val leaves = assign.select("leaf").distinct().as[Int].collect().toSeq.sorted
     Model(nodes, leaves, assign, idCol, vecCol)
   }

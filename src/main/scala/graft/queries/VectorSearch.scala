@@ -129,9 +129,12 @@ object VectorSearch {
         .agg(round(avg(col("v").cast("double")), 6).as("mean_val"))
         .orderBy(col("label"), col("pos"))
     },
+    // positions derive from the data (len(embedding)) on both sides, so a
+    // dim mismatch surfaces as a real diff instead of silently diverging
     Some("""
       |SELECT label, i AS pos, round(avg(embedding[i + 1]::DOUBLE), 6) AS mean_val
-      |FROM embeddings, (SELECT unnest(range(0, 64)) AS i) idx
+      |FROM (SELECT label, embedding, unnest(range(0, len(embedding))) AS i
+      |      FROM embeddings)
       |GROUP BY label, i ORDER BY label, pos
       |""".stripMargin))
 
@@ -148,8 +151,8 @@ object VectorSearch {
     Some(s"""
       |SELECT vec_id, i AS pos,
       |  round(embedding[i + 1]::DOUBLE / ${Sql.norm("embedding")}, 6) AS v
-      |FROM embeddings, (SELECT unnest(range(0, 64)) AS i) idx
-      |WHERE vec_id < 10
+      |FROM (SELECT vec_id, embedding, unnest(range(0, len(embedding))) AS i
+      |      FROM embeddings WHERE vec_id < 10)
       |ORDER BY vec_id, pos
       |""".stripMargin))
 

@@ -121,10 +121,14 @@ object Multimodal {
   def clipSplit(df: DataFrame, samplesCol: String, rateCol: String,
       clipSeconds: Double): DataFrame = {
     val clipLen = (col(rateCol).cast("double") * clipSeconds).cast("int")
+    // guard: sequence(0, -1) is DESCENDING in Spark — an empty samples
+    // array must yield zero clip rows, not two spurious empty clips
+    val clipIdx = when(col("n_clips") > 0,
+      sequence(lit(0), col("n_clips") - 1)).otherwise(array().cast("array<int>"))
     df.withColumn("n_clips",
       ceil(size(col(samplesCol)).cast("double") / clipLen).cast("int"))
       .select(col("*"),
-        posexplode(transform(sequence(lit(0), col("n_clips") - 1),
+        posexplode(transform(clipIdx,
           i => slice(col(samplesCol), i * clipLen + 1, clipLen)))
           .as(Seq("clip_idx", "clip")))
       .drop("n_clips", samplesCol)

@@ -66,6 +66,18 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(r >= 0.5)
   }
 
+  test("GANN search emits no duplicate (qid, vec_id) under spill") {
+    val model = GannIndex.build(emb, "vec_id", "embedding",
+      leafSize = 64, spill = 0.15)
+    val out = model.search(queries, "qid", "qv", K)
+    assert(out.count() == out.select("qid", "vec_id").distinct().count())
+    // exactly k ranks per query, 1..k with no gaps
+    val ranks = out.groupBy("qid")
+      .agg(count(lit(1)).as("n"), max(col("rnk")).as("mx"))
+      .collect()
+    ranks.foreach { r => assert(r.getLong(1) == K && r.getInt(2) == K) }
+  }
+
   test("GANN leaves are balanced and cover all vectors at spill=0") {
     val model = GannIndex.build(emb, "vec_id", "embedding",
       leafSize = 64, spill = 0.0)
