@@ -9,8 +9,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object QueryRegistry {
   def all: Seq[Q] =
-    Relational.all ++ TextAnalysis.all ++ Dedup.all ++ VectorSearch.all ++
-      Molecules.all ++ Ann.all
+    Relational.all ++ Relational2.all ++ TextAnalysis.all ++ Dedup.all ++
+      VectorSearch.all ++ Molecules.all ++ Ann.all ++ Pipelines.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

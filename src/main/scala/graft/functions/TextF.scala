@@ -54,14 +54,24 @@ object TextF {
     floor(h.cast("double") / pow(lit(2.0), j.cast("double"))).cast("long") % 2
 
   /** 32-bit SimHash over a token array (term-frequency weighted): bit j is
-    * set iff Σ_tokens (2·bit_j(h32(tok)) − 1) > 0. */
+    * set iff Σ_tokens (2·bit_j(h32(tok)) − 1) > 0, i.e. iff
+    * 2·(count of tokens with bit j set) > n_tokens — integer-identical.
+    *
+    * Evaluation shape: ONE h32 (md5) per token, accumulated into a 32-slot
+    * bit-count array. The hash must be the per-element lambda VARIABLE of
+    * the outer fold — an earlier formulation that looped bits outermost
+    * re-inlined the h32 subtree per bit (32 md5 calls per token) and made
+    * SimHash dedup 37 s at sf0.1. */
   def simhash32(toks: Column): Column = {
-    val hashes = transform(toks, t => h32(t))
-    aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, j) => {
-      val bitSum = aggregate(hashes, lit(0L),
-        (a2, h) => a2 + (lit(2L) * bitAt(h, j) - lit(1L)))
-      acc + when(bitSum > 0L, pow(lit(2.0), j.cast("double")).cast("long")).otherwise(lit(0L))
-    })
+    val counts = aggregate(transform(toks, t => h32(t)),
+      array_repeat(lit(0L), 32),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(31)),
+        (v, j) => v + bitAt(h, j)))
+    val n = size(toks).cast("long")
+    aggregate(zip_with(counts, sequence(lit(0), lit(31)),
+        (c, j) => when(c * 2L > n,
+          pow(lit(2.0), j.cast("double")).cast("long")).otherwise(lit(0L))),
+      lit(0L), (s, x) => s + x)
   }
 
   /** Feature-hash bucket (h32(tok) mod dim) and sign (±1 from a salted

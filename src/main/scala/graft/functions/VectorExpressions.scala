@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native codegen'd Catalyst expressions for the hot vector kernels — the
+  * JVM twin of the reference's AVX2 C kernels
+  * (radient/tasks/sinks/local/_gann_c_src/gann.c:460-492): a tight
+  * primitive loop over `ArrayData`, no per-element lambda dispatch and no
+  * boxing, inlined into whole-stage codegen.
+  *
+  * Semantics are BIT-IDENTICAL to the higher-order-function forms in
+  * [[VectorF]] (sequential left-to-right double fold, float widened per
+  * element), so swapping them in cannot change any oracle-checked result —
+  * this is exactly the "promote the hot ones to codegen Expressions if
+  * BENCH demands" escalation planned in SURVEY.md §7.3.
+  *
+  * Both operands must be `array<float>` or `array<double>` (mixing is
+  * fine); null inputs yield null; arrays are folded over the shorter
+  * length (all engine callers pair equal-dim vectors).
+  */
+abstract class VectorFoldExpression extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float|double> inputs, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  @transient private lazy val leftIsFloat =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val rightIsFloat =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  protected def get(a: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+
+  /** Combine one element pair into the accumulator (interpreted path). */
+  protected def fold(acc: Double, x: Double, y: Double): Double
+  /** Java source for the same combine step; operands are double exprs. */
+  protected def foldCode(acc: String, x: String, y: String): String
+  /** Finish the accumulated value (identity or sqrt). */
+  protected def finish(acc: Double): Double
+  protected def finishCode(acc: String): String
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s = fold(s, get(a, i, leftIsFloat), get(b, i, rightIsFloat))
+      i += 1
+    }
+    finish(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val la = if (leftIsFloat) "getFloat" else "getDouble"
+    val ra = if (rightIsFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s = ${foldCode(s, s"(double) $a.$la($i)", s"(double) $b.$ra($i)")};
+         |}
+         |${ev.value} = ${finishCode(s)};
+       """.stripMargin
+    })
+  }
+}
+
+/** Σ aᵢ·bᵢ (gann.c:460-487's dot kernel). */
+case class DotProduct(left: Expression, right: Expression) extends VectorFoldExpression {
+  override def prettyName: String = "graft_dot"
+  protected def fold(acc: Double, x: Double, y: Double): Double = acc + x * y
+  protected def foldCode(acc: String, x: String, y: String): String = s"$acc + $x * $y"
+  protected def finish(acc: Double): Double = acc
+  protected def finishCode(acc: String): String = acc
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+}
+
+/** √Σ (aᵢ−bᵢ)² (gann.c:1069's exact L2, without the norm trick). */
+case class L2Distance(left: Expression, right: Expression) extends VectorFoldExpression {
+  override def prettyName: String = "graft_l2_dist"
+  protected def fold(acc: Double, x: Double, y: Double): Double = {
+    val d = x - y; acc + d * d
+  }
+  protected def foldCode(acc: String, x: String, y: String): String =
+    s"$acc + ($x - $y) * ($x - $y)"
+  protected def finish(acc: Double): Double = math.sqrt(acc)
+  protected def finishCode(acc: String): String = s"java.lang.Math.sqrt($acc)"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): L2Distance =
+    copy(left = l, right = r)
+}

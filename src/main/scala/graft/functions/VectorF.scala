@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
 
 /** Vector scalar functions over `array<float|double>` columns.
   *
@@ -19,9 +20,12 @@ import org.apache.spark.sql.functions._
 object VectorF {
   private def d(c: Column): Column = c.cast("double")
 
-  /** Σ aᵢ·bᵢ as a sequential double fold (matches gann.c:460-487). */
+  /** Σ aᵢ·bᵢ as a sequential double fold (matches gann.c:460-487).
+    * Backed by the codegen'd [[DotProduct]] expression — bit-identical to
+    * the `aggregate(zip_with(...))` fold it replaced, but a primitive loop
+    * inside whole-stage codegen instead of per-element lambda dispatch. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => d(x) * d(y)), lit(0.0), (acc, x) => acc + x)
+    ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** ‖a‖² — persisted as a `norm_sq` column by the index builder, the same
     * trick as gann.c:832-841 (turns L2 into one dot product). */
@@ -29,10 +33,10 @@ object VectorF {
 
   def l2Norm(a: Column): Column = sqrt(normSq(a))
 
+  /** √Σ(aᵢ−bᵢ)² via the codegen'd [[L2Distance]] expression (same
+    * sequential fold as the HOF form it replaced). */
   def l2Dist(a: Column, b: Column): Column =
-    sqrt(aggregate(
-      zip_with(a, b, (x, y) => (d(x) - d(y)) * (d(x) - d(y))),
-      lit(0.0), (acc, x) => acc + x))
+    ColumnBridge.column(L2Distance(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))
@@ -43,11 +47,21 @@ object VectorF {
     dotC / (normA * normB)
 
   /** Unit L2 normalization; the zero vector maps to zeros (the reference
-    * warns and skips non-normalizable inputs, _base.py:14-15). */
-  def normalize(a: Column): Column = {
-    val n = l2Norm(a)
-    transform(a, x => when(n === lit(0.0), lit(0.0)).otherwise(d(x) / n))
-  }
+    * warns and skips non-normalizable inputs, _base.py:14-15).
+    *
+    * The input is bound ONCE as a lambda variable by routing it through a
+    * single-element array: naive `transform(a, x => x / l2Norm(a))` embeds
+    * the whole `a` subtree inside the per-element lambda, and optimizer
+    * projection-pushdown (e.g. through a union) can substitute an
+    * arbitrarily expensive expression for `a` — HOF lambda bodies get no
+    * subexpression elimination, so that subtree would re-evaluate
+    * ~3·dim times per row (this made the multimodal featurize query 54 s
+    * at sf0.1; with the binding it is <1 s). */
+  def normalize(a: Column): Column =
+    element_at(transform(array(a), v => {
+      val n = l2Norm(v)
+      transform(v, x => when(n === lit(0.0), lit(0.0)).otherwise(d(x) / n))
+    }), 1)
 
   /** Jaccard similarity between boolean arrays (molecule fingerprints,
     * examples/drug_discovery.md:42-47). */

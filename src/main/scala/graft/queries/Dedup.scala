@@ -30,12 +30,28 @@ object Dedup {
   private val MINHASH_VERIFY_T = 0.7
   private val COSINE_T = 0.45
 
-  /** doc_id, lang, distinct 3-shingle set. */
+  /** doc_id, lang, distinct 3-shingle set — CACHED. Two reasons, both
+    * load-bearing at scale:
+    *  - every consumer self-joins this table (both sides of a candidate
+    *    join), and without materialization Spark computes the full
+    *    text→shingle pipeline once per side;
+    *  - worse, the `size(sh) > 0` filter inferred from the downstream
+    *    explode is pushed below the projection and predicate pushdown
+    *    SUBSTITUTES the whole shingle expression into the condition —
+    *    6 re-evaluations per row in the round-1 plan (19 s at sf0.1 for
+    *    q_dedup_ngram_jaccard alone). The cache boundary stops the
+    *    substitution; filters evaluate against materialized columns.
+    * At 100 TB the same role is played by writing the signature/shingle
+    * table out (or a shuffle-reuse), not by recomputing per join side.
+    * `toks` is likewise bound as a real column so the token split runs
+    * once per row rather than once per shingle index. */
   private def shingleDf(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
+      .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"), col("lang"),
-        shingleSet(tokens(col("text")), 3).as("sh"))
+        shingleSet(col("toks"), 3).as("sh"))
       .withColumn("nsh", size(col("sh")))
+      .cache()
 
   private val shingleSql =
     s"""SELECT doc_id, lang,
@@ -138,8 +154,12 @@ object Dedup {
     "q_dedup_minhash_lsh",
     (s, dir) => {
       val d = shingleDf(s, dir)
+      // cached: both band-join sides derive from sig, and the 9-way
+      // minhash aggregate must not be recomputed per side / re-inlined
+      // into pushed-down filters (see shingleDf note)
       val sig = d.select(col("doc_id"),
         array((0 until MINHASH_K).map(j => minhash(col("sh"), j)): _*).as("sig"))
+        .cache()
       val r = MINHASH_K / BANDS
       // band join and pair-dedup run over ids ONLY — the shingle arrays
       // join back in just for the (few) surviving candidate pairs, so the
@@ -220,7 +240,53 @@ object Dedup {
       |ORDER BY vec_a, vec_b
       |""".stripMargin))
 
+  /** SimHash near-dup: 32-bit TF-weighted SimHash signatures, pairs with
+    * Hamming distance ≤ 3. Candidate generation is byte-banded (pigeonhole:
+    * d ≤ 3 over 4 disjoint bytes ⇒ at least one byte is identical), so the
+    * Spark plan only equi-joins on (band, byte) and XOR-verifies the few
+    * collisions — the oracle states the same set pairwise. At 100 TB the
+    * signature pass is embarrassingly parallel and the band join shuffles
+    * 8-bit keys. */
+  val q_dedup_simhash = Q(
+    "q_dedup_simhash",
+    (s, dir) => {
+      val HAMMING_T = 3
+      // cached for the same reasons as shingleDf: self-joined, and the
+      // 33-HOF simhash expression must not be re-inlined by pushdown
+      val sim = Tables(s, dir, "documents")
+        .withColumn("t", tokens(col("text")))
+        .select(col("doc_id"), simhash(col("t")).as("sh"))
+        .cache()
+      val banded = sim.select(col("doc_id"), col("sh"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("sh"), 8 * b).bitwiseAND(255)): _*))
+          .as(Seq("band", "byte")))
+      val a = banded.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+        col("band"), col("byte"))
+      val b = banded.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+        col("band"), col("byte"))
+      a.join(b, Seq("band", "byte"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          VectorF.hammingDist(col("sh_a"), col("sh_b")).cast("long").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= HAMMING_T)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some(s"""
+      |WITH s AS (
+      |  SELECT doc_id, ${Sql.simhash32("t")} AS sh
+      |  FROM (SELECT doc_id, ${Sql.toks()} AS t FROM documents))
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  bit_count(xor(a.sh, b.sh)) AS hamming
+      |FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+      |ORDER BY doc_a, doc_b
+      |""".stripMargin))
+
+  private def simhash(toks: Column) = TextF.simhash32(toks)
+
   val all: Seq[Q] = Seq(
     q_dedup_exact, q_dedup_ngram_jaccard, q_minhash_signatures,
-    q_dedup_minhash_lsh, q_dedup_embedding)
+    q_dedup_minhash_lsh, q_dedup_embedding, q_dedup_simhash)
 }

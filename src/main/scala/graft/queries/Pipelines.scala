@@ -1,0 +1,62 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.vectorize.{FastRP, Multimodal}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, StringType}
+
+/** Pipeline-operator query entries that are NOT SQL-expressible and so get
+  * rows-only driver checks (`oracle = None`); their numeric correctness is
+  * asserted by closed-form ScalaTest specs instead (FastRPSpec,
+  * MultimodalSpec — SURVEY.md §5.2).
+  */
+object Pipelines {
+
+  /** FastRP node embeddings over the customer↔nation bipartite graph
+    * derived from the `customer` table (nation nodes offset by 10_000 to
+    * share the long id space), symmetrized as the reference does for
+    * undirected input (radient/tasks/vectorizers/graph/fastrp.py:32-53).
+    * No oracle: the iterative A·X float sums are partition-order
+    * dependent; FastRPSpec pins the math against a local dense oracle. */
+  val q_fastrp_embed = Q(
+    "q_fastrp_embed",
+    (s, dir) => {
+      val cust = Tables(s, dir, "customer")
+        .select(col("c_custkey").as("src"),
+          (col("c_nationkey").cast("long") + 10000L).as("dst"),
+          lit(1.0).as("weight"))
+      val edges = cust.union(
+        cust.select(col("dst").as("src"), col("src").as("dst"), col("weight")))
+      FastRP.embed(edges, dim = 8)
+        .select(col("node"), posexplode(col("vec")).as(Seq("pos", "vraw")))
+        .select(col("node"), col("pos"), round(col("vraw"), 6).as("v"))
+        .orderBy(col("node"), col("pos"))
+    },
+    None)
+
+  /** Multimodal featurization: documents' text bytes treated as opaque
+    * binary payloads, routed image/audio/video/text by id and featurized
+    * through the per-partition stub decoders (Multimodal.featurize —
+    * real Spark plumbing, stub decode; SURVEY.md §7.0). No oracle: the
+    * mapPartitions decoders are not SQL-expressible; MultimodalSpec pins
+    * the per-modality feature math. */
+  val q_multimodal_embed = Q(
+    "q_multimodal_embed",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id").as("id"),
+          element_at(array(lit("text"), lit("image"), lit("audio"), lit("video")),
+            (col("doc_id") % 4 + 1).cast("int")).as("modality"),
+          col("text").cast(BinaryType).as("data"),
+          lit(null).cast(StringType).as("path"))
+      Multimodal.featurize(docs, dim = 16)
+        .select(col("id"), col("modality"),
+          posexplode(col("embedding")).as(Seq("pos", "vraw")))
+        .select(col("id"), col("modality"), col("pos"),
+          round(col("vraw"), 6).as("v"))
+        .orderBy(col("id"), col("pos"))
+    },
+    None)
+
+  val all: Seq[Q] = Seq(q_fastrp_embed, q_multimodal_embed)
+}

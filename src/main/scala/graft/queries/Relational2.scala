@@ -1,0 +1,356 @@
+package graft.queries
+
+import graft.core.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Second relational batch: the TPC-H query shapes the round-1 inventory
+  * did not yet cover — semi/anti joins (EXISTS / NOT EXISTS), two-sided
+  * dimension joins, conditional aggregation, disjunctive predicate
+  * pushdown, group-filter-join-back (decorrelated HAVING), scalar
+  * subqueries, count-distinct, and ROLLUP grouping sets.
+  *
+  * Scale notes (same rules as Relational):
+  *  - semi/anti joins keep the fact table un-duplicated (no fan-out then
+  *    distinct) — Catalyst plans LeftSemi/LeftAnti natively;
+  *  - scalar subqueries (q22's average) become a 1-row broadcast, not a
+  *    driver collect, and the comparison runs in exact DECIMAL so the
+  *    result is partition-order independent;
+  *  - ROLLUP is one Expand + one aggregate — no per-grouping-set rescan;
+  *  - disjunctive predicates (q19) stay a single scan with the OR pushed
+  *    to the parquet reader.
+  */
+object Relational2 {
+  private def dec2(c: Column) = c.cast(DecimalType(18, 2))
+  private def dec2s(c: Column) = c.cast(DecimalType(4, 2))
+  private def dsum(c: Column) = sum(dec2(c)).cast("double")
+  private def discPrice =
+    dec2(col("l_extendedprice")) * dec2s(lit(1.0) - col("l_discount"))
+  private def ts(s: String) = lit(s).cast("timestamp")
+
+  /** TPC-H Q4 shape: order-priority counts for orders with at least one
+    * lineitem shipped after the order date (EXISTS → left-semi join with a
+    * correlated non-equi predicate). */
+  val q04_order_priority = Q(
+    "q04_order_priority",
+    (s, dir) => {
+      val ord = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+          col("o_orderdate") < ts("1996-07-01 00:00:00"))
+      val li = Tables(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+      ord.join(li,
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      |SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority
+      |""".stripMargin))
+
+  /** TPC-H Q7 shape: shipping volume between two nations by year — the
+    * same `nation` dimension joined twice (supplier side + customer side),
+    * both broadcast. */
+  val q07_volume_shipping = Q(
+    "q07_volume_shipping",
+    (s, dir) => {
+      val n1 = Tables(s, dir, "nation")
+        .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+      val n2 = Tables(s, dir, "nation")
+        .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+      val supp = Tables(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val cust = Tables(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val ord = Tables(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val li = Tables(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+      li.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+        .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+        .filter((col("supp_nation") === "NATION_18" && col("cust_nation") === "NATION_19") ||
+          (col("supp_nation") === "NATION_19" && col("cust_nation") === "NATION_18"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(discPrice).cast("double").as("volume"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    },
+    Some(s"""
+      |SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  year(l_shipdate) AS l_year, ${Sql.dsumExpr(Sql.discPrice)} AS volume
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+      |   OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year
+      |""".stripMargin))
+
+  /** TPC-H Q12 shape: conditional aggregation — high- vs low-priority
+    * lineitem counts per return flag in one pass (sum(CASE ...)). */
+  val q12_priority_lines = Q(
+    "q12_priority_lines",
+    (s, dir) => {
+      val ord = Tables(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+          col("l_shipdate") < ts("1997-01-01 00:00:00"))
+        .select("l_orderkey", "l_returnflag")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!hi, 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      |SELECT l_returnflag,
+      |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+      |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag
+      |""".stripMargin))
+
+  /** TPC-H Q14 shape: promo revenue share — a ratio of two conditional
+    * decimal sums, surfaced as double with an explicit evaluation order so
+    * both engines compute bit-identical results. */
+  val q14_promo_revenue = Q(
+    "q14_promo_revenue",
+    (s, dir) => {
+      val part = Tables(s, dir, "part").select("p_partkey", "p_type")
+      val promo = sum(when(col("p_type") === "PROMO", discPrice)
+        .otherwise(dec2(lit(0.0)))).cast("double")
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= ts("1997-01-01 00:00:00") &&
+          col("l_shipdate") < ts("1997-04-01 00:00:00"))
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .agg((promo * 100.0 / sum(discPrice).cast("double")).as("promo_revenue_pct"))
+    },
+    Some(s"""
+      |SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN ${Sql.discPrice}
+      |                     ELSE CAST(0.0 AS DECIMAL(18,2)) END) AS DOUBLE) * 100.0
+      |     / ${Sql.dsumExpr(Sql.discPrice)} AS promo_revenue_pct
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      |""".stripMargin))
+
+  /** TPC-H Q16 shape: supplier variety per (brand, type, size) with a
+    * brand anti-filter and COUNT(DISTINCT) — the distinct runs inside the
+    * aggregate (two-phase partial-distinct), never a driver collect. */
+  val q16_supplier_variety = Q(
+    "q16_supplier_variety",
+    (s, dir) => {
+      val part = Tables(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#1" && col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      Tables(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"), col("p_size"))
+    },
+    Some("""
+      |SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+      |""".stripMargin))
+
+  /** TPC-H Q18 shape: large orders — HAVING over a grouped fact, then
+    * join back to the dimensions (decorrelated IN-subquery). */
+  val q18_large_orders = Q(
+    "q18_large_orders",
+    (s, dir) => {
+      val big = Tables(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(dec2(col("l_quantity"))).as("sum_qty_d"))
+        .filter(col("sum_qty_d") > 150)
+      val cust = Tables(s, dir, "customer").select("c_custkey", "c_name")
+      Tables(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"),
+          col("sum_qty_d").cast("double").as("sum_qty"))
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+    },
+    Some("""
+      |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+      |  CAST(sum_qty_d AS DOUBLE) AS sum_qty
+      |FROM orders
+      |JOIN (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty_d
+      |      FROM lineitem GROUP BY l_orderkey
+      |      HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150) big
+      |  ON o_orderkey = big.l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |""".stripMargin))
+
+  /** TPC-H Q19 shape: disjunctive predicates over joined part attributes
+    * and lineitem measures — one scan, the OR evaluated post-join. */
+  val q19_disjunctive_revenue = Q(
+    "q19_disjunctive_revenue",
+    (s, dir) => {
+      val part = Tables(s, dir, "part").select("p_partkey", "p_brand", "p_size")
+      Tables(s, dir, "lineitem")
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 30)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(10, 25) &&
+            col("l_quantity").between(10, 40)))
+        .agg(sum(discPrice).cast("double").as("revenue"))
+    },
+    Some(s"""
+      |SELECT ${Sql.dsumExpr(Sql.discPrice)} AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity BETWEEN 1 AND 30)
+      |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 25
+      |       AND l_quantity BETWEEN 10 AND 40)
+      |""".stripMargin))
+
+  /** TPC-H Q22 shape: customers with above-average balance and no recent
+    * orders — a scalar subquery (broadcast 1-row aggregate) + anti join. The
+    * above-average comparison is done in exact DECIMAL via
+    * `bal · n > total` (⟺ bal > total/n), so no engine-specific decimal
+    * division scale can perturb the cut. */
+  val q22_idle_customers = Q(
+    "q22_idle_customers",
+    (s, dir) => {
+      val cust = Tables(s, dir, "customer")
+      val stats = cust.filter(col("c_acctbal") > 0.0)
+        .agg(sum(dec2(col("c_acctbal"))).as("total"), count(lit(1)).as("n"))
+      val ord = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= ts("2000-01-01 00:00:00"))
+        .select("o_custkey")
+      cust.crossJoin(broadcast(stats))
+        .filter(dec2(col("c_acctbal")) * col("n") > col("total"))
+        .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+        .orderBy(col("c_nationkey"))
+    },
+    Some(s"""
+      |WITH stats AS (
+      |  SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS total, count(*) AS n
+      |  FROM customer WHERE c_acctbal > 0.0)
+      |SELECT c_nationkey, count(*) AS numcust, ${Sql.dsum("c_acctbal")} AS totacctbal
+      |FROM customer, stats
+      |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > total
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey
+      |""".stripMargin))
+
+  /** TPC-H Q2 shape: cheapest part per type — a grouped MIN joined back to
+    * recover the qualifying rows (decorrelated correlated subquery). */
+  val q02_cheapest_part = Q(
+    "q02_cheapest_part",
+    (s, dir) => {
+      val part = Tables(s, dir, "part")
+      val mins = part.groupBy(col("p_type").as("t"))
+        .agg(min(col("p_retailprice")).as("min_price"))
+      part.join(broadcast(mins),
+          col("p_type") === col("t") && col("p_retailprice") === col("min_price"))
+        .select(col("p_type"), col("p_partkey"), col("p_name"), col("p_retailprice"))
+        .orderBy(col("p_type"), col("p_partkey"))
+    },
+    Some("""
+      |SELECT p_type, p_partkey, p_name, p_retailprice
+      |FROM part
+      |WHERE p_retailprice = (SELECT min(p_retailprice) FROM part p2
+      |                       WHERE p2.p_type = part.p_type)
+      |ORDER BY p_type, p_partkey
+      |""".stripMargin))
+
+  /** ROLLUP grouping sets: revenue by (customer nation, order year) with
+    * per-nation and grand totals — one Expand + one aggregate. */
+  val q_rollup_revenue = Q(
+    "q_rollup_revenue",
+    (s, dir) => {
+      val nation = Tables(s, dir, "nation").select("n_nationkey", "n_name")
+      val cust = Tables(s, dir, "customer").select("c_custkey", "c_nationkey")
+      Tables(s, dir, "orders")
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"),
+          col("o_totalprice"))
+        .rollup(col("n_name"), col("o_year"))
+        .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+        .orderBy(col("n_name"), col("o_year"))
+    },
+    Some(s"""
+      |SELECT n_name, o_year, ${Sql.dsum("o_totalprice")} AS revenue,
+      |  count(*) AS n_orders
+      |FROM (SELECT n_name, year(o_orderdate) AS o_year, o_totalprice
+      |      FROM orders
+      |      JOIN customer ON o_custkey = c_custkey
+      |      JOIN nation ON c_nationkey = n_nationkey)
+      |GROUP BY ROLLUP (n_name, o_year)
+      |ORDER BY n_name, o_year
+      |""".stripMargin))
+
+  /** As-of join: each purchase event matched to the user's most recent
+    * strictly-earlier click. Spark has no native ASOF operator — the
+    * canonical scale shape is a single co-partitioned window pass
+    * (`last(... ignoreNulls)` over rows-preceding), NOT a range self-join:
+    * one shuffle on user_id, linear work, watermark-friendly in streaming.
+    * The oracle states the same semantics declaratively. */
+  val q_events_asof = Q(
+    "q_events_asof",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables(s, dir, "events")
+        .withColumn("prev_click_id",
+          last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
+        .withColumn("prev_click_ts",
+          last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("prev_click_id"), col("prev_click_ts"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      |SELECT event_id, user_id, ts, prev_click_id, prev_click_ts FROM (
+      |  SELECT event_id, user_id, ts, event_type,
+      |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+      |      OVER w AS prev_click_id,
+      |    last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+      |      OVER w AS prev_click_ts
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |WHERE event_type = 'purchase'
+      |ORDER BY event_id
+      |""".stripMargin))
+
+  val all: Seq[Q] = Seq(
+    q02_cheapest_part, q04_order_priority, q07_volume_shipping,
+    q12_priority_lines, q14_promo_revenue, q16_supplier_variety,
+    q18_large_orders, q19_disjunctive_revenue, q22_idle_customers,
+    q_rollup_revenue, q_events_asof)
+}

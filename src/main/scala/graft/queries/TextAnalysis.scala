@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.core.Tables
 import graft.functions.TextF
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table: token counting,
@@ -36,12 +37,13 @@ object TextAnalysis {
   val q_token_count = Q(
     "q_token_count",
     (s, dir) => {
-      val t = tokens(col("text"))
+      // bind the token split once per row (see Dedup.shingleDf note)
       Tables(s, dir, "documents")
+        .withColumn("t", tokens(col("text")))
         .select(col("doc_id"),
-          size(t).cast("long").as("n_tokens"),
-          size(array_distinct(t)).cast("long").as("n_unique"),
-          size(shingles(t, 2)).cast("long").as("n_bigrams"))
+          size(col("t")).cast("long").as("n_tokens"),
+          size(array_distinct(col("t"))).cast("long").as("n_unique"),
+          size(shingles(col("t"), 2)).cast("long").as("n_bigrams"))
         .orderBy(col("doc_id"))
     },
     Some(s"""
@@ -56,10 +58,10 @@ object TextAnalysis {
   val q_text_quality = Q(
     "q_text_quality",
     (s, dir) => {
-      val t = tokens(col("text"))
       Tables(s, dir, "documents")
-        .select(col("doc_id"), col("n_chars"), size(t).as("nt"),
-          hitCount(t, stopwords).as("sw"))
+        .withColumn("t", tokens(col("text")))
+        .select(col("doc_id"), col("n_chars"), size(col("t")).as("nt"),
+          hitCount(col("t"), stopwords).as("sw"))
         .select(col("doc_id"),
           col("nt").cast("long").as("n_tokens"),
           (col("n_chars").cast("double") / greatest(col("nt"), lit(1)))
@@ -83,10 +85,10 @@ object TextAnalysis {
   val q_lang_id = Q(
     "q_lang_id",
     (s, dir) => {
-      val t = tokens(col("text"))
       val withHits = Tables(s, dir, "documents")
+        .withColumn("t", tokens(col("text")))
         .select(Seq(col("doc_id"), col("lang").as("true_lang")) ++
-          langVocab.map { case (l, v) => hitCount(t, v).as(s"hits_$l") }: _*)
+          langVocab.map { case (l, v) => hitCount(col("t"), v).as(s"hits_$l") }: _*)
       // argmax with fixed priority order = first lang whose count ties max
       val pred = langVocab.map(_._1).foldRight(lit("und"): org.apache.spark.sql.Column) {
         case (l, acc) =>
@@ -121,11 +123,11 @@ object TextAnalysis {
   val q_doc_fingerprint = Q(
     "q_doc_fingerprint",
     (s, dir) => {
-      val t = tokens(col("text"))
       Tables(s, dir, "documents")
+        .withColumn("t", tokens(col("text")))
         .select(col("doc_id"),
-          fingerprint(t).as("fingerprint"),
-          simhash32(t).as("simhash"))
+          fingerprint(col("t")).as("fingerprint"),
+          simhash32(col("t")).as("simhash"))
         .orderBy(col("doc_id"))
     },
     Some(s"""
@@ -162,6 +164,51 @@ object TextAnalysis {
       |ORDER BY doc_id, pos
       |""".stripMargin))
 
+  /** TF-IDF top terms per document (the CountVectorizer+IDF surface,
+    * SURVEY.md §2.3 sklearn row). The importance score is tf·(N/df) — a
+    * "linear idf" instead of ln(N/df), deliberately: tf·N is an exact
+    * integer and one IEEE division is bit-identical across engines,
+    * whereas ln() is not covered by IEEE 754 and could perturb ranking
+    * ties. Monotone in df and tf like the classic weighting.
+    *
+    * Scale: two hash aggregates (tf, then df) + a broadcast 1-row count —
+    * df is the only cross-document shuffle and it moves (term, count)
+    * pairs, never documents. */
+  val q_tfidf_top_terms = Q(
+    "q_tfidf_top_terms",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val n = docs.agg(count(lit(1)).as("n"))
+      val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(desc("score"), col("tok"))
+      tf.join(dfreq, Seq("tok"))
+        .crossJoin(broadcast(n))
+        .withColumn("score", (col("tf") * col("n")).cast("double") / col("df"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+          col("score"), col("rnk"))
+        .orderBy(col("doc_id"), col("rnk"))
+    },
+    Some(s"""
+      |WITH t AS (SELECT doc_id, unnest(${Sql.toks()}) AS tok FROM documents),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY doc_id, tok),
+      |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+      |n AS (SELECT count(*) AS n FROM documents)
+      |SELECT doc_id, tok, tf, df, score, rnk FROM (
+      |  SELECT doc_id, tok, tf, df,
+      |    CAST(tf * n AS DOUBLE) / df AS score,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY CAST(tf * n AS DOUBLE) / df DESC, tok) AS rnk
+      |  FROM tf JOIN dfreq USING (tok) CROSS JOIN n)
+      |WHERE rnk <= 3
+      |ORDER BY doc_id, rnk
+      |""".stripMargin))
+
   val all: Seq[Q] = Seq(
-    q_token_count, q_text_quality, q_lang_id, q_doc_fingerprint, q_embed_hash)
+    q_token_count, q_text_quality, q_lang_id, q_doc_fingerprint, q_embed_hash,
+    q_tfidf_top_terms)
 }

@@ -156,7 +156,45 @@ object VectorSearch {
       |ORDER BY vec_id, pos
       |""".stripMargin))
 
+  /** Grouped clustering assignment: every vector assigned to its nearest
+    * of 8 fixed centroids (vec_id < 8 as deterministic seeds) — the
+    * assignment step of the reference's GKMeans
+    * (radient/tasks/sinks/local/_gkmeans.py:125-133 hard-assign by
+    * euclidean distance), exact and oracle-checkable where the full
+    * iterative fit is not. Scale: the centroid side is 8 rows broadcast;
+    * one narrow pass over the vectors, argmin via per-row ranking. */
+  val q_cluster_assign = Q(
+    "q_cluster_assign",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+      e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cid"),
+          l2Dist(col("embedding"), col("cv")).as("dist"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .select(col("vec_id"), col("cid").as("cluster"),
+          round(col("dist"), 6).as("dist"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""
+      |SELECT vec_id, cluster, dist FROM (
+      |  SELECT e.vec_id, c.vec_id AS cluster,
+      |    round(sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+      |      i -> (e.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE)
+      |         * (e.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE)))), 6) AS dist,
+      |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |      sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+      |        i -> (e.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE)
+      |           * (e.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE)))), c.vec_id) AS rnk
+      |  FROM embeddings e, embeddings c WHERE c.vec_id < 8)
+      |WHERE rnk = 1
+      |ORDER BY vec_id
+      |""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q_vec_norms, q_knn_brute, q_knn_filtered, q_knn_join,
-    q_meanpool_label, q_vec_normalize)
+    q_meanpool_label, q_vec_normalize, q_cluster_assign)
 }

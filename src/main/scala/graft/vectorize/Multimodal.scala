@@ -142,12 +142,19 @@ object HashEmbed {
   import org.apache.spark.sql.Column
 
   /** Signed feature-hash embedding of a text column (unnormalized counts;
-    * integer-exact, see TextAnalysis.q_embed_hash for the oracle twin). */
+    * integer-exact, see TextAnalysis.q_embed_hash for the oracle twin).
+    *
+    * Evaluation shape: the (bucket, sign) pair is hashed ONCE per token
+    * (two md5s) and tallied into a dim-slot accumulator. The earlier
+    * per-position formulation rescanned the token list per output slot,
+    * re-inlining both hashes dim× per token — 69 s at sf0.1 for the
+    * multimodal featurize query. */
   def embed(text: Column, dim: Int): Column = {
-    val toks = TextF.tokens(text)
-    transform(sequence(lit(0), lit(dim - 1)), p =>
-      aggregate(toks, lit(0L), (acc, t) =>
-        acc + when(TextF.featureBucket(t, dim) === p.cast("long"),
-          TextF.featureSign(t)).otherwise(0L)).cast("float"))
+    val pairs = transform(TextF.tokens(text), t =>
+      struct(TextF.featureBucket(t, dim).as("b"), TextF.featureSign(t).as("s")))
+    val acc = aggregate(pairs, array_repeat(lit(0L), dim),
+      (a, p) => transform(a, (v, i) =>
+        v + when(p.getField("b") === i.cast("long"), p.getField("s")).otherwise(0L)))
+    transform(acc, v => v.cast("float"))
   }
 }
