@@ -208,7 +208,43 @@ object TextAnalysis {
       |ORDER BY doc_id, rnk
       |""".stripMargin))
 
+  /** Fixed-size token chunking — the document fan-out transform shape
+    * (one doc → n chunk rows: the page-screenshot / clip-split / chunked
+    * speech-to-text contract of SURVEY.md §2.2) with an exact oracle.
+    * 32-token chunks; documents shorter than one chunk yield one chunk;
+    * empty docs yield zero rows (guarded sequence, like
+    * Multimodal.clipSplit). */
+  val q_doc_chunks = Q(
+    "q_doc_chunks",
+    (s, dir) => {
+      val k = 32
+      val d = Tables(s, dir, "documents")
+        .withColumn("t", tokens(col("text")))
+        .withColumn("n_chunks",
+          ceil(size(col("t")).cast("double") / k).cast("int"))
+      val idx = when(col("n_chunks") > 0,
+        sequence(lit(0), col("n_chunks") - 1)).otherwise(array().cast("array<int>"))
+      d.select(col("doc_id"),
+          posexplode(transform(idx, i => slice(col("t"), i * k + 1, lit(k))))
+            .as(Seq("chunk_idx", "chunk")))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          size(col("chunk")).cast("long").as("chunk_tokens"),
+          concat_ws(" ", col("chunk")).as("chunk_text"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+    Some(s"""
+      |WITH t AS (SELECT doc_id, ${Sql.toks()} AS t FROM documents),
+      |c AS (SELECT doc_id, t,
+      |        unnest(range(0, CAST(ceil(len(t) / 32.0) AS INT))) AS chunk_idx
+      |      FROM t)
+      |SELECT doc_id, chunk_idx,
+      |  len(list_slice(t, chunk_idx * 32 + 1, chunk_idx * 32 + 32)) AS chunk_tokens,
+      |  array_to_string(list_slice(t, chunk_idx * 32 + 1, chunk_idx * 32 + 32), ' ') AS chunk_text
+      |FROM c
+      |ORDER BY doc_id, chunk_idx
+      |""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q_token_count, q_text_quality, q_lang_id, q_doc_fingerprint, q_embed_hash,
-    q_tfidf_top_terms)
+    q_tfidf_top_terms, q_doc_chunks)
 }
