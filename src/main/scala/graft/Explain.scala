@@ -18,10 +18,16 @@ object Explain {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val df = SparkEntry.queries(name)(spark, sfDir)
-    if (!args.contains("--time-only")) df.explain("formatted")
+    try {
+      spark.range(1000000).selectExpr("sum(id)").collect()
+      spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    } catch { case _: Throwable => () }
+    if (!args.contains("--time-only"))
+      SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+    // time construction + execution together — index/iterative queries do
+    // eager work while building the frame, exactly as Bench measures
     val t0 = System.nanoTime()
-    val n = df.count()
+    val n = SparkEntry.queries(name)(spark, sfDir).count()
     println(f"[explain] $name rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2f s")
     spark.stop()
   }

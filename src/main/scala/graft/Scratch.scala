@@ -1,11 +1,11 @@
 package graft
 
 import graft.core.Tables
-import graft.functions.VectorF
-import graft.vectorize.{HashEmbed, Multimodal}
+import graft.functions.TextF
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.ml.stat.Summarizer
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{BinaryType, StringType}
 
 /** Dev scratchpad for perf bisection — not part of the engine surface. */
 object Scratch {
@@ -18,6 +18,7 @@ object Scratch {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
 
     def time(label: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
@@ -25,32 +26,45 @@ object Scratch {
       println(f"[scratch] $label rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
 
-    val docs = Tables(spark, sfDir, "documents")
-      .select(col("doc_id").as("id"),
-        element_at(array(lit("text"), lit("image"), lit("audio"), lit("video")),
-          (col("doc_id") % 4 + 1).cast("int")).as("modality"),
-        col("text").cast(BinaryType).as("data"),
-        lit(null).cast(StringType).as("path"))
+    val cust = Tables(spark, sfDir, "customer")
+      .select(col("c_custkey").as("src"),
+        (col("c_nationkey").cast("long") + 10000L).as("dst"),
+        lit(1.0).as("weight"))
+    val edges = cust.union(
+      cust.select(col("dst").as("src"), col("src").as("dst"), col("weight"))).cache()
+    time("edges count") { edges.count() }
 
-    time("featurize.count") { Multimodal.featurize(docs, 16).count() }
-    time("featurize+explode") {
-      Multimodal.featurize(docs, 16)
-        .select(col("id"), posexplode(col("embedding")).as(Seq("pos", "v"))).count()
-    }
-    val binaryOnly = docs.filter(col("modality") =!= "text")
-    time("binary branch only + explode") {
-      Multimodal.featurize(binaryOnly, 16)
-        .select(col("id"), posexplode(col("embedding")).as(Seq("pos", "v"))).count()
-    }
-    val textDf = docs.filter(col("modality") === "text")
-      .select(col("id"), HashEmbed.embed(col("data").cast("string"), 16).as("embedding"))
-    time("text hash-embed + explode") {
-      textDf.select(col("id"), posexplode(col("embedding")).as(Seq("pos", "v"))).count()
-    }
-    time("text hash-embed + normalize + explode") {
-      textDf.select(col("id"),
-        posexplode(VectorF.normalize(col("embedding"))).as(Seq("pos", "v"))).count()
-    }
+    val dim = 8
+    val lr = edges.select(col("src").as("node")).distinct()
+      .select(col("node"),
+        graft.vectorize.FastRP.projectionRow(col("node"), dim, 42L).as("vec"))
+      .cache()
+    time("lr count") { lr.count() }
+
+    def propagate(x: org.apache.spark.sql.DataFrame) =
+      edges.join(x, edges("dst") === x("node"))
+        .select(edges("src"),
+          array_to_vector(transform(col("vec"), v => v * col("weight"))).as("m"))
+        .groupBy(col("src").as("node"))
+        .agg(vector_to_array(Summarizer.sum(col("m"))).as("vec"))
+
+    time("propagate x1") { propagate(lr).count() }
+    val p1 = propagate(lr).cache()
+    time("p1 materialize") { p1.count() }
+    time("propagate x2 (from cached p1)") { propagate(p1).count() }
+
+    // alternative: explode-position propagate (codegen all the way)
+    def propagatePos(x: org.apache.spark.sql.DataFrame) =
+      edges.join(x, edges("dst") === x("node"))
+        .select(edges("src"), posexplode(col("vec")).as(Seq("pos", "v")),
+          col("weight"))
+        .groupBy(col("src").as("node"), col("pos"))
+        .agg(sum(col("v") * col("weight")).as("v"))
+        .groupBy(col("node"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
+        .select(col("node"), transform(col("pv"), p => p.getField("v")).as("vec"))
+
+    time("propagatePos x1 (from cached p1)") { propagatePos(p1).count() }
     spark.stop()
   }
 }

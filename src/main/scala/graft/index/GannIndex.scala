@@ -1,7 +1,7 @@
 package graft.index
 
 import graft.functions.{TextF, VectorF}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -147,7 +147,44 @@ object GannIndex {
     var i = 0; while (i < x.length) { x(i) *= f; i += 1 }
   }
 
-  /** Build the spill tree over (idCol, vecCol). */
+  /** Persist the index (GANN.index(path) parity,
+    * radient/tasks/sinks/local/gann.py:222-232: .npy dataset +
+    * leaves.json → here two parquet tables). The assignment is written
+    * PARTITIONED BY leaf — at scale a search reads only the probed
+    * leaves' partitions (partition pruning on the `leaf` equi-join key),
+    * the distributed twin of the C loader's per-leaf files. */
+  def save(model: Model, path: String): Unit = {
+    val spark = model.assign.sparkSession
+    import spark.implicits._
+    model.nodes.values.toSeq
+      .map(n => (n.id, n.w, n.bias, n.loCut, n.hiCut, n.left, n.right))
+      .toDF("id", "w", "bias", "lo", "hi", "left", "right")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/nodes")
+    model.assign
+      .write.mode("overwrite").partitionBy("leaf").parquet(s"$path/assign")
+  }
+
+  /** Load a persisted index (GANN.load parity, gann.py:241-250). */
+  def load(spark: SparkSession, path: String, idCol: String, vecCol: String): Model = {
+    val nodes = spark.read.parquet(s"$path/nodes").collect().map { r =>
+      r.getInt(0) -> Node(r.getInt(0), r.getSeq[Double](1).toArray,
+        r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getInt(5), r.getInt(6))
+    }.toMap
+    val assign = spark.read.parquet(s"$path/assign")
+    val leaves = assign.select("leaf").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    Model(nodes, leaves, assign, idCol, vecCol)
+  }
+
+  /** Build the spill tree over (idCol, vecCol).
+    *
+    * Per level the data is scanned exactly TWICE: one combined
+    * count+hash-sample aggregate (sampling rates come from the parent
+    * level's exact counts — children are estimated at parent·(0.5+spill),
+    * so no extra counting pass is needed before sampling), and one
+    * projection-percentile aggregate for the split cuts. Only per-node
+    * statistics reach the driver. */
   def build(df: DataFrame, idCol: String, vecCol: String,
       leafSize: Int = 200, spill: Double = 0.0,
       sampleSize: Int = 256, maxDepth: Int = 20): Model = {
@@ -156,39 +193,52 @@ object GannIndex {
     val base = df.select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
       .cache()
     var nodes = Map.empty[Int, Node]
+    // estimated row count per current leaf, refined to exact each level
+    var est = Map(0 -> base.count().toDouble)
     var depth = 0
     var done = false
     while (!done && depth < maxDepth) {
       val assign = routed(base, nodes, idCol, vecCol)
-      val counts = assign.groupBy("leaf").count().as[(Int, Long)].collect().toMap
+      // one pass: exact per-leaf counts + ≈sampleSize hash-sampled rows
+      // (rate from the estimate; collect_list drops the null non-samples)
+      val rateCol = est.foldLeft(lit(0.0)) { case (acc, (n, e)) =>
+        when(col("leaf") === n,
+          lit(math.min(1.0, sampleSize * 1.5 / math.max(e, 1.0)))).otherwise(acc)
+      }
+      val sampleCond =
+        (TextF.h32(concat(lit(s"gann$depth#"), col(idCol).cast("string"))) % 10000)
+          .cast("double") < rateCol * 10000
+      val stats = assign.groupBy("leaf")
+        .agg(count(lit(1)).as("cnt"),
+          collect_list(when(sampleCond, struct(col(idCol), col(vecCol)))).as("smp"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Row](2)))
+      val counts = stats.map { case (n, c, _) => n -> c }.toMap
+      est = counts.view.mapValues(_.toDouble).toMap
       val active = counts.filter(_._2 > leafSize).keys.toSeq.sorted
       if (active.isEmpty) done = true
       else {
-        // hash-sample ≈sampleSize rows per active node in one pass
-        val rateMap = active.map(n => n -> math.min(1.0,
-          sampleSize * 1.5 / counts(n))).toMap
-        val rateCol = rateMap.foldLeft(lit(0.0)) { case (acc, (n, r)) =>
-          when(col("leaf") === n, lit(r)).otherwise(acc)
-        }
-        val sampled = assign
-          .filter(col("leaf").isInCollection(active))
-          .filter((TextF.h32(concat(lit(s"gann$depth#"), col(idCol).cast("string"))) % 10000)
-            .cast("double") < rateCol * 10000)
-          .select(col("leaf"), col(idCol), col(vecCol))
-          .collect()
-          .groupBy(_.getInt(0))
+        val sampled = stats.map { case (n, _, smp) => n -> smp }.toMap
         val planes = active.flatMap { n =>
-          sampled.get(n).map { rows =>
-            val xs = rows.sortBy(_.get(1).toString)
-              .take(sampleSize).map(_.getSeq[Double](2).toArray)
+          val rows = sampled.getOrElse(n, Seq.empty)
+          if (rows.isEmpty) None
+          else {
+            val xs = rows.sortBy(_.get(0).toString)
+              .take(sampleSize).map(_.getSeq[Double](1).toArray).toArray
             val (c0, c1) = twoMeans(xs)
             val w = c0.indices.map(i => c1(i) - c0(i)).toArray
             val bias = -0.5 * c0.indices.map(i => (c0(i) + c1(i)) * w(i)).sum
-            (n, w, bias)
+            Some((n, w, bias))
           }
         }
         if (planes.isEmpty) done = true
         else {
+          // children inherit the parent's exact count scaled by the
+          // spill-adjusted halving — good enough to size sampling rates
+          est = est -- planes.map(_._1) ++ planes.flatMap { case (n, _, _) =>
+            val childEst = counts(n) * (0.5 + spill)
+            Seq((2 * n + 1) -> childEst, (2 * n + 2) -> childEst)
+          }
           val planeDf = broadcast(planes.toDF("leaf", "w", "bias"))
           val cuts = assign.join(planeDf, Seq("leaf"))
             .withColumn("proj", VectorF.dot(col(vecCol), col("w")) + col("bias"))

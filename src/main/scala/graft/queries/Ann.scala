@@ -28,8 +28,10 @@ object Ann {
     "q_ann_gann",
     (s, dir) => {
       val e = Tables(s, dir, "embeddings")
+      // leafSize 200 = the reference's MAX_LEAF_SIZE build termination
+      // (radient/tasks/sinks/local/gann.py:15)
       val model = GannIndex.build(e, "vec_id", "embedding",
-        leafSize = 64, spill = 0.15)
+        leafSize = 200, spill = 0.15)
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       model.search(queries, "qid", "qv", k = 10)

@@ -348,9 +348,146 @@ object Relational2 {
       |ORDER BY event_id
       |""".stripMargin))
 
+  /** TPC-H Q13 shape: customer distribution by order count INCLUDING
+    * zero-order customers — left outer join + double aggregation. */
+  val q13_customer_distribution = Q(
+    "q13_customer_distribution",
+    (s, dir) => {
+      val ord = Tables(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "5-LOW")
+        .select("o_orderkey", "o_custkey")
+      val perCust = Tables(s, dir, "customer").select("c_custkey")
+        .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))
+    },
+    Some("""
+      |SELECT c_count, count(*) AS custdist FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC
+      |""".stripMargin))
+
+  /** TPC-H Q15 shape: supplier(s) with the maximum revenue — a grouped
+    * aggregate joined back against its own MAX (decorrelated view +
+    * scalar subquery, both broadcast). */
+  val q15_top_supplier = Q(
+    "q15_top_supplier",
+    (s, dir) => {
+      val revenue = Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+          col("l_shipdate") < ts("1996-04-01 00:00:00"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(sum(discPrice).as("total_revenue_d"))
+      val maxRev = revenue.agg(max(col("total_revenue_d")).as("mx"))
+      val supp = Tables(s, dir, "supplier").select("s_suppkey", "s_name")
+      revenue.crossJoin(broadcast(maxRev))
+        .filter(col("total_revenue_d") === col("mx"))
+        .join(broadcast(supp), col("supplier_no") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_revenue_d").cast("double").as("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    },
+    Some(s"""
+      |WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no, sum(${Sql.discPrice}) AS total_revenue_d
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(total_revenue_d AS DOUBLE) AS total_revenue
+      |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      |WHERE total_revenue_d = (SELECT max(total_revenue_d) FROM revenue)
+      |ORDER BY s_suppkey
+      |""".stripMargin))
+
+  /** TPC-H Q17 shape: small-quantity revenue — per-part average quantity
+    * as a correlated scalar subquery, decorrelated to a grouped aggregate
+    * broadcast back. The avg comparison runs as `qty · 5 · cnt < sum` in
+    * exact DECIMAL (⟺ qty < 0.2·avg) — division-free, engine-agnostic. */
+  val q17_small_quantity = Q(
+    "q17_small_quantity",
+    (s, dir) => {
+      val part = Tables(s, dir, "part")
+        .filter(col("p_brand") === "Brand#3")
+        .select("p_partkey")
+      val li = Tables(s, dir, "lineitem")
+      val stats = li.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(dec2(col("l_quantity"))).as("qty_sum"), count(lit(1)).as("qty_cnt"))
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .join(stats, col("l_partkey") === col("pk"))
+        .filter(dec2(col("l_quantity")) * 5 * col("qty_cnt") < col("qty_sum"))
+        .agg((dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
+    },
+    Some(s"""
+      |WITH stats AS (
+      |  SELECT l_partkey AS pk, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty_sum,
+      |    count(*) AS qty_cnt
+      |  FROM lineitem GROUP BY l_partkey)
+      |SELECT ${Sql.dsum("l_extendedprice")} / 7.0 AS avg_yearly
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN stats ON l_partkey = pk
+      |WHERE p_brand = 'Brand#3'
+      |  AND CAST(l_quantity AS DECIMAL(18,2)) * 5 * qty_cnt < qty_sum
+      |""".stripMargin))
+
+  /** TPC-H Q21 shape: suppliers whose lineitems shipped late while some
+    * OTHER supplier on the same order shipped on time — a semi join and an
+    * anti join against the same fact with correlated inequality
+    * predicates. */
+  val q21_late_suppliers = Q(
+    "q21_late_suppliers",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_returnflag", "l_shipdate")
+      val late = li.filter(col("l_returnflag") === "R")
+      val others = li.select(col("l_orderkey").as("o2_orderkey"),
+        col("l_suppkey").as("o2_suppkey"))
+      val othersLate = late.select(col("l_orderkey").as("o3_orderkey"),
+        col("l_suppkey").as("o3_suppkey"))
+      val supp = Tables(s, dir, "supplier").select("s_suppkey", "s_name")
+      late
+        // some other supplier exists on the order
+        .join(others,
+          col("l_orderkey") === col("o2_orderkey") &&
+            col("l_suppkey") =!= col("o2_suppkey"), "left_semi")
+        // ...and no other supplier was also late on it
+        .join(othersLate,
+          col("l_orderkey") === col("o3_orderkey") &&
+            col("l_suppkey") =!= col("o3_suppkey"), "left_anti")
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(desc("numwait"), col("s_name"))
+        .limit(20)
+    },
+    Some("""
+      |SELECT s_name, count(*) AS numwait
+      |FROM lineitem l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+      |WHERE l1.l_returnflag = 'R'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_returnflag = 'R')
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 20
+      |""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q02_cheapest_part, q04_order_priority, q07_volume_shipping,
-    q12_priority_lines, q14_promo_revenue, q16_supplier_variety,
-    q18_large_orders, q19_disjunctive_revenue, q22_idle_customers,
-    q_rollup_revenue, q_events_asof)
+    q12_priority_lines, q13_customer_distribution, q14_promo_revenue,
+    q15_top_supplier, q16_supplier_variety, q17_small_quantity,
+    q18_large_orders, q19_disjunctive_revenue, q21_late_suppliers,
+    q22_idle_customers, q_rollup_revenue, q_events_asof)
 }

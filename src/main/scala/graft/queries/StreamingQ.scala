@@ -1,0 +1,62 @@
+package graft.queries
+
+import graft.streaming.Streams
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming query entry: the SAME windowed aggregation code
+  * that runs continuously (watermark + window, Streams.windowedCounts
+  * shape) executed over the events table as a file stream and materialized
+  * through a memory sink. The DuckDB oracle states the batch equivalence —
+  * a streaming aggregation over a bounded source must equal the batch
+  * aggregation (10-minute tumbling windows; value sums in exact DECIMAL so
+  * batch/stream/oracle partition orders all agree).
+  */
+object StreamingQ {
+
+  /** events.parquet carries TIMESTAMP(NANOS); under the nanosAsLong
+    * session conf the stream schema sees a long column, truncated to
+    * micros exactly like graft.core.Tables. */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  val q_stream_windowed = Q(
+    "q_stream_windowed",
+    (s, dir) => {
+      // stage the file into a landing directory and stream THAT — the
+      // file source wants a directory, and this is literally the
+      // reference's IngestSource contract (copy into a landing dir, then
+      // pick up: radient/tasks/sources/ingest.py:7-18)
+      val landing = java.nio.file.Files.createTempDirectory("graft_stream_events")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        landing.resolve("events.parquet"))
+      val stream = s.readStream.schema(rawSchema)
+        .parquet(landing.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val agg = stream
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("sum_value"))
+      Streams.runToMemory(agg, "q_stream_windowed_sink", OutputMode.Complete())
+        .orderBy(col("window_start"), col("event_type"))
+    },
+    Some(s"""
+      |SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start, event_type,
+      |  count(*) AS n, ${Sql.dsum("value")} AS sum_value
+      |FROM events
+      |GROUP BY window_start, event_type
+      |ORDER BY window_start, event_type
+      |""".stripMargin))
+
+  val all: Seq[Q] = Seq(q_stream_windowed)
+}

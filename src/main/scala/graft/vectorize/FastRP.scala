@@ -57,9 +57,13 @@ object FastRP {
   /** Node embeddings for a weighted edge list (src, dst, weight).
     * Directed propagation like the reference's A @ X; pass a symmetrized
     * edge list for undirected graphs. */
-  def embed(edges: DataFrame, dim: Int = 64,
+  def embed(edgesIn: DataFrame, dim: Int = 64,
       weights: Seq[Double] = Seq(0.1, 0.2, 1.0, 3.0),
       beta: Double = 0.0, seed: Long = 42L): DataFrame = {
+    // cached: the edge list feeds every propagate iteration (weights.size
+    // scans) plus the degree/node derivations — without materialization
+    // each iteration re-reads the upstream source
+    val edges = edgesIn.cache()
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct().cache()
     val n = nodes.count()
@@ -71,13 +75,17 @@ object FastRP {
         transform(projectionRow(col("node"), dim, seed),
           v => v * (lit(0.5) * pow(coalesce(col("deg"), lit(0.0)).cast("double"), beta) / n))
           .as("vec"))
+    // Every N_k is cached and NOT unpersisted until the result is done:
+    // each N_k's plan appears both inside N_{k+1} and inside the running
+    // weighted sum, so without a live cache the final action re-derives
+    // N_1 once per remaining iteration (quadratic recompute). The caches
+    // populate lazily during the single final action — no per-iteration
+    // count() barrier (k extra jobs) is needed for the reuse to kick in.
     var nk = propagate(edges, lr).cache() // N_1 = A·L·R
     var result = nk.select(col("node"),
       transform(col("vec"), v => v * weights.head).as("vec"))
     for (w <- weights.tail) {
-      val next = propagate(edges, nk).cache()
-      nk.unpersist()
-      nk = next
+      nk = propagate(edges, nk).cache()
       result = axpy(result, w, nk)
     }
     // nodes that received no messages get the zero vector

@@ -89,6 +89,25 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(distinct == 500)
   }
 
+  test("GANN save/load roundtrip preserves search results") {
+    val model = GannIndex.build(emb, "vec_id", "embedding",
+      leafSize = 64, spill = 0.1)
+    val dir = java.nio.file.Files.createTempDirectory("gann_idx").toString
+    GannIndex.save(model, dir)
+    val loaded = GannIndex.load(spark, dir, "vec_id", "embedding")
+    // structural compare (Node.w is an Array — case-class == is by ref)
+    def flat(m: Map[Int, GannIndex.Node]) =
+      m.view.mapValues(n =>
+        (n.w.toSeq, n.bias, n.loCut, n.hiCut, n.left, n.right)).toMap
+    assert(flat(loaded.nodes) == flat(model.nodes))
+    assert(loaded.leaves == model.leaves)
+    val a = model.search(queries, "qid", "qv", K)
+      .select("qid", "vec_id", "rnk").collect().map(_.toSeq).toSet
+    val b = loaded.search(queries, "qid", "qv", K)
+      .select("qid", "vec_id", "rnk").collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   test("GANN spill duplicates only the boundary fraction") {
     val m = GannIndex.build(emb, "vec_id", "embedding",
       leafSize = 64, spill = 0.1)
