@@ -21,6 +21,12 @@ object Tables {
   val sessionConf: Map[String, String] =
     Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
 
+  /** Apply [[sessionConf]] to a session builder — the single place the
+    * testdata-required confs live (Bench / Verify / Explain / TestSpark
+    * all route through this). */
+  def configure(b: SparkSession.Builder): SparkSession.Builder =
+    sessionConf.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // fallback for externally-built sessions that skipped sessionConf —
     // set once, never flipped back, so unrelated reads see a stable conf

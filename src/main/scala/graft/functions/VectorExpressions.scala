@@ -24,6 +24,9 @@ import org.apache.spark.sql.types._
   */
 abstract class VectorFoldExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  // null ELEMENTS also null the result, so the output is nullable even
+  // when both array columns are non-null
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(t: DataType) = t match {
@@ -61,6 +64,9 @@ abstract class VectorFoldExpression extends BinaryExpression {
     var s = 0.0
     var i = 0
     while (i < n) {
+      // a null ELEMENT poisons the whole result, matching the HOF fold
+      // (zip_with product → null → null sum) these expressions replace
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       s = fold(s, get(a, i, leftIsFloat), get(b, i, rightIsFloat))
       i += 1
     }
@@ -78,9 +84,10 @@ abstract class VectorFoldExpression extends BinaryExpression {
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $s = ${foldCode(s, s"(double) $a.$la($i)", s"(double) $b.$ra($i)")};
          |}
-         |${ev.value} = ${finishCode(s)};
+         |if (!${ev.isNull}) { ${ev.value} = ${finishCode(s)}; }
        """.stripMargin
     })
   }

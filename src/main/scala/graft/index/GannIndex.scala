@@ -198,23 +198,35 @@ object GannIndex {
     var depth = 0
     var done = false
     while (!done && depth < maxDepth) {
+      // candidates = leaves whose estimate says they may still need a
+      // split (median splits keep children within rounding of the
+      // estimate; 0.8 head-room absorbs the drift). Completed leaves are
+      // excluded from BOTH the sample and the count — at scale they are
+      // most of the data, and sampling them at rate min(1, k/count) = 1
+      // would collect the whole dataset to the driver.
+      val candidates = est.filter(_._2 > leafSize * 0.8)
+      if (candidates.isEmpty) { done = true }
+      else {
       val assign = routed(base, nodes, idCol, vecCol)
-      // one pass: exact per-leaf counts + ≈sampleSize hash-sampled rows
-      // (rate from the estimate; collect_list drops the null non-samples)
-      val rateCol = est.foldLeft(lit(0.0)) { case (acc, (n, e)) =>
-        when(col("leaf") === n,
-          lit(math.min(1.0, sampleSize * 1.5 / math.max(e, 1.0)))).otherwise(acc)
-      }
+      // per-candidate sampling rates as a broadcast (leaf, rate) table —
+      // an inner join both restricts the pass to candidate leaves and
+      // binds the rate with O(1) expression depth (a when-chain would
+      // grow the plan linearly in the number of active leaves)
+      val ratesDf = broadcast(candidates.toSeq.map { case (n, e) =>
+        (n, math.min(1.0, sampleSize * 1.5 / math.max(e, 1.0)))
+      }.toDF("leaf", "rate"))
       val sampleCond =
         (TextF.h32(concat(lit(s"gann$depth#"), col(idCol).cast("string"))) % 10000)
-          .cast("double") < rateCol * 10000
-      val stats = assign.groupBy("leaf")
+          .cast("double") < col("rate") * 10000
+      val stats = assign.join(ratesDf, Seq("leaf"))
+        .groupBy("leaf")
         .agg(count(lit(1)).as("cnt"),
           collect_list(when(sampleCond, struct(col(idCol), col(vecCol)))).as("smp"))
         .collect()
         .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Row](2)))
       val counts = stats.map { case (n, c, _) => n -> c }.toMap
-      est = counts.view.mapValues(_.toDouble).toMap
+      // refine estimates with the exact candidate counts
+      est = est ++ counts.view.mapValues(_.toDouble).toMap
       val active = counts.filter(_._2 > leafSize).keys.toSeq.sorted
       if (active.isEmpty) done = true
       else {
@@ -255,9 +267,11 @@ object GannIndex {
           depth += 1
         }
       }
+      }
     }
     val assign = routed(base, nodes, idCol, vecCol).cache()
     val leaves = assign.select("leaf").distinct().as[Int].collect().toSeq.sorted
+    base.unpersist() // assign is materialized by the distinct above
     Model(nodes, leaves, assign, idCol, vecCol)
   }
 }

@@ -34,9 +34,10 @@ object StreamingQ {
       // reference's IngestSource contract (copy into a landing dir, then
       // pick up: radient/tasks/sources/ingest.py:7-18)
       val landing = java.nio.file.Files.createTempDirectory("graft_stream_events")
+      val staged = landing.resolve("events.parquet")
       java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        landing.resolve("events.parquet"))
+        java.nio.file.Paths.get(s"$dir/events.parquet"), staged)
+      staged.toFile.deleteOnExit(); landing.toFile.deleteOnExit()
       val stream = s.readStream.schema(rawSchema)
         .parquet(landing.toString)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))

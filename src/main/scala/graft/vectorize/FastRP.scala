@@ -82,16 +82,25 @@ object FastRP {
     // populate lazily during the single final action — no per-iteration
     // count() barrier (k extra jobs) is needed for the reuse to kick in.
     var nk = propagate(edges, lr).cache() // N_1 = A·L·R
+    val intermediates = scala.collection.mutable.Buffer(edges, nodes, nk)
     var result = nk.select(col("node"),
       transform(col("vec"), v => v * weights.head).as("vec"))
     for (w <- weights.tail) {
       nk = propagate(edges, nk).cache()
+      intermediates += nk
       result = axpy(result, w, nk)
     }
     // nodes that received no messages get the zero vector
-    nodes.join(result, Seq("node"), "left")
+    val out = nodes.join(result, Seq("node"), "left")
       .select(col("node"),
         coalesce(col("vec"),
           transform(sequence(lit(0), lit(dim - 1)), _ => lit(0.0))).as("vec"))
+      .cache()
+    // materialize the result, then release every intermediate cache — an
+    // embed() in a long-lived session must not pin k+2 frames forever
+    // (callers may unpersist the returned frame when done with it)
+    out.count()
+    intermediates.foreach(_.unpersist())
+    out
   }
 }

@@ -67,6 +67,14 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(row.getDouble(0) == 1.0)
   }
 
+  test("null ELEMENT poisons the result (HOF-fold parity)") {
+    val row = Seq((Seq(Some(1.0), None, Some(3.0)), Seq(Some(1.0), Some(2.0), Some(3.0))))
+      .toDF("a", "b")
+      .select(VectorF.dot(col("a"), col("b")).as("d"),
+        VectorF.l2Dist(col("a"), col("b")).as("l")).head()
+    assert(row.isNullAt(0) && row.isNullAt(1))
+  }
+
   test("null input yields null") {
     val row = Seq((Some(Seq(1.0, 2.0)), Option.empty[Seq[Double]]))
       .toDF("a", "b")
