@@ -56,14 +56,22 @@ object IvfIndex {
   }
 
   /** Train the coarse quantizer (seeded → deterministic) and assign every
-    * vector to its cluster. */
+    * vector to its cluster. The quantizer fits on a bounded sample
+    * (`fitSample` rows) — at 100 TB the centroids converge on a fraction
+    * of the data (the reference's VC-bound subsampling idea,
+    * radient/tasks/sinks/local/_gkmeans.py:26-36); the full table is only
+    * touched by the single assignment pass. */
   def build(df: DataFrame, idCol: String, vecCol: String,
-      k: Int = 16, seed: Long = 42L): Model = {
+      k: Int = 16, seed: Long = 42L, fitSample: Int = 100000): Model = {
     val feat = df.select(col(idCol), col(vecCol))
       .withColumn("features", array_to_vector(col(vecCol).cast("array<double>")))
+    val n = feat.count()
+    val fitSet =
+      if (n <= fitSample) feat
+      else feat.sample(withReplacement = false, fitSample.toDouble / n, seed)
     val km = new KMeans().setK(k).setSeed(seed).setMaxIter(20)
       .setFeaturesCol("features").setPredictionCol("cluster")
-    val model = km.fit(feat)
+    val model = km.fit(fitSet)
     val assign = model.transform(feat)
       .select(col(idCol), col(vecCol), col("cluster"))
     val centroids = model.clusterCenters.zipWithIndex

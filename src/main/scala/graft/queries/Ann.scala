@@ -40,5 +40,23 @@ object Ann {
     },
     None)
 
-  val all: Seq[Q] = Seq(q_ann_ivf, q_ann_gann)
+  /** MLlib BucketedRandomProjectionLSH approxSimilarityJoin — the stock
+    * scaled ANN-join operator (SURVEY.md §7.1 item 9). Approximate →
+    * rows-only; recall vs the exact pairwise join is pinned in
+    * LshJoinSpec. */
+  val q_ann_lsh_join = Q(
+    "q_ann_lsh_join",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      graft.index.LshJoin.l2Join(
+          e.select(col("vec_id").as("ida"), col("embedding")),
+          e.select(col("vec_id").as("idb"), col("embedding")),
+          "ida", "idb", "embedding", threshold = 1.2, numTables = 5)
+        .filter(col("ida") < col("idb"))
+        .select(col("ida"), col("idb"), round(col("dist"), 6).as("dist"))
+        .orderBy(col("ida"), col("idb"))
+    },
+    None)
+
+  val all: Seq[Q] = Seq(q_ann_ivf, q_ann_gann, q_ann_lsh_join)
 }
