@@ -55,6 +55,24 @@ object IvfIndex {
     }
   }
 
+  /** Persist centroids + cluster-partitioned posting lists (the IVF twin
+    * of GannIndex.save — probes prune to nprobe partitions). */
+  def save(model: Model, path: String): Unit = {
+    val spark = model.assign.sparkSession
+    import spark.implicits._
+    model.centroids.toSeq.toDF("cluster", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    model.assign.write.mode("overwrite")
+      .partitionBy("cluster").parquet(s"$path/assign")
+  }
+
+  def load(spark: SparkSession, path: String, idCol: String, vecCol: String): Model = {
+    val centroids = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    Model(centroids, spark.read.parquet(s"$path/assign"), idCol, vecCol)
+  }
+
   /** Train the coarse quantizer (seeded → deterministic) and assign every
     * vector to its cluster. The quantizer fits on a bounded sample
     * (`fitSample` rows) — at 100 TB the centroids converge on a fraction

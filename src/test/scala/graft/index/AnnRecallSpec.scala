@@ -108,6 +108,36 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("IVF save/load roundtrip preserves search results") {
+    val model = IvfIndex.build(emb, "vec_id", "embedding", k = 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    IvfIndex.save(model, dir)
+    val loaded = IvfIndex.load(spark, dir, "vec_id", "embedding")
+    assert(loaded.centroids.map(_._1).toSeq == model.centroids.map(_._1).toSeq)
+    assert(loaded.centroids.map(_._2.toSeq).toSeq == model.centroids.map(_._2.toSeq).toSeq)
+    val a = model.search(queries, "qid", "qv", K, nprobe = 3)
+      .select("qid", "vec_id", "rnk").collect().map(_.toSeq).toSet
+    val b = loaded.search(queries, "qid", "qv", K, nprobe = 3)
+      .select("qid", "vec_id", "rnk").collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
+  test("GANN build over 20k synthetic vectors stays statistics-only") {
+    import spark.implicits._
+    val n = 20000
+    val dim = 16
+    val big = spark.range(n).select(col("id").as("vec_id"),
+      org.apache.spark.sql.functions.transform(
+        org.apache.spark.sql.functions.sequence(lit(0), lit(dim - 1)),
+        k => pow(sin(col("id") * 131 + k * 17), 3)).as("embedding"))
+    val model = GannIndex.build(big, "vec_id", "embedding",
+      leafSize = 200, spill = 0.05)
+    val sizes = model.assign.groupBy("leaf").count().collect().map(_.getLong(1))
+    assert(model.assign.select("vec_id").distinct().count() == n) // full coverage
+    assert(sizes.max <= 200 * 2) // leaves near the target, none runaway
+    assert(model.nodes.nonEmpty && model.leaves.size >= n / 400)
+  }
+
   test("GANN spill duplicates only the boundary fraction") {
     val m = GannIndex.build(emb, "vec_id", "embedding",
       leafSize = 64, spill = 0.1)
