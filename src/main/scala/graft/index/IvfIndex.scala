@@ -84,6 +84,10 @@ object IvfIndex {
     val feat = df.select(col(idCol), col(vecCol))
       .withColumn("features", array_to_vector(col(vecCol).cast("array<double>")))
     val n = feat.count()
+    if (n == 0) // MLlib KMeans.fit rejects an empty dataset
+      return Model(Array.empty,
+        df.select(col(idCol), col(vecCol)).withColumn("cluster", lit(0)),
+        idCol, vecCol)
     val fitSet =
       if (n <= fitSample) feat
       else feat.sample(withReplacement = false, fitSample.toDouble / n, seed)

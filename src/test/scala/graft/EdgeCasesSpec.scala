@@ -1,0 +1,50 @@
+package graft
+
+import graft.index.{GannIndex, IvfIndex}
+import graft.vectorize.{HashEmbed, Multimodal}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Degenerate-input safety: empty tables and empty payloads must flow
+  * through the operator surface without throwing (the reference's `[None]`
+  * skip protocol maps to empty-frame propagation — SURVEY §2.5). */
+class EdgeCasesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val vecSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(DoubleType))))
+
+  private def emptyVecs =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], vecSchema)
+
+  test("GANN build over an empty table yields an empty searchable model") {
+    val m = GannIndex.build(emptyVecs, "vec_id", "embedding", leafSize = 16)
+    assert(m.nodes.isEmpty && m.assign.count() == 0)
+    val qs = Seq((1L, Seq(1.0, 2.0))).toDF("qid", "qv")
+    assert(m.search(qs, "qid", "qv", 5).count() == 0)
+  }
+
+  test("IVF build over an empty table yields an empty searchable model") {
+    val m = IvfIndex.build(emptyVecs, "vec_id", "embedding", k = 4)
+    assert(m.centroids.isEmpty && m.assign.count() == 0)
+    val qs = Seq((1L, Seq(1.0, 2.0))).toDF("qid", "qv")
+    assert(m.search(qs, "qid", "qv", 5, nprobe = 2).count() == 0)
+  }
+
+  test("hash embedder on empty text yields the zero vector") {
+    val r = Seq("", "   ").toDF("text")
+      .select(HashEmbed.embed(col("text"), 8).as("e")).collect()
+    r.foreach(row => assert(row.getSeq[Float](0) == Seq.fill(8)(0.0f)))
+  }
+
+  test("clipSplit on empty samples yields zero rows") {
+    val df = Seq((1L, Seq.empty[Double], 4), (2L, Seq(1.0, 2.0, 3.0), 2))
+      .toDF("id", "samples", "rate")
+    val out = Multimodal.clipSplit(df, "samples", "rate", 1.0)
+    assert(out.filter(col("id") === 1L).count() == 0)
+    assert(out.filter(col("id") === 2L).count() == 2) // ceil(3/2) clips
+  }
+}
