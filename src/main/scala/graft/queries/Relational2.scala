@@ -487,10 +487,48 @@ object Relational2 {
       |LIMIT 20
       |""".stripMargin))
 
+  /** Exact percentiles per group — Spark `percentile` and DuckDB
+    * `quantile_cont` share the linear-interpolation definition, so the
+    * values hash-match. (The approximate sketch path is
+    * q_events_approx_users — rows-only by design.) */
+  val q_quantiles = Q(
+    "q_quantiles",
+    (s, dir) => {
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.9)").as("p90"),
+          expr("percentile(l_quantity, 0.99)").as("p99"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      |SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS p50,
+      |  quantile_cont(l_quantity, 0.9) AS p90,
+      |  quantile_cont(l_quantity, 0.99) AS p99
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+      |""".stripMargin))
+
+  /** HyperLogLog sketch: approximate distinct users per event type —
+    * approximate by design → rows-only (Spark's HLL++ and any oracle
+    * engine's sketch will not agree bit-wise; the exact-distinct twin is
+    * q16's COUNT(DISTINCT)). */
+  val q_events_approx_users = Q(
+    "q_events_approx_users",
+    (s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("event_type"))
+    },
+    None)
+
   val all: Seq[Q] = Seq(
     q02_cheapest_part, q04_order_priority, q07_volume_shipping,
     q12_priority_lines, q13_customer_distribution, q14_promo_revenue,
     q15_top_supplier, q16_supplier_variety, q17_small_quantity,
     q18_large_orders, q19_disjunctive_revenue, q21_late_suppliers,
-    q22_idle_customers, q_rollup_revenue, q_events_asof)
+    q22_idle_customers, q_rollup_revenue, q_events_asof,
+    q_quantiles, q_events_approx_users)
 }
