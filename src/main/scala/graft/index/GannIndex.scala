@@ -1,6 +1,6 @@
 package graft.index
 
-import graft.functions.{TextF, VectorF}
+import graft.functions.{TextF, TopKAgg, VectorF}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -83,22 +83,27 @@ object GannIndex {
       * queries (qid, qvec). With spill > 0 a candidate can be reached via
       * both probed children, so candidates are de-duplicated per (query,
       * id) before ranking — the DataFrame twin of the C kernel's
-      * open-addressing candidate set (gann.c:944-993). */
+      * open-addressing candidate set (gann.c:944-993). The rank itself is
+      * the bounded-heap TopKAgg (gann.c:498-574's max-heap): partial
+      * aggregation ships ≤k pairs per partition per query into the final
+      * shuffle, where a window rank would ship every candidate. */
     def search(queries: DataFrame, qid: String, qvec: String, k: Int): DataFrame = {
       val spark = queries.sparkSession
       val bc = spark.sparkContext.broadcast(nodes)
       val routeUdf = udf { (v: Seq[Double]) => routeLeaves(bc.value, v.toArray) }
       val probed = queries.select(col(qid), col(qvec),
         explode(routeUdf(col(qvec).cast("array<double>"))).as("leaf"))
-      val w = Window.partitionBy(col(qid)).orderBy(col("dist"), col(idCol))
       probed.join(assign.hint("shuffle_hash"), Seq("leaf"))
         .filter(col(idCol) =!= col(qid))
         .select(col(qid), col(idCol),
           VectorF.l2Dist(col(qvec), col(vecCol)).as("dist"))
         .groupBy(col(qid), col(idCol))
         .agg(min(col("dist")).as("dist"))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= k)
+        .groupBy(col(qid))
+        .agg(TopKAgg.topK(col("dist"), col(idCol).cast("long"), k).as("top"))
+        .select(col(qid), posexplode(col("top")).as(Seq("pos", "s")))
+        .select(col(qid), col("s.id").as(idCol), col("s.dist").as("dist"),
+          (col("pos") + 1).cast("int").as("rnk"))
     }
   }
 

@@ -45,13 +45,18 @@ object IvfIndex {
       }
       val probed = queries.select(col(qid), col(qvec),
         explode(probeUdf(col(qvec).cast("array<double>"))).as("cluster"))
-      val w = Window.partitionBy(col(qid)).orderBy(col("dist"), col(idCol))
+      // bounded-heap top-k (TopKAgg): map-side partial aggregation ships
+      // ≤k pairs per partition per query — no per-id dedup needed here,
+      // every vector lives in exactly one posting list
       probed.join(assign, Seq("cluster"))
         .filter(col(idCol) =!= col(qid))
         .select(col(qid), col(idCol),
           VectorF.l2Dist(col(qvec), col(vecCol)).as("dist"))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= k)
+        .groupBy(col(qid))
+        .agg(graft.functions.TopKAgg.topK(col("dist"), col(idCol).cast("long"), k).as("top"))
+        .select(col(qid), posexplode(col("top")).as(Seq("pos", "s")))
+        .select(col(qid), col("s.id").as(idCol), col("s.dist").as("dist"),
+          (col("pos") + 1).cast("int").as("rnk"))
     }
   }
 
