@@ -3,6 +3,7 @@ package graft.queries
 import graft.core.Tables
 import graft.functions.{TextF, VectorF}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication family over `documents` / `embeddings`:
@@ -88,35 +89,16 @@ object Dedup {
   val q_dedup_ngram_jaccard = Q(
     "q_dedup_ngram_jaccard",
     (s, dir) => {
-      // Inverted-index set-similarity join (the SSJoin shape used by
-      // Spark/Flink dedup pipelines): explode shingles to a posting list,
-      // equi-join postings on (lang, shingle), count common shingles per
-      // candidate pair, then J = |∩| / (na + nb − |∩|). Identical result
-      // to the pairwise-intersection formulation (shingle sets are
-      // distinct, so the posting join counts exactly |A∩B|; J ≥ τ > 0
-      // implies |A∩B| ≥ 1, so no qualifying pair is missed) — but the
-      // join shuffles only (lang, shingle) keys instead of materializing
-      // every same-lang pair and intersecting arrays: O(Σ postings²/key)
-      // vs O(n²·|sh|). The round-1 pairwise plan took 50 s at sf0.1.
-      val d = shingleDf(s, dir)
-      val posting = d.select(col("doc_id"), col("lang"), col("nsh"),
-        explode(col("sh")).as("s"))
-      val a = posting.select(col("doc_id").as("doc_a"), col("lang"),
-        col("s"), col("nsh").as("na"))
-      val b = posting.select(col("doc_id").as("doc_b"), col("lang"),
-        col("s"), col("nsh").as("nb"))
-      a.join(b, Seq("lang", "s"))
-        .filter(col("doc_a") < col("doc_b"))
-        // size-band prefilter implied by J >= t (see scaladoc) — prunes
-        // before the aggregate, absent from the oracle on purpose
-        .filter(col("na").cast("double") * JACCARD_T <= col("nb") &&
-          col("nb").cast("double") * JACCARD_T <= col("na"))
-        .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
-        .agg(count(lit(1)).as("inter"))
-        .select(col("doc_a"), col("doc_b"),
-          (col("inter").cast("double") /
-            (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard"))
-        .filter(col("jaccard") >= JACCARD_T)
+      // Inverted-index set-similarity join via SetSimJoin.countJoin:
+      // postings equi-join on (lang, shingle) + common-element count —
+      // no same-lang cross product, no array payloads in the shuffle
+      // (the round-1 pairwise plan took 50 s at sf0.1). The PPJoin-style
+      // prefix-filtered strategy (SetSimJoin.prefixFiltered, identical
+      // results — SetSimJoinSpec) is the swap-in for skewed corpora
+      // where hot shingles blow up posting lists.
+      graft.dedup.SetSimJoin.countJoin(
+          shingleDf(s, dir), "doc_id", "lang", "sh", "nsh", JACCARD_T)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
     },
     Some(s"""
