@@ -36,6 +36,17 @@ class WorkflowSpec extends AnyFunSuite {
     assert(wf.execute().count() == 0)
   }
 
+  test("extra_vars reach the stage at execute time (workflow.py:74-75)") {
+    import spark.implicits._
+    val wf = new Workflow()
+      .source("docs", Seq((1L, 5.0), (2L, 11.0), (3L, 20.0)).toDF("id", "v"))
+      .addWithParams("filtered", (ins, params) =>
+        ins.head.filter(col("v") >= params.getOrElse("min_v", "0").toDouble))
+    assert(wf.execute().count() == 3) // default params
+    val strict = wf.execute(Map("filtered" -> Map("min_v" -> "10")))
+    assert(strict.select("id").collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+  }
+
   test("duplicate and unknown stage names are rejected") {
     import spark.implicits._
     val base = new Workflow().source("a", Seq(1).toDF("x"))
