@@ -524,11 +524,48 @@ object Relational2 {
     },
     None)
 
+  /** Native session windows: the same 30-minute-gap sessionization as
+    * q_events_sessionize but via Spark's `session_window` operator (one
+    * aggregate, no lag/cumsum window chain — and the identical code runs
+    * under Structured Streaming with a watermark). Session end is
+    * lastEvent + gap by definition; the oracle states that directly.
+    * (Boundary semantics differ from the lag formulation only for a gap
+    * of EXACTLY 30 minutes — the dataset has none at any SF, verified.) */
+  val q_events_session_window = Q(
+    "q_events_session_window",
+    (s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .select(col("user_id"), col("w.start").as("start_ts"),
+          col("w.end").as("end_ts"), col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("start_ts"))
+    },
+    Some(s"""
+      |WITH g AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |              OR ts > lag(ts) OVER w + INTERVAL '30 minutes'
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sess AS (
+      |  SELECT user_id, ts, value,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                   ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM g)
+      |SELECT user_id, min(ts) AS start_ts,
+      |  max(ts) + INTERVAL '30 minutes' AS end_ts,
+      |  count(*) AS n_events, ${Sql.dsum("value")} AS sum_value
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, start_ts
+      |""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q02_cheapest_part, q04_order_priority, q07_volume_shipping,
     q12_priority_lines, q13_customer_distribution, q14_promo_revenue,
     q15_top_supplier, q16_supplier_variety, q17_small_quantity,
     q18_large_orders, q19_disjunctive_revenue, q21_late_suppliers,
     q22_idle_customers, q_rollup_revenue, q_events_asof,
-    q_quantiles, q_events_approx_users)
+    q_quantiles, q_events_approx_users, q_events_session_window)
 }
