@@ -561,11 +561,102 @@ object Relational2 {
       |ORDER BY user_id, start_ts
       |""".stripMargin))
 
+  /** Full-outer join: per-entity activity profile joining order counts
+    * against event counts over the shared id space — ids with only one
+    * side present keep nulls-as-zeros. */
+  val q_user_activity = Q(
+    "q_user_activity",
+    (s, dir) => {
+      val ord = Tables(s, dir, "orders")
+        .groupBy(col("o_custkey").as("entity_id"))
+        .agg(count(lit(1)).as("n_orders"))
+      val ev = Tables(s, dir, "events")
+        .groupBy(col("user_id").as("entity_id"))
+        .agg(count(lit(1)).as("n_events"))
+      ord.join(ev, Seq("entity_id"), "full_outer")
+        .select(col("entity_id"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"))
+        .orderBy(col("entity_id"))
+    },
+    Some("""
+      |SELECT coalesce(o.entity_id, e.entity_id) AS entity_id,
+      |  coalesce(n_orders, 0) AS n_orders, coalesce(n_events, 0) AS n_events
+      |FROM (SELECT o_custkey AS entity_id, count(*) AS n_orders
+      |      FROM orders GROUP BY 1) o
+      |FULL OUTER JOIN (SELECT user_id AS entity_id, count(*) AS n_events
+      |                 FROM events GROUP BY 1) e
+      |  USING (entity_id)
+      |ORDER BY entity_id
+      |""".stripMargin))
+
+  /** Set operations: INTERSECT / EXCEPT over the two id universes,
+    * summarized as one (op, n) table. */
+  val q_set_ops = Q(
+    "q_set_ops",
+    (s, dir) => {
+      val custs = Tables(s, dir, "customer").select(col("c_custkey").as("id"))
+      val users = Tables(s, dir, "events").select(col("user_id").as("id")).distinct()
+      val both = custs.intersect(users).agg(count(lit(1)).as("n"))
+        .withColumn("op", lit("intersect"))
+      val onlyCust = custs.except(users).agg(count(lit(1)).as("n"))
+        .withColumn("op", lit("cust_only"))
+      val onlyUser = users.except(custs).agg(count(lit(1)).as("n"))
+        .withColumn("op", lit("user_only"))
+      both.union(onlyCust).union(onlyUser)
+        .select(col("op"), col("n"))
+        .orderBy(col("op"))
+    },
+    Some("""
+      |SELECT 'intersect' AS op,
+      |  (SELECT count(*) FROM (SELECT c_custkey AS id FROM customer
+      |    INTERSECT SELECT user_id FROM events)) AS n
+      |UNION ALL
+      |SELECT 'cust_only',
+      |  (SELECT count(*) FROM (SELECT c_custkey FROM customer
+      |    EXCEPT SELECT user_id FROM events))
+      |UNION ALL
+      |SELECT 'user_only',
+      |  (SELECT count(*) FROM (SELECT DISTINCT user_id FROM events
+      |    EXCEPT SELECT c_custkey FROM customer))
+      |ORDER BY op
+      |""".stripMargin))
+
+  /** PIVOT: order counts by year × priority — Spark's relational pivot
+    * (one Expand-free aggregate with a known column universe; the oracle
+    * states the same as conditional aggregation). */
+  val q_pivot_priority = Q(
+    "q_pivot_priority",
+    (s, dir) => {
+      val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      Tables(s, dir, "orders")
+        .select(year(col("o_orderdate")).cast("long").as("o_year"),
+          col("o_orderpriority"))
+        .groupBy(col("o_year"))
+        .pivot("o_orderpriority", prios)
+        .agg(count(lit(1)))
+        .select(col("o_year") +: prios.map(p =>
+          coalesce(col(s"`$p`"), lit(0L)).as(p.takeWhile(_ != '-') match {
+            case n => s"p$n"
+          })): _*)
+        .orderBy(col("o_year"))
+    },
+    Some("""
+      |SELECT year(o_orderdate) AS o_year,
+      |  sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS p1,
+      |  sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS p2,
+      |  sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS p3,
+      |  sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS p4,
+      |  sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS p5
+      |FROM orders GROUP BY o_year ORDER BY o_year
+      |""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q02_cheapest_part, q04_order_priority, q07_volume_shipping,
     q12_priority_lines, q13_customer_distribution, q14_promo_revenue,
     q15_top_supplier, q16_supplier_variety, q17_small_quantity,
     q18_large_orders, q19_disjunctive_revenue, q21_late_suppliers,
     q22_idle_customers, q_rollup_revenue, q_events_asof,
-    q_quantiles, q_events_approx_users, q_events_session_window)
+    q_quantiles, q_events_approx_users, q_events_session_window,
+    q_user_activity, q_set_ops, q_pivot_priority)
 }
