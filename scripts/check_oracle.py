@@ -87,7 +87,14 @@ def main():
             print(f"FAIL {name}: col={c} row={i} spark={a!r} duckdb={b!r}")
             n_bad += 1
         else:
-            print(f"ok   {name} ({len(got)} rows)")
+            # The driver's hash encodes the value TYPE (e.g. DuckDB HUGEINT
+            # from sum(CASE...) != Spark BIGINT even when values agree), so
+            # surface dtype divergence as a warning the value compare misses.
+            dtw = [(c, str(got[c].dtype), str(want[c].dtype))
+                   for c in got.columns if str(got[c].dtype) != str(want[c].dtype)]
+            tag = "ok  " if not dtw else "ok?!"
+            extra = "" if not dtw else f"  DTYPE-DIVERGENCE {dtw}"
+            print(f"{tag} {name} ({len(got)} rows){extra}")
             n_ok += 1
     print(f"\n{n_ok} ok, {n_bad} failed")
     sys.exit(1 if n_bad else 0)

@@ -19,8 +19,9 @@ import org.apache.spark.sql.types._
   * BENCH demands" escalation planned in SURVEY.md §7.3.
   *
   * Both operands must be `array<float>` or `array<double>` (mixing is
-  * fine); null inputs yield null; arrays are folded over the shorter
-  * length (all engine callers pair equal-dim vectors).
+  * fine); null inputs yield null; a LENGTH MISMATCH yields null, exactly
+  * like the zip_with forms (which null-pad the shorter array and so
+  * null-poison the fold).
   */
 abstract class VectorFoldExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -60,7 +61,9 @@ abstract class VectorFoldExpression extends BinaryExpression {
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    // dim mismatch → null, same as zip_with's null-padding would produce
+    if (n != b.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -81,13 +84,15 @@ abstract class VectorFoldExpression extends BinaryExpression {
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |  $s = ${foldCode(s, s"(double) $a.$la($i)", s"(double) $b.$ra($i)")};
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; } else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s = ${foldCode(s, s"(double) $a.$la($i)", s"(double) $b.$ra($i)")};
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = ${finishCode(s)}; }
          |}
-         |if (!${ev.isNull}) { ${ev.value} = ${finishCode(s)}; }
        """.stripMargin
     })
   }

@@ -4,10 +4,11 @@ import graft.functions.{TextF, TopKAgg, VectorF}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, IntegralType}
 
-/** Distributed GANN-equivalent: a hyperplane spill tree built as an
-  * iterative DataFrame job, searched via a broadcast tree probe + leaf
-  * equi-join + exact re-rank.
+/** Distributed GANN-equivalent: a FOREST of hyperplane spill trees built as
+  * iterative DataFrame jobs, searched via a broadcast forest probe + (tree,
+  * leaf) equi-join + exact re-rank with cross-tree candidate dedup.
   *
   * Reference semantics (radient/tasks/sinks/local/gann.py:113-193 +
   * _gkmeans.py): per level, fit 2 centers per node, hyperplane = the
@@ -15,7 +16,13 @@ import org.apache.spark.sql.functions._
   * bias = −(c0+c1)·w/2, gann.py:146-147), children take the
   * |leaf|·(0.5+spill) nearest rows on each side (overlapping spill,
   * gann.py:150-166), recurse until leaves ≤ leafSize (MAX_LEAF_SIZE=200,
-  * gann.py:15).
+  * gann.py:15). `nTrees` mirrors the reference's `n_trees` recall knob
+  * (gann.py:201): the C kernel searches every tree and de-duplicates
+  * candidates across trees in an open-addressing set
+  * (gann.c:851-869, 944-993, one pthread per tree); here each tree gets
+  * its own seed (sampling salt + sample order), the probe routes through
+  * every tree, and the (query, id) min-dist aggregate performs the
+  * cross-tree dedup before ranking.
   *
   * Divergences (documented, SURVEY.md §7.4): centers come from a
   * deterministic driver-side 2-means over a hash-sampled subset (VC-bound
@@ -24,18 +31,18 @@ import org.apache.spark.sql.functions._
   * deterministic, where the reference's gradient balanced k-means is
   * stochastic.
   *
-  * Scale shape: the tree (a few KB of hyperplanes) lives on the driver and
-  * is broadcast; every level's leaf assignment is derived FRESH from the
-  * base table by routing each vector through the tree-so-far — a single
-  * scan + UDF + explode whose logical plan stays constant-size per level.
-  * (The round-1 implementation instead stacked
+  * Scale shape: the forest (a few KB of hyperplanes per tree) lives on the
+  * driver and is broadcast; every level's leaf assignment is derived FRESH
+  * from the base table by routing each vector through the tree-so-far — a
+  * single scan + UDF + explode whose logical plan stays constant-size per
+  * level. (The round-1 implementation instead stacked
   * `union(untouched, left, right)` per level on top of the previous
   * level's plan, growing the Catalyst plan ~3^depth — at sf0.1 that hit
   * the 2 GB plan-string ceiling and spent 35 minutes in analysis alone.)
   * Only per-node statistics (counts, samples, quantiles) ever reach the
   * driver. The final assignment table is the index; at cluster scale it
-  * would be written partitioned by `leaf` so searches prune to the probed
-  * leaves.
+  * would be written partitioned by `(tree, leaf)` so searches prune to the
+  * probed leaves.
   */
 object GannIndex {
 
@@ -43,10 +50,10 @@ object GannIndex {
   final case class Node(id: Int, w: Array[Double], bias: Double,
       loCut: Double, hiCut: Double, left: Int, right: Int)
 
-  /** Route a vector to its leaf set: descend by hyperplane sign, taking
-    * BOTH children inside the spill band (gann.c:917-940's multi-probe).
-    * Shared by the build (data-side assignment) and the search
-    * (query-side probe), so the two sides agree by construction. */
+  /** Route a vector to its leaf set in ONE tree: descend by hyperplane
+    * sign, taking BOTH children inside the spill band (gann.c:917-940's
+    * multi-probe). Shared by the build (data-side assignment) and the
+    * search (query-side probe), so the two sides agree by construction. */
   private[index] def routeLeaves(nodes: Map[Int, Node], v: Array[Double]): Seq[Int] = {
     def go(id: Int): Seq[Int] = nodes.get(id) match {
       case None => Seq(id)
@@ -60,8 +67,16 @@ object GannIndex {
     go(0)
   }
 
-  /** (id, vec, leaf) with one row per (row, routed leaf) — constant-size
-    * plan regardless of tree depth. */
+  /** Route a vector through EVERY tree → (tree, leaf) pairs
+    * (gann.c:851-869's per-tree search loop). */
+  private[index] def routeForest(trees: IndexedSeq[Map[Int, Node]],
+      v: Array[Double]): Seq[(Int, Int)] =
+    trees.zipWithIndex.flatMap { case (t, ti) =>
+      routeLeaves(t, v).map(l => (ti, l))
+    }
+
+  /** Single-tree (id, vec, leaf) with one row per (row, routed leaf) —
+    * constant-size plan regardless of tree depth. Build-time only. */
   private def routed(base: DataFrame, nodes: Map[Int, Node],
       idCol: String, vecCol: String): DataFrame = {
     val spark = base.sparkSession
@@ -73,27 +88,52 @@ object GannIndex {
     }
   }
 
-  final case class Model(nodes: Map[Int, Node], leaves: Seq[Int],
-      assign: DataFrame, idCol: String, vecCol: String) {
+  /** Forest assignment: one row per (row, tree, routed leaf). */
+  private def routedForest(base: DataFrame, trees: IndexedSeq[Map[Int, Node]],
+      idCol: String, vecCol: String): DataFrame = {
+    val spark = base.sparkSession
+    val bc = spark.sparkContext.broadcast(trees)
+    val routeUdf = udf { (v: Seq[Double]) => routeForest(bc.value, v.toArray) }
+    base.select(col(idCol), col(vecCol),
+        explode(routeUdf(col(vecCol))).as("tl"))
+      .select(col(idCol), col(vecCol),
+        col("tl._1").as("tree"), col("tl._2").as("leaf"))
+  }
 
-    /** Leaf ids a query vector routes to. */
-    def route(v: Array[Double]): Seq[Int] = routeLeaves(nodes, v)
+  final case class Model(trees: IndexedSeq[Map[Int, Node]],
+      leaves: Seq[(Int, Int)], assign: DataFrame,
+      idCol: String, vecCol: String) {
 
-    /** Exact-rank top-k over the union of probed leaves for a batch of
-      * queries (qid, qvec). With spill > 0 a candidate can be reached via
-      * both probed children, so candidates are de-duplicated per (query,
-      * id) before ranking — the DataFrame twin of the C kernel's
-      * open-addressing candidate set (gann.c:944-993). The rank itself is
-      * the bounded-heap TopKAgg (gann.c:498-574's max-heap): partial
-      * aggregation ships ≤k pairs per partition per query into the final
-      * shuffle, where a window rank would ship every candidate. */
+    /** Single-tree view (forest of 1) — kept for tree-shape inspection. */
+    def nodes: Map[Int, Node] = trees.head
+
+    /** (tree, leaf) ids a query vector routes to. */
+    def route(v: Array[Double]): Seq[(Int, Int)] = routeForest(trees, v)
+
+    /** Exact-rank top-k over the union of probed leaves of EVERY tree for
+      * a batch of queries (qid, qvec). With spill > 0 (or nTrees > 1) a
+      * candidate can be reached via several probed leaves, so candidates
+      * are de-duplicated per (query, id) before ranking — the DataFrame
+      * twin of the C kernel's open-addressing candidate set across trees
+      * (gann.c:944-993). The rank itself is the bounded-heap TopKAgg
+      * (gann.c:498-574's max-heap): partial aggregation ships ≤k pairs per
+      * partition per query into the final shuffle, where a window rank
+      * would ship every candidate.
+      *
+      * Contract: `idCol` must be an integral column (it rides through the
+      * top-k heap as a long and is cast back to its input type on output);
+      * a non-numeric id would cast to null and silently vanish, so it is
+      * rejected here instead. */
     def search(queries: DataFrame, qid: String, qvec: String, k: Int): DataFrame = {
+      val idType = requireIntegralId(assign, idCol)
       val spark = queries.sparkSession
-      val bc = spark.sparkContext.broadcast(nodes)
-      val routeUdf = udf { (v: Seq[Double]) => routeLeaves(bc.value, v.toArray) }
+      val bc = spark.sparkContext.broadcast(trees)
+      val routeUdf = udf { (v: Seq[Double]) => routeForest(bc.value, v.toArray) }
       val probed = queries.select(col(qid), col(qvec),
-        explode(routeUdf(col(qvec).cast("array<double>"))).as("leaf"))
-      probed.join(assign.hint("shuffle_hash"), Seq("leaf"))
+          explode(routeUdf(col(qvec).cast("array<double>"))).as("tl"))
+        .select(col(qid), col(qvec),
+          col("tl._1").as("tree"), col("tl._2").as("leaf"))
+      probed.join(assign.hint("shuffle_hash"), Seq("tree", "leaf"))
         .filter(col(idCol) =!= col(qid))
         .select(col(qid), col(idCol),
           VectorF.l2Dist(col(qvec), col(vecCol)).as("dist"))
@@ -102,9 +142,20 @@ object GannIndex {
         .groupBy(col(qid))
         .agg(TopKAgg.topK(col("dist"), col(idCol).cast("long"), k).as("top"))
         .select(col(qid), posexplode(col("top")).as(Seq("pos", "s")))
-        .select(col(qid), col("s.id").as(idCol), col("s.dist").as("dist"),
-          (col("pos") + 1).cast("int").as("rnk"))
+        .select(col(qid), col("s.id").cast(idType).as(idCol),
+          col("s.dist").as("dist"), (col("pos") + 1).cast("int").as("rnk"))
     }
+  }
+
+  /** TopKAgg carries ids as long — reject id columns that would silently
+    * null out under the cast, and hand back the type to restore on
+    * output. Shared with IvfIndex. */
+  private[index] def requireIntegralId(assign: DataFrame, idCol: String): DataType = {
+    val t = assign.schema(idCol).dataType
+    require(t.isInstanceOf[IntegralType],
+      s"search requires an integral id column; '$idCol' is ${t.simpleString}. " +
+        "Join a dense_rank surrogate key first for string/decimal ids.")
+    t
   }
 
   private def dotd(a: Array[Double], b: Array[Double]): Double = {
@@ -155,34 +206,40 @@ object GannIndex {
   /** Persist the index (GANN.index(path) parity,
     * radient/tasks/sinks/local/gann.py:222-232: .npy dataset +
     * leaves.json → here two parquet tables). The assignment is written
-    * PARTITIONED BY leaf — at scale a search reads only the probed
-    * leaves' partitions (partition pruning on the `leaf` equi-join key),
-    * the distributed twin of the C loader's per-leaf files. */
+    * PARTITIONED BY (tree, leaf) — at scale a search reads only the
+    * probed leaves' partitions (partition pruning on the (tree, leaf)
+    * equi-join keys), the distributed twin of the C loader's per-leaf
+    * files. */
   def save(model: Model, path: String): Unit = {
     val spark = model.assign.sparkSession
     import spark.implicits._
-    model.nodes.values.toSeq
-      .map(n => (n.id, n.w, n.bias, n.loCut, n.hiCut, n.left, n.right))
-      .toDF("id", "w", "bias", "lo", "hi", "left", "right")
+    model.trees.zipWithIndex.flatMap { case (t, ti) =>
+      t.values.map(n =>
+        (ti, n.id, n.w, n.bias, n.loCut, n.hiCut, n.left, n.right))
+    }.toDF("tree", "id", "w", "bias", "lo", "hi", "left", "right")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/nodes")
     model.assign
-      .write.mode("overwrite").partitionBy("leaf").parquet(s"$path/assign")
+      .write.mode("overwrite").partitionBy("tree", "leaf").parquet(s"$path/assign")
   }
 
   /** Load a persisted index (GANN.load parity, gann.py:241-250). */
   def load(spark: SparkSession, path: String, idCol: String, vecCol: String): Model = {
-    val nodes = spark.read.parquet(s"$path/nodes").collect().map { r =>
-      r.getInt(0) -> Node(r.getInt(0), r.getSeq[Double](1).toArray,
-        r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getInt(5), r.getInt(6))
-    }.toMap
+    import spark.implicits._
+    val byTree = spark.read.parquet(s"$path/nodes").collect().map { r =>
+      (r.getInt(0), Node(r.getInt(1), r.getSeq[Double](2).toArray,
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getInt(6), r.getInt(7)))
+    }.groupBy(_._1)
+    val nTrees = if (byTree.isEmpty) 1 else byTree.keys.max + 1
+    val trees = IndexedSeq.tabulate(nTrees)(ti =>
+      byTree.getOrElse(ti, Array.empty).map { case (_, n) => n.id -> n }.toMap)
     val assign = spark.read.parquet(s"$path/assign")
-    val leaves = assign.select("leaf").distinct()
-      .collect().map(_.getInt(0)).toSeq.sorted
-    Model(nodes, leaves, assign, idCol, vecCol)
+    val leaves = assign.select("tree", "leaf").distinct()
+      .as[(Int, Int)].collect().toSeq.sorted
+    Model(trees, leaves, assign, idCol, vecCol)
   }
 
-  /** Build the spill tree over (idCol, vecCol).
+  /** Build ONE spill tree over the cached base; `t` is the tree seed.
     *
     * Per level the data is scanned exactly TWICE: one combined
     * count+hash-sample aggregate (sampling rates come from the parent
@@ -190,16 +247,14 @@ object GannIndex {
     * so no extra counting pass is needed before sampling), and one
     * projection-percentile aggregate for the split cuts. Only per-node
     * statistics reach the driver. */
-  def build(df: DataFrame, idCol: String, vecCol: String,
-      leafSize: Int = 200, spill: Double = 0.0,
-      sampleSize: Int = 256, maxDepth: Int = 20): Model = {
-    val spark = df.sparkSession
+  private def buildTree(base: DataFrame, total: Double, t: Int,
+      idCol: String, vecCol: String,
+      leafSize: Int, spill: Double, sampleSize: Int, maxDepth: Int): Map[Int, Node] = {
+    val spark = base.sparkSession
     import spark.implicits._
-    val base = df.select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
-      .cache()
     var nodes = Map.empty[Int, Node]
     // estimated row count per current leaf, refined to exact each level
-    var est = Map(0 -> base.count().toDouble)
+    var est = Map(0 -> total)
     var depth = 0
     var done = false
     while (!done && depth < maxDepth) {
@@ -220,8 +275,11 @@ object GannIndex {
       val ratesDf = broadcast(candidates.toSeq.map { case (n, e) =>
         (n, math.min(1.0, sampleSize * 1.5 / math.max(e, 1.0)))
       }.toDF("leaf", "rate"))
+      // the salt carries the TREE seed — different trees sample different
+      // rows per node, so their hyperplanes (and hence probe paths)
+      // diverge, which is what makes the forest raise recall
       val sampleCond =
-        (TextF.h32(concat(lit(s"gann$depth#"), col(idCol).cast("string"))) % 10000)
+        (TextF.h32(concat(lit(s"gann$t#$depth#"), col(idCol).cast("string"))) % 10000)
           .cast("double") < col("rate") * 10000
       val stats = assign.join(ratesDf, Seq("leaf"))
         .groupBy("leaf")
@@ -240,7 +298,10 @@ object GannIndex {
           val rows = sampled.getOrElse(n, Seq.empty)
           if (rows.isEmpty) None
           else {
-            val xs = rows.sortBy(_.get(0).toString)
+            // per-tree deterministic sample order: varies the 2-means
+            // init point between trees without any RNG
+            val xs = rows
+              .sortBy(r => scala.util.hashing.MurmurHash3.stringHash(s"$t#${r.get(0)}"))
               .take(sampleSize).map(_.getSeq[Double](1).toArray).toArray
             val (c0, c1) = twoMeans(xs)
             val w = c0.indices.map(i => c1(i) - c0(i)).toArray
@@ -274,9 +335,29 @@ object GannIndex {
       }
       }
     }
-    val assign = routed(base, nodes, idCol, vecCol).cache()
-    val leaves = assign.select("leaf").distinct().as[Int].collect().toSeq.sorted
+    nodes
+  }
+
+  /** Build the spill forest over (idCol, vecCol). `nTrees` is the
+    * reference's recall knob (gann.py:201): trees are built independently
+    * with per-tree seeds, and the assignment table holds one copy of the
+    * data per (tree, routed leaf) — the same n_trees× memory trade the C
+    * engine makes. */
+  def build(df: DataFrame, idCol: String, vecCol: String,
+      leafSize: Int = 200, spill: Double = 0.0,
+      sampleSize: Int = 256, maxDepth: Int = 20, nTrees: Int = 1): Model = {
+    require(nTrees >= 1, s"nTrees must be >= 1, got $nTrees")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
+      .cache()
+    val total = base.count().toDouble
+    val trees = IndexedSeq.tabulate(nTrees)(t =>
+      buildTree(base, total, t, idCol, vecCol, leafSize, spill, sampleSize, maxDepth))
+    val assign = routedForest(base, trees, idCol, vecCol).cache()
+    val leaves = assign.select("tree", "leaf").distinct()
+      .as[(Int, Int)].collect().toSeq.sorted
     base.unpersist() // assign is materialized by the distinct above
-    Model(nodes, leaves, assign, idCol, vecCol)
+    Model(trees, leaves, assign, idCol, vecCol)
   }
 }

@@ -28,9 +28,12 @@ object IvfIndex {
         (cid, s)
       }.sortBy { case (cid, d) => (d, cid) }.take(nprobe).map(_._1).toSeq
 
-    /** Batch search: probe nprobe clusters per query, exact-rank top-k. */
+    /** Batch search: probe nprobe clusters per query, exact-rank top-k.
+      * `idCol` must be integral (rides the top-k heap as long, cast back
+      * on output — see GannIndex.requireIntegralId). */
     def search(queries: DataFrame, qid: String, qvec: String,
         k: Int, nprobe: Int): DataFrame = {
+      val idType = GannIndex.requireIntegralId(assign, idCol)
       val spark = queries.sparkSession
       val bc = spark.sparkContext.broadcast(centroids)
       val np = nprobe
@@ -55,8 +58,8 @@ object IvfIndex {
         .groupBy(col(qid))
         .agg(graft.functions.TopKAgg.topK(col("dist"), col(idCol).cast("long"), k).as("top"))
         .select(col(qid), posexplode(col("top")).as(Seq("pos", "s")))
-        .select(col(qid), col("s.id").as(idCol), col("s.dist").as("dist"),
-          (col("pos") + 1).cast("int").as("rnk"))
+        .select(col(qid), col("s.id").cast(idType).as(idCol),
+          col("s.dist").as("dist"), (col("pos") + 1).cast("int").as("rnk"))
     }
   }
 

@@ -30,10 +30,19 @@ object Molecules {
     "phenol" -> "C1=CC=C(C=C1)O",
     "salicylic_acid" -> "C1=CC=C(C(=C1)C(=O)O)O")
 
+  /** Hashed character w-gram bucket list, guarded like TextF.shingles: a
+    * SMILES shorter than the window yields an EMPTY list. Unguarded,
+    * Spark's sequence(1, 0) is DESCENDING [1, 0] (and sequence(1, -1) walks
+    * negative substr positions), producing spurious buckets where DuckDB's
+    * range(1, n+1) is empty. */
+  private def gramBuckets(smiles: org.apache.spark.sql.Column, w: Int, buckets: Int) =
+    when(length(smiles) >= w,
+      transform(sequence(lit(1), length(smiles) - (w - 1)),
+        i => h32(smiles.substr(i, lit(w))) % buckets))
+      .otherwise(array().cast("array<bigint>"))
+
   private def trigramFp(smiles: org.apache.spark.sql.Column) =
-    array_sort(array_distinct(transform(
-      sequence(lit(1), length(smiles) - 2),
-      i => h32(smiles.substr(i, lit(3))) % 64)))
+    array_sort(array_distinct(gramBuckets(smiles, 3, 64)))
 
   val q_mol_similarity = Q(
     "q_mol_similarity",
@@ -75,12 +84,9 @@ object Molecules {
     * branch), hashed into the same 64-bucket presence space. */
   private def morganFp(smiles: org.apache.spark.sql.Column) =
     array_sort(array_distinct(flatten(array(
-      transform(sequence(lit(1), length(smiles)),
-        i => h32(smiles.substr(i, lit(1))) % 64),
-      transform(sequence(lit(1), greatest(length(smiles) - 2, lit(0))),
-        i => h32(smiles.substr(i, lit(3))) % 64),
-      transform(sequence(lit(1), greatest(length(smiles) - 4, lit(0))),
-        i => h32(smiles.substr(i, lit(5))) % 64)))))
+      gramBuckets(smiles, 1, 64),
+      gramBuckets(smiles, 3, 64),
+      gramBuckets(smiles, 5, 64)))))
 
   private val morganFpSql = {
     def ctx(w: Int, lenExpr: String) =
@@ -129,8 +135,7 @@ object Molecules {
     * because the oracle engine rejects a `1 << 63` overflow. */
   private def packedFp(smiles: org.apache.spark.sql.Column) =
     aggregate(
-      array_distinct(transform(sequence(lit(1), length(smiles) - 2),
-        i => h32(smiles.substr(i, lit(3))) % 62)),
+      array_distinct(gramBuckets(smiles, 3, 62)),
       lit(0L),
       // 2^b via double pow — exact for powers of two below 2^62
       (acc, b) => acc.bitwiseOR(pow(lit(2.0), b.cast("double")).cast("long")))
