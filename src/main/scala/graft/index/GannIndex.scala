@@ -4,7 +4,7 @@ import graft.functions.{TextF, TopKAgg, VectorF}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, IntegralType}
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
 
 /** Distributed GANN-equivalent: a FOREST of hyperplane spill trees built as
   * iterative DataFrame jobs, searched via a broadcast forest probe + (tree,
@@ -152,7 +152,7 @@ object GannIndex {
     * output. Shared with IvfIndex. */
   private[index] def requireIntegralId(assign: DataFrame, idCol: String): DataType = {
     val t = assign.schema(idCol).dataType
-    require(t.isInstanceOf[IntegralType],
+    require(Set[DataType](ByteType, ShortType, IntegerType, LongType).contains(t),
       s"search requires an integral id column; '$idCol' is ${t.simpleString}. " +
         "Join a dense_rank surrogate key first for string/decimal ids.")
     t
