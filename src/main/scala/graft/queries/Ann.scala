@@ -29,9 +29,11 @@ object Ann {
     (s, dir) => {
       val e = Tables(s, dir, "embeddings")
       // leafSize 200 = the reference's MAX_LEAF_SIZE build termination
-      // (radient/tasks/sinks/local/gann.py:15)
+      // (radient/tasks/sinks/local/gann.py:15); nTrees = the n_trees
+      // recall knob (gann.py:201) — search probes every tree and
+      // dedupes candidates across trees before the exact re-rank
       val model = GannIndex.build(e, "vec_id", "embedding",
-        leafSize = 200, spill = 0.15)
+        leafSize = 200, spill = 0.15, nTrees = 2)
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       model.search(queries, "qid", "qv", k = 10)

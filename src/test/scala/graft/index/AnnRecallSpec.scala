@@ -66,6 +66,34 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(r >= 0.5)
   }
 
+  test("GANN forest raises recall: nTrees=4 >= nTrees=1 at spill=0") {
+    // spill=0 keeps single-tree recall low enough to leave head-room.
+    // Tree 0 is seed-identical in both builds, so the forest's candidate
+    // set is a strict superset and the exact re-rank makes recall
+    // monotone in nTrees (gann.py:201 n_trees knob, gann.c:851-869
+    // per-tree search + cross-tree dedup).
+    val m1 = GannIndex.build(emb, "vec_id", "embedding",
+      leafSize = 64, spill = 0.0, nTrees = 1)
+    val m4 = GannIndex.build(emb, "vec_id", "embedding",
+      leafSize = 64, spill = 0.0, nTrees = 4)
+    val r1 = recall(m1.search(queries, "qid", "qv", K))
+    val r4 = recall(m4.search(queries, "qid", "qv", K))
+    info(f"GANN recall@$K nTrees=1 $r1%.3f -> nTrees=4 $r4%.3f")
+    assert(r4 >= r1)
+    assert(r4 > 0.5)
+    // forest trees genuinely diverge (different seeds -> different planes)
+    def planeSig(m: Map[Int, GannIndex.Node]) =
+      m.view.mapValues(n => (n.w.toSeq, n.bias)).toMap
+    assert(m4.trees.map(planeSig).distinct.size > 1)
+    // every tree covers every vector exactly once at spill=0
+    val perTree = m4.assign.groupBy("tree").count().collect()
+    assert(perTree.length == 4 && perTree.forall(_.getLong(1) == 500))
+    // search still emits exactly k deduped rows per query
+    val out = m4.search(queries, "qid", "qv", K)
+    assert(out.count() == NQ.toLong * K)
+    assert(out.select("qid", "vec_id").distinct().count() == NQ.toLong * K)
+  }
+
   test("GANN search emits no duplicate (qid, vec_id) under spill") {
     val model = GannIndex.build(emb, "vec_id", "embedding",
       leafSize = 64, spill = 0.15)
