@@ -31,6 +31,12 @@ object Dedup {
   private val MINHASH_VERIFY_T = 0.7
   private val COSINE_T = 0.45
 
+  /** L2 radius on the unit sphere equivalent to a cosine threshold, plus
+    * slack so boundary pairs can't be lost to float noise in the
+    * candidate pass (over-generation is free — the exact verify prunes). */
+  private[graft] def cosineRadius(cosT: Double): Double =
+    math.sqrt(2.0 - 2.0 * cosT) + 0.05
+
   /** doc_id, lang, distinct 3-shingle set — CACHED. Two reasons, both
     * load-bearing at scale:
     *  - every consumer self-joins this table (both sides of a candidate
@@ -193,19 +199,41 @@ object Dedup {
       |""".stripMargin
     })
 
+  /** Embedding near-dup, LSH-bucketed (the scale path): candidates come
+    * from `LshJoin.l2Join` over UNIT vectors — on the unit sphere
+    * cos(a,b) ≥ τ ⇔ ‖â−b̂‖ ≤ √(2−2τ), so an L2 radius join with a small
+    * slack over-generates a superset of the true pairs — then every
+    * candidate is verified with the exact double-fold cosine on the
+    * ORIGINAL vectors, which restores bit-exactness against the all-pairs
+    * oracle. No cross join anywhere in the plan: candidates meet only
+    * inside random-projection hash buckets (`BucketedRandomProjectionLSH`
+    * seeded → deterministic). The all-pairs form this replaced survives as
+    * the recall oracle in EmbeddingDedupSpec. At 100 TB the same shape
+    * holds, and a tighter near-dup threshold (0.9+) shrinks the radius —
+    * and with it the buckets' collision rate — further. */
   val q_dedup_embedding = Q(
     "q_dedup_embedding",
     (s, dir) => {
-      // precompute norms once per side (gann.c:832-841 trick)
+      // precompute norms once per side (gann.c:832-841 trick); cached:
+      // candidate generation + both verify sides derive from it
       val e = Tables(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"),
           VectorF.l2Norm(col("embedding")).as("nrm"))
+        .cache()
+      val unit = e.select(col("vec_id"),
+        VectorF.normalize(col("embedding")).as("u"))
+      val cand = graft.index.LshJoin.l2Join(
+          unit.select(col("vec_id").as("vec_a"), col("u")),
+          unit.select(col("vec_id").as("vec_b"), col("u")),
+          "vec_a", "vec_b", "u", threshold = cosineRadius(COSINE_T),
+          numTables = 10)
+        .filter(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b")).distinct()
       val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
         col("nrm").as("nrma"))
       val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
         col("nrm").as("nrmb"))
-      a.crossJoin(b)
-        .filter(col("vec_a") < col("vec_b"))
+      cand.join(a, Seq("vec_a")).join(b, Seq("vec_b"))
         .select(col("vec_a"), col("vec_b"),
           round(VectorF.cosinePre(VectorF.dot(col("ea"), col("eb")),
             col("nrma"), col("nrmb")), 6).as("cos_sim"))
