@@ -1,0 +1,126 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.functions.TextF
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sparse-vector similarity search: a query string against the tf-idf
+  * postings of the `documents` corpus, top-10 by cosine — the sparse
+  * search surface the reference maps to Milvus sparse fields
+  * (radient/tasks/sinks/milvus.py:74-76) and sketches on the sklearn
+  * vectorizer path (radient/tasks/vectorizers/text/sklearn.py:27-28,
+  * "sparse vectors coming soon"). The MLlib `TfIdf.topK` twin of this
+  * query is spec-only (TfIdfSpec); this entry is the oracle-checked form.
+  *
+  * Exactness: weights are the rational tf·(N/df) of q_tfidf_top_terms
+  * (one IEEE multiply + divide — `ln` is not bit-reproducible across
+  * engines), and every float reduction (query·doc dot, both L2 norms)
+  * is a sequential fold in token order on BOTH engines: Spark folds
+  * `sort_array(collect_list(struct(tok, …)))`, DuckDB `list_sum` over
+  * `list(… ORDER BY tok)` — same element order, same IEEE op sequence,
+  * bit-identical cosines.
+  *
+  * Scale shape: the corpus side is two hash aggregates (tf, df) + a
+  * broadcast 1-row count; the query side is a handful of rows broadcast
+  * into the postings join, so the only data-sized shuffles are the
+  * tf/df aggregations and the per-doc fold. The global top-10 is an
+  * orderBy+limit → TakeOrderedAndProject, so at 100 TB each partition
+  * forwards at most 10 candidate rows to the driver-side merge.
+  */
+object SparseSearch {
+
+  /** The literal search string; tokenized with the engine's tokenizer at
+    * plan-build time (driver-side scalar prep, like TfIdf.topK embedding
+    * its query string). "hash" appears twice → exercises query tf > 1. */
+  val QUERY = "hash join hash scan spark"
+
+  private[graft] def queryTf: Seq[(String, Long)] =
+    QUERY.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      .groupBy(identity).map { case (t, xs) => (t, xs.length.toLong) }
+      .toSeq.sortBy(_._1)
+
+  val q_sparse_search = Q(
+    "q_sparse_search",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val n = docs.agg(count(lit(1)).as("n"))
+      val tf = docs
+        .select(col("doc_id"), explode(TextF.tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val w = tf.join(dfreq, Seq("tok")).crossJoin(broadcast(n))
+        .withColumn("w", (col("tf") * col("n")).cast("double") / col("df"))
+        .select(col("doc_id"), col("tok"), col("w"))
+      // per-doc L2 norm over the FULL tf-idf vector, folded in tok order
+      val dnorm = w.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("tok"), col("w")))).as("ws"))
+        .select(col("doc_id"),
+          sqrt(aggregate(col("ws"), lit(0.0),
+            (a, p) => a + p.getField("w") * p.getField("w"))).as("dnorm"))
+      // query vector: same weighting over the query's term frequencies;
+      // out-of-vocabulary terms drop in the dfreq inner join (df undefined)
+      val qw = queryTf.toDF("tok", "qtf")
+        .join(dfreq, Seq("tok")).crossJoin(broadcast(n))
+        .withColumn("qw", (col("qtf") * col("n")).cast("double") / col("df"))
+        .select(col("tok"), col("qw"))
+      val qnorm = qw
+        .agg(sort_array(collect_list(struct(col("tok"), col("qw")))).as("ws"))
+        .select(sqrt(aggregate(col("ws"), lit(0.0),
+          (a, p) => a + p.getField("qw") * p.getField("qw"))).as("qnorm"))
+      // sparse dot = postings equi-join on tok (query side broadcast)
+      val dots = w.join(broadcast(qw), Seq("tok"))
+        .select(col("doc_id"), col("tok"), (col("w") * col("qw")).as("term"))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("tok"), col("term")))).as("ts"))
+        .select(col("doc_id"),
+          aggregate(col("ts"), lit(0.0),
+            (a, p) => a + p.getField("term")).as("dot"))
+      val rankOrder = Seq(desc("cos_sim"), col("doc_id").asc)
+      // global top-10 via orderBy+limit → TakeOrderedAndProject (each
+      // partition forwards only its local top-10; InferWindowGroupLimit
+      // does not fire on an un-partitioned window, so a rank filter here
+      // would sort-exchange every scored doc to one partition). The rank
+      // window then runs over just the 10 survivors — same total order,
+      // so the ranks equal the global ones.
+      val top = dots.join(dnorm, Seq("doc_id")).crossJoin(broadcast(qnorm))
+        .withColumn("cos_sim",
+          round(col("dot") / (col("dnorm") * col("qnorm")), 6))
+        .orderBy(rankOrder: _*).limit(10)
+      top
+        .withColumn("rnk",
+          row_number().over(Window.orderBy(rankOrder: _*)).cast("long"))
+        .select(col("doc_id"), col("cos_sim"), col("rnk"))
+        .orderBy(col("rnk"))
+    },
+    Some {
+      val qVals = queryTf.map { case (t, c) => s"('$t', $c)" }.mkString(", ")
+      s"""
+      |WITH t AS (SELECT doc_id, unnest(${Sql.toks()}) AS tok FROM documents),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY doc_id, tok),
+      |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |w AS (SELECT doc_id, tok, CAST(tf * n AS DOUBLE) / df AS w
+      |      FROM tf JOIN dfreq USING (tok) CROSS JOIN n),
+      |dnorm AS (SELECT doc_id, sqrt(list_sum(list(w * w ORDER BY tok))) AS dnorm
+      |          FROM w GROUP BY doc_id),
+      |q(tok, qtf) AS (VALUES $qVals),
+      |qw AS (SELECT tok, CAST(qtf * n AS DOUBLE) / df AS qw
+      |       FROM q JOIN dfreq USING (tok) CROSS JOIN n),
+      |qn AS (SELECT sqrt(list_sum(list(qw * qw ORDER BY tok))) AS qnorm FROM qw),
+      |dots AS (SELECT doc_id, list_sum(list(w * qw ORDER BY tok)) AS dot
+      |         FROM w JOIN qw USING (tok) GROUP BY doc_id)
+      |SELECT doc_id, cos_sim, rnk FROM (
+      |  SELECT doc_id, round(dot / (dnorm * qnorm), 6) AS cos_sim,
+      |    row_number() OVER (ORDER BY round(dot / (dnorm * qnorm), 6) DESC,
+      |                       doc_id) AS rnk
+      |  FROM dots JOIN dnorm USING (doc_id) CROSS JOIN qn)
+      |WHERE rnk <= 10
+      |ORDER BY rnk
+      |""".stripMargin
+    })
+
+  val all: Seq[Q] = Seq(q_sparse_search)
+}
