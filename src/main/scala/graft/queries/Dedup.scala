@@ -291,7 +291,7 @@ object Dedup {
       |  SELECT doc_id, ${Sql.simhash32("t")} AS sh
       |  FROM (SELECT doc_id, ${Sql.toks()} AS t FROM documents))
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |  bit_count(xor(a.sh, b.sh)) AS hamming
+      |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
       |FROM s a JOIN s b ON a.doc_id < b.doc_id
       |WHERE bit_count(xor(a.sh, b.sh)) <= 3
       |ORDER BY doc_a, doc_b

@@ -199,6 +199,7 @@ object Relational {
         .orderBy(desc("revenue"), col("p_partkey"))
       pr.withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
+        .withColumn("rnk", col("rnk").cast("long"))
         .orderBy(col("p_brand"), col("rnk"))
     },
     Some(s"""

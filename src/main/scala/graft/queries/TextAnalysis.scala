@@ -88,7 +88,8 @@ object TextAnalysis {
       val withHits = Tables(s, dir, "documents")
         .withColumn("t", tokens(col("text")))
         .select(Seq(col("doc_id"), col("lang").as("true_lang")) ++
-          langVocab.map { case (l, v) => hitCount(col("t"), v).as(s"hits_$l") }: _*)
+          langVocab.map { case (l, v) =>
+            hitCount(col("t"), v).cast("long").as(s"hits_$l") }: _*)
       // argmax with fixed priority order = first lang whose count ties max
       val pred = langVocab.map(_._1).foldRight(lit("und"): org.apache.spark.sql.Column) {
         case (l, acc) =>
@@ -190,7 +191,7 @@ object TextAnalysis {
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
         .select(col("doc_id"), col("tok"), col("tf"), col("df"),
-          col("score"), col("rnk"))
+          col("score"), col("rnk").cast("long").as("rnk"))
         .orderBy(col("doc_id"), col("rnk"))
     },
     Some(s"""

@@ -104,6 +104,9 @@ object VectorSearch {
             .as("score"))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
+        // BIGINT after the prune: oracle dtype parity (DuckDB row_number
+        // is BIGINT) without blocking the WindowGroupLimit pattern
+        .withColumn("rnk", col("rnk").cast("long"))
         .orderBy(col("qid"), col("rnk"))
     },
     Some(s"""
@@ -125,7 +128,7 @@ object VectorSearch {
     (s, dir) => {
       Tables(s, dir, "embeddings")
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy(col("label"), col("pos"))
+        .groupBy(col("label"), col("pos").cast("long").as("pos"))
         .agg(round(avg(col("v").cast("double")), 6).as("mean_val"))
         .orderBy(col("label"), col("pos"))
     },
@@ -145,7 +148,8 @@ object VectorSearch {
       Tables(s, dir, "embeddings")
         .filter(col("vec_id") < 10)
         .select(col("vec_id"), posexplode(normalize(col("embedding"))).as(Seq("pos", "vraw")))
-        .select(col("vec_id"), col("pos"), round(col("vraw"), 6).as("v"))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          round(col("vraw"), 6).as("v"))
         .orderBy(col("vec_id"), col("pos"))
     },
     Some(s"""
