@@ -37,24 +37,50 @@ object Streams {
       .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
-  final case class UserEvent(user_id: Long, value: Double)
+  final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class UserStat(user_id: Long, n: Long, total: Double)
 
-  /** Custom keyed state via mapGroupsWithState: running per-user totals
-    * (the mapGroupsWithState path from SURVEY.md §1.5). */
-  def runningUserTotals(events: DataFrame): Dataset[UserStat] = {
+  /** Custom keyed state via flatMapGroupsWithState: running per-user
+    * totals (the mapGroupsWithState path from SURVEY.md §1.5), with an
+    * event-time idle TTL so state stays BOUNDED on an unbounded key
+    * space: a key idle past `idleTtlMs` (measured against the watermark)
+    * emits its final stat once more (flush-on-evict) and its state is
+    * removed. A key that reappears later restarts from zero —
+    * StreamsTtlSpec pins exactly that behavior. Without the TTL the
+    * state store grows monotonically with distinct user_ids, which at
+    * 100 TB of events is an executor-memory death sentence. */
+  def runningUserTotals(events: DataFrame,
+      watermarkDelay: String = "30 minutes",
+      idleTtlMs: Long = 30L * 60 * 1000): Dataset[UserStat] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events.select(col("user_id"), col("value")).as[UserEvent]
+    events.withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), col("ts"), col("value")).as[UserEvent]
       .groupByKey(_.user_id)
-      .mapGroupsWithState[UserStat, UserStat](GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[UserStat, UserStat](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, rows: Iterator[UserEvent], state: GroupState[UserStat]) =>
-          val prev = state.getOption.getOrElse(UserStat(uid, 0L, 0.0))
-          var n = prev.n; var total = prev.total
-          rows.foreach { e => n += 1; total += e.value }
-          val next = UserStat(uid, n, total)
-          state.update(next)
-          next
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            Iterator(last)
+          } else {
+            val prev = state.getOption.getOrElse(UserStat(uid, 0L, 0.0))
+            var n = prev.n; var total = prev.total
+            var maxTs = Long.MinValue
+            rows.foreach { e =>
+              n += 1; total += e.value
+              maxTs = math.max(maxTs, e.ts.getTime)
+            }
+            val next = UserStat(uid, n, total)
+            state.update(next)
+            // timeout must sit strictly above the current watermark or
+            // Spark rejects it (a just-on-time event can trail it by up
+            // to the allowed lateness)
+            state.setTimeoutTimestamp(
+              math.max(maxTs + idleTtlMs, state.getCurrentWatermarkMs() + 1))
+            Iterator(next)
+          }
       }
   }
 
