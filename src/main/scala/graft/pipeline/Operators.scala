@@ -1,0 +1,134 @@
+package graft.pipeline
+
+import graft.functions.TextF
+import graft.sink.VectorTable
+import graft.sources.Sources
+import graft.vectorize.{HashEmbed, Multimodal, TfIdf}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The 4-family operator registry — `make_operator` parity
+  * (radient/factory.py:10-64: string-keyed construction of source /
+  * transform / vectorizer / sink operators, the entry point a radient
+  * workflow port hits first). Every factory returns a [[Workflow.StageFn]],
+  * so a registry-built operator plugs straight into `Workflow.addWithParams`
+  * and its per-stage `extra_vars` resolve at execute time, merged OVER the
+  * construction-time params (the reference merges extra_vars over call
+  * kwargs, workflow.py:74-75).
+  *
+  * Param maps are strings (the reference's **kwargs), parsed at the edge;
+  * unknown family or name fails fast with the known inventory in the
+  * message, like the reference's `ValueError`.
+  */
+object Operators {
+
+  type Params = Map[String, String]
+  /** (session, construction params) → runnable stage. */
+  type Make = (SparkSession, Params) => Workflow.StageFn
+
+  private def p(params: Params, key: String, default: => String): String =
+    params.getOrElse(key, default)
+  private def req(params: Params, key: String, ctx: String): String =
+    params.getOrElse(key,
+      throw new IllegalArgumentException(s"$ctx requires param '$key'"))
+
+  /** Sources — no input frames; `path` is required. */
+  private val sources: Map[String, Make] =
+    Seq("local", "ingest", "parquet", "csv", "json", "text", "binary")
+      .map { fmt =>
+        fmt -> ((spark: SparkSession, cp: Params) => (_: Seq[DataFrame], rp: Params) => {
+          val params = cp ++ rp
+          Sources.reader(spark, fmt, req(params, "path", s"source/$fmt"))
+        })
+      }.toMap
+
+  /** Transforms — one input frame in, one out (fan-out = multi-row). */
+  private val transforms: Map[String, Make] = Map(
+    // fixed-size token chunking (the document fan-out shape; see
+    // TextAnalysis.q_doc_chunks for the oracle-checked twin)
+    "doc_chunk" -> { (_, cp) => (ins, rp) =>
+      val params = cp ++ rp
+      val textCol = p(params, "textCol", "text")
+      val k = p(params, "chunkTokens", "32").toInt
+      val d = ins.head
+        .withColumn("_t", TextF.tokens(col(textCol)))
+        .withColumn("_nc", ceil(size(col("_t")).cast("double") / k).cast("int"))
+      val idx = when(col("_nc") > 0, sequence(lit(0), col("_nc") - 1))
+        .otherwise(array().cast("array<int>"))
+      d.select(col("*"),
+          posexplode(transform(idx, i => slice(col("_t"), i * k + 1, lit(k))))
+            .as(Seq("chunk_idx", "_chunk")))
+        .withColumn("chunk_text", concat_ws(" ", col("_chunk")))
+        .drop("_t", "_nc", "_chunk")
+    },
+    // audio/video interval clip split (Multimodal.clipSplit)
+    "clip_split" -> { (_, cp) => (ins, rp) =>
+      val params = cp ++ rp
+      Multimodal.clipSplit(ins.head,
+        samplesCol = p(params, "samplesCol", "samples"),
+        rateCol = p(params, "rateCol", "rate"),
+        clipSeconds = p(params, "clipSeconds", "2.0").toDouble)
+    },
+    // stamp modality from the file extension (Sources.withModality)
+    "with_modality" -> { (_, _) => (ins, _) => Sources.withModality(ins.head) })
+
+  /** Vectorizers — add an embedding column / rows. */
+  private val vectorizers: Map[String, Make] = Map(
+    // deterministic hash-projection text embedding (sbert stand-in)
+    "hash_embed" -> { (_, cp) => (ins, rp) =>
+      val params = cp ++ rp
+      val dim = p(params, "dim", "16").toInt
+      ins.head.withColumn("embedding",
+        HashEmbed.embed(col(p(params, "textCol", "text")), dim))
+    },
+    // MLlib tf-idf sparse vectors (fits the IDF stage on the input)
+    "tfidf" -> { (_, cp) => (ins, rp) =>
+      val params = cp ++ rp
+      val textCol = p(params, "textCol", "text")
+      val dim = p(params, "dim", (1 << 12).toString).toInt
+      TfIdf.embed(TfIdf.fit(ins.head, textCol, dim), ins.head)
+    },
+    // modality-dispatched binary featurization (stub decoders offline)
+    "multimodal" -> { (_, cp) => (ins, rp) =>
+      val params = cp ++ rp
+      Multimodal.featurize(ins.head, dim = p(params, "dim", "16").toInt)
+    })
+
+  /** Sinks — write, then return the re-read table so downstream stages
+    * (and tests) observe what actually landed, the way reference sinks
+    * hand back their store handle. */
+  private val sinks: Map[String, Make] = Map(
+    "vector_table" -> { (spark, cp) => (ins, rp) =>
+      val params = cp ++ rp
+      val path = req(params, "path", "sink/vector_table")
+      VectorTable.write(ins.head, path,
+        idCol = p(params, "idCol", "id"),
+        vecCol = p(params, "vecCol", "embedding"),
+        partitionCol = params.get("partitionCol"))
+      VectorTable.load(spark, path)
+    },
+    "parquet" -> { (spark, cp) => (ins, rp) =>
+      val params = cp ++ rp
+      val path = req(params, "path", "sink/parquet")
+      ins.head.write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    })
+
+  val families: Map[String, Map[String, Make]] = Map(
+    "source" -> sources,
+    "transform" -> transforms,
+    "vectorizer" -> vectorizers,
+    "sink" -> sinks)
+
+  /** `make_operator(family, name, **params)` parity. */
+  def make(spark: SparkSession, family: String, name: String,
+      params: Params = Map.empty): Workflow.StageFn = {
+    val fam = families.getOrElse(family,
+      throw new IllegalArgumentException(
+        s"unknown operator family '$family' (have: ${families.keys.toSeq.sorted.mkString(", ")})"))
+    val mk = fam.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"unknown $family operator '$name' (have: ${fam.keys.toSeq.sorted.mkString(", ")})"))
+    mk(spark, params)
+  }
+}

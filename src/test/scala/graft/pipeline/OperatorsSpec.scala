@@ -1,0 +1,79 @@
+package graft.pipeline
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** make_operator parity: every family constructs by (family, name) string
+  * keys, unknown keys fail fast, and a registry-built pipeline runs end to
+  * end through Workflow with extra_vars overriding construction params.
+  */
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def tmp(prefix: String) =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("all four families construct by string key") {
+    for ((family, name) <- Seq(
+        "source" -> "parquet", "transform" -> "doc_chunk",
+        "vectorizer" -> "hash_embed", "sink" -> "parquet")) {
+      assert(Operators.make(spark, family, name) != null)
+    }
+  }
+
+  test("unknown family and unknown name fail fast with the inventory") {
+    val e1 = intercept[IllegalArgumentException] {
+      Operators.make(spark, "mixer", "x")
+    }
+    assert(e1.getMessage.contains("unknown operator family"))
+    val e2 = intercept[IllegalArgumentException] {
+      Operators.make(spark, "vectorizer", "nope")
+    }
+    assert(e2.getMessage.contains("hash_embed"))
+  }
+
+  test("registry-built pipeline runs end to end through Workflow") {
+    val out = tmp("ops-e2e")
+    val result = new Workflow()
+      .addWithParams("read", Operators.make(spark, "source", "parquet",
+        Map("path" -> s"${TestSpark.sf0001}/documents.parquet")))
+      .addWithParams("chunk", Operators.make(spark, "transform", "doc_chunk",
+        Map("chunkTokens" -> "16")))
+      .addWithParams("embed", Operators.make(spark, "vectorizer", "hash_embed",
+        Map("textCol" -> "chunk_text", "dim" -> "8")))
+      .addWithParams("store", Operators.make(spark, "sink", "vector_table",
+        Map("path" -> out, "idCol" -> "doc_id", "vecCol" -> "embedding")))
+      .execute()
+    assert(result.count() > 500, "chunk fan-out should exceed the doc count")
+    assert(result.columns.contains("norm_sq"), "vector_table stamps norm_sq")
+    val dim = result.select(size(col("embedding"))).head.getInt(0)
+    assert(dim == 8)
+  }
+
+  test("execute-time extra_vars override construction params") {
+    val wf = new Workflow()
+      .addWithParams("read", Operators.make(spark, "source", "parquet",
+        Map("path" -> s"${TestSpark.sf0001}/documents.parquet")))
+      .addWithParams("chunk", Operators.make(spark, "transform", "doc_chunk",
+        Map("chunkTokens" -> "1000")))
+    val coarse = wf.execute().count()
+    val fine = wf.execute(
+      Map("chunk" -> Map("chunkTokens" -> "8"))).count()
+    assert(fine > coarse, "smaller runtime chunk size must fan out more rows")
+  }
+
+  test("tfidf vectorizer and parquet sink round-trip") {
+    val out = tmp("ops-tfidf")
+    val result = new Workflow()
+      .addWithParams("read", Operators.make(spark, "source", "parquet",
+        Map("path" -> s"${TestSpark.sf0001}/documents.parquet")))
+      .addWithParams("vec", Operators.make(spark, "vectorizer", "tfidf",
+        Map("dim" -> "256")))
+      .addWithParams("save", Operators.make(spark, "sink", "parquet",
+        Map("path" -> out)))
+      .execute()
+    assert(result.columns.contains("tfidf"))
+    assert(result.count() == 500)
+  }
+}
