@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{broadcast, col}
 
 /** Workflow-parity fluent DAG builder (reference
   * radient/orchestrate/workflow.py:24-83): named stages, explicit or
@@ -73,4 +74,46 @@ final class Workflow private (
 object Workflow {
   /** (dependency frames, resolved extra_vars for this stage) → frame. */
   type StageFn = (Seq[DataFrame], Map[String, String]) => DataFrame
+
+  /** `flattened()` parity (radient/utils/flatten_inputs.py:32-50): align
+    * multiple fan-in frames row-positionally, CYCLING shorter inputs to
+    * the longest one — input i contributes its row at `zip_idx mod len_i`
+    * — and return one frame of `zip_idx` + every input's columns (later
+    * duplicates suffixed `_<input index>`). The reference zips python
+    * lists this way before calling a multi-input task.
+    *
+    * Row position is the input's current row order (RDD `zipWithIndex`,
+    * which preserves partition order — the DataFrame twin of list order).
+    * The lengths are driver-side `count()`s, mirroring the reference's
+    * `len()`; each cycle alignment is then a plain equi-join on the
+    * modulo key, so short inputs broadcast and nothing is collected. */
+  def flattened(inputs: Seq[DataFrame]): DataFrame = {
+    require(inputs.nonEmpty, "flattened() needs at least one input")
+    val spark = inputs.head.sparkSession
+    val counts = inputs.map(_.count())
+    require(counts.forall(_ > 0), "flattened() inputs must be non-empty")
+    val maxLen = counts.max
+    val seen = scala.collection.mutable.Set.empty[String]
+    val indexed = inputs.zipWithIndex.map { case (df, i) =>
+      val renamed = df.columns.foldLeft(df) { (d, c) =>
+        if (seen.add(c)) d else d.withColumnRenamed(c, s"${c}_$i")
+      }
+      val schema = renamed.schema.add("_pos", org.apache.spark.sql.types.LongType)
+      val rdd = renamed.rdd.zipWithIndex.map { case (r, idx) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ idx)
+      }
+      spark.createDataFrame(rdd, schema)
+    }
+    val base = spark.range(maxLen).select(col("id").as("zip_idx"))
+    indexed.zip(counts).foldLeft(base) { case (acc, (df, n)) =>
+      acc.withColumn("_k", col("zip_idx") % n)
+        .join(broadcast(df), col("_k") === df("_pos"))
+        .drop("_k", "_pos")
+    }
+  }
+
+  /** Multi-dep stage whose inputs arrive pre-aligned through
+    * [[flattened]] — the `Workflow.add(..., flatten_inputs=True)` shape. */
+  def zipped(fn: (DataFrame, Map[String, String]) => DataFrame): StageFn =
+    (ins, params) => fn(flattened(ins), params)
 }
