@@ -70,7 +70,24 @@ object Operators {
         clipSeconds = p(params, "clipSeconds", "2.0").toDouble)
     },
     // stamp modality from the file extension (Sources.withModality)
-    "with_modality" -> { (_, _) => (ins, _) => Sources.withModality(ins.head) })
+    "with_modality" -> { (_, _) => (ins, _) => Sources.withModality(ins.head) },
+    // binary payload → one row per fixed-size page (pymupdf.py:22-47 shape)
+    "page_split" -> { (_, cp) => (ins, rp) =>
+      val params = cp ++ rp
+      Multimodal.pageSplit(ins.head,
+        dataCol = p(params, "dataCol", "data"),
+        pageBytes = p(params, "pageBytes", "4096").toInt)
+    },
+    // external-process demux seam (ffmpeg.py:9-61 shape); `cmd` is
+    // comma-separated, e.g. "ffmpeg,-i,pipe:0,..." (specs use /bin/cat)
+    "subprocess_demux" -> { (_, cp) => (ins, rp) =>
+      val params = cp ++ rp
+      Multimodal.subprocessDemux(ins.head,
+        cmd = req(params, "cmd", "transform/subprocess_demux").split(",").toSeq,
+        frameBytes = p(params, "frameBytes", "65536").toInt,
+        idCol = p(params, "idCol", "id"),
+        dataCol = p(params, "dataCol", "data"))
+    })
 
   /** Vectorizers — add an embedding column / rows. */
   private val vectorizers: Map[String, Make] = Map(

@@ -245,7 +245,41 @@ object TextAnalysis {
       |ORDER BY doc_id, chunk_idx
       |""".stripMargin))
 
+  /** Binary page fan-out — the document-screenshot transform
+    * (radient/tasks/transforms/document_screenshot/pymupdf.py:22-47) as a
+    * query: the document payload as BYTES → one row per fixed 256-byte
+    * page via Multimodal.pageSplit, with exact per-page byte counts and
+    * checksums. The corpus is pure ASCII, so DuckDB's VARCHAR substring
+    * is byte-identical to Spark's binary slice and md5(VARCHAR) hashes
+    * the same octets as Spark's md5(binary) — a content-exact oracle for
+    * a binary fan-out. Scale: narrow per-row explode, no shuffle before
+    * the presentation sort. */
+  val q_doc_pages = Q(
+    "q_doc_pages",
+    (s, dir) => {
+      val PAGE = 256
+      val d = Tables(s, dir, "documents")
+        .withColumn("payload", col("text").cast("binary"))
+      graft.vectorize.Multimodal.pageSplit(d, "payload", PAGE)
+        .select(col("doc_id"),
+          col("page_idx").cast("long").as("page_idx"),
+          octet_length(col("page_data")).cast("long").as("page_bytes"),
+          md5(col("page_data")).as("page_md5"))
+        .orderBy(col("doc_id"), col("page_idx"))
+    },
+    Some("""
+      |WITH p AS (
+      |  SELECT doc_id, text AS t,
+      |    unnest(range(0, CAST(ceil(octet_length(encode(text)) / 256.0) AS INT))) AS page_idx
+      |  FROM documents)
+      |SELECT doc_id, page_idx,
+      |  octet_length(encode(substring(t, CAST(page_idx*256 + 1 AS INT), 256))) AS page_bytes,
+      |  md5(substring(t, CAST(page_idx*256 + 1 AS INT), 256)) AS page_md5
+      |FROM p
+      |ORDER BY doc_id, page_idx
+      |""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q_token_count, q_text_quality, q_lang_id, q_doc_fingerprint, q_embed_hash,
-    q_tfidf_top_terms, q_doc_chunks)
+    q_tfidf_top_terms, q_doc_chunks, q_doc_pages)
 }
