@@ -38,6 +38,27 @@ object LshJoin {
         col("dist"))
   }
 
+  /** Self-join variant for dedup: the input is featurized and HASHED
+    * exactly once (cached), then joined with itself — the two-sided form
+    * re-derives projections and hash buckets per side, which doubles the
+    * UDF-heavy part of the plan for the common pair-mining case. Output:
+    * (idA, idB, dist) with idA < idB. */
+  def l2SelfJoin(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bucketLength: Double = 2.0, numTables: Int = 3,
+      seed: Long = 42L): DataFrame = {
+    val f = df.select(col(idCol),
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setBucketLength(bucketLength).setNumHashTables(numTables).setSeed(seed)
+    val model = lsh.fit(f)
+    val hashed = model.transform(f).cache()
+    model.approxSimilarityJoin(hashed, hashed, threshold, "dist")
+      .filter(col(s"datasetA.$idCol") < col(s"datasetB.$idCol"))
+      .select(col(s"datasetA.$idCol").as(s"${idCol}_a"),
+        col(s"datasetB.$idCol").as(s"${idCol}_b"), col("dist"))
+  }
+
   /** Approximate Jaccard-similar pairs (distance = 1 − J) between two
     * tables of term/shingle arrays, hashed through a shared vocabulary
     * index. Output: (idA, idB, jaccard_dist). */

@@ -222,13 +222,11 @@ object Dedup {
         .cache()
       val unit = e.select(col("vec_id"),
         VectorF.normalize(col("embedding")).as("u"))
-      val cand = graft.index.LshJoin.l2Join(
-          unit.select(col("vec_id").as("vec_a"), col("u")),
-          unit.select(col("vec_id").as("vec_b"), col("u")),
-          "vec_a", "vec_b", "u", threshold = cosineRadius(COSINE_T),
-          numTables = 10)
-        .filter(col("vec_a") < col("vec_b"))
-        .select(col("vec_a"), col("vec_b")).distinct()
+      val cand = graft.index.LshJoin.l2SelfJoin(
+          unit, "vec_id", "u", threshold = cosineRadius(COSINE_T),
+          numTables = 8)
+        .select(col("vec_id_a").as("vec_a"), col("vec_id_b").as("vec_b"))
+        .distinct()
       val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
         col("nrm").as("nrma"))
       val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
