@@ -15,9 +15,23 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Dump-layer normalization: Spark TIMESTAMP is LTZ and lands in
+    // parquet as tz-adjusted (or INT96 → pandas ns), while the DuckDB
+    // oracle emits naive microsecond timestamps. Casting to TIMESTAMP_NTZ
+    // under the UTC session zone keeps the wall-clock value bit-identical
+    // and makes both engines' outputs read back as naive datetime64[us],
+    // so the driver's type-encoding hash sees the same dtype on both
+    // sides. Query code stays idiomatic LTZ; only the dump normalizes.
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val raw = fn(spark, sfDir)
+        val out = raw.schema.fields.filter(_.dataType == TimestampType)
+          .foldLeft(raw)((d, f) =>
+            d.withColumn(f.name, col(f.name).cast(TimestampNTZType)))
+        out.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
