@@ -352,8 +352,22 @@ object GannIndex {
     val base = df.select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
       .cache()
     val total = base.count().toDouble
-    val trees = IndexedSeq.tabulate(nTrees)(t =>
-      buildTree(base, total, t, idCol, vecCol, leafSize, spill, sampleSize, maxDepth))
+    // trees are independent and deterministic given their seed, so they
+    // build CONCURRENTLY — each tree is a chain of small driver-coordinated
+    // jobs, and running the chains in parallel overlaps their scheduling
+    // latency (the C engine's one-pthread-per-tree, gann.c:851-869, made
+    // distributed). The count() above has already materialized the cache,
+    // so the concurrent first scans hit cached blocks.
+    val trees = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      Await.result(
+        Future.sequence((0 until nTrees).map(t => Future(
+          buildTree(base, total, t, idCol, vecCol, leafSize, spill,
+            sampleSize, maxDepth)))),
+        Duration.Inf).toIndexedSeq
+    }
     val assign = routedForest(base, trees, idCol, vecCol).cache()
     val leaves = assign.select("tree", "leaf").distinct()
       .as[(Int, Int)].collect().toSeq.sorted
