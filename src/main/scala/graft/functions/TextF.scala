@@ -23,6 +23,14 @@ object TextF {
   def h32(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
 
+  /** Deterministic 60-bit cross-engine hash: 15 hex chars of md5 — the
+    * widest md5 prefix whose base-16 parse stays POSITIVE in a signed
+    * 64-bit lane on both engines (16 chars would overflow DuckDB's
+    * BIGINT cast for high-bit values).
+    * DuckDB twin: CAST('0x' || substr(md5(x), 1, 15) AS BIGINT). */
+  def h60(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
   /** Salted variant: h32(salt || x). */
   def h32s(salt: String, c: Column): Column = h32(concat(lit(salt), c))
 
@@ -46,31 +54,46 @@ object TextF {
   def bandKey(sig: Seq[Column], from: Int, r: Int): Column =
     md5(concat_ws(",", sig.slice(from, from + r).map(_.cast("string")): _*))
 
-  /** Bit j of a non-negative long < 2^32, via exact power-of-two double
-    * division (identical in DuckDB: CAST(floor(h/power(2,j)) AS BIGINT)%2).
-    * Exact because h has ≤ 32 significand bits and 2^j only shifts the
-    * exponent. */
-  private def bitAt(h: Column, j: Column): Column =
-    floor(h.cast("double") / pow(lit(2.0), j.cast("double"))).cast("long") % 2
+  /** Bit j of a long for a LAMBDA-VARIABLE shift amount — the Scala DSL's
+    * `shiftright` only accepts a literal Int, so this builds the Catalyst
+    * ShiftRight/BitwiseAnd tree directly (exact at ANY bit index; the
+    * earlier floor(h/2^j) double formulation was only exact to 53 bits,
+    * which capped SimHash at 32 bits).
+    * DuckDB twin: (h >> j) & 1. */
+  private def bitAt(h: Column, j: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{BitwiseAnd, Literal, ShiftRight}
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    column(BitwiseAnd(ShiftRight(expression(h), expression(j)), Literal(1L)))
+  }
 
-  /** 32-bit SimHash over a token array (term-frequency weighted): bit j is
-    * set iff Σ_tokens (2·bit_j(h32(tok)) − 1) > 0, i.e. iff
+  /** 2^j as a long via integer shift, j a lambda variable.
+    * DuckDB twin: (CAST(1 AS BIGINT) << j). */
+  private def pow2(j: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, ShiftLeft}
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    column(ShiftLeft(Literal(1L), expression(j)))
+  }
+
+  /** 60-bit SimHash over a token array (term-frequency weighted): bit j is
+    * set iff Σ_tokens (2·bit_j(h60(tok)) − 1) > 0, i.e. iff
     * 2·(count of tokens with bit j set) > n_tokens — integer-identical.
+    * 60 bits (vs the classic 64) keeps the signature positive in a signed
+    * BIGINT on both engines; vs 32 bits it cuts random band-key collisions
+    * in the banded dedup join ~128× (15-bit bands vs 8-bit bands).
     *
-    * Evaluation shape: ONE h32 (md5) per token, accumulated into a 32-slot
+    * Evaluation shape: ONE h60 (md5) per token, accumulated into a 60-slot
     * bit-count array. The hash must be the per-element lambda VARIABLE of
     * the outer fold — an earlier formulation that looped bits outermost
-    * re-inlined the h32 subtree per bit (32 md5 calls per token) and made
+    * re-inlined the hash subtree per bit (60 md5 calls per token) and made
     * SimHash dedup 37 s at sf0.1. */
-  def simhash32(toks: Column): Column = {
-    val counts = aggregate(transform(toks, t => h32(t)),
-      array_repeat(lit(0L), 32),
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(31)),
+  def simhash60(toks: Column): Column = {
+    val counts = aggregate(transform(toks, t => h60(t)),
+      array_repeat(lit(0L), 60),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(59)),
         (v, j) => v + bitAt(h, j)))
     val n = size(toks).cast("long")
-    aggregate(zip_with(counts, sequence(lit(0), lit(31)),
-        (c, j) => when(c * 2L > n,
-          pow(lit(2.0), j.cast("double")).cast("long")).otherwise(lit(0L))),
+    aggregate(zip_with(counts, sequence(lit(0), lit(59)),
+        (c, j) => when(c * 2L > n, pow2(j)).otherwise(lit(0L))),
       lit(0L), (s, x) => s + x)
   }
 

@@ -248,32 +248,35 @@ object Dedup {
       |ORDER BY vec_a, vec_b
       |""".stripMargin))
 
-  /** SimHash near-dup: 32-bit TF-weighted SimHash signatures, pairs with
-    * Hamming distance ≤ 3. Candidate generation is byte-banded (pigeonhole:
-    * d ≤ 3 over 4 disjoint bytes ⇒ at least one byte is identical), so the
-    * Spark plan only equi-joins on (band, byte) and XOR-verifies the few
-    * collisions — the oracle states the same set pairwise. At 100 TB the
-    * signature pass is embarrassingly parallel and the band join shuffles
-    * 8-bit keys. */
+  /** SimHash near-dup: 60-bit TF-weighted SimHash signatures, pairs with
+    * Hamming distance ≤ 3. Candidate generation is banded over 4 disjoint
+    * 15-bit bands (pigeonhole: d ≤ 3 over 4 disjoint bands ⇒ at least one
+    * band is identical), so the Spark plan only equi-joins on (band, key)
+    * and XOR-verifies the few collisions — the oracle states the same set
+    * pairwise. 15-bit bands collide ~128× less often than the earlier
+    * 8-bit bytes of a 32-bit signature (~2.8 M candidate pairs → ~40 K at
+    * sf0.1) while the md5-per-token signature pass costs the same. At
+    * 100 TB the signature pass is embarrassingly parallel and the band
+    * join shuffles 15-bit keys. */
   val q_dedup_simhash = Q(
     "q_dedup_simhash",
     (s, dir) => {
       val HAMMING_T = 3
       // cached for the same reasons as shingleDf: self-joined, and the
-      // 33-HOF simhash expression must not be re-inlined by pushdown
+      // 61-HOF simhash expression must not be re-inlined by pushdown
       val sim = Tables(s, dir, "documents")
         .withColumn("t", tokens(col("text")))
         .select(col("doc_id"), simhash(col("t")).as("sh"))
         .cache()
       val banded = sim.select(col("doc_id"), col("sh"),
         posexplode(array((0 until 4).map(b =>
-          shiftright(col("sh"), 8 * b).bitwiseAND(255)): _*))
-          .as(Seq("band", "byte")))
+          shiftright(col("sh"), 15 * b).bitwiseAND(0x7fff)): _*))
+          .as(Seq("band", "bkey")))
       val a = banded.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
-        col("band"), col("byte"))
+        col("band"), col("bkey"))
       val b = banded.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
-        col("band"), col("byte"))
-      a.join(b, Seq("band", "byte"))
+        col("band"), col("bkey"))
+      a.join(b, Seq("band", "bkey"))
         .filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"),
           VectorF.hammingDist(col("sh_a"), col("sh_b")).cast("long").as("hamming"))
@@ -286,7 +289,7 @@ object Dedup {
     },
     Some(s"""
       |WITH s AS (
-      |  SELECT doc_id, ${Sql.simhash32("t")} AS sh
+      |  SELECT doc_id, ${Sql.simhash60("t")} AS sh
       |  FROM (SELECT doc_id, ${Sql.toks()} AS t FROM documents))
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
@@ -295,7 +298,7 @@ object Dedup {
       |ORDER BY doc_a, doc_b
       |""".stripMargin))
 
-  private def simhash(toks: Column) = TextF.simhash32(toks)
+  private def simhash(toks: Column) = TextF.simhash60(toks)
 
   val all: Seq[Q] = Seq(
     q_dedup_exact, q_dedup_ngram_jaccard, q_minhash_signatures,

@@ -24,6 +24,9 @@ object Sql {
   /** TextF.h32 twin. */
   def h32(x: String): String = s"CAST('0x' || substr(md5($x), 1, 8) AS BIGINT)"
 
+  /** TextF.h60 twin (15 hex chars — stays positive in BIGINT). */
+  def h60(x: String): String = s"CAST('0x' || substr(md5($x), 1, 15) AS BIGINT)"
+
   /** Exact decimal sum surfaced as double (deterministic across engines,
     * unlike a partition-order-dependent double sum). */
   def dsum(x: String): String = s"CAST(sum(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
@@ -53,12 +56,14 @@ object Sql {
   def minhash(sh: String, j: Int): String =
     s"coalesce(list_min(list_transform($sh, s -> ${h32(s"'$j#' || s")})), -1)"
 
-  /** TextF.simhash32 twin over a token list. */
-  def simhash32(t: String): String = {
-    val hs = s"list_transform($t, tk -> ${h32("tk")})"
-    s"""CAST(list_sum(list_transform(range(0, 32), j ->
+  /** TextF.simhash60 twin over a token list (integer shifts — exact at
+    * every bit index, where the old floor(h/2^j) double form capped the
+    * signature at 53 usable bits). */
+  def simhash60(t: String): String = {
+    val hs = s"list_transform($t, tk -> ${h60("tk")})"
+    s"""CAST(list_sum(list_transform(range(0, 60), j ->
        |  CASE WHEN list_sum(list_transform($hs,
-       |         h -> 2 * (CAST(floor(h / power(2, j)) AS BIGINT) % 2) - 1)) > 0
-       |       THEN CAST(power(2, j) AS BIGINT) ELSE 0 END)) AS BIGINT)""".stripMargin
+       |         h -> 2 * ((h >> j) & 1) - 1)) > 0
+       |       THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT)""".stripMargin
   }
 }

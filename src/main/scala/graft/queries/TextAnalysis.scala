@@ -128,13 +128,13 @@ object TextAnalysis {
         .withColumn("t", tokens(col("text")))
         .select(col("doc_id"),
           fingerprint(col("t")).as("fingerprint"),
-          simhash32(col("t")).as("simhash"))
+          simhash60(col("t")).as("simhash"))
         .orderBy(col("doc_id"))
     },
     Some(s"""
       |SELECT doc_id,
       |  coalesce(list_min(list_transform(${Sql.shingles3("t")}, s -> ${Sql.h32("s")})), -1) AS fingerprint,
-      |  ${Sql.simhash32("t")} AS simhash
+      |  ${Sql.simhash60("t")} AS simhash
       |FROM (SELECT doc_id, ${Sql.toks()} AS t FROM documents)
       |ORDER BY doc_id
       |""".stripMargin))

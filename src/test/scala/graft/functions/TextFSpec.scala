@@ -37,10 +37,13 @@ class TextFSpec extends AnyFunSuite {
     assert(m1 != null)
     assert(m2 != null)
   }
-  test("simhash32 is deterministic and within 32 bits") {
-    val s1 = onText("spark native engine", t => simhash32(tokens(t))).asInstanceOf[Long]
-    val s2 = onText("spark native engine", t => simhash32(tokens(t))).asInstanceOf[Long]
-    assert(s1 == s2 && s1 >= 0 && s1 < (1L << 32))
+  test("simhash60 is deterministic, within 60 bits, and uses high bits") {
+    val s1 = onText("spark native engine", t => simhash60(tokens(t))).asInstanceOf[Long]
+    val s2 = onText("spark native engine", t => simhash60(tokens(t))).asInstanceOf[Long]
+    assert(s1 == s2 && s1 >= 0 && s1 < (1L << 60))
+    // a real 60-bit signature should set bits beyond the old 32-bit lane
+    // (probability of all 28 high bits being zero by chance: 2^-28)
+    assert((s1 >> 32) != 0L)
   }
   test("similar docs get closer simhash than dissimilar") {
     import VectorF.hammingDist
@@ -50,8 +53,8 @@ class TextFSpec extends AnyFunSuite {
       "the quick brown fox jumps over the lazy cat",
       "completely unrelated gibberish tokens entirely different")).toDF("a", "b", "c")
     val r = df.select(
-      hammingDist(simhash32(tokens(col("a"))), simhash32(tokens(col("b")))).as("near"),
-      hammingDist(simhash32(tokens(col("a"))), simhash32(tokens(col("c")))).as("far")).head
+      hammingDist(simhash60(tokens(col("a"))), simhash60(tokens(col("b")))).as("near"),
+      hammingDist(simhash60(tokens(col("a"))), simhash60(tokens(col("c")))).as("far")).head
     assert(r.getInt(0) < r.getInt(1))
   }
   test("fingerprint of short doc is -1") {
