@@ -99,7 +99,13 @@ object IvfIndex {
     val fitSet =
       if (n <= fitSample) feat
       else feat.sample(withReplacement = false, fitSample.toDouble / n, seed)
-    val km = new KMeans().setK(k).setSeed(seed).setMaxIter(20)
+    // 8 Lloyd rounds instead of 20: each KMeans iteration is a sequential
+    // Spark job, and a coarse quantizer doesn't need a converged
+    // clustering — it needs roughly-even posting lists (recall floor
+    // pinned in AnnRecallSpec; the exact re-rank inside probed clusters
+    // absorbs centroid noise). k-means|| init stays: random init dropped
+    // recall@10 below the 0.7 floor (0.635) on the embeddings table.
+    val km = new KMeans().setK(k).setSeed(seed).setMaxIter(8)
       .setFeaturesCol("features").setPredictionCol("cluster")
     val model = km.fit(fitSet)
     val assign = model.transform(feat)
