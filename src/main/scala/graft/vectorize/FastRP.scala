@@ -46,14 +46,6 @@ object FastRP {
       .agg(vector_to_array(Summarizer.sum(col("m"))).as("vec"))
   }
 
-  private def axpy(acc: DataFrame, w: Double, x: DataFrame): DataFrame =
-    acc.join(x.withColumnRenamed("vec", "xv"), Seq("node"), "fullouter")
-      .select(col("node"),
-        when(col("vec").isNull, transform(col("xv"), v => v * w))
-          .when(col("xv").isNull, col("vec"))
-          .otherwise(zip_with(col("vec"), col("xv"), (a, b) => a + b * w))
-          .as("vec"))
-
   /** Node embeddings for a weighted edge list (src, dst, weight).
     * Directed propagation like the reference's A @ X; pass a symmetrized
     * edge list for undirected graphs. */
@@ -83,13 +75,23 @@ object FastRP {
     // count() barrier (k extra jobs) is needed for the reuse to kick in.
     var nk = propagate(edges, lr).cache() // N_1 = A·L·R
     val intermediates = scala.collection.mutable.Buffer(edges, nodes, nk)
-    var result = nk.select(col("node"),
-      transform(col("vec"), v => v * weights.head).as("vec"))
+    // the weighted combine Σ_k w_k·N_k is ONE union + vector-sum shuffle
+    // over the cached N_k frames, not a chain of per-iteration full-outer
+    // joins — the propagate chain is inherently sequential, but the
+    // combine isn't, and k−1 join stages collapse into a single groupBy.
+    // (Nodes absent from an N_k simply contribute no term, which is what
+    // the old null-handling axpy computed.)
+    val terms = scala.collection.mutable.Buffer(
+      nk.select(col("node"), transform(col("vec"), v => v * weights.head).as("wv")))
     for (w <- weights.tail) {
       nk = propagate(edges, nk).cache()
       intermediates += nk
-      result = axpy(result, w, nk)
+      terms += nk.select(col("node"), transform(col("vec"), v => v * w).as("wv"))
     }
+    val result = terms.reduce(_ union _)
+      .select(col("node"), array_to_vector(col("wv")).as("m"))
+      .groupBy("node")
+      .agg(vector_to_array(Summarizer.sum(col("m"))).as("vec"))
     // nodes that received no messages get the zero vector
     val out = nodes.join(result, Seq("node"), "left")
       .select(col("node"),
