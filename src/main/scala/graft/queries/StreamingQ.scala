@@ -48,8 +48,17 @@ object StreamingQ {
           sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
         .select(col("window.start").as("window_start"), col("event_type"),
           col("n"), col("sum_value"))
-      Streams.runToMemory(agg, "q_stream_windowed_sink", OutputMode.Complete())
+      // stateful-operator parallelism is pinned at QUERY START and should
+      // track state size (#windows × #event_types ≈ thousands), not the
+      // session's scan parallelism: every state partition costs per-batch
+      // provider init + delta-file I/O in the checkpoint dir. Scoped to
+      // this query; the session conf is restored before returning.
+      // (Values are exact DECIMAL sums, so partitioning can't change them.)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try Streams.runToMemory(agg, "q_stream_windowed_sink", OutputMode.Complete())
         .orderBy(col("window_start"), col("event_type"))
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     },
     Some(s"""
       |SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start, event_type,
