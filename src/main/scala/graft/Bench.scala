@@ -11,10 +11,22 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm-up: JVM/codegen/parquet-footer costs land here instead of
-    // inflating whichever query happens to run first (~6 s observed)
+    // inflating whichever query happens to run first (~6 s observed).
+    // The join/agg/window/HOF shapes warm the codegen+JIT paths the real
+    // queries hit (Janino, shuffle writers, broadcast machinery).
     try {
       spark.range(1000000).selectExpr("sum(id)").collect()
       spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+      val l = spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10000)
+      val o = spark.read.parquet(s"$sfDir/orders.parquet").limit(1000)
+      l.join(org.apache.spark.sql.functions.broadcast(o),
+          l("l_orderkey") === o("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(org.apache.spark.sql.functions.sum("l_quantity"))
+        .selectExpr("max(`sum(l_quantity)`) over ()").count()
+      spark.range(10000).selectExpr(
+        "aggregate(transform(sequence(1, 8), j -> md5(cast(id + j as string))), '', (a, x) -> x)")
+        .count()
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -31,6 +31,11 @@ object Verify {
           .foldLeft(raw)((d, f) =>
             d.withColumn(f.name, col(f.name).cast(TimestampNTZType)))
         out.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        // each entry caches its own derived tables (signatures, shingle
+        // sets, index assignments); dropping them once the dump is on disk
+        // keeps the harness's memory footprint per-query, not cumulative —
+        // the long-lived-session hygiene COVERAGE.md documents
+        spark.catalog.clearCache()
       }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

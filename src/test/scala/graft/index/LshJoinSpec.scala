@@ -39,6 +39,27 @@ class LshJoinSpec extends AnyFunSuite {
       exact ++ approx)) // structural sanity; distances verified by MLlib
   }
 
+  test("l2SelfJoin equals the two-sided l2Join on the same input") {
+    // same seed + same tables ⇒ the one-sided (hash-once) form must
+    // produce exactly the two-sided join's pair set — it's a plan
+    // optimization, not a different approximation
+    val t = 1.2
+    def pairs(df: org.apache.spark.sql.DataFrame, a: String, b: String) =
+      df.select(col(a), col(b)).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val twoSided = pairs(
+      LshJoin.l2Join(
+        emb.select(col("vec_id").as("ida"), col("embedding")),
+        emb.select(col("vec_id").as("idb"), col("embedding")),
+        "ida", "idb", "embedding", t, numTables = 5)
+        .filter(col("ida") < col("idb")), "ida", "idb")
+    val oneSided = pairs(
+      LshJoin.l2SelfJoin(
+        emb.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", t, numTables = 5), "vec_id_a", "vec_id_b")
+    assert(oneSided == twoSided)
+  }
+
   test("Jaccard LSH join surfaces near-duplicate shingle sets") {
     val docs = Seq(
       (1L, Seq("a b c", "b c d", "c d e")),
