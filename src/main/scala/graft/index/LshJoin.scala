@@ -1,7 +1,7 @@
 package graft.index
 
 import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, MinHashLSH}
-import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.ml.linalg.{Vectors => MlVectors}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -39,10 +39,18 @@ object LshJoin {
   }
 
   /** Self-join variant for dedup: the input is featurized and HASHED
-    * exactly once (cached), then joined with itself — the two-sided form
-    * re-derives projections and hash buckets per side, which doubles the
-    * UDF-heavy part of the plan for the common pair-mining case. Output:
-    * (idA, idB, dist) with idA < idB. */
+    * exactly once (cached), and the candidate join + distance verify run
+    * as NATIVE plan operators over the model's buckets — bucket keys are
+    * exploded to (table, bucket) rows, candidates meet in a plain
+    * equi-join, duplicates collapse in an id-only distinct, and the
+    * distance filter is the codegen [[graft.functions.L2Distance]] kernel.
+    * `approxSimilarityJoin` computes the same candidate set from the same
+    * model but pays a non-codegen `keyDistance` UDF per candidate ROW
+    * (pre-distinct, so once per shared table) — with wide buckets that UDF
+    * pass dominates. Both distance definitions are the same sequential
+    * (xᵢ−yᵢ)² double fold, so the surviving pair set is identical
+    * (LshJoinSpec pins equality against the two-sided MLlib join).
+    * Output: (idA, idB, dist) with idA < idB. */
   def l2SelfJoin(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bucketLength: Double = 2.0, numTables: Int = 3,
       seed: Long = 42L): DataFrame = {
@@ -52,11 +60,25 @@ object LshJoin {
       .setInputCol("features").setOutputCol("hashes")
       .setBucketLength(bucketLength).setNumHashTables(numTables).setSeed(seed)
     val model = lsh.fit(f)
-    val hashed = model.transform(f).cache()
-    model.approxSimilarityJoin(hashed, hashed, threshold, "dist")
-      .filter(col(s"datasetA.$idCol") < col(s"datasetB.$idCol"))
-      .select(col(s"datasetA.$idCol").as(s"${idCol}_a"),
-        col(s"datasetB.$idCol").as(s"${idCol}_b"), col("dist"))
+    val hashed = model.transform(f)
+      .select(col(idCol), vector_to_array(col("features")).as("v"),
+        posexplode(col("hashes")).as(Seq("htab", "hv")))
+      .select(col(idCol), col("v"), col("htab"),
+        element_at(vector_to_array(col("hv")), 1).as("hkey"))
+      .cache()
+    val cand = hashed.select(col(idCol).as(s"${idCol}_a"), col("htab"), col("hkey"))
+      .join(hashed.select(col(idCol).as(s"${idCol}_b"), col("htab"), col("hkey")),
+        Seq("htab", "hkey"))
+      .filter(col(s"${idCol}_a") < col(s"${idCol}_b"))
+      .select(col(s"${idCol}_a"), col(s"${idCol}_b"))
+      .distinct()
+    val va = hashed.select(col(idCol).as(s"${idCol}_a"), col("v").as("va")).distinct()
+    val vb = hashed.select(col(idCol).as(s"${idCol}_b"), col("v").as("vb")).distinct()
+    cand.join(va, Seq(s"${idCol}_a")).join(vb, Seq(s"${idCol}_b"))
+      .withColumn("dist",
+        graft.functions.VectorF.l2Dist(col("va"), col("vb")))
+      .filter(col("dist") < threshold)
+      .select(col(s"${idCol}_a"), col(s"${idCol}_b"), col("dist"))
   }
 
   /** Approximate Jaccard-similar pairs (distance = 1 − J) between two
