@@ -50,12 +50,14 @@ object Ann {
     "q_ann_lsh_join",
     (s, dir) => {
       val e = Tables(s, dir, "embeddings")
-      graft.index.LshJoin.l2Join(
-          e.select(col("vec_id").as("ida"), col("embedding")),
-          e.select(col("vec_id").as("idb"), col("embedding")),
-          "ida", "idb", "embedding", threshold = 1.2, numTables = 5)
-        .filter(col("ida") < col("idb"))
-        .select(col("ida"), col("idb"), round(col("dist"), 6).as("dist"))
+      // the self-join form hashes the table once and runs the candidate
+      // join + distance verify in codegen — pair-set-identical to the
+      // two-sided approxSimilarityJoin (LshJoinSpec pins the equality)
+      graft.index.LshJoin.l2SelfJoin(
+          e.select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", threshold = 1.2, numTables = 5)
+        .select(col("vec_id_a").as("ida"), col("vec_id_b").as("idb"),
+          round(col("dist"), 6).as("dist"))
         .orderBy(col("ida"), col("idb"))
     },
     None)
