@@ -54,26 +54,6 @@ object TextF {
   def bandKey(sig: Seq[Column], from: Int, r: Int): Column =
     md5(concat_ws(",", sig.slice(from, from + r).map(_.cast("string")): _*))
 
-  /** Bit j of a long for a LAMBDA-VARIABLE shift amount — the Scala DSL's
-    * `shiftright` only accepts a literal Int, so this builds the Catalyst
-    * ShiftRight/BitwiseAnd tree directly (exact at ANY bit index; the
-    * earlier floor(h/2^j) double formulation was only exact to 53 bits,
-    * which capped SimHash at 32 bits).
-    * DuckDB twin: (h >> j) & 1. */
-  private def bitAt(h: Column, j: Column): Column = {
-    import org.apache.spark.sql.catalyst.expressions.{BitwiseAnd, Literal, ShiftRight}
-    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
-    column(BitwiseAnd(ShiftRight(expression(h), expression(j)), Literal(1L)))
-  }
-
-  /** 2^j as a long via integer shift, j a lambda variable.
-    * DuckDB twin: (CAST(1 AS BIGINT) << j). */
-  private def pow2(j: Column): Column = {
-    import org.apache.spark.sql.catalyst.expressions.{Literal, ShiftLeft}
-    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
-    column(ShiftLeft(Literal(1L), expression(j)))
-  }
-
   /** 60-bit SimHash over a token array (term-frequency weighted): bit j is
     * set iff Σ_tokens (2·bit_j(h60(tok)) − 1) > 0, i.e. iff
     * 2·(count of tokens with bit j set) > n_tokens — integer-identical.
@@ -81,20 +61,15 @@ object TextF {
     * BIGINT on both engines; vs 32 bits it cuts random band-key collisions
     * in the banded dedup join ~128× (15-bit bands vs 8-bit bands).
     *
-    * Evaluation shape: ONE h60 (md5) per token, accumulated into a 60-slot
-    * bit-count array. The hash must be the per-element lambda VARIABLE of
-    * the outer fold — an earlier formulation that looped bits outermost
-    * re-inlined the hash subtree per bit (60 md5 calls per token) and made
-    * SimHash dedup 37 s at sf0.1. */
+    * Backed by the codegen'd [[SimHash60]] expression: one md5 + one
+    * 60-bit register tally per token in a primitive loop. (The HOF
+    * formulation this replaced — aggregate over transform(toks, h60) with
+    * a 60-slot zip_with tally — is semantically identical but paid
+    * per-element lambda dispatch for every (token, bit) pair;
+    * TextFSpec pins the closed-form value so the kernels can't drift.) */
   def simhash60(toks: Column): Column = {
-    val counts = aggregate(transform(toks, t => h60(t)),
-      array_repeat(lit(0L), 60),
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(59)),
-        (v, j) => v + bitAt(h, j)))
-    val n = size(toks).cast("long")
-    aggregate(zip_with(counts, sequence(lit(0), lit(59)),
-        (c, j) => when(c * 2L > n, pow2(j)).otherwise(lit(0L))),
-      lit(0L), (s, x) => s + x)
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(SimHash60(ColumnBridge.expression(toks)))
   }
 
   /** Feature-hash bucket (h32(tok) mod dim) and sign (±1 from a salted

@@ -45,6 +45,28 @@ class TextFSpec extends AnyFunSuite {
     // (probability of all 28 high bits being zero by chance: 2^-28)
     assert((s1 >> 32) != 0L)
   }
+  test("simhash60 matches the closed-form md5 tally") {
+    // independent reimplementation: h = top 60 bits of md5's first 8
+    // bytes (= base-16 parse of the first 15 hex chars), bit j set iff
+    // 2·count_j > n — pins the codegen kernel to the algorithm the
+    // DuckDB oracle states
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      var h = 0L
+      for (k <- 0 until 8) h = (h << 8) | (md(k) & 0xffL)
+      h >>> 4
+    }
+    val toks = Seq("spark", "native", "engine", "spark")
+    val expected = (0 until 60).map { j =>
+      val c = toks.count(t => ((h60(t) >> j) & 1L) == 1L)
+      if (2 * c > toks.size) 1L << j else 0L
+    }.sum
+    val got = onText("Spark native engine SPARK",
+      t => simhash60(tokens(t))).asInstanceOf[Long]
+    assert(got == expected)
+  }
+
   test("similar docs get closer simhash than dissimilar") {
     import VectorF.hammingDist
     import spark.implicits._
