@@ -50,6 +50,15 @@ object TextF {
   def minhash(sh: Column, j: Int): Column =
     coalesce(array_min(transform(sh, s => h32(concat(lit(s"$j#"), s)))), lit(-1L))
 
+  /** Full k-component MinHash signature as one array column, backed by
+    * the codegen'd [[MinHashK]] kernel — component j equals
+    * `minhash(sh, j)` exactly (TextFSpec pins the equivalence); one tight
+    * loop instead of k HOF folds re-walking the shingle array. */
+  def minhashK(sh: Column, k: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(MinHashK(ColumnBridge.expression(sh), k))
+  }
+
   /** LSH band key: md5 over r consecutive signature components. */
   def bandKey(sig: Seq[Column], from: Int, r: Int): Column =
     md5(concat_ws(",", sig.slice(from, from + r).map(_.cast("string")): _*))

@@ -122,8 +122,12 @@ object Dedup {
     "q_minhash_signatures",
     (s, dir) => {
       val d = shingleDf(s, dir)
-      d.select(col("doc_id") +:
-        (0 until MINHASH_K).map(j => minhash(col("sh"), j).as(s"mh$j")): _*)
+      // ONE native-kernel signature pass; the component columns are plain
+      // element_at projections of the bound array column
+      d.select(col("doc_id"), minhashK(col("sh"), MINHASH_K).as("mhs"))
+        .select(col("doc_id") +:
+          (0 until MINHASH_K).map(j =>
+            element_at(col("mhs"), j + 1).as(s"mh$j")): _*)
         .orderBy(col("doc_id"))
     },
     Some {
@@ -146,7 +150,7 @@ object Dedup {
       // minhash aggregate must not be recomputed per side / re-inlined
       // into pushed-down filters (see shingleDf note)
       val sig = d.select(col("doc_id"),
-        array((0 until MINHASH_K).map(j => minhash(col("sh"), j)): _*).as("sig"))
+        minhashK(col("sh"), MINHASH_K).as("sig"))
         .cache()
       val r = MINHASH_K / BANDS
       // band join and pair-dedup run over ids ONLY — the shingle arrays

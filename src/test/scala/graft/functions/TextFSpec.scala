@@ -45,6 +45,23 @@ class TextFSpec extends AnyFunSuite {
     // (probability of all 28 high bits being zero by chance: 2^-28)
     assert((s1 >> 32) != 0L)
   }
+  test("minhashK matches the per-component HOF minhash") {
+    import org.apache.spark.sql.functions.{array, col}
+    import spark.implicits._
+    val k = 5
+    val df = Seq(
+      Seq("a b c", "b c d", "c d e"),
+      Seq("solo"),
+      Seq.empty[String]).toDF("sh")
+    val rows = df.select(
+      minhashK(col("sh"), k).as("native"),
+      array((0 until k).map(j => minhash(col("sh"), j)): _*).as("hof")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+    assert(rows(2).getSeq[Long](0) == Seq.fill(k)(-1L)) // empty → -1s
+  }
+
   test("simhash60 matches the closed-form md5 tally") {
     // independent reimplementation: h = top 60 bits of md5's first 8
     // bytes (= base-16 parse of the first 15 hex chars), bit j set iff
