@@ -62,6 +62,28 @@ class TextFSpec extends AnyFunSuite {
     assert(rows(2).getSeq[Long](0) == Seq.fill(k)(-1L)) // empty → -1s
   }
 
+  test("native kernels preserve the HOF null semantics") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    // simhash60: a null ELEMENT poisons the result (HOF fold parity);
+    // minhashK: null elements are SKIPPED (array_min parity)
+    val df = Seq(Tuple1(Seq("a", null, "c"))).toDF("sh")
+    val r = df.select(
+      simhash60(col("sh")).as("sim"),
+      minhashK(col("sh"), 3).as("mh"),
+      minhashK(col("sh"), 3)(0).as("mh0")).head
+    assert(r.isNullAt(0))
+    assert(!r.isNullAt(1))
+    val noNulls = Seq(Tuple1(Seq("a", "c"))).toDF("sh")
+      .select(minhashK(col("sh"), 3)(0)).head.getLong(0)
+    assert(r.getLong(2) == noNulls)
+    // null INPUT → null for both
+    val nr = df.select(
+      simhash60(lit(null).cast("array<string>")),
+      minhashK(lit(null).cast("array<string>"), 3)).head
+    assert(nr.isNullAt(0) && nr.isNullAt(1))
+  }
+
   test("simhash60 matches the closed-form md5 tally") {
     // independent reimplementation: h = top 60 bits of md5's first 8
     // bytes (= base-16 parse of the first 15 hex chars), bit j set iff
