@@ -27,6 +27,21 @@ object Tables {
   def configure(b: SparkSession.Builder): SparkSession.Builder =
     sessionConf.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
 
+  /** Spread a small input across the cluster before CPU-heavy per-row
+    * compute (shingling, per-token hashing, vector math). The driver's
+    * small parquet tables are one row group = one scan split, so without
+    * this the whole kernel runs on a single core no matter the cluster
+    * size. At 100 TB scans arrive multi-split and this degrades to a
+    * no-op (partitions ≥ default parallelism ⇒ returned unchanged); the
+    * shuffle it introduces moves only the raw rows once, before the
+    * expensive projection, and every caller caches immediately above it.
+    * Apply ONLY at compute-heavy cached bases — putting it under a
+    * filterable scan would hide the filter from parquet pushdown. */
+  def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+  }
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // fallback for externally-built sessions that skipped sessionConf —
     // set once, never flipped back, so unrelated reads see a stable conf

@@ -14,7 +14,7 @@ object Ann {
   val q_ann_ivf = Q(
     "q_ann_ivf",
     (s, dir) => {
-      val e = Tables(s, dir, "embeddings")
+      val e = Tables.spread(Tables(s, dir, "embeddings"))
       val model = IvfIndex.build(e, "vec_id", "embedding", k = 8)
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
@@ -27,7 +27,7 @@ object Ann {
   val q_ann_gann = Q(
     "q_ann_gann",
     (s, dir) => {
-      val e = Tables(s, dir, "embeddings")
+      val e = Tables.spread(Tables(s, dir, "embeddings"))
       // leafSize 200 = the reference's MAX_LEAF_SIZE build termination
       // (radient/tasks/sinks/local/gann.py:15); nTrees = the n_trees
       // recall knob (gann.py:201) — search probes every tree and
@@ -49,7 +49,7 @@ object Ann {
   val q_ann_lsh_join = Q(
     "q_ann_lsh_join",
     (s, dir) => {
-      val e = Tables(s, dir, "embeddings")
+      val e = Tables.spread(Tables(s, dir, "embeddings"))
       // the self-join form hashes the table once and runs the candidate
       // join + distance verify in codegen — pair-set-identical to the
       // two-sided approxSimilarityJoin (LshJoinSpec pins the equality)

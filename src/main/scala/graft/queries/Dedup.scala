@@ -53,7 +53,7 @@ object Dedup {
     * `toks` is likewise bound as a real column so the token split runs
     * once per row rather than once per shingle index. */
   private def shingleDf(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
+    Tables.spread(Tables(s, dir, "documents"))
       .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"), col("lang"),
         shingleSet(col("toks"), 3).as("sh"))
@@ -220,7 +220,7 @@ object Dedup {
     (s, dir) => {
       // precompute norms once per side (gann.c:832-841 trick); cached:
       // candidate generation + both verify sides derive from it
-      val e = Tables(s, dir, "embeddings")
+      val e = Tables.spread(Tables(s, dir, "embeddings"))
         .select(col("vec_id"), col("embedding"),
           VectorF.l2Norm(col("embedding")).as("nrm"))
         .cache()
@@ -268,7 +268,7 @@ object Dedup {
       val HAMMING_T = 3
       // cached for the same reasons as shingleDf: self-joined, and the
       // 61-HOF simhash expression must not be re-inlined by pushdown
-      val sim = Tables(s, dir, "documents")
+      val sim = Tables.spread(Tables(s, dir, "documents"))
         .withColumn("t", tokens(col("text")))
         .select(col("doc_id"), simhash(col("t")).as("sh"))
         .cache()

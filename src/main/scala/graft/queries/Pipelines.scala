@@ -43,7 +43,7 @@ object Pipelines {
   val q_multimodal_embed = Q(
     "q_multimodal_embed",
     (s, dir) => {
-      val docs = Tables(s, dir, "documents")
+      val docs = Tables.spread(Tables(s, dir, "documents"))
         .select(col("doc_id").as("id"),
           element_at(array(lit("text"), lit("image"), lit("audio"), lit("video")),
             (col("doc_id") % 4 + 1).cast("int")).as("modality"),

@@ -44,7 +44,7 @@ object SparseSearch {
     "q_sparse_search",
     (s, dir) => {
       import s.implicits._
-      val docs = Tables(s, dir, "documents")
+      val docs = Tables.spread(Tables(s, dir, "documents"))
       val n = docs.agg(count(lit(1)).as("n"))
       val tf = docs
         .select(col("doc_id"), explode(TextF.tokens(col("text"))).as("tok"))

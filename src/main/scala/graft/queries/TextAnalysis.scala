@@ -147,7 +147,7 @@ object TextAnalysis {
     "q_embed_hash",
     (s, dir) => {
       val dim = 16
-      Tables(s, dir, "documents")
+      Tables.spread(Tables(s, dir, "documents"))
         .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
         .select(col("doc_id"),
           featureBucket(col("tok"), dim).as("pos"),
@@ -178,7 +178,7 @@ object TextAnalysis {
   val q_tfidf_top_terms = Q(
     "q_tfidf_top_terms",
     (s, dir) => {
-      val docs = Tables(s, dir, "documents")
+      val docs = Tables.spread(Tables(s, dir, "documents"))
       val n = docs.agg(count(lit(1)).as("n"))
       val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
         .groupBy(col("doc_id"), col("tok"))
