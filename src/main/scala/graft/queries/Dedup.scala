@@ -262,35 +262,39 @@ object Dedup {
     * sf0.1) while the md5-per-token signature pass costs the same. At
     * 100 TB the signature pass is embarrassingly parallel and the band
     * join shuffles 15-bit keys. */
+  /** SimHash near-dup pair set (doc_a, doc_b, hamming ≤ 3), banded —
+    * shared by q_dedup_simhash (which just orders it) and
+    * q_dedup_components (which clusters it). */
+  private def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val HAMMING_T = 3
+    // cached for the same reasons as shingleDf: self-joined, and the
+    // 61-HOF simhash expression must not be re-inlined by pushdown
+    val sim = Tables.spread(Tables(s, dir, "documents"))
+      .withColumn("t", tokens(col("text")))
+      .select(col("doc_id"), simhash(col("t")).as("sh"))
+      .cache()
+    val banded = sim.select(col("doc_id"), col("sh"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sh"), 15 * b).bitwiseAND(0x7fff)): _*))
+        .as(Seq("band", "bkey")))
+    val a = banded.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+      col("band"), col("bkey"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+      col("band"), col("bkey"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        VectorF.hammingDist(col("sh_a"), col("sh_b")).cast("long").as("hamming"))
+      // verify BEFORE the pair-dedup: the XOR popcount is a per-row int
+      // op, so filtering first shrinks the distinct's shuffle from every
+      // band collision (~2.8M at sf0.1) to just the qualifying pairs
+      .filter(col("hamming") <= HAMMING_T)
+      .distinct()
+  }
+
   val q_dedup_simhash = Q(
     "q_dedup_simhash",
-    (s, dir) => {
-      val HAMMING_T = 3
-      // cached for the same reasons as shingleDf: self-joined, and the
-      // 61-HOF simhash expression must not be re-inlined by pushdown
-      val sim = Tables.spread(Tables(s, dir, "documents"))
-        .withColumn("t", tokens(col("text")))
-        .select(col("doc_id"), simhash(col("t")).as("sh"))
-        .cache()
-      val banded = sim.select(col("doc_id"), col("sh"),
-        posexplode(array((0 until 4).map(b =>
-          shiftright(col("sh"), 15 * b).bitwiseAND(0x7fff)): _*))
-          .as(Seq("band", "bkey")))
-      val a = banded.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
-        col("band"), col("bkey"))
-      val b = banded.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
-        col("band"), col("bkey"))
-      a.join(b, Seq("band", "bkey"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          VectorF.hammingDist(col("sh_a"), col("sh_b")).cast("long").as("hamming"))
-        // verify BEFORE the pair-dedup: the XOR popcount is a per-row int
-        // op, so filtering first shrinks the distinct's shuffle from every
-        // band collision (~2.8M at sf0.1) to just the qualifying pairs
-        .filter(col("hamming") <= HAMMING_T)
-        .distinct()
-        .orderBy(col("doc_a"), col("doc_b"))
-    },
+    (s, dir) => simhashPairs(s, dir).orderBy(col("doc_a"), col("doc_b")),
     Some(s"""
       |WITH s AS (
       |  SELECT doc_id, ${Sql.simhash60("t")} AS sh
@@ -304,7 +308,54 @@ object Dedup {
 
   private def simhash(toks: Column) = TextF.simhash60(toks)
 
+  /** Duplicate-cluster keeper assignment: connected components over the
+    * SimHash near-dup pair set, every document labelled with the smallest
+    * doc_id of its duplicate cluster (keep_id == doc_id ⇒ the kept copy)
+    * plus the cluster size — the "collapse duplicate groups to one
+    * representative" step a training corpus runs after pair mining. The
+    * DuckDB oracle states the same fixpoint as a recursive CTE
+    * (reachability → min reachable id), so the distributed label
+    * propagation in [[graft.dedup.ConnectedComponents]] is hash-checked
+    * exactly, not rows-only. */
+  val q_dedup_components = Q(
+    "q_dedup_components",
+    (s, dir) => {
+      val pairs = simhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
+      val comp = graft.dedup.ConnectedComponents
+        .components(pairs, "doc_a", "doc_b")
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      // singletons (no near-dup pair) keep themselves
+      val labelled = docs
+        .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("keep_id"))
+      labelled
+        .withColumn("csize",
+          count(lit(1)).over(Window.partitionBy(col("keep_id"))))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      |WITH RECURSIVE s AS (
+      |  SELECT doc_id, ${Sql.simhash60("t")} AS sh
+      |  FROM (SELECT doc_id, ${Sql.toks()} AS t FROM documents)),
+      |p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+      |e AS (SELECT doc_a AS u, doc_b AS v FROM p
+      |      UNION ALL SELECT doc_b, doc_a FROM p),
+      |reach(u, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.v, reach.r FROM reach JOIN e ON e.u = reach.u),
+      |comp AS (SELECT u AS doc_id, min(r) AS keep_id FROM reach GROUP BY u)
+      |SELECT doc_id, keep_id,
+      |  count(*) OVER (PARTITION BY keep_id) AS csize
+      |FROM comp ORDER BY doc_id
+      |""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q_dedup_exact, q_dedup_ngram_jaccard, q_minhash_signatures,
-    q_dedup_minhash_lsh, q_dedup_embedding, q_dedup_simhash)
+    q_dedup_minhash_lsh, q_dedup_embedding, q_dedup_simhash,
+    q_dedup_components)
 }
