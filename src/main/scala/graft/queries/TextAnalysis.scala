@@ -82,6 +82,40 @@ object TextAnalysis {
       |ORDER BY doc_id
       |""".stripMargin))
 
+  /** Within-document repetition (the C4/Gopher-family "duplicate n-gram
+    * fraction" quality signal): share of word 3-grams that repeat an
+    * earlier 3-gram in the same document — 1 − distinct/total. High
+    * values flag boilerplate, spam and degenerate generations; a corpus
+    * filter thresholds on it. Values are exact rationals (integer counts,
+    * one IEEE division), so the oracle hash-matches with no tolerance.
+    * Scale: a narrow per-row projection, no shuffle but the output sort. */
+  val q_repetition_ratio = Q(
+    "q_repetition_ratio",
+    (s, dir) => {
+      Tables(s, dir, "documents")
+        .withColumn("t", tokens(col("text")))
+        .withColumn("g", shingles(col("t"), 3))
+        .select(col("doc_id"),
+          size(col("g")).cast("long").as("n_trigrams"),
+          size(array_distinct(col("g"))).cast("long").as("n_distinct"))
+        .withColumn("rep_ratio",
+          when(col("n_trigrams") > 0,
+            lit(1.0) - col("n_distinct").cast("double") / col("n_trigrams"))
+            .otherwise(lit(0.0)))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      |SELECT doc_id,
+      |  len(g) AS n_trigrams,
+      |  len(list_distinct(g)) AS n_distinct,
+      |  CASE WHEN len(g) > 0
+      |       THEN 1.0::DOUBLE - CAST(len(list_distinct(g)) AS DOUBLE) / len(g)
+      |       ELSE 0.0::DOUBLE END AS rep_ratio
+      |FROM (SELECT doc_id, ${Sql.shingles3("t")} AS g
+      |      FROM (SELECT doc_id, ${Sql.toks()} AS t FROM documents))
+      |ORDER BY doc_id
+      |""".stripMargin))
+
   val q_lang_id = Q(
     "q_lang_id",
     (s, dir) => {
@@ -281,5 +315,5 @@ object TextAnalysis {
 
   val all: Seq[Q] = Seq(
     q_token_count, q_text_quality, q_lang_id, q_doc_fingerprint, q_embed_hash,
-    q_tfidf_top_terms, q_doc_chunks, q_doc_pages)
+    q_tfidf_top_terms, q_doc_chunks, q_doc_pages, q_repetition_ratio)
 }
