@@ -68,5 +68,42 @@ object StreamingQ {
       |ORDER BY window_start, event_type
       |""".stripMargin))
 
-  val all: Seq[Q] = Seq(q_stream_windowed)
+  /** Streaming exact dedup over the event file stream: distinct
+    * (user_id, event_type) pairs via `dropDuplicatesWithinWatermark` —
+    * first occurrence emits immediately in append mode, duplicate state
+    * is evicted as the watermark advances (bounded, unlike plain
+    * dropDuplicates). Over a bounded replay nothing evicts mid-run, so
+    * the result is exactly the batch DISTINCT — which is what the oracle
+    * states. The emitted row per key is whichever arrived first (not
+    * deterministic under reordering), so only the KEY columns are
+    * projected — the distinct key set is order-independent. */
+  val q_stream_dedup = Q(
+    "q_stream_dedup",
+    (s, dir) => {
+      val landing = java.nio.file.Files.createTempDirectory("graft_stream_dedup")
+      val staged = landing.resolve("events.parquet")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"), staged)
+      staged.toFile.deleteOnExit(); landing.toFile.deleteOnExit()
+      val stream = s.readStream.schema(rawSchema)
+        .parquet(landing.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val dd = graft.streaming.Streams
+        .dedupWithinWatermark(stream, Seq("user_id", "event_type"))
+        .select(col("user_id"), col("event_type"))
+      // dedup state partitions sized to key cardinality, like
+      // q_stream_windowed (see the note there)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try Streams.runToMemory(dd, "q_stream_dedup_sink", OutputMode.Append())
+        .orderBy(col("user_id"), col("event_type"))
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    },
+    Some("""
+      |SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type
+      |""".stripMargin))
+
+  val all: Seq[Q] = Seq(q_stream_windowed, q_stream_dedup)
 }

@@ -84,6 +84,18 @@ object Streams {
       }
   }
 
+  /** Streaming exact dedup with BOUNDED state: first occurrence per key
+    * emits immediately (append), duplicates arriving within the watermark
+    * delay are dropped, and key state is EVICTED once the watermark
+    * passes — the streaming twin of the batch hash-groupBy dedup, and the
+    * state-bounded form of plain `dropDuplicates` (which would retain
+    * every key ever seen; on an unbounded corpus that is the same
+    * executor-memory death sentence as a TTL-less keyed state). */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
+      tsCol: String = "ts", watermarkDelay: String = "30 minutes"): DataFrame =
+    events.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Run a streaming frame to completion against a memory sink and return
     * the materialized result (test/local harness). */
   def runToMemory(df: DataFrame, name: String,
