@@ -1,0 +1,129 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.functions.TextF
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators over `documents` — the selection half of a
+  * training-data pipeline (the analysis half lives in TextAnalysis):
+  * subword-ish token counting, the composite keep/drop quality filter,
+  * and deterministic stratified sampling for corpus balancing.
+  */
+object Corpus {
+  import TextF._
+
+  /** ASCII-only run classes so the Java (Spark) and RE2 (DuckDB) regex
+    * engines agree byte-for-byte: letter runs, digit runs, and
+    * non-alnum-non-space runs over lowercased text. */
+  private val BPEISH = "[a-z]+|[0-9]+|[^a-z0-9\\s]+"
+
+  /** BPE-ish token counting (SURVEY's "whitespace + a BPE-ish regex"
+    * pair — q_token_count is the whitespace half): pieces are maximal
+    * letter / digit / symbol runs, the split a byte-pair pre-tokenizer
+    * applies before merges. Reported next to the whitespace count, whose
+    * ratio approximates tokens-per-word inflation. The pattern is
+    * ASCII-class-only, so both engines' regex dialects match
+    * identically. */
+  val q_token_bpe = Q(
+    "q_token_bpe",
+    (s, dir) => {
+      Tables(s, dir, "documents")
+        .withColumn("lo", lower(col("text")))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("lo"), lit(BPEISH), lit(0)))
+            .cast("long").as("n_pieces"),
+          size(regexp_extract_all(col("lo"), lit("[a-z]+"), lit(0)))
+            .cast("long").as("n_alpha_runs"),
+          size(regexp_extract_all(col("lo"), lit("[0-9]+"), lit(0)))
+            .cast("long").as("n_digit_runs"),
+          size(tokens(col("text"))).cast("long").as("n_ws_tokens"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      |SELECT doc_id,
+      |  len(regexp_extract_all(lo, '[a-z]+|[0-9]+|[^a-z0-9\\s]+')) AS n_pieces,
+      |  len(regexp_extract_all(lo, '[a-z]+')) AS n_alpha_runs,
+      |  len(regexp_extract_all(lo, '[0-9]+')) AS n_digit_runs,
+      |  len(${Sql.toks()}) AS n_ws_tokens
+      |FROM (SELECT doc_id, lower(text) AS lo, text FROM documents)
+      |ORDER BY doc_id
+      |""".stripMargin))
+
+  /** Composite keep/drop corpus filter — the verdict a curation pipeline
+    * materializes from the individual quality signals: token-count
+    * window, minimum stopword ratio, maximum within-doc repetition.
+    * Every threshold is compared in the INTEGER domain (sw·20 ≥ nt is
+    * "stopword ratio ≥ 0.05") so no float boundary can disagree between
+    * engines, and the reasons are emitted as flags for filter-rate
+    * debugging. Scale: narrow per-row projection. */
+  val q_corpus_filter = Q(
+    "q_corpus_filter",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .withColumn("t", tokens(col("text")))
+        .withColumn("g", shingles(col("t"), 3))
+        .select(col("doc_id"),
+          size(col("t")).as("nt"),
+          hitCount(col("t"), TextAnalysis.stopwords).as("sw"),
+          size(col("g")).as("n3"),
+          size(array_distinct(col("g"))).as("nd"))
+      d.select(col("doc_id"),
+          col("nt").cast("long").as("n_tokens"),
+          (col("nt") >= 5 && col("nt") <= 1000).cast("long").as("len_ok"),
+          (col("sw") * 20 >= col("nt")).cast("long").as("stopword_ok"),
+          ((col("n3") - col("nd")) * 5 <= col("n3")).cast("long").as("repetition_ok"))
+        .withColumn("keep",
+          (col("len_ok") === 1 && col("stopword_ok") === 1 &&
+            col("repetition_ok") === 1).cast("long"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      |SELECT doc_id,
+      |  nt AS n_tokens,
+      |  CAST(nt >= 5 AND nt <= 1000 AS BIGINT) AS len_ok,
+      |  CAST(sw * 20 >= nt AS BIGINT) AS stopword_ok,
+      |  CAST((n3 - nd) * 5 <= n3 AS BIGINT) AS repetition_ok,
+      |  CAST(nt >= 5 AND nt <= 1000 AND sw * 20 >= nt
+      |       AND (n3 - nd) * 5 <= n3 AS BIGINT) AS keep
+      |FROM (
+      |  SELECT doc_id, len(t) AS nt,
+      |    len(list_filter(t, x -> x IN ${TextAnalysis.stopwordsSql})) AS sw,
+      |    len(g) AS n3, len(list_distinct(g)) AS nd
+      |  FROM (SELECT doc_id, t, ${Sql.shingles3("t")} AS g
+      |        FROM (SELECT doc_id, ${Sql.toks()} AS t FROM documents)))
+      |ORDER BY doc_id
+      |""".stripMargin))
+
+  /** Deterministic stratified sampling for corpus balancing: per-language
+    * keep quotas applied by hashed-id thresholding (keep iff
+    * h32(lang#doc_id) mod 1000 < quota‰). Unlike rand()-based sampleBy
+    * the decision is a pure function of (lang, doc_id) — re-runs,
+    * retries and the oracle all select the SAME rows, and at 100 TB the
+    * filter is a narrow scan predicate with no shuffle or RNG state. */
+  val q_sample_stratified = Q(
+    "q_sample_stratified",
+    (s, dir) => {
+      val quota = typedLit(Map("en" -> 500, "de" -> 200, "es" -> 200,
+        "fr" -> 200, "zh" -> 200))
+      Tables(s, dir, "documents")
+        .withColumn("bucket",
+          pmod(h32(concat(col("lang"), lit("#"), col("doc_id").cast("string"))),
+            lit(1000)))
+        .filter(col("bucket") < coalesce(element_at(quota, col("lang")), lit(100)))
+        .select(col("doc_id"), col("lang"), col("bucket").cast("long").as("bucket"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      |SELECT doc_id, lang, bucket
+      |FROM (
+      |  SELECT doc_id, lang,
+      |    ${Sql.h32("lang || '#' || doc_id")} % 1000 AS bucket
+      |  FROM documents)
+      |WHERE bucket < CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 200
+      |  WHEN 'es' THEN 200 WHEN 'fr' THEN 200 WHEN 'zh' THEN 200
+      |  ELSE 100 END
+      |ORDER BY doc_id
+      |""".stripMargin))
+
+  val all: Seq[Q] = Seq(q_token_bpe, q_corpus_filter, q_sample_stratified)
+}

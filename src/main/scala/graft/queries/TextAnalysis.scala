@@ -34,6 +34,9 @@ object TextAnalysis {
 
   private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("(", ", ", ")")
 
+  /** The stopword list as a SQL IN-list (shared with Corpus oracles). */
+  val stopwordsSql: String = sqlList(stopwords)
+
   val q_token_count = Q(
     "q_token_count",
     (s, dir) => {
