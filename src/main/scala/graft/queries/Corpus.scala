@@ -125,5 +125,43 @@ object Corpus {
       |ORDER BY doc_id
       |""".stripMargin))
 
-  val all: Seq[Q] = Seq(q_token_bpe, q_corpus_filter, q_sample_stratified)
+  /** Benchmark decontamination: corpus documents sharing ≥ 3 distinct
+    * word-3-gram shingles with any document of a held-out probe set
+    * (doc_id ≡ 0 mod 97 stands in for the benchmark suite) are flagged
+    * with their overlap count — the contamination check a training
+    * corpus runs against eval benchmarks before training. The join is an
+    * inverted-index postings equi-join on the shingle (shared with the
+    * dedup family via Dedup.shingleDf's cached shingle table): the probe
+    * side is tiny (benchmark suites are), so it broadcasts, and no
+    * corpus-vs-probe cross product ever materializes. Shingle sets are
+    * distinct per doc, so the postings match count IS the intersection
+    * size — exact, hence the SQL oracle. */
+  val q_decontaminate = Q(
+    "q_decontaminate",
+    (s, dir) => {
+      val sh = Dedup.shingleDf(s, dir)
+      val posting = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      val probes = posting.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("probe_id"), col("s"))
+      posting.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(probes), Seq("s"))
+        .groupBy(col("doc_id"), col("probe_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+        .orderBy(col("doc_id"), col("probe_id"))
+    },
+    Some(s"""
+      |WITH sh AS (
+      |  SELECT doc_id, list_distinct(${Sql.shingles3("t")}) AS sh
+      |  FROM (SELECT doc_id, ${Sql.toks()} AS t FROM documents))
+      |SELECT c.doc_id AS doc_id, p.doc_id AS probe_id,
+      |  CAST(len(list_filter(c.sh, x -> list_contains(p.sh, x))) AS BIGINT)
+      |    AS n_shared
+      |FROM sh c JOIN sh p ON p.doc_id % 97 = 0 AND c.doc_id % 97 <> 0
+      |WHERE len(list_filter(c.sh, x -> list_contains(p.sh, x))) >= 3
+      |ORDER BY doc_id, probe_id
+      |""".stripMargin))
+
+  val all: Seq[Q] = Seq(q_token_bpe, q_corpus_filter, q_sample_stratified,
+    q_decontaminate)
 }

@@ -52,7 +52,7 @@ object Dedup {
     * table out (or a shuffle-reuse), not by recomputing per join side.
     * `toks` is likewise bound as a real column so the token split runs
     * once per row rather than once per shingle index. */
-  private def shingleDf(s: SparkSession, dir: String): DataFrame =
+  private[queries] def shingleDf(s: SparkSession, dir: String): DataFrame =
     Tables.spread(Tables(s, dir, "documents"))
       .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"), col("lang"),
