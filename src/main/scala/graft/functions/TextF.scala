@@ -13,6 +13,12 @@ import org.apache.spark.sql.functions._
   */
 object TextF {
 
+  /** Canonical stopword list shared by the quality operators
+    * (TextAnalysis.q_text_quality / q_corpus_filter, the registry's
+    * quality_filter transform). */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "or", "is", "to", "in", "it", "on", "for")
+
   /** Lowercased whitespace tokens; empty strings dropped.
     * DuckDB twin: list_filter(regexp_split_to_array(trim(lower(x)),'\s+'), t -> t <> '') */
   def tokens(text: Column): Column =

@@ -87,6 +87,61 @@ object Operators {
         frameBytes = p(params, "frameBytes", "65536").toInt,
         idCol = p(params, "idCol", "id"),
         dataCol = p(params, "dataCol", "data"))
+    },
+    // composite keep/drop quality filter (token-count window + stopword
+    // floor + repetition ceiling); thresholds compared in the INTEGER
+    // domain (per-mille) so no float boundary is engine-sensitive
+    "quality_filter" -> { (_, cp) => (ins, rp) =>
+      val params = cp ++ rp
+      val textCol = p(params, "textCol", "text")
+      val minT = p(params, "minTokens", "5").toInt
+      val maxT = p(params, "maxTokens", "1000").toInt
+      val swPm = p(params, "minStopwordPerMille", "50").toInt
+      val repPm = p(params, "maxRepetitionPerMille", "200").toInt
+      ins.head
+        .withColumn("_t", TextF.tokens(col(textCol)))
+        .withColumn("_g", TextF.shingles(col("_t"), 3))
+        .withColumn("_nt", size(col("_t")))
+        .withColumn("_sw", TextF.hitCount(col("_t"), TextF.stopwords))
+        .withColumn("_n3", size(col("_g")))
+        .withColumn("_nd", size(array_distinct(col("_g"))))
+        .filter(col("_nt") >= minT && col("_nt") <= maxT &&
+          col("_sw") * 1000 >= col("_nt") * swPm &&
+          (col("_n3") - col("_nd")) * 1000 <= col("_n3") * repPm)
+        .drop("_t", "_g", "_nt", "_sw", "_n3", "_nd")
+    },
+    // exact-dup collapse: keep the minimum-id row per normalized text
+    // hash (deterministic representative; left-semi so no payload dup)
+    "dedup_exact_keep" -> { (_, cp) => (ins, rp) =>
+      val params = cp ++ rp
+      val idCol = p(params, "idCol", "doc_id")
+      val textCol = p(params, "textCol", "text")
+      val d = ins.head
+      val keep = d.groupBy(md5(lower(trim(col(textCol)))).as("_h"))
+        .agg(min(col(idCol)).as(idCol))
+        .select(col(idCol))
+      d.join(keep, Seq(idCol), "left_semi")
+    },
+    // deterministic stratified sampling: keep iff
+    // h32(stratum#id) mod 1000 < quota‰ — a pure scan predicate, no RNG
+    // state, identical row selection on re-runs and in the oracle
+    "stratified_sample" -> { (_, cp) => (ins, rp) =>
+      val params = cp ++ rp
+      val strataCol = p(params, "strataCol", "lang")
+      val idCol = p(params, "idCol", "doc_id")
+      val defPm = p(params, "defaultPerMille", "100").toInt
+      val quotas = p(params, "quotas", "").split(",").filter(_.nonEmpty)
+        .map { kv =>
+          val Array(k, v) = kv.split(":"); k -> v.toInt
+        }
+      val quotaCol = quotas.foldLeft(lit(defPm)) { case (acc, (k, v)) =>
+        when(col(strataCol) === k, lit(v)).otherwise(acc)
+      }
+      ins.head
+        .withColumn("bucket",
+          pmod(TextF.h32(concat(col(strataCol), lit("#"),
+            col(idCol).cast("string"))), lit(1000)))
+        .filter(col("bucket") < quotaCol)
     })
 
   /** Vectorizers — add an embedding column / rows. */

@@ -162,6 +162,57 @@ object Corpus {
       |ORDER BY doc_id, probe_id
       |""".stripMargin))
 
+  /** The full curation pipeline COMPOSED THROUGH THE ORCHESTRATION
+    * SURFACE: a Workflow whose stages are all built by the string-keyed
+    * operator registry (quality filter → exact-dup collapse → stratified
+    * sample), executed as one lazy DataFrame — the end-to-end shape a
+    * radient workflow port would run, inside the oracle gate rather than
+    * only in specs. The oracle states the same three-stage composition
+    * in SQL, so stage ORDER is checked too (filter before dedup before
+    * sample — a different order selects different representatives). */
+  val q_pipeline_curate = Q(
+    "q_pipeline_curate",
+    (s, dir) => {
+      import graft.pipeline.{Operators, Workflow}
+      val curated = new Workflow()
+        .source("docs", Tables(s, dir, "documents"))
+        .addWithParams("quality",
+          Operators.make(s, "transform", "quality_filter"))
+        .addWithParams("dedup",
+          Operators.make(s, "transform", "dedup_exact_keep"))
+        .addWithParams("sample",
+          Operators.make(s, "transform", "stratified_sample",
+            Map("quotas" -> "en:500,de:200,es:200,fr:200,zh:200")))
+        .execute()
+      curated
+        .select(col("doc_id"), col("lang"),
+          col("bucket").cast("long").as("bucket"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      |WITH f AS (
+      |  SELECT doc_id, lang, text FROM (
+      |    SELECT doc_id, lang, text, len(t) AS nt,
+      |      len(list_filter(t, x -> x IN ${TextAnalysis.stopwordsSql})) AS sw,
+      |      len(g) AS n3, len(list_distinct(g)) AS nd
+      |    FROM (SELECT doc_id, lang, text, t, ${Sql.shingles3("t")} AS g
+      |          FROM (SELECT doc_id, lang, text, ${Sql.toks()} AS t
+      |                FROM documents)))
+      |  WHERE nt >= 5 AND nt <= 1000
+      |    AND sw * 1000 >= nt * 50 AND (n3 - nd) * 1000 <= n3 * 200),
+      |k AS (SELECT min(doc_id) AS doc_id FROM f
+      |      GROUP BY md5(lower(trim(text)))),
+      |d AS (SELECT f.doc_id, f.lang FROM f JOIN k USING (doc_id))
+      |SELECT doc_id, lang, bucket FROM (
+      |  SELECT doc_id, lang,
+      |    ${Sql.h32("lang || '#' || doc_id")} % 1000 AS bucket
+      |  FROM d)
+      |WHERE bucket < CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 200
+      |  WHEN 'es' THEN 200 WHEN 'fr' THEN 200 WHEN 'zh' THEN 200
+      |  ELSE 100 END
+      |ORDER BY doc_id
+      |""".stripMargin))
+
   val all: Seq[Q] = Seq(q_token_bpe, q_corpus_filter, q_sample_stratified,
-    q_decontaminate)
+    q_decontaminate, q_pipeline_curate)
 }

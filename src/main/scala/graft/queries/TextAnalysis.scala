@@ -29,8 +29,7 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "de", "et", "est", "un", "une", "les"),
     "zh" -> Seq("de", "shi", "le", "zai", "he", "you", "wo", "ta"))
 
-  val stopwords: Seq[String] =
-    Seq("the", "a", "an", "of", "and", "or", "is", "to", "in", "it", "on", "for")
+  val stopwords: Seq[String] = TextF.stopwords
 
   private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("(", ", ", ")")
 

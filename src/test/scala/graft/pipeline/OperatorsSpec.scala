@@ -76,4 +76,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(result.columns.contains("tfidf"))
     assert(result.count() == 500)
   }
+
+  test("quality_filter drops short and repetition-heavy docs only") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat and it is a fine day for all of us"),
+      (2L, "too short"),
+      (3L, ("spam spam spam " * 20).trim)
+    ).toDF("doc_id", "text")
+    val kept = Operators.make(spark, "transform", "quality_filter")(
+      Seq(docs), Map.empty).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L), s"got $kept")
+  }
+
+  test("dedup_exact_keep keeps the minimum id per normalized text") {
+    import spark.implicits._
+    val docs = Seq(
+      (5L, "Hello World"), (3L, "  hello world  "), (7L, "unique text")
+    ).toDF("doc_id", "text")
+    val kept = Operators.make(spark, "transform", "dedup_exact_keep")(
+      Seq(docs), Map.empty).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 7L), s"got $kept")
+  }
+
+  test("stratified_sample is deterministic and respects quotas") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val mk = Operators.make(spark, "transform", "stratified_sample",
+      Map("quotas" -> "en:500,de:200,es:200,fr:200,zh:200"))
+    val a = mk(Seq(docs), Map.empty).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val b = mk(Seq(docs), Map.empty).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b, "hash-threshold sampling must be run-deterministic")
+    assert(a.nonEmpty && a.size < docs.count())
+    // extra_vars quota override shrinks the sample at execute time
+    val tiny = mk(Seq(docs), Map("quotas" -> "en:10", "defaultPerMille" -> "10"))
+      .count()
+    assert(tiny < a.size)
+  }
 }
