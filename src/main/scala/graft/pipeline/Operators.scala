@@ -90,7 +90,17 @@ object Operators {
     },
     // composite keep/drop quality filter (token-count window + stopword
     // floor + repetition ceiling); thresholds compared in the INTEGER
-    // domain (per-mille) so no float boundary is engine-sensitive
+    // domain (per-mille) so no float boundary is engine-sensitive.
+    // The token + shingle arrays are materialized ONCE behind a cache
+    // before any stat touches them: higher-order functions evaluate
+    // interpreted (no codegen), and without the boundary projection
+    // collapse + predicate pushdown re-inline the token pipeline into
+    // every stat and every filter conjunct (~10 tokenizations per ROW —
+    // 19 s instead of ~1 s at sf0.1). Above the cache the stats are
+    // single passes over stored arrays, and downstream self-references
+    // (the dedup stage's semi join) re-read the cache, not the text.
+    // At cluster scale the same boundary is a materialized intermediate
+    // table (the Dedup.shingleDf lesson).
     "quality_filter" -> { (_, cp) => (ins, rp) =>
       val params = cp ++ rp
       val textCol = p(params, "textCol", "text")
@@ -98,9 +108,11 @@ object Operators {
       val maxT = p(params, "maxTokens", "1000").toInt
       val swPm = p(params, "minStopwordPerMille", "50").toInt
       val repPm = p(params, "maxRepetitionPerMille", "200").toInt
-      ins.head
+      val bound = ins.head
         .withColumn("_t", TextF.tokens(col(textCol)))
         .withColumn("_g", TextF.shingles(col("_t"), 3))
+        .cache()
+      bound
         .withColumn("_nt", size(col("_t")))
         .withColumn("_sw", TextF.hitCount(col("_t"), TextF.stopwords))
         .withColumn("_n3", size(col("_g")))

@@ -175,7 +175,7 @@ object Corpus {
     (s, dir) => {
       import graft.pipeline.{Operators, Workflow}
       val curated = new Workflow()
-        .source("docs", Tables(s, dir, "documents"))
+        .source("docs", Tables.spread(Tables(s, dir, "documents")))
         .addWithParams("quality",
           Operators.make(s, "transform", "quality_filter"))
         .addWithParams("dedup",
