@@ -101,6 +101,68 @@ object Relational2 {
       |ORDER BY supp_nation, cust_nation, l_year
       |""".stripMargin))
 
+  /** TPC-H Q8 shape: national market share — the 8-table join (lineitem
+    * + part + supplier + orders + customer + nation×2 + region) whose
+    * answer is a ratio of two conditional decimal sums per order year.
+    * Every dimension side broadcasts after its filter, so the fact table
+    * is scanned once and only shuffles on the final group key; the
+    * ratio is one double division over exact DECIMAL sums (the q14
+    * pattern), so partition order cannot perturb it. Completes the
+    * TPC-H coverage expressible without a partsupp table (Q9/Q11/Q20
+    * need ps_supplycost/ps_availqty, which the testdata does not
+    * ship). */
+  val q08_market_share = Q(
+    "q08_market_share",
+    (s, dir) => {
+      val part = Tables(s, dir, "part")
+        .filter(col("p_type") === "MEDIUM").select("p_partkey")
+      val supp = Tables(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val ord = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= ts("1995-01-01 00:00:00") &&
+          col("o_orderdate") < ts("1997-01-01 00:00:00"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val cust = Tables(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val n1 = Tables(s, dir, "nation")
+        .select(col("n_nationkey").as("n1_key"), col("n_regionkey"))
+      val n2 = Tables(s, dir, "nation")
+        .select(col("n_nationkey").as("n2_key"), col("n_name").as("supp_nation"))
+      val reg = Tables(s, dir, "region")
+        .filter(col("r_name") === "AMERICA").select("r_regionkey")
+      val target = sum(when(col("supp_nation") === "NATION_5", discPrice)
+        .otherwise(dec2(lit(0.0)))).cast("double")
+      Tables(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey",
+          "l_extendedprice", "l_discount")
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("c_nationkey") === col("n1_key"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(n2), col("s_nationkey") === col("n2_key"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg((target / sum(discPrice).cast("double")).as("mkt_share"))
+        .orderBy(col("o_year"))
+    },
+    Some(s"""
+      |SELECT year(o_orderdate) AS o_year,
+      |  CAST(sum(CASE WHEN n2.n_name = 'NATION_5' THEN ${Sql.discPrice}
+      |           ELSE CAST(0.0 AS DECIMAL(18,2)) END) AS DOUBLE)
+      |  / ${Sql.dsumExpr(Sql.discPrice)} AS mkt_share
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |JOIN region ON n1.n_regionkey = r_regionkey
+      |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |WHERE r_name = 'AMERICA' AND p_type = 'MEDIUM'
+      |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY o_year ORDER BY o_year
+      |""".stripMargin))
+
   /** TPC-H Q12 shape: conditional aggregation — high- vs low-priority
     * lineitem counts per return flag in one pass (sum(CASE ...)). */
   val q12_priority_lines = Q(
@@ -653,6 +715,7 @@ object Relational2 {
 
   val all: Seq[Q] = Seq(
     q02_cheapest_part, q04_order_priority, q07_volume_shipping,
+    q08_market_share,
     q12_priority_lines, q13_customer_distribution, q14_promo_revenue,
     q15_top_supplier, q16_supplier_variety, q17_small_quantity,
     q18_large_orders, q19_disjunctive_revenue, q21_late_suppliers,
