@@ -34,7 +34,11 @@ object Verify {
         // each entry caches its own derived tables (signatures, shingle
         // sets, index assignments); dropping them once the dump is on disk
         // keeps the harness's memory footprint per-query, not cumulative —
-        // the long-lived-session hygiene COVERAGE.md documents
+        // the long-lived-session hygiene COVERAGE.md documents.
+        // Caches.clear also evicts memoized index models, so no stale
+        // model is left pointing at an uncached assignment frame; the
+        // catalog sweep behind it catches anything untracked.
+        graft.core.Caches.clear(spark)
         spark.catalog.clearCache()
       }
       catch { case e: Throwable =>

@@ -1,0 +1,62 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-scoped registry of every DataFrame the engine pins with
+  * `.cache()` outside a locally-unpersisted scope (dedup shingle/signature
+  * tables, LSH hash tables, index leaf assignments, workflow stage
+  * caches), plus eviction hooks for memoized index models.
+  *
+  * Why not just `spark.catalog.clearCache()`: that drops the storage but
+  * leaves memoized [[graft.index.GannIndex.Model]]/[[graft.index.IvfIndex.Model]]
+  * entries pointing at now-uncached assignment frames — the next search
+  * silently recomputes the assignment per probe instead of rebuilding the
+  * index once. [[clear]] releases the storage AND runs the owners'
+  * eviction hooks, so the next call rebuilds into a fresh cache.
+  *
+  * A one-shot job never needs this (executors die with the session — the
+  * stance the query entries document); a long-lived session (notebook,
+  * Thrift server) calls `Caches.clear(spark)` between corpora. Tracking
+  * is per `applicationId`, so concurrent test sessions don't release each
+  * other's frames.
+  */
+object Caches {
+  private val frames =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.List[DataFrame]]()
+  private val hooks =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.List[Runnable]]()
+
+  private def key(s: SparkSession): String = s.sparkContext.applicationId
+
+  private def add[A](m: java.util.concurrent.ConcurrentHashMap[String, java.util.List[A]],
+      k: String, v: A): Unit =
+    m.computeIfAbsent(k,
+      _ => java.util.Collections.synchronizedList(new java.util.ArrayList[A]())).add(v)
+
+  /** `.cache()` + track: the engine-internal replacement for a bare
+    * `df.cache()` wherever the cached frame outlives the builder call.
+    * (Spark's CacheManager dedups identical plans, so re-tracking the
+    * same logical frame costs one list slot, not a second copy.) */
+  def cached(df: DataFrame): DataFrame = {
+    val c = df.cache()
+    add(frames, key(df.sparkSession), c)
+    c
+  }
+
+  /** Register an eviction hook run (once, then dropped) by [[clear]] —
+    * memoized-model owners use this to drop map entries whose cached
+    * frames are about to be released. */
+  def onClear(s: SparkSession)(f: => Unit): Unit =
+    add(hooks, key(s), new Runnable { def run(): Unit = f })
+
+  /** Release every tracked cache and run every eviction hook for this
+    * session's application. Non-blocking unpersist: storage is freed
+    * asynchronously, correctness is unaffected (cached plans recompute). */
+  def clear(s: SparkSession): Unit = {
+    val k = key(s)
+    Option(frames.remove(k)).foreach { l =>
+      l.forEach(df => { df.unpersist(blocking = false); () })
+    }
+    Option(hooks.remove(k)).foreach(_.forEach(_.run()))
+  }
+}

@@ -368,7 +368,8 @@ object GannIndex {
             sampleSize, maxDepth)))),
         Duration.Inf).toIndexedSeq
     }
-    val assign = routedForest(base, trees, idCol, vecCol).cache()
+    val assign = graft.core.Caches.cached(
+      routedForest(base, trees, idCol, vecCol))
     val leaves = assign.select("tree", "leaf").distinct()
       .as[(Int, Int)].collect().toSeq.sorted
     base.unpersist() // assign is materialized by the distinct above

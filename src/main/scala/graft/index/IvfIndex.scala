@@ -108,8 +108,13 @@ object IvfIndex {
     val km = new KMeans().setK(k).setSeed(seed).setMaxIter(8)
       .setFeaturesCol("features").setPredictionCol("cluster")
     val model = km.fit(fitSet)
-    val assign = model.transform(feat)
-      .select(col(idCol), col(vecCol), col("cluster"))
+    // cached (tracked): the index is build-once / search-many, and every
+    // search equi-joins the posting lists — uncached, each probe would
+    // re-run the scan + KMeans transform. At 100 TB the same role is
+    // played by save()'s cluster-partitioned parquet layout.
+    val assign = graft.core.Caches.cached(
+      model.transform(feat)
+        .select(col(idCol), col(vecCol), col("cluster")))
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }
     Model(centroids, assign, idCol, vecCol)

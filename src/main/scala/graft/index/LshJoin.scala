@@ -60,12 +60,12 @@ object LshJoin {
       .setInputCol("features").setOutputCol("hashes")
       .setBucketLength(bucketLength).setNumHashTables(numTables).setSeed(seed)
     val model = lsh.fit(f)
-    val hashed = model.transform(f)
-      .select(col(idCol), vector_to_array(col("features")).as("v"),
-        posexplode(col("hashes")).as(Seq("htab", "hv")))
-      .select(col(idCol), col("v"), col("htab"),
-        element_at(vector_to_array(col("hv")), 1).as("hkey"))
-      .cache()
+    val hashed = graft.core.Caches.cached(
+      model.transform(f)
+        .select(col(idCol), vector_to_array(col("features")).as("v"),
+          posexplode(col("hashes")).as(Seq("htab", "hv")))
+        .select(col(idCol), col("v"), col("htab"),
+          element_at(vector_to_array(col("hv")), 1).as("hkey")))
     val cand = hashed.select(col(idCol).as(s"${idCol}_a"), col("htab"), col("hkey"))
       .join(hashed.select(col(idCol).as(s"${idCol}_b"), col("htab"), col("hkey")),
         Seq("htab", "hkey"))

@@ -108,10 +108,9 @@ object Operators {
       val maxT = p(params, "maxTokens", "1000").toInt
       val swPm = p(params, "minStopwordPerMille", "50").toInt
       val repPm = p(params, "maxRepetitionPerMille", "200").toInt
-      val bound = ins.head
+      val bound = graft.core.Caches.cached(ins.head
         .withColumn("_t", TextF.tokens(col(textCol)))
-        .withColumn("_g", TextF.shingles(col("_t"), 3))
-        .cache()
+        .withColumn("_g", TextF.shingles(col("_t"), 3)))
       bound
         .withColumn("_nt", size(col("_t")))
         .withColumn("_sw", TextF.hitCount(col("_t"), TextF.stopwords))

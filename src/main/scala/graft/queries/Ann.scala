@@ -24,12 +24,23 @@ object Ann {
   private def memoKey(s: org.apache.spark.sql.SparkSession, dir: String) =
     s"${s.sparkContext.applicationId}#$dir"
 
+  /** Memoize an index build and register eviction with
+    * [[graft.core.Caches]]: `Caches.clear` must drop the map entry along
+    * with the model's cached assignment frame, or the stale model would
+    * silently recompute its assignment per search. */
+  private def memoized[M](s: org.apache.spark.sql.SparkSession, dir: String,
+      memo: java.util.concurrent.ConcurrentHashMap[String, M])(build: => M): M =
+    memo.computeIfAbsent(memoKey(s, dir), { k =>
+      graft.core.Caches.onClear(s) { memo.remove(k); () }
+      build
+    })
+
   val q_ann_ivf = Q(
     "q_ann_ivf",
     (s, dir) => {
       val e = Tables.spread(Tables(s, dir, "embeddings"))
-      val model = ivfMemo.computeIfAbsent(memoKey(s, dir),
-        _ => IvfIndex.build(e, "vec_id", "embedding", k = 8))
+      val model = memoized(s, dir, ivfMemo)(
+        IvfIndex.build(e, "vec_id", "embedding", k = 8))
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       model.search(queries, "qid", "qv", k = 10, nprobe = 3)
@@ -46,8 +57,8 @@ object Ann {
       // (radient/tasks/sinks/local/gann.py:15); nTrees = the n_trees
       // recall knob (gann.py:201) — search probes every tree and
       // dedupes candidates across trees before the exact re-rank
-      val model = gannMemo.computeIfAbsent(memoKey(s, dir),
-        _ => GannIndex.build(e, "vec_id", "embedding",
+      val model = memoized(s, dir, gannMemo)(
+        GannIndex.build(e, "vec_id", "embedding",
           leafSize = 200, spill = 0.15, nTrees = 2))
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))

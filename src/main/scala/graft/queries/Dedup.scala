@@ -53,12 +53,12 @@ object Dedup {
     * `toks` is likewise bound as a real column so the token split runs
     * once per row rather than once per shingle index. */
   private[queries] def shingleDf(s: SparkSession, dir: String): DataFrame =
-    Tables.spread(Tables(s, dir, "documents"))
-      .withColumn("toks", tokens(col("text")))
-      .select(col("doc_id"), col("lang"),
-        shingleSet(col("toks"), 3).as("sh"))
-      .withColumn("nsh", size(col("sh")))
-      .cache()
+    graft.core.Caches.cached(
+      Tables.spread(Tables(s, dir, "documents"))
+        .withColumn("toks", tokens(col("text")))
+        .select(col("doc_id"), col("lang"),
+          shingleSet(col("toks"), 3).as("sh"))
+        .withColumn("nsh", size(col("sh"))))
 
   private val shingleSql =
     s"""SELECT doc_id, lang,
@@ -149,9 +149,8 @@ object Dedup {
       // cached: both band-join sides derive from sig, and the 9-way
       // minhash aggregate must not be recomputed per side / re-inlined
       // into pushed-down filters (see shingleDf note)
-      val sig = d.select(col("doc_id"),
-        minhashK(col("sh"), MINHASH_K).as("sig"))
-        .cache()
+      val sig = graft.core.Caches.cached(
+        d.select(col("doc_id"), minhashK(col("sh"), MINHASH_K).as("sig")))
       val r = MINHASH_K / BANDS
       // band join and pair-dedup run over ids ONLY — the shingle arrays
       // join back in just for the (few) surviving candidate pairs, so the
@@ -220,10 +219,10 @@ object Dedup {
     (s, dir) => {
       // precompute norms once per side (gann.c:832-841 trick); cached:
       // candidate generation + both verify sides derive from it
-      val e = Tables.spread(Tables(s, dir, "embeddings"))
-        .select(col("vec_id"), col("embedding"),
-          VectorF.l2Norm(col("embedding")).as("nrm"))
-        .cache()
+      val e = graft.core.Caches.cached(
+        Tables.spread(Tables(s, dir, "embeddings"))
+          .select(col("vec_id"), col("embedding"),
+            VectorF.l2Norm(col("embedding")).as("nrm")))
       val unit = e.select(col("vec_id"),
         VectorF.normalize(col("embedding")).as("u"))
       val cand = graft.index.LshJoin.l2SelfJoin(
@@ -269,10 +268,10 @@ object Dedup {
     val HAMMING_T = 3
     // cached for the same reasons as shingleDf: self-joined, and the
     // 61-HOF simhash expression must not be re-inlined by pushdown
-    val sim = Tables.spread(Tables(s, dir, "documents"))
-      .withColumn("t", tokens(col("text")))
-      .select(col("doc_id"), simhash(col("t")).as("sh"))
-      .cache()
+    val sim = graft.core.Caches.cached(
+      Tables.spread(Tables(s, dir, "documents"))
+        .withColumn("t", tokens(col("text")))
+        .select(col("doc_id"), simhash(col("t")).as("sh")))
     val banded = sim.select(col("doc_id"), col("sh"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sh"), 15 * b).bitwiseAND(0x7fff)): _*))

@@ -444,12 +444,12 @@ object Relational2 {
     (s, dir) => {
       // cached: referenced twice (the MAX scalar and the join side) —
       // uncached, the lineitem scan+aggregate would run once per reference
-      val revenue = Tables(s, dir, "lineitem")
-        .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
-          col("l_shipdate") < ts("1996-04-01 00:00:00"))
-        .groupBy(col("l_suppkey").as("supplier_no"))
-        .agg(sum(discPrice).as("total_revenue_d"))
-        .cache()
+      val revenue = graft.core.Caches.cached(
+        Tables(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+            col("l_shipdate") < ts("1996-04-01 00:00:00"))
+          .groupBy(col("l_suppkey").as("supplier_no"))
+          .agg(sum(discPrice).as("total_revenue_d")))
       val maxRev = revenue.agg(max(col("total_revenue_d")).as("mx"))
       val supp = Tables(s, dir, "supplier").select("s_suppkey", "s_name")
       revenue.crossJoin(broadcast(maxRev))

@@ -93,14 +93,15 @@ object FastRP {
       .groupBy("node")
       .agg(vector_to_array(Summarizer.sum(col("m"))).as("vec"))
     // nodes that received no messages get the zero vector
-    val out = nodes.join(result, Seq("node"), "left")
-      .select(col("node"),
-        coalesce(col("vec"),
-          transform(sequence(lit(0), lit(dim - 1)), _ => lit(0.0))).as("vec"))
-      .cache()
+    val out = graft.core.Caches.cached(
+      nodes.join(result, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("vec"),
+            transform(sequence(lit(0), lit(dim - 1)), _ => lit(0.0))).as("vec")))
     // materialize the result, then release every intermediate cache — an
     // embed() in a long-lived session must not pin k+2 frames forever
-    // (callers may unpersist the returned frame when done with it)
+    // (callers may unpersist the returned frame when done with it, or
+    // release everything engine-pinned via graft.core.Caches.clear)
     out.count()
     intermediates.foreach(_.unpersist())
     out
