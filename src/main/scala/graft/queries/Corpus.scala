@@ -213,6 +213,108 @@ object Corpus {
       |ORDER BY doc_id
       |""".stripMargin))
 
+  /** Corpus-level bigram frequency top-k — the global n-gram statistics a
+    * curation pipeline reports (and a contamination/memorization audit
+    * reads): the 20 most document-frequent word bigrams with their
+    * document and occurrence counts. Shape: per-doc distinct bigrams →
+    * one (gram, df, total_tf) hash aggregate → top-k. Scale: the shuffle
+    * carries (gram, count) pairs with map-side partial aggregation —
+    * document payloads never move — and the top-k is a TakeOrdered over
+    * the aggregate, tie-broken on the gram so the cut is total-ordered
+    * and deterministic. All counts are integers → exact oracle. */
+  val q_ngram_topk = Q(
+    "q_ngram_topk",
+    (s, dir) => {
+      val g = Tables.spread(Tables(s, dir, "documents"))
+        .withColumn("t", tokens(col("text")))
+        .select(col("doc_id"), col("t"))
+        .withColumn("g", shingles(col("t"), 2))
+      val occ = g.select(col("doc_id"), explode(col("g")).as("gram"))
+      // two-level aggregate instead of countDistinct+count in one agg:
+      // the per-(doc, gram) tf pre-aggregate combines map-side before
+      // anything shuffles, and the final agg gets df=count / tf=sum as
+      // plain hash aggregates — no Expand duplicating the exploded rows
+      // per aggregation path
+      occ.groupBy(col("doc_id"), col("gram"))
+        .agg(count(lit(1)).as("tf"))
+        .groupBy(col("gram"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"))
+        .orderBy(desc("df"), desc("total_tf"), col("gram"))
+        .limit(20)
+    },
+    Some(s"""
+      |SELECT gram, count(DISTINCT doc_id) AS df, count(*) AS total_tf
+      |FROM (SELECT doc_id, unnest(${Sql.shingles2("t")}) AS gram
+      |      FROM (SELECT doc_id, ${Sql.toks()} AS t FROM documents))
+      |GROUP BY gram
+      |ORDER BY df DESC, total_tf DESC, gram
+      |LIMIT 20
+      |""".stripMargin))
+
+  /** Rare-token scoring — the CCNet-style "unusual vocabulary" quality
+    * signal in the exact integer domain: each document's distinct tokens
+    * are joined against the corpus document-frequency table and summarized
+    * as (n_distinct, n_rare with df ≤ 2, min_df, sum_df). Low min_df /
+    * high n_rare flags OCR noise, codes and gibberish; sum_df/n_distinct
+    * is the doc's average-commonness numerator. Integer counts only — no
+    * log-probability float, so the oracle hash-matches exactly while
+    * ranking the same way a unigram LM score would (monotone in df).
+    * Scale: the df table is vocabulary-sized (≪ corpus, Zipf) and
+    * broadcast back against the per-doc distinct tokens; both aggregates
+    * are map-side-combined hash aggregates over (token) keys. */
+  val q_rare_tokens = Q(
+    "q_rare_tokens",
+    (s, dir) => {
+      val toksDf = Tables.spread(Tables(s, dir, "documents"))
+        .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+      val dfreq = toksDf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      toksDf.join(broadcast(dfreq), Seq("tok"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_distinct"),
+          sum((col("df") <= 2).cast("long")).as("n_rare"),
+          min(col("df")).as("min_df"),
+          sum(col("df")).as("sum_df"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      |WITH t AS (SELECT DISTINCT doc_id, unnest(${Sql.toks()}) AS tok
+      |           FROM documents),
+      |dfreq AS (SELECT tok, count(*) AS df FROM t GROUP BY tok)
+      |SELECT doc_id, count(*) AS n_distinct,
+      |  sum(CAST(df <= 2 AS BIGINT)) AS n_rare,
+      |  min(df) AS min_df, sum(df) AS sum_df
+      |FROM t JOIN dfreq USING (tok)
+      |GROUP BY doc_id
+      |ORDER BY doc_id
+      |""".stripMargin))
+
+  /** Zipf frequency-of-frequency histogram — the corpus vocabulary
+    * diagnostic (hapax count, head weight) a curation run sanity-checks
+    * before training: how many distinct terms occur exactly c times.
+    * Two chained hash aggregates, both map-side-combined; the second
+    * input is vocabulary-sized, the output is O(distinct counts) — tiny.
+    * At 100 TB nothing but (token, count) then (count, count) pairs ever
+    * shuffles. Integer-exact. */
+  val q_zipf = Q(
+    "q_zipf",
+    (s, dir) => {
+      Tables.spread(Tables(s, dir, "documents"))
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .groupBy(col("c")).agg(count(lit(1)).as("n_terms"))
+        .select(col("c").as("term_count"), col("n_terms"))
+        .orderBy(col("term_count"))
+    },
+    Some(s"""
+      |SELECT c AS term_count, count(*) AS n_terms
+      |FROM (SELECT tok, count(*) AS c
+      |      FROM (SELECT unnest(${Sql.toks()}) AS tok FROM documents)
+      |      GROUP BY tok)
+      |GROUP BY c
+      |ORDER BY term_count
+      |""".stripMargin))
+
   val all: Seq[Q] = Seq(q_token_bpe, q_corpus_filter, q_sample_stratified,
-    q_decontaminate, q_pipeline_curate)
+    q_decontaminate, q_pipeline_curate, q_ngram_topk, q_rare_tokens, q_zipf)
 }
+

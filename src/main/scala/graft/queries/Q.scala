@@ -52,6 +52,11 @@ object Sql {
   def shingles3(t: String): String =
     s"list_transform(range(1, greatest(len($t) - 1, 1)), i -> concat_ws(' ', $t[i], $t[i+1], $t[i+2]))"
 
+  /** 2-shingle (bigram) list over a token list t (TextF.shingles n=2
+    * twin: empty below 2 tokens, len−1 bigrams otherwise). */
+  def shingles2(t: String): String =
+    s"list_transform(range(1, greatest(len($t), 1)), i -> concat_ws(' ', $t[i], $t[i+1]))"
+
   /** TextF.minhash twin over a shingle list. */
   def minhash(sh: String, j: Int): String =
     s"coalesce(list_min(list_transform($sh, s -> ${h32(s"'$j#' || s")})), -1)"
