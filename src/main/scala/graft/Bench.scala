@@ -57,18 +57,25 @@ object Bench {
     }
     val p1 = pass(); val p2 = pass()
     val results = p1.map { case (name, t) => name -> math.min(t, p2(name)) }
-    // 2-decimal seconds + sf basename: 10 ms precision exceeds run noise,
-    // and the short line keeps the whole JSON inside the driver's
-    // 2000-char output-tail window (round 4's ~1930-char full-precision
-    // line was clipped by sbt's trailing "[success]" and parsed as null).
-    def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f2(v) }
-      .mkString("{", ",", "}")
+    // Short-line guard: the driver keeps only a ~2000-char stdout tail and
+    // sbt's trailing "[success] ..." line (~75 chars) eats into it, so the
+    // JSON line must stay well under ~1900 chars or its head gets clipped
+    // and parses as null (round 4 failure mode). 10 ms precision already
+    // exceeds run noise; if the query count grows the line past the budget,
+    // degrade per-query precision to 0.1 s rather than ever exceed it.
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val sfName = new java.io.File(sfDir).getName
+    def fmt(v: Double, dec: Int): String =
+      s"%.${dec}f".formatLocal(java.util.Locale.ROOT, v)
+    def line(dec: Int): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, dec) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
+    }
+    val out = Seq(2, 1).map(line).find(_.length <= 1750).getOrElse(line(0))
     // stop Spark first so the JSON is the absolute last stdout line
     spark.stop()
-    val sfName = new java.io.File(sfDir).getName
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}""")
+    println(out)
     System.out.flush()
   }
 }
