@@ -10,7 +10,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object QueryRegistry {
   def all: Seq[Q] =
     Relational.all ++ Relational2.all ++ TextAnalysis.all ++ Corpus.all ++
-      Dedup.all ++ VectorSearch.all ++ SparseSearch.all ++ Molecules.all ++
+      Dedup.all ++ VectorSearch.all ++ VectorCompress.all ++
+      SparseSearch.all ++ Molecules.all ++
       Ann.all ++ Pipelines.all ++ StreamingQ.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
