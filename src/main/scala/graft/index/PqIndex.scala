@@ -1,0 +1,206 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PQ (product-quantization) ANN index: the vector space is split into
+  * `m` subspaces, each subspace gets its own small codebook (`ksub`
+  * centroids, trained by seeded Lloyd iterations on a bounded driver-side
+  * sample), and every vector is stored as `m` small codes — 64 float32
+  * lanes become 8 bytes, a 32x compression of the stored index.
+  *
+  * Search is ADC (asymmetric distance computation, Jégou et al., "Product
+  * Quantization for Nearest Neighbor Search", TPAMI 2011): per query, one
+  * `m x ksub` table of exact subspace distances is computed once, and
+  * every candidate's approximate distance is `m` table lookups over its
+  * codes — no float vector is ever read at search time.
+  *
+  * Scale shape: the codebooks are a few KB broadcast to every executor;
+  * the codes table is the only distributed state (32x smaller than the
+  * raw vectors, so at 100 TB of embeddings the index is ~3 TB); the
+  * per-query top-k runs through the bounded-heap TopKAgg, shipping ≤k
+  * rows per partition per query into the final shuffle. The reference
+  * stores raw float vectors (radient/tasks/sinks/local/gann.py:196-216)
+  * — PQ is the compression tier its GANN/IVF probes would sit on top of
+  * at this data size.
+  */
+object PqIndex {
+
+  /** codebooks(sub)(code) = centroid of length dsub. */
+  final case class Model(m: Int, dsub: Int, ksub: Int,
+      codebooks: Array[Array[Array[Double]]],
+      codes: DataFrame, idCol: String) {
+
+    /** ADC batch search: per-query distance table (UDF over the tiny
+      * broadcast codebooks), then a codegen'd lookup-sum over the codes
+      * table and a bounded-heap top-k. */
+    def search(queries: DataFrame, qid: String, qvec: String, k: Int): DataFrame = {
+      val idType = GannIndex.requireIntegralId(codes, idCol)
+      val spark = queries.sparkSession
+      val bc = spark.sparkContext.broadcast(codebooks)
+      val (mm, dd, kk) = (m, dsub, ksub)
+      // flat dist table: dt(sub*ksub + code) = ||q_sub - centroid||^2
+      val dtUdf = udf { (v: Seq[Double]) =>
+        val cbs = bc.value
+        val dt = new Array[Double](mm * kk)
+        var sub = 0
+        while (sub < mm) {
+          val cb = cbs(sub)
+          var c = 0
+          while (c < cb.length) {
+            var s = 0.0; var j = 0
+            while (j < dd) {
+              val d = v(sub * dd + j) - cb(c)(j); s += d * d; j += 1
+            }
+            dt(sub * kk + c) = s
+            c += 1
+          }
+          sub += 1
+        }
+        dt.toSeq
+      }
+      val probes = queries.select(col(qid),
+        dtUdf(col(qvec).cast("array<double>")).as("dt"))
+      // approx dist = sum of m table lookups — a pure codegen fold, the
+      // distributed twin of the reference's per-candidate distance kernel
+      // (gann.c:944-1007), reading 8 bytes of codes instead of 256 of floats
+      val adc = aggregate(sequence(lit(0), lit(mm - 1)), lit(0.0),
+        (acc, i) => acc + element_at(col("dt"),
+          i * kk + element_at(col("codes"), i + 1) + 1))
+      codes.crossJoin(broadcast(probes))
+        .filter(col(idCol) =!= col(qid))
+        .select(col(qid), col(idCol), adc.as("dist"))
+        .groupBy(col(qid))
+        .agg(graft.functions.TopKAgg.topK(col("dist"), col(idCol).cast("long"), k).as("top"))
+        .select(col(qid), posexplode(col("top")).as(Seq("pos", "s")))
+        .select(col(qid), col("s.id").cast(idType).as(idCol),
+          col("s.dist").as("dist"), (col("pos") + 1).cast("int").as("rnk"))
+    }
+
+    /** Two-stage search: ADC shortlist of `shortlist` candidates per
+      * query over the compressed codes, then an exact re-rank of just
+      * the shortlist against the raw vectors — the standard PQ serving
+      * shape (ADC absorbs the 32x scan compression, the exact stage
+      * absorbs the quantization error). `vectors` is the raw
+      * (idCol, vecCol) table; only shortlist·|queries| rows of it are
+      * ever read, via an id equi-join. */
+    def searchRerank(queries: DataFrame, qid: String, qvec: String, k: Int,
+        shortlist: Int, vectors: DataFrame, vecCol: String): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val idType = GannIndex.requireIntegralId(codes, idCol)
+      val cand = search(queries, qid, qvec, k = shortlist)
+        .select(col(qid), col(idCol))
+      val w = Window.partitionBy(col(qid)).orderBy(col("dist"), col(idCol))
+      cand
+        .join(vectors.select(col(idCol), col(vecCol)), Seq(idCol))
+        .join(queries.select(col(qid), col(qvec)), Seq(qid))
+        .select(col(qid), col(idCol),
+          graft.functions.VectorF.l2Dist(col(vecCol), col(qvec)).as("dist"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+        .select(col(qid), col(idCol).cast(idType).as(idCol), col("dist"), col("rnk"))
+    }
+  }
+
+  /** Persist codebooks + the compact codes table. */
+  def save(model: Model, path: String): Unit = {
+    val spark = model.codes.sparkSession
+    import spark.implicits._
+    val rows = for {
+      sub <- model.codebooks.indices
+      code <- model.codebooks(sub).indices
+    } yield (sub, code, model.codebooks(sub)(code).toSeq)
+    rows.toDF("sub", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    model.codes.write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  def load(spark: SparkSession, path: String, idCol: String): Model = {
+    val cb = spark.read.parquet(s"$path/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = cb.map(_._1).max + 1
+    val ksub = cb.map(_._2).max + 1
+    val books = Array.tabulate(m, ksub)((s, c) => cb.find(t => t._1 == s && t._2 == c).get._3)
+    Model(m, books(0)(0).length, ksub, books,
+      spark.read.parquet(s"$path/codes"), idCol)
+  }
+
+  /** Seeded Lloyd iterations over one subspace's sample slice; empty
+    * clusters keep their previous centroid (deterministic). */
+  private def lloyd(pts: Array[Array[Double]], k: Int, iters: Int,
+      seed: Long): Array[Array[Double]] = {
+    val dsub = pts(0).length
+    val rnd = new scala.util.Random(seed)
+    val init = rnd.shuffle(pts.indices.toVector).take(math.min(k, pts.length))
+    var cents = init.map(i => pts(i).clone()).toArray
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](dsub))
+      val cnts = new Array[Long](cents.length)
+      pts.foreach { p =>
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < cents.length) {
+          var s = 0.0; var j = 0
+          while (j < dsub) { val d = p(j) - cents(c)(j); s += d * d; j += 1 }
+          if (s < bd) { bd = s; best = c }
+          c += 1
+        }
+        var j = 0
+        while (j < dsub) { sums(best)(j) += p(j); j += 1 }
+        cnts(best) += 1
+      }
+      cents = cents.indices.map { c =>
+        if (cnts(c) == 0) cents(c)
+        else sums(c).map(_ / cnts(c))
+      }.toArray
+      it += 1
+    }
+    cents
+  }
+
+  /** Train per-subspace codebooks on a bounded sample (driver-side Lloyd
+    * — the sample is index-build statistics, like IvfIndex's fitSample;
+    * the full table is only touched by the single distributed encode
+    * pass) and encode every vector to its m nearest-centroid codes. */
+  def build(df: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, ksub: Int = 16, seed: Long = 42L,
+      fitSample: Int = 4096, iters: Int = 10): Model = {
+    val first = df.select(vecCol).limit(1).collect()
+    require(first.nonEmpty, "PqIndex.build: empty input")
+    val dim = first(0).getSeq[Any](0).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val sample = df.select(col(vecCol).cast("array<double>"))
+      .limit(fitSample).collect().map(_.getSeq[Double](0).toArray)
+    val books = Array.tabulate(m) { sub =>
+      val slice = sample.map(_.slice(sub * dsub, (sub + 1) * dsub))
+      lloyd(slice, ksub, iters, seed + sub)
+    }
+    val bc = df.sparkSession.sparkContext.broadcast(books)
+    val (mm, dd) = (m, dsub)
+    val encodeUdf = udf { (v: Seq[Double]) =>
+      val cbs = bc.value
+      val out = new Array[Int](mm)
+      var sub = 0
+      while (sub < mm) {
+        val cb = cbs(sub)
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < cb.length) {
+          var s = 0.0; var j = 0
+          while (j < dd) { val d = v(sub * dd + j) - cb(c)(j); s += d * d; j += 1 }
+          if (s < bd) { bd = s; best = c }
+          c += 1
+        }
+        out(sub) = best
+        sub += 1
+      }
+      out.toSeq
+    }
+    // cached (tracked): build-once / search-many — every ADC search scans
+    // the codes; at 100 TB the same role is played by save()'s parquet
+    val codes = graft.core.Caches.cached(
+      df.select(col(idCol),
+        encodeUdf(col(vecCol).cast("array<double>")).as("codes")))
+    Model(m, dsub, ksub, books, codes, idCol)
+  }
+}

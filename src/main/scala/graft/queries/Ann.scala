@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tables
-import graft.index.{GannIndex, IvfIndex}
+import graft.index.{GannIndex, IvfIndex, PqIndex}
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbour query entries. Approximate by design →
@@ -21,6 +21,8 @@ object Ann {
     new java.util.concurrent.ConcurrentHashMap[String, IvfIndex.Model]()
   private val gannMemo =
     new java.util.concurrent.ConcurrentHashMap[String, GannIndex.Model]()
+  private val pqMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, PqIndex.Model]()
   private def memoKey(s: org.apache.spark.sql.SparkSession, dir: String) =
     s"${s.sparkContext.applicationId}#$dir"
 
@@ -68,6 +70,25 @@ object Ann {
     },
     None)
 
+  /** PQ/ADC search over the 32x-compressed codes table — the memory-
+    * compression tier for 100 TB-scale embedding search (codebooks
+    * broadcast, 8-byte codes instead of 256-byte vectors; recall vs the
+    * exact path pinned in PqRecallSpec). */
+  val q_ann_pq = Q(
+    "q_ann_pq",
+    (s, dir) => {
+      val e = Tables.spread(Tables(s, dir, "embeddings"))
+      val model = memoized(s, dir, pqMemo)(
+        PqIndex.build(e, "vec_id", "embedding", m = 16, ksub = 16))
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      model.searchRerank(queries, "qid", "qv", k = 10,
+          shortlist = 50, vectors = e, vecCol = "embedding")
+        .select(col("qid"), col("vec_id"), round(col("dist"), 6).as("dist"), col("rnk"))
+        .orderBy(col("qid"), col("rnk"))
+    },
+    None)
+
   /** MLlib BucketedRandomProjectionLSH approxSimilarityJoin — the stock
     * scaled ANN-join operator (SURVEY.md §7.1 item 9). Approximate →
     * rows-only; recall vs the exact pairwise join is pinned in
@@ -88,5 +109,5 @@ object Ann {
     },
     None)
 
-  val all: Seq[Q] = Seq(q_ann_ivf, q_ann_gann, q_ann_lsh_join)
+  val all: Seq[Q] = Seq(q_ann_ivf, q_ann_gann, q_ann_pq, q_ann_lsh_join)
 }
