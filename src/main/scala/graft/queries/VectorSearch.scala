@@ -198,7 +198,95 @@ object VectorSearch {
       |ORDER BY vec_id
       |""".stripMargin))
 
+  /** MMR-diversified rerank (Carbonell & Goldstein '98): greedy top-5
+    * from the top-20 cosine candidates of probe vec_id=0, score =
+    * 0.7·rel − 0.3·max-sim-to-selected, ties by vec_id. The greedy loop
+    * is unrolled as 5 plan stages over 1-row pick frames — identical
+    * double arithmetic to the DuckDB oracle, so the selection is exact.
+    * Scale: rerank runs AFTER retrieval on a per-query candidate list
+    * bounded by k (here 20), so the quadratic sim matrix is k² tiny rows
+    * per query no matter the corpus size; the candidate generation is
+    * the same broadcast top-k plan as q_knn_brute. */
+  val q_mmr_rerank = Q(
+    "q_mmr_rerank",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"))
+      val cands = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("embedding"),
+          cosine(col("embedding"), col("qv")).as("rel"))
+        .orderBy(desc("rel"), col("vec_id"))
+        .limit(20)
+      val a = cands.select(col("vec_id").as("ida"), col("embedding").as("va"))
+      val b = cands.select(col("vec_id").as("idb"), col("embedding").as("vb"))
+      val sims = a.join(b, col("ida") =!= col("idb"))
+        .select(col("ida"), col("idb"), cosine(col("va"), col("vb")).as("sim"))
+      var picks = Vector.empty[org.apache.spark.sql.DataFrame]
+      for (t <- 1 to 5) {
+        val scored =
+          if (picks.isEmpty)
+            cands.select(col("vec_id"), (lit(0.7) * col("rel")).as("score"))
+          else {
+            val selIds = picks.map(_.select(col("vec_id").as("sel"))).reduce(_ union _)
+            val ms = sims.join(broadcast(selIds), col("idb") === col("sel"))
+              .groupBy(col("ida")).agg(max(col("sim")).as("maxsim"))
+            cands.join(selIds, col("vec_id") === col("sel"), "left_anti")
+              .join(ms, col("vec_id") === col("ida"))
+              .select(col("vec_id"),
+                (lit(0.7) * col("rel") - lit(0.3) * col("maxsim")).as("score"))
+          }
+        picks = picks :+ scored.orderBy(desc("score"), col("vec_id")).limit(1)
+          .withColumn("step", lit(t.toLong))
+      }
+      picks.reduce(_ union _)
+        .select(col("step"), col("vec_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("step"))
+    },
+    Some(s"""
+      |WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      |cand AS (
+      |  SELECT vec_id, embedding, ${Sql.cosine("embedding", "qv")} AS rel
+      |  FROM embeddings, q WHERE vec_id <> 0
+      |  ORDER BY rel DESC, vec_id LIMIT 20),
+      |sims AS (
+      |  SELECT a.vec_id AS ida, b.vec_id AS idb,
+      |    ${Sql.cosine("a.embedding", "b.embedding")} AS sim
+      |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+      |p1 AS (SELECT vec_id, 0.7::DOUBLE * rel AS score, 1::BIGINT AS step
+      |       FROM cand ORDER BY score DESC, vec_id LIMIT 1),
+      |p2 AS (SELECT c.vec_id,
+      |         0.7::DOUBLE * c.rel - 0.3::DOUBLE * (
+      |           SELECT max(s.sim) FROM sims s WHERE s.ida = c.vec_id
+      |           AND s.idb IN (SELECT vec_id FROM p1)) AS score, 2::BIGINT AS step
+      |       FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM p1)
+      |       ORDER BY score DESC, vec_id LIMIT 1),
+      |p3 AS (SELECT c.vec_id,
+      |         0.7::DOUBLE * c.rel - 0.3::DOUBLE * (
+      |           SELECT max(s.sim) FROM sims s WHERE s.ida = c.vec_id
+      |           AND s.idb IN (SELECT vec_id FROM p1 UNION SELECT vec_id FROM p2)) AS score, 3::BIGINT AS step
+      |       FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM p1 UNION SELECT vec_id FROM p2)
+      |       ORDER BY score DESC, vec_id LIMIT 1),
+      |p4 AS (SELECT c.vec_id,
+      |         0.7::DOUBLE * c.rel - 0.3::DOUBLE * (
+      |           SELECT max(s.sim) FROM sims s WHERE s.ida = c.vec_id
+      |           AND s.idb IN (SELECT vec_id FROM p1 UNION SELECT vec_id FROM p2 UNION SELECT vec_id FROM p3)) AS score, 4::BIGINT AS step
+      |       FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM p1 UNION SELECT vec_id FROM p2 UNION SELECT vec_id FROM p3)
+      |       ORDER BY score DESC, vec_id LIMIT 1),
+      |p5 AS (SELECT c.vec_id,
+      |         0.7::DOUBLE * c.rel - 0.3::DOUBLE * (
+      |           SELECT max(s.sim) FROM sims s WHERE s.ida = c.vec_id
+      |           AND s.idb IN (SELECT vec_id FROM p1 UNION SELECT vec_id FROM p2 UNION SELECT vec_id FROM p3 UNION SELECT vec_id FROM p4)) AS score, 5::BIGINT AS step
+      |       FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM p1 UNION SELECT vec_id FROM p2 UNION SELECT vec_id FROM p3 UNION SELECT vec_id FROM p4)
+      |       ORDER BY score DESC, vec_id LIMIT 1)
+      |SELECT step, vec_id, round(score, 6) AS score FROM (
+      |  SELECT * FROM p1 UNION ALL SELECT * FROM p2 UNION ALL SELECT * FROM p3
+      |  UNION ALL SELECT * FROM p4 UNION ALL SELECT * FROM p5)
+      |ORDER BY step
+      |""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q_vec_norms, q_knn_brute, q_knn_filtered, q_knn_join,
-    q_meanpool_label, q_vec_normalize, q_cluster_assign)
+    q_meanpool_label, q_vec_normalize, q_cluster_assign, q_mmr_rerank)
 }
