@@ -41,23 +41,7 @@ object PqIndex {
       val (mm, dd, kk) = (m, dsub, ksub)
       // flat dist table: dt(sub*ksub + code) = ||q_sub - centroid||^2
       val dtUdf = udf { (v: Seq[Double]) =>
-        val cbs = bc.value
-        val dt = new Array[Double](mm * kk)
-        var sub = 0
-        while (sub < mm) {
-          val cb = cbs(sub)
-          var c = 0
-          while (c < cb.length) {
-            var s = 0.0; var j = 0
-            while (j < dd) {
-              val d = v(sub * dd + j) - cb(c)(j); s += d * d; j += 1
-            }
-            dt(sub * kk + c) = s
-            c += 1
-          }
-          sub += 1
-        }
-        dt.toSeq
+        PqIndex.distTable(v.toIndexedSeq, bc.value, mm, dd, kk).toSeq
       }
       val probes = queries.select(col(qid),
         dtUdf(col(qvec).cast("array<double>")).as("dt"))
@@ -126,8 +110,10 @@ object PqIndex {
   }
 
   /** Seeded Lloyd iterations over one subspace's sample slice; empty
-    * clusters keep their previous centroid (deterministic). */
-  private def lloyd(pts: Array[Array[Double]], k: Int, iters: Int,
+    * clusters keep their previous centroid (deterministic). Shared with
+    * the IVF-PQ composition (IvfPq trains its residual codebooks with
+    * the same kernel). */
+  private[index] def lloyd(pts: Array[Array[Double]], k: Int, iters: Int,
       seed: Long): Array[Array[Double]] = {
     val dsub = pts(0).length
     val rnd = new scala.util.Random(seed)
@@ -158,6 +144,55 @@ object PqIndex {
     cents
   }
 
+  /** Per-subspace codebooks over a sample (shared with IvfPq). */
+  private[index] def trainBooks(sample: Array[Array[Double]], m: Int,
+      dsub: Int, ksub: Int, seed: Long, iters: Int): Array[Array[Array[Double]]] =
+    Array.tabulate(m) { sub =>
+      val slice = sample.map(_.slice(sub * dsub, (sub + 1) * dsub))
+      lloyd(slice, ksub, iters, seed + sub)
+    }
+
+  /** Nearest-centroid code per subspace (tie → lowest code; shared with
+    * IvfPq's residual encode). */
+  private[index] def encodeOne(v: IndexedSeq[Double],
+      cbs: Array[Array[Array[Double]]], m: Int, dsub: Int): Array[Int] = {
+    val out = new Array[Int](m)
+    var sub = 0
+    while (sub < m) {
+      val cb = cbs(sub)
+      var best = 0; var bd = Double.MaxValue; var c = 0
+      while (c < cb.length) {
+        var s = 0.0; var j = 0
+        while (j < dsub) { val d = v(sub * dsub + j) - cb(c)(j); s += d * d; j += 1 }
+        if (s < bd) { bd = s; best = c }
+        c += 1
+      }
+      out(sub) = best
+      sub += 1
+    }
+    out
+  }
+
+  /** Per-query flat ADC table dt(sub*ksub + code) = ||q_sub − centroid||²
+    * (shared with IvfPq, which feeds `q − coarse centroid` residuals). */
+  private[index] def distTable(v: IndexedSeq[Double],
+      cbs: Array[Array[Array[Double]]], m: Int, dsub: Int, ksub: Int): Array[Double] = {
+    val dt = new Array[Double](m * ksub)
+    var sub = 0
+    while (sub < m) {
+      val cb = cbs(sub)
+      var c = 0
+      while (c < cb.length) {
+        var s = 0.0; var j = 0
+        while (j < dsub) { val d = v(sub * dsub + j) - cb(c)(j); s += d * d; j += 1 }
+        dt(sub * ksub + c) = s
+        c += 1
+      }
+      sub += 1
+    }
+    dt
+  }
+
   /** Train per-subspace codebooks on a bounded sample (driver-side Lloyd
     * — the sample is index-build statistics, like IvfIndex's fitSample;
     * the full table is only touched by the single distributed encode
@@ -172,29 +207,11 @@ object PqIndex {
     val dsub = dim / m
     val sample = df.select(col(vecCol).cast("array<double>"))
       .limit(fitSample).collect().map(_.getSeq[Double](0).toArray)
-    val books = Array.tabulate(m) { sub =>
-      val slice = sample.map(_.slice(sub * dsub, (sub + 1) * dsub))
-      lloyd(slice, ksub, iters, seed + sub)
-    }
+    val books = trainBooks(sample, m, dsub, ksub, seed, iters)
     val bc = df.sparkSession.sparkContext.broadcast(books)
     val (mm, dd) = (m, dsub)
     val encodeUdf = udf { (v: Seq[Double]) =>
-      val cbs = bc.value
-      val out = new Array[Int](mm)
-      var sub = 0
-      while (sub < mm) {
-        val cb = cbs(sub)
-        var best = 0; var bd = Double.MaxValue; var c = 0
-        while (c < cb.length) {
-          var s = 0.0; var j = 0
-          while (j < dd) { val d = v(sub * dd + j) - cb(c)(j); s += d * d; j += 1 }
-          if (s < bd) { bd = s; best = c }
-          c += 1
-        }
-        out(sub) = best
-        sub += 1
-      }
-      out.toSeq
+      encodeOne(v.toIndexedSeq, bc.value, mm, dd).toSeq
     }
     // cached (tracked): build-once / search-many — every ADC search scans
     // the codes; at 100 TB the same role is played by save()'s parquet

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tables
-import graft.index.{GannIndex, IvfIndex, PqIndex}
+import graft.index.{GannIndex, IvfIndex, IvfPq, PqIndex}
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbour query entries. Approximate by design →
@@ -23,6 +23,8 @@ object Ann {
     new java.util.concurrent.ConcurrentHashMap[String, GannIndex.Model]()
   private val pqMemo =
     new java.util.concurrent.ConcurrentHashMap[String, PqIndex.Model]()
+  private val ivfPqMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, IvfPq.Model]()
   private def memoKey(s: org.apache.spark.sql.SparkSession, dir: String) =
     s"${s.sparkContext.applicationId}#$dir"
 
@@ -89,6 +91,25 @@ object Ann {
     },
     None)
 
+  /** IVF-PQ (the canonical 100 TB layout: coarse clusters + PQ-coded
+    * residuals): probe 3 of 8 clusters, ADC over the probed posting
+    * lists, exact rerank of the shortlist. Recall/monotonicity/roundtrip
+    * pinned in IvfPqSpec. */
+  val q_ann_ivfpq = Q(
+    "q_ann_ivfpq",
+    (s, dir) => {
+      val e = Tables.spread(Tables(s, dir, "embeddings"))
+      val model = memoized(s, dir, ivfPqMemo)(
+        IvfPq.build(e, "vec_id", "embedding", kCoarse = 8, m = 16, ksub = 16))
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      model.searchRerank(queries, "qid", "qv", k = 10,
+          nprobe = 3, shortlist = 50, vectors = e, vecCol = "embedding")
+        .select(col("qid"), col("vec_id"), round(col("dist"), 6).as("dist"), col("rnk"))
+        .orderBy(col("qid"), col("rnk"))
+    },
+    None)
+
   /** MLlib BucketedRandomProjectionLSH approxSimilarityJoin — the stock
     * scaled ANN-join operator (SURVEY.md §7.1 item 9). Approximate →
     * rows-only; recall vs the exact pairwise join is pinned in
@@ -109,5 +130,5 @@ object Ann {
     },
     None)
 
-  val all: Seq[Q] = Seq(q_ann_ivf, q_ann_gann, q_ann_pq, q_ann_lsh_join)
+  val all: Seq[Q] = Seq(q_ann_ivf, q_ann_gann, q_ann_pq, q_ann_ivfpq, q_ann_lsh_join)
 }
