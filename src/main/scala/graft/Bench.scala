@@ -72,7 +72,10 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
     }
-    val out = Seq(2, 1).map(line).find(_.length <= 1750).getOrElse(line(0))
+    // 1880 + the ~80-char sbt "[success] ..." trailer + newlines stays
+    // inside the 2000-char window with margin; at the current 77 queries
+    // this picks 1 decimal (~1830 chars) — totals always keep 2.
+    val out = Seq(2, 1).map(line).find(_.length <= 1880).getOrElse(line(0))
     // stop Spark first so the JSON is the absolute last stdout line
     spark.stop()
     println(out)

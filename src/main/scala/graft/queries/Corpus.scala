@@ -225,20 +225,26 @@ object Corpus {
   val q_ngram_topk = Q(
     "q_ngram_topk",
     (s, dir) => {
-      val g = Tables.spread(Tables(s, dir, "documents"))
-        .withColumn("t", tokens(col("text")))
-        .select(col("doc_id"), col("t"))
-        .withColumn("g", shingles(col("t"), 2))
-      val occ = g.select(col("doc_id"), explode(col("g")).as("gram"))
-      // two-level aggregate instead of countDistinct+count in one agg:
-      // the per-(doc, gram) tf pre-aggregate combines map-side before
-      // anything shuffles, and the final agg gets df=count / tf=sum as
-      // plain hash aggregates — no Expand duplicating the exploded rows
-      // per aggregation path
-      occ.groupBy(col("doc_id"), col("gram"))
-        .agg(count(lit(1)).as("tf"))
-        .groupBy(col("gram"))
-        .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"))
+      // cached (tracked): the shingled projection feeds two aggregates
+      val g = graft.core.Caches.cached(
+        Tables.spread(Tables(s, dir, "documents"))
+          .withColumn("t", tokens(col("text")))
+          .select(col("doc_id"), shingles(col("t"), 2).as("g")))
+      // two gram-keyed aggregates instead of one (doc_id, gram)-keyed
+      // pre-aggregate: the gram vocabulary is tiny relative to the
+      // occurrence stream (Zipf), so keying the hash aggregate by gram
+      // alone lets the map side combine ~all occurrences locally —
+      // nothing but (gram, count) pairs ever shuffles, where the
+      // (doc_id, gram) key space was nearly occurrence-sized. df gets
+      // its own explode over the per-doc distinct grams (also
+      // map-side-combined); the two vocabulary-sized results
+      // broadcast-join on gram.
+      val tf = g.select(explode(col("g")).as("gram"))
+        .groupBy(col("gram")).agg(count(lit(1)).as("total_tf"))
+      val df = g.select(explode(array_distinct(col("g"))).as("gram"))
+        .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      df.join(tf, Seq("gram"))
+        .select(col("gram"), col("df"), col("total_tf"))
         .orderBy(desc("df"), desc("total_tf"), col("gram"))
         .limit(20)
     },
@@ -314,7 +320,42 @@ object Corpus {
       |ORDER BY term_count
       |""".stripMargin))
 
+  /** Sequence packing — the last step before training: concatenate
+    * documents (in a stable order) into fixed-token-budget bins of 512,
+    * each doc assigned to the bin its start offset falls in (docs may
+    * straddle a boundary; the trainer's collator splits them). Packing
+    * is per-language, so the running offset is a window cumsum inside
+    * each lang partition — embarrassingly parallel across partitions.
+    * At 100 TB the partition key widens to (lang, shard-hash) to bound
+    * any one window's key group; bins stay deterministic because the
+    * order inside a shard is by doc_id, never by arrival. Integer-exact
+    * → hash-checked. */
+  val q_pack_sequences = Q(
+    "q_pack_sequences",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(tokens(col("text"))).cast("long").as("n_tok"))
+        .withColumn("off", sum(col("n_tok")).over(w) - col("n_tok"))
+        .withColumn("bin", floor(col("off") / 512).cast("long"))
+        .orderBy(col("lang"), col("doc_id"))
+    },
+    Some(s"""
+      |SELECT doc_id, lang, n_tok,
+      |  sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS off,
+      |  CAST(floor((sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) / 512) AS BIGINT) AS bin
+      |FROM (SELECT doc_id, lang, CAST(len(${Sql.toks()}) AS BIGINT) AS n_tok
+      |      FROM documents)
+      |ORDER BY lang, doc_id
+      |""".stripMargin))
+
   val all: Seq[Q] = Seq(q_token_bpe, q_corpus_filter, q_sample_stratified,
-    q_decontaminate, q_pipeline_curate, q_ngram_topk, q_rare_tokens, q_zipf)
+    q_decontaminate, q_pipeline_curate, q_ngram_topk, q_rare_tokens, q_zipf,
+    q_pack_sequences)
 }
 
