@@ -63,6 +63,33 @@ object IvfIndex {
     }
   }
 
+  /** Incremental insert — the streaming-ingest half of the reference's
+    * insert → index → search lifecycle (tasks/sinks/milvus.py:83 insert,
+    * gann.py:196 insert-then-index): new vectors are assigned to the
+    * FROZEN centroids (one broadcast-probe pass, no retrain — the coarse
+    * quantizer is fit statistics, not per-row state) and appended to the
+    * posting lists. Cluster balance drifts only as far as the data
+    * does; rebuild when it matters. */
+  def insert(model: Model, df: DataFrame): Model = {
+    val bc = df.sparkSession.sparkContext.broadcast(model.centroids)
+    val assignUdf = udf { (v: Seq[Double]) =>
+      val arr = v.toArray
+      var best = 0; var bd = Double.MaxValue
+      bc.value.foreach { case (cid, c) =>
+        var s = 0.0; var i = 0
+        while (i < arr.length) { val d = arr(i) - c(i); s += d * d; i += 1 }
+        if (s < bd || (s == bd && cid < best)) { bd = s; best = cid }
+      }
+      best
+    }
+    val newAssign = df
+      .select(col(model.idCol), col(model.vecCol))
+      .withColumn("cluster", assignUdf(col(model.vecCol).cast("array<double>")))
+      .select(model.assign.columns.map(col).toIndexedSeq: _*)
+    model.copy(assign =
+      graft.core.Caches.cached(model.assign.union(newAssign)))
+  }
+
   /** Persist centroids + cluster-partitioned posting lists (the IVF twin
     * of GannIndex.save — probes prune to nprobe partitions). */
   def save(model: Model, path: String): Unit = {

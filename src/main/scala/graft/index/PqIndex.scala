@@ -86,6 +86,21 @@ object PqIndex {
     }
   }
 
+  /** Incremental insert with FROZEN codebooks (the PQ twin of
+    * IvfIndex.insert): encode the new vectors and append their codes.
+    * Codebooks are fit statistics — inserts never retrain them. */
+  def insert(model: Model, df: DataFrame, vecCol: String): Model = {
+    val bc = df.sparkSession.sparkContext.broadcast(model.codebooks)
+    val (mm, dd) = (model.m, model.dsub)
+    val encodeUdf = udf { (v: Seq[Double]) =>
+      encodeOne(v.toIndexedSeq, bc.value, mm, dd).toSeq
+    }
+    val newCodes = df.select(col(model.idCol),
+      encodeUdf(col(vecCol).cast("array<double>")).as("codes"))
+    model.copy(codes =
+      graft.core.Caches.cached(model.codes.union(newCodes)))
+  }
+
   /** Persist codebooks + the compact codes table. */
   def save(model: Model, path: String): Unit = {
     val spark = model.codes.sparkSession

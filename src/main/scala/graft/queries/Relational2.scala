@@ -410,6 +410,46 @@ object Relational2 {
       |ORDER BY event_id
       |""".stripMargin))
 
+  /** Attribution range join: for every purchase, the count and id-range
+    * of the same user's clicks in the preceding 30 minutes — the funnel
+    * operator behind conversion attribution. Expressed as ONE value-range
+    * window over epoch-micros (partition user_id), not a self-join: the
+    * events table is shuffled once on user_id and each frame scan is
+    * bounded by the 30-minute range, so there is no quadratic pair
+    * blowup for hot users; the same plan runs streaming with a watermark
+    * bounding the frame. Counts/ids integer-exact → hash-checked. */
+  val q_events_attribution = Q(
+    "q_events_attribution",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tsu"))
+        .rangeBetween(-1800000000L, -1L) // 30 min in micros, excl. own ts
+      Tables(s, dir, "events")
+        .withColumn("tsu", unix_micros(col("ts")))
+        .withColumn("n_clicks",
+          count(when(col("event_type") === "click", lit(1))).over(w))
+        .withColumn("first_click_id",
+          min(when(col("event_type") === "click", col("event_id"))).over(w))
+        .withColumn("last_click_id",
+          max(when(col("event_type") === "click", col("event_id"))).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("n_clicks"), col("first_click_id"), col("last_click_id"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      |SELECT event_id, user_id, ts, n_clicks, first_click_id, last_click_id FROM (
+      |  SELECT event_id, user_id, ts, event_type,
+      |    count(CASE WHEN event_type = 'click' THEN 1 END) OVER w AS n_clicks,
+      |    min(CASE WHEN event_type = 'click' THEN event_id END) OVER w AS first_click_id,
+      |    max(CASE WHEN event_type = 'click' THEN event_id END) OVER w AS last_click_id
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |               RANGE BETWEEN 1800000000 PRECEDING AND 1 PRECEDING))
+      |WHERE event_type = 'purchase'
+      |ORDER BY event_id
+      |""".stripMargin))
+
   /** TPC-H Q13 shape: customer distribution by order count INCLUDING
     * zero-order customers — left outer join + double aggregation. */
   val q13_customer_distribution = Q(
@@ -720,6 +760,7 @@ object Relational2 {
     q15_top_supplier, q16_supplier_variety, q17_small_quantity,
     q18_large_orders, q19_disjunctive_revenue, q21_late_suppliers,
     q22_idle_customers, q_rollup_revenue, q_events_asof,
+    q_events_attribution,
     q_quantiles, q_events_approx_users, q_events_session_window,
     q_user_activity, q_set_ops, q_pivot_priority)
 }
