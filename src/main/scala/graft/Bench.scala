@@ -65,8 +65,14 @@ object Bench {
     // degrade per-query precision to 0.1 s rather than ever exceed it.
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val sfName = new java.io.File(sfDir).getName
-    def fmt(v: Double, dec: Int): String =
-      s"%.${dec}f".formatLocal(java.util.Locale.ROOT, v)
+    def fmt(v: Double, dec: Int): String = {
+      // trim trailing zeros ("1.20"→"1.2", "2.00"→"2") — still valid
+      // JSON numbers, and ~35% of entries land on a trimmable value,
+      // which keeps the higher precision tier under the length budget
+      val s = s"%.${dec}f".formatLocal(java.util.Locale.ROOT, v)
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
+      else s
+    }
     def line(dec: Int): String = {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, dec) }
         .mkString("{", ",", "}")

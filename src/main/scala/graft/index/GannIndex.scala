@@ -210,6 +210,23 @@ object GannIndex {
     * probed leaves' partitions (partition pruning on the (tree, leaf)
     * equi-join keys), the distributed twin of the C loader's per-leaf
     * files. */
+  /** Incremental insert — the GANN half of the reference's
+    * insert → index lifecycle (gann.py:196-216 insert buffers rows,
+    * index() builds): new vectors route through the FROZEN forest with
+    * the exact build-side spill routing (routeLeaves, including the
+    * both-children spill band), so search and data stay in agreement by
+    * construction. Leaf sizes drift past leafSize as data arrives —
+    * rebuild when the drift matters, like any frozen-structure ANN
+    * index. */
+  def insert(model: Model, df: DataFrame): Model = {
+    val newAssign = routedForest(
+        df.select(col(model.idCol), col(model.vecCol)),
+        model.trees, model.idCol, model.vecCol)
+      .select(model.assign.columns.map(col).toIndexedSeq: _*)
+    model.copy(assign =
+      graft.core.Caches.cached(model.assign.union(newAssign)))
+  }
+
   def save(model: Model, path: String): Unit = {
     val spark = model.assign.sparkSession
     import spark.implicits._

@@ -450,6 +450,83 @@ object Relational2 {
       |ORDER BY event_id
       |""".stripMargin))
 
+  /** Column profiler — the schema-quality primitive a curation run
+    * executes before anything else: per-column row/null/distinct counts,
+    * min/max, and an exact DECIMAL sum, for the four lineitem measures
+    * plus one categorical. ONE scan computes every stat (a single
+    * aggregate row fanned out to long format), so profiling 100 TB costs
+    * one pass; the distinct counts are the only shuffled state and they
+    * shuffle values, not rows. Numeric extremes stay typed (no
+    * double→string formatting divergence between engines). */
+  val q_profile_lineitem = Q(
+    "q_profile_lineitem",
+    (s, dir) => {
+      val df = Tables(s, dir, "lineitem")
+      val nums = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val aggs = Seq(count(lit(1)).as("n")) ++ nums.flatMap { c =>
+        Seq(count(col(c)).as(s"${c}_nn"),
+          countDistinct(col(c)).as(s"${c}_nd"),
+          min(col(c)).as(s"${c}_mn"),
+          max(col(c)).as(s"${c}_mx"),
+          sum(col(c).cast("decimal(18,2)")).cast("double").as(s"${c}_sum"))
+      } ++ Seq(
+        count(col("l_returnflag")).as("rf_nn"),
+        countDistinct(col("l_returnflag")).as("rf_nd"),
+        min(col("l_returnflag")).as("rf_mn"),
+        max(col("l_returnflag")).as("rf_mx"))
+      val row = df.agg(aggs.head, aggs.tail: _*)
+      val entries = nums.map { c =>
+        struct(lit(c).as("col_name"), col("n"),
+          (col("n") - col(s"${c}_nn")).as("n_null"),
+          col(s"${c}_nd").as("n_distinct"),
+          col(s"${c}_mn").cast("double").as("min_num"),
+          col(s"${c}_mx").cast("double").as("max_num"),
+          lit(null).cast("string").as("min_str"),
+          lit(null).cast("string").as("max_str"),
+          col(s"${c}_sum").as("sum_num"))
+      } :+ struct(lit("l_returnflag").as("col_name"), col("n"),
+        (col("n") - col("rf_nn")).as("n_null"),
+        col("rf_nd").as("n_distinct"),
+        lit(null).cast("double").as("min_num"),
+        lit(null).cast("double").as("max_num"),
+        col("rf_mn").as("min_str"), col("rf_mx").as("max_str"),
+        lit(null).cast("double").as("sum_num"))
+      row.select(explode(array(entries: _*)).as("e"))
+        .select(col("e.*"))
+        .orderBy(col("col_name"))
+    },
+    Some("""
+      |WITH p AS (
+      |  SELECT 'l_quantity' AS col_name, count(*) AS n,
+      |    count(*) - count(l_quantity) AS n_null,
+      |    count(DISTINCT l_quantity) AS n_distinct,
+      |    min(l_quantity) AS min_num, max(l_quantity) AS max_num,
+      |    CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_num
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice),
+      |    count(DISTINCT l_extendedprice), min(l_extendedprice), max(l_extendedprice),
+      |    NULL, NULL, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_discount', count(*), count(*) - count(l_discount),
+      |    count(DISTINCT l_discount), min(l_discount), max(l_discount),
+      |    NULL, NULL, CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_tax', count(*), count(*) - count(l_tax),
+      |    count(DISTINCT l_tax), min(l_tax), max(l_tax),
+      |    NULL, NULL, CAST(sum(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+      |    count(DISTINCT l_returnflag), NULL, NULL,
+      |    min(l_returnflag), max(l_returnflag), NULL
+      |  FROM lineitem)
+      |SELECT * FROM p ORDER BY col_name
+      |""".stripMargin))
+
   /** TPC-H Q13 shape: customer distribution by order count INCLUDING
     * zero-order customers — left outer join + double aggregation. */
   val q13_customer_distribution = Q(
@@ -760,7 +837,7 @@ object Relational2 {
     q15_top_supplier, q16_supplier_variety, q17_small_quantity,
     q18_large_orders, q19_disjunctive_revenue, q21_late_suppliers,
     q22_idle_customers, q_rollup_revenue, q_events_asof,
-    q_events_attribution,
+    q_events_attribution, q_profile_lineitem,
     q_quantiles, q_events_approx_users, q_events_session_window,
     q_user_activity, q_set_ops, q_pivot_priority)
 }

@@ -38,6 +38,25 @@ class IndexInsertSpec extends AnyFunSuite {
     assert(top.length == 1 && top(0).getLong(1) == 7L) // finds the inserted row
   }
 
+  test("GANN insert routes through the frozen forest, spill band included") {
+    val m0 = GannIndex.build(base, "vec_id", "embedding",
+      leafSize = 64, spill = 0.15, nTrees = 2)
+    val m1 = GannIndex.insert(m0, extra)
+    // every inserted id present in every tree at least once
+    val perTree = m1.assign.filter(col("vec_id") < 100)
+      .select("tree", "vec_id").distinct()
+      .groupBy("tree").count().collect()
+    assert(perTree.length == 2 && perTree.forall(_.getLong(1) == 100))
+    // old rows' assignment untouched
+    assert(m1.assign.filter(col("vec_id") >= 100).count() == m0.assign.count())
+    // frozen planes: an inserted vector is findable
+    val top = m1.search(
+      extra.filter(col("vec_id") === 7)
+        .select(lit(9999L).as("qid"), col("embedding").as("qv")),
+      "qid", "qv", k = 1).collect()
+    assert(top.length == 1 && top(0).getLong(1) == 7L)
+  }
+
   test("PQ insert encodes with frozen codebooks — codes match a direct encode") {
     val m0 = PqIndex.build(base, "vec_id", "embedding", m = 8, ksub = 16)
     val m1 = PqIndex.insert(m0, extra, "embedding")
