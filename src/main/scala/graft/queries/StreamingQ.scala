@@ -105,5 +105,49 @@ object StreamingQ {
       |ORDER BY user_id, event_type
       |""".stripMargin))
 
-  val all: Seq[Q] = Seq(q_stream_windowed, q_stream_dedup)
+  /** Stream-stream interval join: purchases joined to the same user's
+    * clicks in the preceding 30 minutes — the streaming twin of
+    * q_events_attribution's range window, as Structured Streaming's
+    * watermarked interval join (both sides buffered, state evicted once
+    * the watermark passes the interval bound, so state is
+    * 30-minutes-of-stream per side, not the stream). Over a bounded
+    * replay nothing evicts mid-run, so the emitted pair set equals the
+    * batch join — which is what the oracle states. Integer id pairs →
+    * order-independent → hash-checked. */
+  val q_stream_join = Q(
+    "q_stream_join",
+    (s, dir) => {
+      val landing = java.nio.file.Files.createTempDirectory("graft_stream_join")
+      val staged = landing.resolve("events.parquet")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"), staged)
+      staged.toFile.deleteOnExit(); landing.toFile.deleteOnExit()
+      val stream = s.readStream.schema(rawSchema)
+        .parquet(landing.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val p = stream.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id").as("pu"), col("ts").as("pts"))
+        .withWatermark("pts", "30 minutes")
+      val c = stream.filter(col("event_type") === "click")
+        .select(col("event_id").as("cid"), col("user_id").as("cu"), col("ts").as("cts"))
+        .withWatermark("cts", "30 minutes")
+      val joined = p.join(c,
+          expr("pu = cu AND cts >= pts - interval 30 minutes AND cts < pts"))
+        .select(col("pid"), col("cid"))
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try Streams.runToMemory(joined, "q_stream_join_sink", OutputMode.Append())
+        .orderBy(col("pid"), col("cid"))
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    },
+    Some("""
+      |SELECT p.event_id AS pid, c.event_id AS cid
+      |FROM events p JOIN events c
+      |  ON p.user_id = c.user_id
+      | AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts < p.ts
+      |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+      |ORDER BY pid, cid
+      |""".stripMargin))
+
+  val all: Seq[Q] = Seq(q_stream_windowed, q_stream_dedup, q_stream_join)
 }
