@@ -410,6 +410,90 @@ object Relational2 {
       |ORDER BY event_id
       |""".stripMargin))
 
+  /** TPC-H Q9 shape (product-type profit): revenue per supplier nation
+    * per order year over parts matching a name pattern. Adapted to the
+    * testdata star schema (no partsupp table → profit is the exact
+    * DECIMAL disc-price revenue, no supplycost term). Plan: single
+    * fact-fact shuffle (lineitem ⋈ orders on orderkey); part, supplier
+    * and nation broadcast after their filters. */
+  val q09_profit_by_nation = Q(
+    "q09_profit_by_nation",
+    (s, dir) => {
+      val part = Tables(s, dir, "part")
+        .filter(col("p_name").contains("red")).select("p_partkey")
+      val supp = Tables(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val nat = Tables(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name").as("nation"))
+      val ord = Tables(s, dir, "orders").select("o_orderkey", "o_orderdate")
+      Tables(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey",
+          "l_extendedprice", "l_discount")
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum(discPrice).cast("double").as("sum_profit"))
+        .orderBy(col("nation"), desc("o_year"))
+    },
+    Some(s"""
+      |SELECT n_name AS nation, year(o_orderdate) AS o_year,
+      |  ${Sql.dsumExpr(Sql.discPrice)} AS sum_profit
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE p_name LIKE '%red%'
+      |GROUP BY n_name, o_year
+      |ORDER BY n_name, o_year DESC
+      |""".stripMargin))
+
+  /** TPC-H Q20 shape (potential part promotion): suppliers whose 1995
+    * shipped quantity of 'red%' parts exceeds 1.02x the per-supplier
+    * average. Adapted: no partsupp availqty, so the excess-stock
+    * predicate becomes a scalar-subquery comparison done in EXACT
+    * integer arithmetic (100·cnt·qty > 102·total — no double division,
+    * so the oracle can't drift); the filtered part list and the 1-row
+    * totals broadcast, lineitem shuffles once on suppkey. */
+  val q20_heavy_shippers = Q(
+    "q20_heavy_shippers",
+    (s, dir) => {
+      val redparts = Tables(s, dir, "part")
+        .filter(col("p_name").startsWith("red")).select("p_partkey")
+      val shipped = Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= ts("1995-01-01 00:00:00") &&
+          col("l_shipdate") < ts("1996-01-01 00:00:00"))
+        .join(broadcast(redparts), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+      val totals = shipped.agg(
+        sum(col("total_qty")).as("grand"),
+        count(lit(1)).as("n_supp"))
+      val supp = Tables(s, dir, "supplier").select("s_suppkey", "s_name")
+      shipped.crossJoin(broadcast(totals))
+        .filter(lit(100L) * col("n_supp") * col("total_qty") >
+          lit(102L) * col("grand"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_name"), col("total_qty"))
+        .orderBy(col("s_name"))
+    },
+    Some("""
+      |WITH shipped AS (
+      |  SELECT l_suppkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_name LIKE 'red%'
+      |    AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+      |  GROUP BY l_suppkey),
+      |t AS (SELECT sum(total_qty) AS grand, count(*) AS n_supp FROM shipped)
+      |SELECT s_name, total_qty
+      |FROM shipped, t
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE 100 * n_supp * total_qty > 102 * grand
+      |ORDER BY s_name
+      |""".stripMargin))
+
   /** Attribution range join: for every purchase, the count and id-range
     * of the same user's clicks in the preceding 30 minutes — the funnel
     * operator behind conversion attribution. Expressed as ONE value-range
@@ -838,6 +922,7 @@ object Relational2 {
     q18_large_orders, q19_disjunctive_revenue, q21_late_suppliers,
     q22_idle_customers, q_rollup_revenue, q_events_asof,
     q_events_attribution, q_profile_lineitem,
+    q09_profit_by_nation, q20_heavy_shippers,
     q_quantiles, q_events_approx_users, q_events_session_window,
     q_user_activity, q_set_ops, q_pivot_priority)
 }
