@@ -449,6 +449,39 @@ object Relational2 {
       |ORDER BY n_name, o_year DESC
       |""".stripMargin))
 
+  /** TPC-H Q11 shape (important stock): parts whose total shipped value
+    * concentrates above 1.5x the per-part average. Adapted: no partsupp
+    * table, so "stock value" is the exact DECIMAL disc-price revenue
+    * aggregated from lineitem, and the fraction-of-total predicate runs
+    * in exact cent-scaled integer arithmetic (2·np·val > 3·grand) — no
+    * double division, no drift. One shuffle on partkey; the 1-row
+    * totals broadcast back. */
+  val q11_important_stock = Q(
+    "q11_important_stock",
+    (s, dir) => {
+      val v = Tables(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(discPrice).as("val"))
+        .withColumn("valc", (col("val") * 10000).cast("long"))
+      val t = v.agg(sum(col("valc")).as("grandc"), count(lit(1)).as("np"))
+      v.crossJoin(broadcast(t))
+        .filter(lit(2L) * col("np") * col("valc") > lit(3L) * col("grandc"))
+        .select(col("l_partkey").as("p_partkey"),
+          col("val").cast("double").as("total_value"))
+        .orderBy(desc("total_value"), col("p_partkey"))
+    },
+    Some(s"""
+      |WITH v AS (
+      |  SELECT l_partkey, sum(${Sql.discPrice}) AS val,
+      |    CAST(sum(${Sql.discPrice}) * 10000 AS BIGINT) AS valc
+      |  FROM lineitem GROUP BY l_partkey),
+      |t AS (SELECT CAST(sum(valc) AS BIGINT) AS grandc, count(*) AS np FROM v)
+      |SELECT l_partkey AS p_partkey, CAST(val AS DOUBLE) AS total_value
+      |FROM v, t
+      |WHERE 2 * np * valc > 3 * grandc
+      |ORDER BY total_value DESC, p_partkey
+      |""".stripMargin))
+
   /** TPC-H Q20 shape (potential part promotion): suppliers whose 1995
     * shipped quantity of 'red%' parts exceeds 1.02x the per-supplier
     * average. Adapted: no partsupp availqty, so the excess-stock
@@ -922,7 +955,7 @@ object Relational2 {
     q18_large_orders, q19_disjunctive_revenue, q21_late_suppliers,
     q22_idle_customers, q_rollup_revenue, q_events_asof,
     q_events_attribution, q_profile_lineitem,
-    q09_profit_by_nation, q20_heavy_shippers,
+    q09_profit_by_nation, q11_important_stock, q20_heavy_shippers,
     q_quantiles, q_events_approx_users, q_events_session_window,
     q_user_activity, q_set_ops, q_pivot_priority)
 }
