@@ -71,23 +71,28 @@ object IvfIndex {
     * posting lists. Cluster balance drifts only as far as the data
     * does; rebuild when it matters. */
   def insert(model: Model, df: DataFrame): Model = {
-    val bc = df.sparkSession.sparkContext.broadcast(model.centroids)
+    val newAssign = assignNearest(df, model.centroids, model.idCol, model.vecCol)
+      .select(model.assign.columns.map(col).toIndexedSeq: _*)
+    model.copy(assign =
+      graft.core.Caches.cached(model.assign.union(newAssign)))
+  }
+
+  /** One broadcast-probe pass: nearest frozen centroid per row. */
+  private def assignNearest(df: DataFrame, centroids: Array[(Int, Array[Double])],
+      idCol: String, vecCol: String): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(centroids)
     val assignUdf = udf { (v: Seq[Double]) =>
       val arr = v.toArray
       var best = 0; var bd = Double.MaxValue
       bc.value.foreach { case (cid, c) =>
         var s = 0.0; var i = 0
         while (i < arr.length) { val d = arr(i) - c(i); s += d * d; i += 1 }
-        if (s < bd || (s == bd && cid < best)) { bd = s; best = cid }
+        if (s < bd) { bd = s; best = cid }
       }
       best
     }
-    val newAssign = df
-      .select(col(model.idCol), col(model.vecCol))
-      .withColumn("cluster", assignUdf(col(model.vecCol).cast("array<double>")))
-      .select(model.assign.columns.map(col).toIndexedSeq: _*)
-    model.copy(assign =
-      graft.core.Caches.cached(model.assign.union(newAssign)))
+    df.select(col(idCol), col(vecCol))
+      .withColumn("cluster", assignUdf(col(vecCol).cast("array<double>")))
   }
 
   /** Persist centroids + cluster-partitioned posting lists (the IVF twin
@@ -108,14 +113,76 @@ object IvfIndex {
     Model(centroids, spark.read.parquet(s"$path/assign"), idCol, vecCol)
   }
 
+  /** Balance-aware Lloyd on the (driver-side) sample — the deterministic
+    * twin of the reference's GKMeans size-decay objective
+    * (radient/tasks/sinks/local/_gkmeans.py:165-175: loss =
+    * Σ assigned d² + size_decay·Σ_c (size_c − n/k)², optimized there by
+    * Adam on a soft assignment). Here each iteration assigns points
+    * GREEDILY in a fixed order using the marginal cost of the same
+    * objective — d² + decay·(2(size_c − n/k) + 1) — then recenters;
+    * sequential and seeded, so the fit is reproducible bit-for-bit.
+    * Returns size-penalized centroids; the full-table assignment stays
+    * nearest-centroid (hard), exactly like the reference's
+    * predict-after-fit. */
+  private[index] def balancedLloyd(pts: Array[Array[Double]], k: Int,
+      iters: Int, seed: Long, sizeDecay: Double): Array[Array[Double]] = {
+    val dim = pts(0).length
+    val mu = pts.length.toDouble / k
+    val rnd = new scala.util.Random(seed)
+    val init = rnd.shuffle(pts.indices.toVector).take(math.min(k, pts.length))
+    var cents = init.map(i => pts(i).clone()).toArray
+    var it = 0
+    while (it < iters) {
+      val sizes = new Array[Double](cents.length)
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val cnts = new Array[Long](cents.length)
+      pts.foreach { p =>
+        var best = 0; var bc = Double.MaxValue; var c = 0
+        while (c < cents.length) {
+          var d2 = 0.0; var j = 0
+          while (j < dim) { val d = p(j) - cents(c)(j); d2 += d * d; j += 1 }
+          val cost = d2 + sizeDecay * (2.0 * (sizes(c) - mu) + 1.0)
+          if (cost < bc) { bc = cost; best = c }
+          c += 1
+        }
+        sizes(best) += 1.0
+        var j = 0
+        while (j < dim) { sums(best)(j) += p(j); j += 1 }
+        cnts(best) += 1
+      }
+      cents = cents.indices.map { c =>
+        if (cnts(c) == 0) cents(c) else sums(c).map(_ / cnts(c))
+      }.toArray
+      it += 1
+    }
+    cents
+  }
+
   /** Train the coarse quantizer (seeded → deterministic) and assign every
     * vector to its cluster. The quantizer fits on a bounded sample
     * (`fitSample` rows) — at 100 TB the centroids converge on a fraction
     * of the data (the reference's VC-bound subsampling idea,
     * radient/tasks/sinks/local/_gkmeans.py:26-36); the full table is only
-    * touched by the single assignment pass. */
+    * touched by the single assignment pass. With `balance = true` the
+    * quantizer is the GKMeans-parity size-penalized fit
+    * ([[balancedLloyd]]) instead of MLlib KMeans. */
   def build(df: DataFrame, idCol: String, vecCol: String,
-      k: Int = 16, seed: Long = 42L, fitSample: Int = 100000): Model = {
+      k: Int = 16, seed: Long = 42L, fitSample: Int = 100000,
+      balance: Boolean = false, sizeDecay: Double = 1.0): Model = {
+    if (balance) {
+      val sample = df.select(col(vecCol).cast("array<double>"))
+        .limit(fitSample).collect().map(_.getSeq[Double](0).toArray)
+      if (sample.isEmpty)
+        return Model(Array.empty,
+          df.select(col(idCol), col(vecCol)).withColumn("cluster", lit(0)),
+          idCol, vecCol)
+      val cents = balancedLloyd(sample, k, iters = 8, seed = seed,
+        sizeDecay = sizeDecay)
+      val centroids = cents.zipWithIndex.map { case (c, i) => (i, c) }
+      val assign = graft.core.Caches.cached(
+        assignNearest(df, centroids, idCol, vecCol))
+      return Model(centroids, assign, idCol, vecCol)
+    }
     val feat = df.select(col(idCol), col(vecCol))
       .withColumn("features", array_to_vector(col(vecCol).cast("array<double>")))
     val n = feat.count()
