@@ -122,3 +122,71 @@ case class L2Distance(left: Expression, right: Expression) extends VectorFoldExp
   override protected def withNewChildrenInternal(l: Expression, r: Expression): L2Distance =
     copy(left = l, right = r)
 }
+
+/** Σᵢ dt[i·ksub + codes[i]] — the PQ/ADC distance reconstruction
+  * (PqIndex/IvfPq search): m table lookups per candidate over the
+  * broadcast per-query distance table. A tight primitive loop inlined
+  * into whole-stage codegen, replacing the higher-order `aggregate`
+  * fold (HOFs evaluate their lambda per element outside codegen).
+  * Bit-identical: same ascending-subspace add order, same doubles.
+  * `left` = codes (array<int>), `right` = dt (array<double>); a null
+  * element or an out-of-range code yields null (the HOF form's
+  * element_at would throw or null the same malformed input).
+  */
+case class AdcLookup(left: Expression, right: Expression, ksub: Int)
+    extends BinaryExpression {
+  override def prettyName: String = "graft_adc"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<int>, array<double>), got " +
+            s"${l.simpleString} and ${r.simpleString}")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val codes = l.asInstanceOf[ArrayData]
+    val dt = r.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    val nd = dt.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < m) {
+      if (codes.isNullAt(i)) return null
+      val idx = i * ksub + codes.getInt(i)
+      if (idx < 0 || idx >= nd || dt.isNullAt(idx)) return null
+      s += dt.getDouble(idx)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (codes, dt) => {
+      val m = ctx.freshName("m")
+      val nd = ctx.freshName("nd")
+      val i = ctx.freshName("i")
+      val idx = ctx.freshName("idx")
+      val s = ctx.freshName("s")
+      s"""
+         |int $m = $codes.numElements();
+         |int $nd = $dt.numElements();
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $m; $i++) {
+         |  if ($codes.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  int $idx = $i * $ksub + $codes.getInt($i);
+         |  if ($idx < 0 || $idx >= $nd || $dt.isNullAt($idx)) { ${ev.isNull} = true; break; }
+         |  $s += $dt.getDouble($idx);
+         |}
+         |if (!${ev.isNull}) { ${ev.value} = $s; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): AdcLookup =
+    copy(left = l, right = r)
+}

@@ -84,6 +84,12 @@ object VectorF {
     when(union === 0L, lit(0.0)).otherwise(d(inter) / d(union))
   }
 
+  /** PQ/ADC distance reconstruction: Σᵢ dt[i·ksub + codes[i]] over the
+    * per-query distance table (codegen'd [[AdcLookup]]). */
+  def adc(codes: Column, dt: Column, ksub: Int): Column =
+    ColumnBridge.column(AdcLookup(
+      ColumnBridge.expression(codes), ColumnBridge.expression(dt), ksub))
+
   /** Hamming distance between two long-encoded bit signatures (SimHash). */
   def hammingDist(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)).cast("int")

@@ -59,9 +59,7 @@ object IvfPq {
       val probed = queries.select(col(qid),
         explode(probeUdf(col(qvec).cast("array<double>"))).as("p"))
         .select(col(qid), col("p._1").as("cluster"), col("p._2").as("dt"))
-      val adc = aggregate(sequence(lit(0), lit(mm - 1)), lit(0.0),
-        (acc, i) => acc + element_at(col("dt"),
-          i * kk + element_at(col("codes"), i + 1) + 1))
+      val adc = graft.functions.VectorF.adc(col("codes"), col("dt"), kk)
       probed.join(codes, Seq("cluster"))
         .filter(col(idCol) =!= col(qid))
         .select(col(qid), col(idCol), adc.as("dist"))

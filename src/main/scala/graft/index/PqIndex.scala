@@ -45,12 +45,11 @@ object PqIndex {
       }
       val probes = queries.select(col(qid),
         dtUdf(col(qvec).cast("array<double>")).as("dt"))
-      // approx dist = sum of m table lookups — a pure codegen fold, the
-      // distributed twin of the reference's per-candidate distance kernel
-      // (gann.c:944-1007), reading 8 bytes of codes instead of 256 of floats
-      val adc = aggregate(sequence(lit(0), lit(mm - 1)), lit(0.0),
-        (acc, i) => acc + element_at(col("dt"),
-          i * kk + element_at(col("codes"), i + 1) + 1))
+      // approx dist = sum of m table lookups via the codegen'd AdcLookup
+      // kernel — the distributed twin of the reference's per-candidate
+      // distance kernel (gann.c:944-1007), reading 8 bytes of codes
+      // instead of 256 of floats
+      val adc = graft.functions.VectorF.adc(col("codes"), col("dt"), kk)
       codes.crossJoin(broadcast(probes))
         .filter(col(idCol) =!= col(qid))
         .select(col(qid), col(idCol), adc.as("dist"))
