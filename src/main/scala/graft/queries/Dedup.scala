@@ -76,6 +76,64 @@ object Dedup {
     s"(len(list_filter($a, x -> list_contains($b, x)))::DOUBLE / " +
       s"(len($a) + len($b) - len(list_filter($a, x -> list_contains($b, x)))))"
 
+  /** Incremental dedup — the shape a live corpus actually runs: dedup an
+    * arriving batch (doc_id % 4 == 0) against the EXISTING corpus (the
+    * rest), never corpus-against-itself. A new doc survives iff (a) its
+    * exact text hash is absent from the corpus (hash anti-join) and (b)
+    * no corpus doc reaches 3-shingle Jaccard ≥ 0.8 against it (bipartite
+    * inverted-index count-join on (lang, shingle) — same posting shape
+    * as q_dedup_ngram_jaccard, no cross product). Scale: the batch side
+    * is a day's crawl ≪ corpus; its postings are the small join side
+    * (broadcastable), the corpus postings never self-join, and only
+    * (batch_id, corpus_id) count pairs shuffle. Integer/hash domain →
+    * oracle-exact. */
+  val q_dedup_incremental = Q(
+    "q_dedup_incremental",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val hashes = docs.select(col("doc_id"),
+        md5(lower(trim(col("text")))).as("h"))
+      val exactOk = hashes.filter(col("doc_id") % 4 === 0)
+        .join(hashes.filter(col("doc_id") % 4 =!= 0)
+          .select(col("h")).distinct(), Seq("h"), "left_anti")
+      val d = shingleDf(s, dir)
+      val pa = d.filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id").as("a"), col("lang"),
+          explode(col("sh")).as("tok"), col("nsh").as("na"))
+      val pb = d.filter(col("doc_id") % 4 =!= 0)
+        .select(col("doc_id").as("b"), col("lang"),
+          explode(col("sh")).as("tok"), col("nsh").as("nb"))
+      val near = pa.join(pb, Seq("lang", "tok"))
+        .groupBy(col("a"), col("b"), col("na"), col("nb"))
+        .agg(count(lit(1)).as("c"))
+        .filter(col("c").cast("double") /
+          (col("na") + col("nb") - col("c")) >= JACCARD_T)
+        .select(col("a").as("doc_id")).distinct()
+      exactOk.join(near, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      |WITH sh AS ($shingleSql),
+      |hx AS (SELECT doc_id, md5(lower(trim(text))) AS h FROM documents),
+      |exact_ok AS (
+      |  SELECT doc_id FROM hx WHERE doc_id % 4 = 0
+      |  AND h NOT IN (SELECT h FROM hx WHERE doc_id % 4 <> 0)),
+      |pa AS (SELECT doc_id AS a, lang, unnest(sh) AS tok, len(sh) AS na
+      |       FROM sh WHERE doc_id % 4 = 0),
+      |pb AS (SELECT doc_id AS b, lang, unnest(sh) AS tok, len(sh) AS nb
+      |       FROM sh WHERE doc_id % 4 <> 0),
+      |near AS (
+      |  SELECT DISTINCT a FROM (
+      |    SELECT a, b, na, nb, count(*) AS c
+      |    FROM pa JOIN pb USING (lang, tok)
+      |    GROUP BY a, b, na, nb)
+      |  WHERE c::DOUBLE / (na + nb - c) >= $JACCARD_T)
+      |SELECT doc_id FROM exact_ok
+      |WHERE doc_id NOT IN (SELECT a FROM near)
+      |ORDER BY doc_id
+      |""".stripMargin))
+
   val q_dedup_exact = Q(
     "q_dedup_exact",
     (s, dir) => {
@@ -354,6 +412,7 @@ object Dedup {
       |""".stripMargin))
 
   val all: Seq[Q] = Seq(
+    q_dedup_incremental,
     q_dedup_exact, q_dedup_ngram_jaccard, q_minhash_signatures,
     q_dedup_minhash_lsh, q_dedup_embedding, q_dedup_simhash,
     q_dedup_components)
