@@ -198,62 +198,16 @@ object VectorSearch {
       |ORDER BY vec_id
       |""".stripMargin))
 
-  /** MMR greedy selection over one query's candidate list, executed as
-    * a single per-group kernel: candidates arrive sorted by id (so ties
-    * resolve to the lowest id, matching ORDER BY score DESC, id), sims
-    * are ascending-index cosine folds (bit-identical to the oracle's
-    * list folds), score = 0.7·rel − 0.3·max-sim-to-selected. k² work on
-    * a k-bounded list — constant per query at any corpus size. */
-  private val mmrGreedy = udf {
-    (ids: Seq[Long], rels: Seq[Double], embs: Seq[Seq[Double]], k: Int) =>
-      val n = ids.length
-      val arr = embs.map(_.toArray).toArray
-      def cos(a: Array[Double], b: Array[Double]): Double = {
-        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-        while (i < a.length) {
-          dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
-        }
-        dot / (math.sqrt(na) * math.sqrt(nb))
-      }
-      val sel = scala.collection.mutable.ArrayBuffer.empty[Int]
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-      var step = 1
-      while (step <= math.min(k, n)) {
-        var bi = -1; var bs = Double.NegativeInfinity
-        var i = 0
-        while (i < n) {
-          if (!sel.contains(i)) {
-            val score =
-              if (sel.isEmpty) 0.7 * rels(i)
-              else {
-                var ms = Double.NegativeInfinity
-                sel.foreach { j =>
-                  val c = cos(arr(i), arr(j)); if (c > ms) ms = c
-                }
-                0.7 * rels(i) - 0.3 * ms
-              }
-            if (score > bs) { bs = score; bi = i } // strict > ⇒ lowest id wins ties
-          }
-          i += 1
-        }
-        out += ((step.toLong, ids(bi), bs))
-        sel += bi
-        step += 1
-      }
-      out.toSeq
-  }
-
-  /** MMR-diversified rerank (Carbonell & Goldstein '98): greedy top-5
-    * from the top-20 cosine candidates of probe vec_id=0, score =
-    * 0.7·rel − 0.3·max-sim-to-selected, ties by vec_id — double
-    * arithmetic shaped identically to the DuckDB oracle, so the
-    * selection is hash-exact. Scale: rerank runs AFTER retrieval on a
-    * per-query candidate list bounded by k (here 20); the whole greedy
-    * selection is ONE aggregate row per query (sorted collect_list →
-    * k²-bounded kernel → posexplode), so a batch of queries is a
-    * groupBy(qid) with constant work per group — no per-step plan
-    * stages, no extra shuffles. Candidate generation is the same
-    * broadcast top-k plan as q_knn_brute. */
+  /** MMR-diversified rerank (Carbonell & Goldstein '98) via the batch
+    * [[graft.sink.Mmr]] operator: greedy top-5 from the top-20 cosine
+    * candidates of probe vec_id=0, score = 0.7·rel −
+    * 0.3·max-sim-to-selected, ties by vec_id — double arithmetic shaped
+    * identically to the DuckDB oracle, so the selection is hash-exact.
+    * Scale: rerank runs AFTER retrieval on a per-query candidate list
+    * bounded by k (here 20); the whole greedy selection is ONE
+    * aggregate row per query group, so a batch of queries is a
+    * groupBy(qid) with constant work per group. Candidate generation is
+    * the same broadcast top-k plan as q_knn_brute. */
   val q_mmr_rerank = Q(
     "q_mmr_rerank",
     (s, dir) => {
@@ -266,15 +220,9 @@ object VectorSearch {
           cosine(col("embedding"), col("qv")).as("rel"))
         .orderBy(desc("rel"), col("vec_id"))
         .limit(20)
-      cands
-        .agg(sort_array(collect_list(struct(col("vec_id"), col("rel"), col("emb"))))
-          .as("cs"))
-        .select(mmrGreedy(
-          col("cs").getField("vec_id"), col("cs").getField("rel"),
-          col("cs").getField("emb"), lit(5)).as("picks"))
-        .select(explode(col("picks")).as("p"))
-        .select(col("p._1").as("step"), col("p._2").as("vec_id"),
-          round(col("p._3"), 6).as("score"))
+        .withColumn("qid", lit(0L))
+      graft.sink.Mmr.diversify(cands, "qid", "vec_id", "rel", "emb", k = 5)
+        .select(col("step"), col("vec_id"), round(col("score"), 6).as("score"))
         .orderBy(col("step"))
     },
     Some(s"""
