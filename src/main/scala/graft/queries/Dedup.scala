@@ -134,6 +134,71 @@ object Dedup {
       |ORDER BY doc_id
       |""".stripMargin))
 
+  /** Span-level exact-substring dedup (the "Deduplicating Training Data
+    * Makes Language Models Better" primitive, Lee et al. 2022, done with
+    * postings instead of a suffix array): positions whose 5-gram occurs
+    * in ≥ 2 distinct documents are flagged, and flagged positions whose
+    * token ranges touch (gap ≤ n) merge into maximal spans via
+    * gaps-and-islands. Output = (doc, span_start, span_end, n_grams) —
+    * the byte ranges a curation pass would cut. Scale: one posting
+    * shuffle on gram, the duplicated-gram table is vocabulary-bounded
+    * (Zipf ⇒ ≪ corpus, broadcast back), and the span merge is a per-doc
+    * window — document payloads never move. Integer-exact → hash-checked. */
+  val q_dedup_spans = Q(
+    "q_dedup_spans",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val n = 5
+      val g = graft.core.Caches.cached(
+        Tables.spread(Tables(s, dir, "documents"))
+          .withColumn("t", tokens(col("text")))
+          .select(col("doc_id"),
+            posexplode(shingles(col("t"), n)).as(Seq("pos", "gram")))
+          .select(col("doc_id"), col("pos").cast("long").as("pos"), col("gram")))
+      val dup = g.select(col("gram"), col("doc_id")).distinct()
+        .groupBy(col("gram")).agg(count(lit(1)).as("nd"))
+        .filter(col("nd") >= 2).select(col("gram"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val cum = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.join(dup, Seq("gram"))
+        .select(col("doc_id"), col("pos"))
+        .withColumn("prev", lag(col("pos"), 1).over(w))
+        .withColumn("brk",
+          when(col("prev").isNull || col("pos") > col("prev") + n, 1L).otherwise(0L))
+        .withColumn("isl", sum(col("brk")).over(cum))
+        .groupBy(col("doc_id"), col("isl"))
+        .agg(min(col("pos")).as("span_start"),
+          (max(col("pos")) + (n - 1)).as("span_end"),
+          count(lit(1)).as("n_grams"))
+        .select(col("doc_id"), col("span_start"), col("span_end"), col("n_grams"))
+        .orderBy(col("doc_id"), col("span_start"))
+    },
+    Some(s"""
+      |WITH toksrc AS (SELECT doc_id, ${Sql.toks()} AS t FROM documents),
+      |pos AS (
+      |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+      |    concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]) AS gram
+      |  FROM toksrc, unnest(range(1, greatest(len(t) - 3, 1))) AS u(i)
+      |  WHERE len(t) >= 5),
+      |dup AS (SELECT gram FROM (
+      |  SELECT gram, count(DISTINCT doc_id) AS nd FROM pos GROUP BY gram)
+      |  WHERE nd >= 2),
+      |hits AS (SELECT doc_id, pos FROM pos JOIN dup USING (gram)),
+      |brks AS (SELECT doc_id, pos,
+      |    CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 5
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      |grp AS (SELECT doc_id, pos,
+      |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS UNBOUNDED PRECEDING) AS isl
+      |  FROM brks)
+      |SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end,
+      |  count(*) AS n_grams
+      |FROM grp GROUP BY doc_id, isl
+      |ORDER BY doc_id, span_start
+      |""".stripMargin))
+
   val q_dedup_exact = Q(
     "q_dedup_exact",
     (s, dir) => {
@@ -412,7 +477,7 @@ object Dedup {
       |""".stripMargin))
 
   val all: Seq[Q] = Seq(
-    q_dedup_incremental,
+    q_dedup_incremental, q_dedup_spans,
     q_dedup_exact, q_dedup_ngram_jaccard, q_minhash_signatures,
     q_dedup_minhash_lsh, q_dedup_embedding, q_dedup_simhash,
     q_dedup_components)
