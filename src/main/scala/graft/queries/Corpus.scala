@@ -354,8 +354,29 @@ object Corpus {
       |ORDER BY lang, doc_id
       |""".stripMargin))
 
+  /** BPE merge training over the corpus (graft.vectorize.BpeTrain):
+    * 10 learned merges with their rank. Iterative training → no SQL
+    * oracle (rows-only; the distributed-equals-sequential equivalence
+    * is pinned in BpeTrainSpec); deterministic, so the row count and
+    * values are stable. Scale: the corpus collapses to the weighted
+    * word vocabulary in one shuffle; each round aggregates only that
+    * cached vocabulary-sized table. */
+  val q_bpe_merges = Q(
+    "q_bpe_merges",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val merges = graft.vectorize.BpeTrain.learn(
+        graft.vectorize.BpeTrain.vocab(docs, "text"), numMerges = 10)
+      merges.zipWithIndex
+        .map { case ((a, b), i) => (i + 1L, a, b) }
+        .toDF("rank", "left_sym", "right_sym")
+        .orderBy(col("rank"))
+    },
+    None)
+
   val all: Seq[Q] = Seq(q_token_bpe, q_corpus_filter, q_sample_stratified,
     q_decontaminate, q_pipeline_curate, q_ngram_topk, q_rare_tokens, q_zipf,
-    q_pack_sequences)
+    q_pack_sequences, q_bpe_merges)
 }
 
