@@ -1,0 +1,59 @@
+package graft.queries
+
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source-format roundtrip entries: the query stages the parquet table
+  * through another format (csv / json) and aggregates the re-read copy,
+  * while the oracle aggregates the ORIGINAL parquet in DuckDB — so a
+  * hash match proves the format encode/decode chain loses nothing
+  * (radient's file-format decoding surface, tasks/sources/local.py +
+  * factory.py csv/json paths, as an oracle-checked property instead of
+  * a spec assertion). The staged copy is written once per invocation to
+  * a temp dir; at scale this is the same one-pass format-conversion job
+  * a landing-zone ingest runs. */
+object SourcesQ {
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  private def aggShape(df: org.apache.spark.sql.DataFrame) =
+    df.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy(col("lang"))
+
+  private val oracleAgg = """
+    |SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+    |  min(doc_id) AS min_id, max(doc_id) AS max_id
+    |FROM documents GROUP BY lang ORDER BY lang
+    |""".stripMargin
+
+  val q_csv_roundtrip = Q(
+    "q_csv_roundtrip",
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+      Tables(s, dir, "documents").write.mode("overwrite")
+        .option("header", "true").csv(tmp)
+      aggShape(s.read.schema(docSchema).option("header", "true").csv(tmp))
+    },
+    Some(oracleAgg))
+
+  val q_json_roundtrip = Q(
+    "q_json_roundtrip",
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_json").toString
+      Tables(s, dir, "documents").write.mode("overwrite").json(tmp)
+      aggShape(s.read.schema(docSchema).json(tmp))
+    },
+    Some(oracleAgg))
+
+  val all: Seq[Q] = Seq(q_csv_roundtrip, q_json_roundtrip)
+}
