@@ -90,6 +90,36 @@ object IvfPq {
     }
   }
 
+  /** Incremental insert with FROZEN coarse centroids and codebooks (the
+    * IVF-PQ member of the insert family — see IvfIndex.insert /
+    * PqIndex.insert): one broadcast-probe pass assigns each new vector
+    * to its nearest cluster and PQ-encodes its residual; codes append. */
+  def insert(model: Model, df: DataFrame, vecCol: String): Model = {
+    val spark = df.sparkSession
+    val bcC = spark.sparkContext.broadcast(model.coarse)
+    val bcB = spark.sparkContext.broadcast(model.codebooks)
+    val (mm, dd) = (model.m, model.dsub)
+    val encUdf = udf { (v: Seq[Double]) =>
+      val arr = v.toArray
+      var best = 0; var bd = Double.MaxValue
+      bcC.value.foreach { case (cid, c) =>
+        var s = 0.0; var i = 0
+        while (i < arr.length) { val d = arr(i) - c(i); s += d * d; i += 1 }
+        if (s < bd) { bd = s; best = cid }
+      }
+      val cent = bcC.value.find(_._1 == best).get._2
+      val resid = IndexedSeq.tabulate(arr.length)(i => arr(i) - cent(i))
+      (best, PqIndex.encodeOne(resid, bcB.value, mm, dd).toSeq)
+    }
+    val newCodes = df
+      .select(col(model.idCol),
+        encUdf(col(vecCol).cast("array<double>")).as("e"))
+      .select(col(model.idCol), col("e._1").as("cluster"), col("e._2").as("codes"))
+      .select(model.codes.columns.map(col).toIndexedSeq: _*)
+    model.copy(codes =
+      graft.core.Caches.cached(model.codes.union(newCodes)))
+  }
+
   /** Persist centroids + codebooks + cluster-partitioned codes (probes
     * prune to nprobe partitions, like IvfIndex.save). */
   def save(model: Model, path: String): Unit = {

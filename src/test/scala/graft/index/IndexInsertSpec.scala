@@ -38,6 +38,24 @@ class IndexInsertSpec extends AnyFunSuite {
     assert(top.length == 1 && top(0).getLong(1) == 7L) // finds the inserted row
   }
 
+  test("IVF-PQ insert assigns+encodes against frozen centroids and books") {
+    val m0 = IvfPq.build(base, "vec_id", "embedding", kCoarse = 8, m = 8, ksub = 16)
+    val m1 = IvfPq.insert(m0, extra, "embedding")
+    assert(m1.codes.count() == 500)
+    assert(m1.codes.select("vec_id").distinct().count() == 500)
+    // frozen quantizers: old rows' (cluster, codes) untouched
+    val before = m0.codes.orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSeq
+    val after = m1.codes.filter(col("vec_id") >= 100).orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSeq
+    assert(before == after)
+    // an inserted row is served through the probed posting lists
+    val q = extra.filter(col("vec_id") === 3)
+      .select(lit(9999L).as("qid"), col("embedding").as("qv"))
+    val top = m1.search(q, "qid", "qv", k = 1, nprobe = 8).collect()
+    assert(top.length == 1 && top(0).getLong(1) == 3L)
+  }
+
   test("GANN insert routes through the frozen forest, spill band included") {
     val m0 = GannIndex.build(base, "vec_id", "embedding",
       leafSize = 64, spill = 0.15, nTrees = 2)
