@@ -121,6 +121,16 @@ object Operators {
           (col("_n3") - col("_nd")) * 1000 <= col("_n3") * repPm)
         .drop("_t", "_g", "_nt", "_sw", "_n3", "_nd")
     },
+    // MMR diversification of per-query candidate lists (graft.sink.Mmr):
+    // one aggregate row per query group, k²-bounded kernel
+    "mmr" -> { (_, cp) => (ins, rp) =>
+      val params = cp ++ rp
+      graft.sink.Mmr.diversify(ins.head,
+        p(params, "qidCol", "qid"), p(params, "idCol", "id"),
+        p(params, "relCol", "rel"), p(params, "embCol", "emb"),
+        p(params, "k", "5").toInt,
+        p(params, "wRel", "0.7").toDouble, p(params, "wDiv", "0.3").toDouble)
+    },
     // exact-dup collapse: keep the minimum-id row per normalized text
     // hash (deterministic representative; left-semi so no payload dup)
     "dedup_exact_keep" -> { (_, cp) => (ins, rp) =>
@@ -175,6 +185,17 @@ object Operators {
     "multimodal" -> { (_, cp) => (ins, rp) =>
       val params = cp ++ rp
       Multimodal.featurize(ins.head, dim = p(params, "dim", "16").toInt)
+    },
+    // learned-BPE segmentation: train merges on the input's weighted
+    // word vocabulary, then emit (id, piece) rows (graft.vectorize.BpeTrain)
+    "bpe_segment" -> { (_, cp) => (ins, rp) =>
+      val params = cp ++ rp
+      val textCol = p(params, "textCol", "text")
+      val merges = graft.vectorize.BpeTrain.learn(
+        graft.vectorize.BpeTrain.vocab(ins.head, textCol),
+        p(params, "numMerges", "10").toInt)
+      graft.vectorize.BpeTrain.encode(
+        ins.head, p(params, "idCol", "doc_id"), textCol, merges)
     })
 
   /** Sinks — write, then return the re-read table so downstream stages

@@ -114,4 +114,22 @@ class OperatorsSpec extends AnyFunSuite {
       .count()
     assert(tiny < a.size)
   }
+
+  test("mmr transform and bpe_segment vectorizer construct and run") {
+    import spark.implicits._
+    val cands = Seq(
+      (0L, 1L, 0.9, Seq(1.0, 0.0)),
+      (0L, 2L, 0.8, Seq(0.0, 1.0)),
+      (0L, 3L, 0.7, Seq(0.5, 0.5))).toDF("qid", "id", "rel", "emb")
+    val mmr = Operators.make(spark, "transform", "mmr", Map("k" -> "2"))
+    val picks = mmr(Seq(cands), Map.empty).orderBy("step").collect()
+    assert(picks.length == 2 && picks.map(_.getLong(2)).toSeq == Seq(1L, 2L))
+
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val bpe = Operators.make(spark, "vectorizer", "bpe_segment",
+      Map("numMerges" -> "4"))
+    val pieces = bpe(Seq(docs), Map.empty)
+    assert(pieces.columns.toSeq == Seq("doc_id", "piece"))
+    assert(pieces.count() > 0)
+  }
 }
