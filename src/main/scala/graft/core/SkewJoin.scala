@@ -28,6 +28,8 @@ object SkewJoin {
   def salted(big: DataFrame, small: DataFrame, keys: Seq[String],
       saltBy: Column, salt: Int): DataFrame = {
     require(salt >= 1, s"salt must be >= 1, got $salt")
+    require(!big.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "inputs must not already carry a __salt column")
     val bigS = big.withColumn("__salt", pmod(hash(saltBy), lit(salt)))
     val smallS = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salt - 1))))

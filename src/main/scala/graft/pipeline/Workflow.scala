@@ -99,7 +99,7 @@ object Workflow {
         if (seen.add(c)) d else d.withColumnRenamed(c, s"${c}_$i")
       }
       val schema = renamed.schema.add("_pos", org.apache.spark.sql.types.LongType)
-      val rdd = renamed.rdd.zipWithIndex.map { case (r, idx) =>
+      val rdd = renamed.rdd.zipWithIndex().map { case (r, idx) =>
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ idx)
       }
       spark.createDataFrame(rdd, schema)

@@ -53,7 +53,7 @@ object TfIdf {
     val spark = corpus.sparkSession
     import spark.implicits._
     val qv = embed(model, Seq(query).toDF(textCol))
-      .select("tfidf").head.getAs[SparseVector](0)
+      .select("tfidf").head().getAs[SparseVector](0)
     val bc = spark.sparkContext.broadcast(qv)
     val dotUdf = udf((v: SparseVector) => sparseDot(v, bc.value))
     embed(model, corpus)
