@@ -543,12 +543,16 @@ object Relational2 {
         .rangeBetween(-1800000000L, -1L) // 30 min in micros, excl. own ts
       Tables(s, dir, "events")
         .withColumn("tsu", unix_micros(col("ts")))
-        .withColumn("n_clicks",
-          count(when(col("event_type") === "click", lit(1))).over(w))
-        .withColumn("first_click_id",
-          min(when(col("event_type") === "click", col("event_id"))).over(w))
-        .withColumn("last_click_id",
-          max(when(col("event_type") === "click", col("event_id"))).over(w))
+        // one select carrying all three frame aggregates → a single
+        // Window operator (separate withColumns left three stacked
+        // Window nodes = three frame passes over every partition)
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+          count(when(col("event_type") === "click", lit(1))).over(w)
+            .as("n_clicks"),
+          min(when(col("event_type") === "click", col("event_id"))).over(w)
+            .as("first_click_id"),
+          max(when(col("event_type") === "click", col("event_id"))).over(w)
+            .as("last_click_id"))
         .filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts"),
           col("n_clicks"), col("first_click_id"), col("last_click_id"))
