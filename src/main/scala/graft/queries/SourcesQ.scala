@@ -36,10 +36,16 @@ object SourcesQ {
     |FROM documents GROUP BY lang ORDER BY lang
     |""".stripMargin
 
+  private def tempDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
   val q_csv_roundtrip = Q(
     "q_csv_roundtrip",
     (s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+      val tmp = tempDir("graft_csv")
       Tables(s, dir, "documents").write.mode("overwrite")
         .option("header", "true").csv(tmp)
       aggShape(s.read.schema(docSchema).option("header", "true").csv(tmp))
@@ -49,7 +55,7 @@ object SourcesQ {
   val q_json_roundtrip = Q(
     "q_json_roundtrip",
     (s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_json").toString
+      val tmp = tempDir("graft_json")
       Tables(s, dir, "documents").write.mode("overwrite").json(tmp)
       aggShape(s.read.schema(docSchema).json(tmp))
     },
