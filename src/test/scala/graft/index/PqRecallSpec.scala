@@ -86,6 +86,24 @@ class PqRecallSpec extends AnyFunSuite {
     assert(ca == cb)
   }
 
+  test("PQ and IVF-PQ over 20k synthetic vectors stay one-pass") {
+    val n = 20000
+    val dim = 16
+    val big = spark.range(n).select(col("id").as("vec_id"),
+      org.apache.spark.sql.functions.transform(
+        org.apache.spark.sql.functions.sequence(lit(0), lit(dim - 1)),
+        k => pow(sin(col("id") * 131 + k * 17), 3)).as("embedding"))
+    val pq = PqIndex.build(big, "vec_id", "embedding", m = 4, ksub = 16)
+    assert(pq.codes.count() == n)
+    val qs = big.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    assert(pq.search(qs, "qid", "qv", 10).count() == 50)
+    val ivfpq = IvfPq.build(big, "vec_id", "embedding",
+      kCoarse = 16, m = 4, ksub = 16)
+    assert(ivfpq.codes.count() == n)
+    assert(ivfpq.search(qs, "qid", "qv", 10, nprobe = 4).count() == 50)
+  }
+
   test("PQ save/load roundtrip preserves search results") {
     val model = PqIndex.build(emb, "vec_id", "embedding", m = 8, ksub = 16)
     val dir = java.nio.file.Files.createTempDirectory("pq_idx").toString
