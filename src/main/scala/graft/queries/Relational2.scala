@@ -648,6 +648,38 @@ object Relational2 {
       |SELECT * FROM p ORDER BY col_name
       |""".stripMargin))
 
+  /** Z-order locality key over (hashed user, minute-bucket) — the
+    * physical layout step before writing a 100 TB events table so
+    * min/max file stats prune scans on BOTH a user equality predicate
+    * and a time range from one sort order (Delta/Iceberg OPTIMIZE
+    * ZORDER semantics, graft.functions.Locality.zorder16). The user
+    * dimension is md5-hash-spread to 16 bits — z-order needs comparable
+    * entropy per dimension, and hashing keeps equality-predicate
+    * locality (one user → one bucket lane) without knowing the id
+    * range. Exact shift/add arithmetic → hash-checked; LocalitySpec
+    * pins the both-dimensions-bounded property. */
+  val q_zorder_key = Q(
+    "q_zorder_key",
+    (s, dir) => {
+      Tables(s, dir, "events")
+        .select(col("event_id"),
+          graft.functions.Locality.zorder16(
+            graft.functions.TextF.h32(col("user_id").cast("string")),
+            expr("unix_micros(ts) div 60000000")).as("zval"))
+        .orderBy(col("zval"), col("event_id"))
+        .limit(2000)
+    },
+    Some(s"""
+      |SELECT event_id,
+      |  CAST(list_sum(list_transform(range(0, 16), j ->
+      |    (((${Sql.h32("user_id::VARCHAR")} % 65536 >> j) & 1) << (2*j)) +
+      |    ((((epoch_us(ts) // 60000000 % 65536 + 65536) % 65536 >> j) & 1) << (2*j+1))
+      |  )) AS BIGINT) AS zval
+      |FROM events
+      |ORDER BY zval, event_id
+      |LIMIT 2000
+      |""".stripMargin))
+
   /** TPC-H Q13 shape: customer distribution by order count INCLUDING
     * zero-order customers — left outer join + double aggregation. */
   val q13_customer_distribution = Q(
@@ -958,7 +990,7 @@ object Relational2 {
     q15_top_supplier, q16_supplier_variety, q17_small_quantity,
     q18_large_orders, q19_disjunctive_revenue, q21_late_suppliers,
     q22_idle_customers, q_rollup_revenue, q_events_asof,
-    q_events_attribution, q_profile_lineitem,
+    q_events_attribution, q_profile_lineitem, q_zorder_key,
     q09_profit_by_nation, q11_important_stock, q20_heavy_shippers,
     q_quantiles, q_events_approx_users, q_events_session_window,
     q_user_activity, q_set_ops, q_pivot_priority)
