@@ -78,15 +78,24 @@ object Bench {
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
       else s
     }
-    def line(dec: Int): String = {
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, dec) }
+    def line(dec: Int, rs: Map[String, Double]): String = {
+      val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v, dec) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
     }
     // 1895 + the ~76-char sbt "[success] ..." trailer + newlines stays
-    // inside the 2000-char window with ~25 chars margin; at the current
-    // ~87 benched queries this picks 1 decimal — totals always keep 2.
-    val out = Seq(2, 1).map(line).find(_.length <= 1895).getOrElse(line(0))
+    // inside the 2000-char window with ~25 chars margin. Tiers: 2-dec
+    // all, 1-dec all, then 1-dec of the MOST EXPENSIVE queries that fit
+    // — sub-0.2 s entries carry no comparative signal, so precision on
+    // the movers beats integer seconds on everything.
+    val out = Seq(2, 1).map(line(_, results)).find(_.length <= 1895)
+      .getOrElse {
+        val byCost = results.toSeq.sortBy { case (k, v) => (-v, k) }
+        val keep = (byCost.length to 1 by -1).view
+          .map(n => line(1, byCost.take(n).toMap))
+          .find(_.length <= 1895)
+        keep.getOrElse(line(1, Map.empty))
+      }
     // stop Spark first so the JSON is the absolute last stdout line
     spark.stop()
     println(out)
