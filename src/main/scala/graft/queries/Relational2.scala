@@ -648,6 +648,62 @@ object Relational2 {
       |SELECT * FROM p ORDER BY col_name
       |""".stripMargin))
 
+  /** Pearson correlation of (quantity, extendedprice) computed from
+    * EXACT DECIMAL component sums (n, Σx, Σy, Σxy, Σx², Σy²) — the
+    * streaming-correlation accumulator shape, but with exact sums so
+    * partition order cannot drift the result and the final double
+    * arithmetic is one identical expression in both engines (plain
+    * `corr()` accumulates doubles in partition order — not
+    * oracle-safe). One scan, one aggregate row. */
+  val q_profile_corr = Q(
+    "q_profile_corr",
+    (s, dir) => {
+      val x = col("l_quantity").cast("decimal(18,2)")
+      val y = col("l_extendedprice").cast("decimal(18,2)")
+      Tables(s, dir, "lineitem")
+        .agg(count(lit(1)).as("n"),
+          sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
+          sum(x * y).cast("double").as("sxy"),
+          sum(x * x).cast("double").as("sxx"),
+          sum(y * y).cast("double").as("syy"))
+        .select(col("n"), col("sx"), col("sy"), col("sxy"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 9)
+            .as("corr_qty_price"))
+    },
+    Some("""
+      |WITH a AS (
+      |  SELECT count(*) AS n,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+      |  FROM lineitem)
+      |SELECT n, sx, sy, sxy,
+      |  round((n * sxy - sx * sy) /
+      |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9) AS corr_qty_price
+      |FROM a
+      |""".stripMargin))
+
+  /** Fixed-width value histogram of extendedprice (1000-unit buckets,
+    * integer bucket ids) — the profiling companion to q_profile_corr:
+    * one scan, map-side-combined hash aggregate over ≤ max/1000 keys. */
+  val q_profile_histogram = Q(
+    "q_profile_histogram",
+    (s, dir) => {
+      Tables(s, dir, "lineitem")
+        .groupBy(floor(col("l_extendedprice") / 1000).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
+    },
+    Some("""
+      |SELECT CAST(floor(l_extendedprice / 1000) AS BIGINT) AS bucket,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY bucket ORDER BY bucket
+      |""".stripMargin))
+
   /** Z-order locality key over (hashed user, minute-bucket) — the
     * physical layout step before writing a 100 TB events table so
     * min/max file stats prune scans on BOTH a user equality predicate
@@ -990,7 +1046,8 @@ object Relational2 {
     q15_top_supplier, q16_supplier_variety, q17_small_quantity,
     q18_large_orders, q19_disjunctive_revenue, q21_late_suppliers,
     q22_idle_customers, q_rollup_revenue, q_events_asof,
-    q_events_attribution, q_profile_lineitem, q_zorder_key,
+    q_events_attribution, q_profile_lineitem, q_profile_corr,
+    q_profile_histogram, q_zorder_key,
     q09_profit_by_nation, q11_important_stock, q20_heavy_shippers,
     q_quantiles, q_events_approx_users, q_events_session_window,
     q_user_activity, q_set_ops, q_pivot_priority)
