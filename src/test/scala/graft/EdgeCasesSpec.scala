@@ -47,4 +47,32 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(out.filter(col("id") === 1L).count() == 0)
     assert(out.filter(col("id") === 2L).count() == 2) // ceil(3/2) clips
   }
+
+  test("MMR over an empty candidate frame yields zero rows") {
+    val empty = Seq.empty[(Long, Long, Double, Seq[Double])]
+      .toDF("qid", "id", "rel", "emb")
+    assert(graft.sink.Mmr.diversify(empty, "qid", "id", "rel", "emb", 5)
+      .count() == 0)
+  }
+
+  test("SkewJoin with an empty side yields zero rows, both directions") {
+    val big = Seq((1L, "x")).toDF("k", "a")
+    val none = Seq.empty[(Long, String)].toDF("k", "b")
+    assert(graft.core.SkewJoin.salted(big, none, Seq("k"), col("a"), 4).count() == 0)
+    assert(graft.core.SkewJoin.salted(none, big, Seq("k"), col("b"), 4).count() == 0)
+  }
+
+  test("BPE training on empty / whitespace-only text learns nothing") {
+    val df = Seq("", "   ").toDF("text")
+    val v = graft.vectorize.BpeTrain.vocab(df, "text")
+    assert(graft.vectorize.BpeTrain.learn(v, 5).isEmpty)
+  }
+
+  test("PQ build rejects an empty input with a clear error") {
+    val empty = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      graft.index.PqIndex.build(empty, "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("empty input"))
+  }
 }
