@@ -22,7 +22,8 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def run_verify():
-    cmd = ["sbt", "-batch", f'runMain graft.Verify {SFDIR} {OUTDIR}']
+    names = (" " + " ".join(ONLY)) if ONLY else ""
+    cmd = ["sbt", "-batch", f'runMain graft.Verify {SFDIR} {OUTDIR}{names}']
     r = subprocess.run(cmd, cwd="/root/repo", capture_output=True, text=True)
     for line in (r.stdout + r.stderr).splitlines():
         if "[verify]" in line or "error" in line.lower():
@@ -89,13 +90,16 @@ def main():
         else:
             # The driver's hash encodes the value TYPE (e.g. DuckDB HUGEINT
             # from sum(CASE...) != Spark BIGINT even when values agree), so
-            # surface dtype divergence as a warning the value compare misses.
+            # dtype divergence is a FAILURE here too — the fix is almost
+            # always a CAST in the oracle SQL, not an engine change.
             dtw = [(c, str(got[c].dtype), str(want[c].dtype))
                    for c in got.columns if str(got[c].dtype) != str(want[c].dtype)]
-            tag = "ok  " if not dtw else "ok?!"
-            extra = "" if not dtw else f"  DTYPE-DIVERGENCE {dtw}"
-            print(f"{tag} {name} ({len(got)} rows){extra}")
-            n_ok += 1
+            if dtw:
+                print(f"FAIL {name}: DTYPE-DIVERGENCE {dtw}")
+                n_bad += 1
+            else:
+                print(f"ok   {name} ({len(got)} rows)")
+                n_ok += 1
     print(f"\n{n_ok} ok, {n_bad} failed")
     sys.exit(1 if n_bad else 0)
 

@@ -287,8 +287,8 @@ object Corpus {
       |           FROM documents),
       |dfreq AS (SELECT tok, count(*) AS df FROM t GROUP BY tok)
       |SELECT doc_id, count(*) AS n_distinct,
-      |  sum(CAST(df <= 2 AS BIGINT)) AS n_rare,
-      |  min(df) AS min_df, sum(df) AS sum_df
+      |  CAST(sum(CAST(df <= 2 AS BIGINT)) AS BIGINT) AS n_rare,
+      |  min(df) AS min_df, CAST(sum(df) AS BIGINT) AS sum_df
       |FROM t JOIN dfreq USING (tok)
       |GROUP BY doc_id
       |ORDER BY doc_id
@@ -345,8 +345,8 @@ object Corpus {
     },
     Some(s"""
       |SELECT doc_id, lang, n_tok,
-      |  sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS off,
+      |  CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS BIGINT) AS off,
       |  CAST(floor((sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) / 512) AS BIGINT) AS bin
       |FROM (SELECT doc_id, lang, CAST(len(${Sql.toks()}) AS BIGINT) AS n_tok
