@@ -1,0 +1,55 @@
+package graft.index
+
+import org.apache.spark.sql.DataFrame
+
+/** Append-with-compaction for the four index insert paths
+  * ([[GannIndex.insert]], [[IvfIndex.insert]], [[PqIndex.insert]],
+  * [[IvfPq.insert]]).
+  *
+  * A continuous-ingest loop (the StreamingIngestSpec shape) appends a
+  * batch per micro-batch; a naive `cached(old.union(new))` grows BOTH the
+  * Catalyst plan (one Union layer per insert — analysis cost is
+  * O(layers)) and the tracked cache set (every superseded frame stays
+  * pinned) without bound. The reference's local index appends into one
+  * flat matrix (radient/tasks/sinks/local/gann.py:216-220); this is the
+  * distributed twin:
+  *
+  *  - every insert materializes the new frame FROM the superseded cache
+  *    (one cheap in-memory pass), then unpersists the superseded cache —
+  *    steady-state storage is one copy of the index, not one per insert;
+  *  - every `compactEvery`-th insert truncates lineage via an eager
+  *    `localCheckpoint`: the plan becomes a flat scan of materialized
+  *    blocks, so plan depth is bounded by `compactEvery` regardless of
+  *    how many batches ever arrived (blocks of the superseded checkpoint
+  *    are released by the ContextCleaner once the old model is dropped).
+  *
+  * Search results are unaffected — union order is append order either
+  * way; InsertCompactionSpec pins ≥50 sequential inserts to bounded plan
+  * depth with search output identical to a fresh build over the same
+  * rows.
+  */
+object Compact {
+
+  /** Compact every N appends: plans stay ≤ N Union layers deep while
+    * checkpoint passes stay ~1/N of inserts. */
+  val DefaultEvery = 16
+
+  /** `old` must be the model's current (cached or checkpointed) state;
+    * `appends` the model's insert count so far. Returns the new state. */
+  def append(old: DataFrame, extra: DataFrame, appends: Int,
+      compactEvery: Int = DefaultEvery): DataFrame = {
+    val unioned = old.union(extra)
+    val next =
+      if ((appends + 1) % compactEvery == 0) {
+        // lineage truncation: eager, so the pass below reads old's cache
+        // before it is dropped
+        unioned.localCheckpoint(eager = true)
+      } else {
+        val c = graft.core.Caches.cached(unioned)
+        c.count() // materialize off the superseded cache before dropping it
+        c
+      }
+    old.unpersist(blocking = false)
+    next
+  }
+}

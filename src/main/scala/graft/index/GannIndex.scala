@@ -102,7 +102,7 @@ object GannIndex {
 
   final case class Model(trees: IndexedSeq[Map[Int, Node]],
       leaves: Seq[(Int, Int)], assign: DataFrame,
-      idCol: String, vecCol: String) {
+      idCol: String, vecCol: String, appends: Int = 0) {
 
     /** Single-tree view (forest of 1) — kept for tree-shape inspection. */
     def nodes: Map[Int, Node] = trees.head
@@ -223,8 +223,9 @@ object GannIndex {
         df.select(col(model.idCol), col(model.vecCol)),
         model.trees, model.idCol, model.vecCol)
       .select(model.assign.columns.map(col).toIndexedSeq: _*)
-    model.copy(assign =
-      graft.core.Caches.cached(model.assign.union(newAssign)))
+    model.copy(
+      assign = Compact.append(model.assign, newAssign, model.appends),
+      appends = model.appends + 1)
   }
 
   def save(model: Model, path: String): Unit = {

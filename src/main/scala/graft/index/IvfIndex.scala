@@ -3,7 +3,7 @@ package graft.index
 import graft.functions.VectorF
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -19,7 +19,8 @@ import org.apache.spark.sql.functions._
 object IvfIndex {
 
   final case class Model(centroids: Array[(Int, Array[Double])],
-      assign: DataFrame, idCol: String, vecCol: String) {
+      assign: DataFrame, idCol: String, vecCol: String,
+      appends: Int = 0) {
 
     def nearestClusters(v: Array[Double], nprobe: Int): Seq[Int] =
       centroids.map { case (cid, c) =>
@@ -73,9 +74,25 @@ object IvfIndex {
   def insert(model: Model, df: DataFrame): Model = {
     val newAssign = assignNearest(df, model.centroids, model.idCol, model.vecCol)
       .select(model.assign.columns.map(col).toIndexedSeq: _*)
-    model.copy(assign =
-      graft.core.Caches.cached(model.assign.union(newAssign)))
+    model.copy(
+      assign = Compact.append(model.assign, newAssign, model.appends),
+      appends = model.appends + 1)
   }
+
+  /** Deterministic, storage-order-INDEPENDENT fit sample: the first n
+    * rows in xxhash64(id) order — a spread sample at TakeOrdered cost
+    * (orderBy+limit never materializes a full sort), where a bare
+    * `.limit(n)` takes whole partitions in storage order and trains the
+    * quantizer on however the corpus happens to be laid out (e.g. one
+    * shard of a time-partitioned 100 TB table). Shared by the PQ / IVF-PQ
+    * / balanced-IVF fits; storage-order independence is pinned in
+    * FitSampleSpec. */
+  private[index] def hashSample(df: DataFrame, idCol: String, vec: Column,
+      n: Int): Array[Array[Double]] =
+    df.select(vec.as("_v"), col(idCol).as("_id"))
+      .orderBy(xxhash64(col("_id").cast("string")), col("_id"))
+      .limit(n)
+      .collect().map(_.getSeq[Double](0).toArray)
 
   /** One broadcast-probe pass: nearest frozen centroid per row. */
   private def assignNearest(df: DataFrame, centroids: Array[(Int, Array[Double])],
@@ -170,14 +187,30 @@ object IvfIndex {
       k: Int = 16, seed: Long = 42L, fitSample: Int = 100000,
       balance: Boolean = false, sizeDecay: Double = 1.0): Model = {
     if (balance) {
-      val sample = df.select(col(vecCol).cast("array<double>"))
-        .limit(fitSample).collect().map(_.getSeq[Double](0).toArray)
+      val sample = hashSample(df, idCol,
+        col(vecCol).cast("array<double>"), fitSample)
       if (sample.isEmpty)
         return Model(Array.empty,
           df.select(col(idCol), col(vecCol)).withColumn("cluster", lit(0)),
           idCol, vecCol)
-      val cents = balancedLloyd(sample, k, iters = 8, seed = seed,
-        sizeDecay = sizeDecay)
+      // multi-start over a few init seeds, keep the fit with the lowest
+      // quantization error (Σ min-d² over the sample — the part of the
+      // GKMeans objective that drives recall; balance is enforced inside
+      // each fit's greedy assignment). Deterministic, sample-order
+      // independent given the canonical hash-ordered sample, and the fit
+      // runs on a bounded driver-side sample so 3x cost is trivial.
+      val cents = Seq(seed, seed + 1, seed + 2).map { s0 =>
+        val c = balancedLloyd(sample, k, iters = 8, seed = s0,
+          sizeDecay = sizeDecay)
+        val err = sample.map { p =>
+          c.map { cc =>
+            var s = 0.0; var j = 0
+            while (j < p.length) { val d = p(j) - cc(j); s += d * d; j += 1 }
+            s
+          }.min
+        }.sum
+        (err, c)
+      }.minBy(_._1)._2
       val centroids = cents.zipWithIndex.map { case (c, i) => (i, c) }
       val assign = graft.core.Caches.cached(
         assignNearest(df, centroids, idCol, vecCol))

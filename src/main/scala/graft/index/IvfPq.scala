@@ -33,7 +33,7 @@ object IvfPq {
   final case class Model(coarse: Array[(Int, Array[Double])],
       m: Int, dsub: Int, ksub: Int,
       codebooks: Array[Array[Array[Double]]],
-      codes: DataFrame, idCol: String) {
+      codes: DataFrame, idCol: String, appends: Int = 0) {
 
     /** ADC search over the probed clusters' residual codes. */
     def search(queries: DataFrame, qid: String, qvec: String,
@@ -46,12 +46,13 @@ object IvfPq {
       // per query: nprobe (cluster, ADC-table-of-residual) rows
       val probeUdf = udf { (v: Seq[Double]) =>
         val arr = v.toArray
+        // carry the centroid ref through the sort — no per-probe re-scan
+        // of the centroid list
         bcC.value.map { case (cid, c) =>
           var s = 0.0; var i = 0
           while (i < arr.length) { val d = arr(i) - c(i); s += d * d; i += 1 }
-          (cid, s)
-        }.sortBy { case (cid, d) => (d, cid) }.take(np).map { case (cid, _) =>
-          val cent = bcC.value.find(_._1 == cid).get._2
+          (cid, c, s)
+        }.sortBy { case (cid, _, d) => (d, cid) }.take(np).map { case (cid, cent, _) =>
           val resid = Array.tabulate(arr.length)(i => arr(i) - cent(i))
           (cid, PqIndex.distTable(resid.toIndexedSeq, bcB.value, mm, dd, kk).toSeq)
         }.toSeq
@@ -116,8 +117,9 @@ object IvfPq {
         encUdf(col(vecCol).cast("array<double>")).as("e"))
       .select(col(model.idCol), col("e._1").as("cluster"), col("e._2").as("codes"))
       .select(model.codes.columns.map(col).toIndexedSeq: _*)
-    model.copy(codes =
-      graft.core.Caches.cached(model.codes.union(newCodes)))
+    model.copy(
+      codes = Compact.append(model.codes, newCodes, model.appends),
+      appends = model.appends + 1)
   }
 
   /** Persist centroids + codebooks + cluster-partitioned codes (probes
@@ -172,8 +174,7 @@ object IvfPq {
     val dim = first(0).getSeq[Double](0).length
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val dsub = dim / m
-    val sample = resid.select(col("resid")).limit(fitSample)
-      .collect().map(_.getSeq[Double](0).toArray)
+    val sample = IvfIndex.hashSample(resid, idCol, col("resid"), fitSample)
     val books = PqIndex.trainBooks(sample, m, dsub, ksub, seed, iters)
     val bcB = spark.sparkContext.broadcast(books)
     val (mm, dd) = (m, dsub)

@@ -29,7 +29,7 @@ object PqIndex {
   /** codebooks(sub)(code) = centroid of length dsub. */
   final case class Model(m: Int, dsub: Int, ksub: Int,
       codebooks: Array[Array[Array[Double]]],
-      codes: DataFrame, idCol: String) {
+      codes: DataFrame, idCol: String, appends: Int = 0) {
 
     /** ADC batch search: per-query distance table (UDF over the tiny
       * broadcast codebooks), then a codegen'd lookup-sum over the codes
@@ -96,8 +96,9 @@ object PqIndex {
     }
     val newCodes = df.select(col(model.idCol),
       encodeUdf(col(vecCol).cast("array<double>")).as("codes"))
-    model.copy(codes =
-      graft.core.Caches.cached(model.codes.union(newCodes)))
+    model.copy(
+      codes = Compact.append(model.codes, newCodes, model.appends),
+      appends = model.appends + 1)
   }
 
   /** Persist codebooks + the compact codes table. */
@@ -219,8 +220,8 @@ object PqIndex {
     val dim = first(0).getSeq[Any](0).length
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val dsub = dim / m
-    val sample = df.select(col(vecCol).cast("array<double>"))
-      .limit(fitSample).collect().map(_.getSeq[Double](0).toArray)
+    val sample = IvfIndex.hashSample(df, idCol,
+      col(vecCol).cast("array<double>"), fitSample)
     val books = trainBooks(sample, m, dsub, ksub, seed, iters)
     val bc = df.sparkSession.sparkContext.broadcast(books)
     val (mm, dd) = (m, dsub)
