@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import graft.functions.TextF
+import graft.index.{GannIndex, IvfIndex, IvfPq, PqIndex}
 import graft.sink.VectorTable
 import graft.sources.Sources
 import graft.vectorize.{HashEmbed, Multimodal, TfIdf}
@@ -143,6 +144,38 @@ object Operators {
         .select(col(idCol))
       d.join(keep, Seq(idCol), "left_semi")
     },
+    // load a persisted ANN index (built by the matching index-tier sink
+    // below) and search the input frame as the query batch — the search
+    // half of the reference's local-index lifecycle
+    // (tasks/sinks/local/gann.py:234-259 search after load), composable
+    // through the registry so a workflow can index in one stage and
+    // query in a later one
+    "ann_search" -> { (spark, cp) => (ins, rp) =>
+      val params = cp ++ rp
+      val kind = req(params, "index", "transform/ann_search")
+      val path = req(params, "path", "transform/ann_search")
+      val idCol = p(params, "idCol", "id")
+      val vecCol = p(params, "vecCol", "embedding")
+      val qid = p(params, "qidCol", "qid")
+      val qvec = p(params, "qvecCol", "qv")
+      val k = p(params, "k", "10").toInt
+      val nprobe = p(params, "nprobe", "3").toInt
+      kind match {
+        case "gann" =>
+          GannIndex.load(spark, path, idCol, vecCol)
+            .search(ins.head, qid, qvec, k)
+        case "ivf" =>
+          IvfIndex.load(spark, path, idCol, vecCol)
+            .search(ins.head, qid, qvec, k, nprobe)
+        case "pq" =>
+          PqIndex.load(spark, path, idCol).search(ins.head, qid, qvec, k)
+        case "ivfpq" =>
+          IvfPq.load(spark, path, idCol)
+            .search(ins.head, qid, qvec, k, nprobe)
+        case other => throw new IllegalArgumentException(
+          s"unknown ann_search index '$other' (have: gann, ivf, ivfpq, pq)")
+      }
+    },
     // deterministic stratified sampling: keep iff
     // h32(stratum#id) mod 1000 < quota‰ — a pure scan predicate, no RNG
     // state, identical row selection on re-runs and in the oracle
@@ -216,7 +249,54 @@ object Operators {
       val path = req(params, "path", "sink/parquet")
       ins.head.write.mode("overwrite").parquet(path)
       spark.read.parquet(path)
-    })
+    },
+    // index-tier sinks — the reference's make_operator("sink", "local")
+    // → GANN insert/index/search lifecycle (factory.py:29-64 routes to
+    // tasks/sinks/local/__init__.py:8, whose real engine is
+    // tasks/sinks/local/gann.py:196-259): build the index over the input
+    // (idCol, vecCol), persist its partition-pruned layout at `path`
+    // (see each index's save), and hand back the landed distributed
+    // state — the posting/codes table actually on disk — so downstream
+    // stages observe what was indexed. Search composes back in through
+    // the ann_search transform over the same `path`.
+    "gann" -> indexSink("gann"),
+    "ivf" -> indexSink("ivf"),
+    "pq" -> indexSink("pq"),
+    "ivfpq" -> indexSink("ivfpq"))
+
+  private def indexSink(kind: String): Make = { (spark, cp) => (ins, rp) =>
+    val params = cp ++ rp
+    val path = req(params, "path", s"sink/$kind")
+    val idCol = p(params, "idCol", "id")
+    val vecCol = p(params, "vecCol", "embedding")
+    kind match {
+      case "gann" =>
+        val m = GannIndex.build(ins.head, idCol, vecCol,
+          leafSize = p(params, "leafSize", "200").toInt,
+          spill = p(params, "spill", "0.15").toDouble,
+          nTrees = p(params, "nTrees", "1").toInt)
+        GannIndex.save(m, path)
+        spark.read.parquet(s"$path/assign")
+      case "ivf" =>
+        val m = IvfIndex.build(ins.head, idCol, vecCol,
+          k = p(params, "k", "16").toInt)
+        IvfIndex.save(m, path)
+        spark.read.parquet(s"$path/assign")
+      case "pq" =>
+        val m = PqIndex.build(ins.head, idCol, vecCol,
+          m = p(params, "m", "8").toInt,
+          ksub = p(params, "ksub", "16").toInt)
+        PqIndex.save(m, path)
+        spark.read.parquet(s"$path/codes")
+      case "ivfpq" =>
+        val m = IvfPq.build(ins.head, idCol, vecCol,
+          kCoarse = p(params, "kCoarse", "8").toInt,
+          m = p(params, "m", "8").toInt,
+          ksub = p(params, "ksub", "16").toInt)
+        IvfPq.save(m, path)
+        spark.read.parquet(s"$path/codes")
+    }
+  }
 
   val families: Map[String, Map[String, Make]] = Map(
     "source" -> sources,

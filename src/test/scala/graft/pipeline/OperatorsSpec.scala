@@ -132,4 +132,50 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pieces.columns.toSeq == Seq("doc_id", "piece"))
     assert(pieces.count() > 0)
   }
+
+  test("index-tier sink + ann_search close the make_operator('sink','local') port path") {
+    // the reference lifecycle: make_operator sink → insert/index →
+    // search (factory.py:29-64, tasks/sinks/local/gann.py:196-259) —
+    // here: registry-built workflow ingests + indexes, a second one
+    // loads the persisted index and searches a query batch through it
+    val idx = tmp("ops-ivf")
+    val landed = new Workflow()
+      .addWithParams("read", Operators.make(spark, "source", "parquet",
+        Map("path" -> s"${TestSpark.sf0001}/embeddings.parquet")))
+      .addWithParams("index", Operators.make(spark, "sink", "ivf",
+        Map("path" -> idx, "idCol" -> "vec_id", "vecCol" -> "embedding",
+          "k" -> "4")))
+      .execute()
+    assert(landed.count() == 500, "posting lists landed on disk")
+    assert(landed.columns.contains("cluster"))
+    val hits = new Workflow()
+      .addWithParams("queries", Operators.make(spark, "source", "parquet",
+        Map("path" -> s"${TestSpark.sf0001}/embeddings.parquet")))
+      .addWithParams("probe", (ins, _) => ins.head.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv")))
+      .addWithParams("search", Operators.make(spark, "transform", "ann_search",
+        Map("index" -> "ivf", "path" -> idx, "idCol" -> "vec_id",
+          "vecCol" -> "embedding", "k" -> "5", "nprobe" -> "4")))
+      .execute()
+    assert(hits.count() == 25, "5 queries x k=5")
+    assert(hits.columns.toSet == Set("qid", "vec_id", "dist", "rnk"))
+  }
+
+  test("all four index sinks land state and serve ann_search") {
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    for (kind <- Seq("gann", "ivf", "pq", "ivfpq")) {
+      val path = tmp(s"ops-$kind")
+      val sink = Operators.make(spark, "sink", kind,
+        Map("path" -> path, "idCol" -> "vec_id", "vecCol" -> "embedding"))
+      val landed = sink(Seq(emb), Map.empty)
+      assert(landed.count() >= 500, s"$kind landed its distributed state")
+      val search = Operators.make(spark, "transform", "ann_search",
+        Map("index" -> kind, "path" -> path, "idCol" -> "vec_id",
+          "vecCol" -> "embedding", "k" -> "3"))
+      val hits = search(Seq(queries), Map.empty)
+      assert(hits.count() == 6, s"$kind: 2 queries x k=3")
+    }
+  }
 }
