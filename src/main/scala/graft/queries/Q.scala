@@ -45,6 +45,12 @@ object Sql {
 
   def norm(a: String): String = s"sqrt(${dotd(a, a)})"
 
+  /** Sequential-fold L2 distance of two list columns (VectorF.l2Dist
+    * twin: per-element ::DOUBLE, fold in list order). */
+  def l2(a: String, b: String): String =
+    s"sqrt(list_sum(list_transform(range(1, len($a)+1), " +
+      s"i -> ($a[i]::DOUBLE - $b[i]::DOUBLE) * ($a[i]::DOUBLE - $b[i]::DOUBLE))))"
+
   def cosine(a: String, b: String): String =
     s"(${dotd(a, b)} / (${norm(a)} * ${norm(b)}))"
 

@@ -267,7 +267,80 @@ object VectorSearch {
       |ORDER BY step
       |""".stripMargin))
 
+  /** Per-item vector-SEQUENCE column (8 member vectors in vec_id order,
+    * as ArrayType(ArrayType(float))) — the multi-vector shape the
+    * reference emits for time-varying audio features
+    * (radient/tasks/vectorizers/audio/torchaudio.py:43-46) and FastRP
+    * node sequences (graph/fastrp.py:52-53), mapped per SURVEY §1.5 to a
+    * nested array column. Shared by the two q_multivec entries. */
+  private def itemSequences(e: org.apache.spark.sql.DataFrame) =
+    e.groupBy(floor(col("vec_id") / 8).cast("long").as("item_id"))
+      .agg(array_sort(collect_list(struct(col("vec_id"), col("embedding"))))
+        .as("sv"))
+      .select(col("item_id"),
+        transform(col("sv"), x => x.getField("embedding")).as("vecs"))
+
+  /** Multi-vector mean-pool: materialize the nested sequence column,
+    * then pool it elementwise back to one vector per item — torchaudio's
+    * reduce=mean path (torchaudio.py:46) over the stored sequence.
+    * Long-format, exact member set → hash-checked (the oracle averages
+    * the same members directly; the nested column is the Spark-side
+    * representation under test). Scale: one groupBy shuffle builds the
+    * sequences (in a real pipeline the column arrives pre-materialized
+    * from the vectorizer), then a narrow explode + partial agg. */
+  val q_multivec_meanpool = Q(
+    "q_multivec_meanpool",
+    (s, dir) => {
+      itemSequences(Tables(s, dir, "embeddings"))
+        .select(col("item_id"), explode(col("vecs")).as("v"))
+        .select(col("item_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("item_id"), col("pos").cast("long").as("pos"))
+        .agg(round(avg(col("x").cast("double")), 6).as("mean_val"))
+        .orderBy(col("item_id"), col("pos"))
+    },
+    Some("""
+      |SELECT CAST(vec_id // 8 AS BIGINT) AS item_id, i AS pos,
+      |  round(avg(embedding[i + 1]::DOUBLE), 6) AS mean_val
+      |FROM (SELECT vec_id, embedding, unnest(range(0, len(embedding))) AS i
+      |      FROM embeddings)
+      |GROUP BY item_id, i ORDER BY item_id, pos
+      |""".stripMargin))
+
+  /** Multi-vector search: an item's score is the MIN exact L2 distance
+    * over its vector sequence (the simplest late-interaction semantics —
+    * the "multi-vector support" line of the reference's roadmap,
+    * README.md:118, over the torchaudio.py:43-46 sequence shape).
+    * The min folds INSIDE the nested column via array_min∘transform —
+    * no explode, no per-member shuffle; at scale this is a scan with a
+    * broadcast 1-row query side and a TakeOrderedAndProject tail.
+    * Exact distances, deterministic fold order on both sides →
+    * hash-checked. */
+  val q_multivec_search = Q(
+    "q_multivec_search",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      itemSequences(e)
+        .filter(col("item_id") =!= 0) // item 0 contains the query vector
+        .crossJoin(broadcast(q))
+        .select(col("item_id"),
+          round(array_min(transform(col("vecs"), v => l2Dist(v, col("qv")))), 6)
+            .as("dist"))
+        .orderBy(col("dist"), col("item_id"))
+        .limit(10)
+    },
+    Some(s"""
+      |WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+      |SELECT CAST(vec_id // 8 AS BIGINT) AS item_id,
+      |  round(min(${Sql.l2("embedding", "qv")}), 6) AS dist
+      |FROM embeddings, q
+      |WHERE vec_id // 8 <> 0
+      |GROUP BY item_id
+      |ORDER BY dist, item_id LIMIT 10
+      |""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q_vec_norms, q_knn_brute, q_knn_filtered, q_knn_join,
-    q_meanpool_label, q_vec_normalize, q_cluster_assign, q_mmr_rerank)
+    q_meanpool_label, q_vec_normalize, q_cluster_assign, q_mmr_rerank,
+    q_multivec_meanpool, q_multivec_search)
 }
