@@ -96,6 +96,24 @@ object Bench {
           .find(_.length <= 1895)
         keep.getOrElse(line(1, Map.empty))
       }
+    // the driver's stdout-tail window may drop the cheapest per-query
+    // entries from the one-line report above — persist the COMPLETE
+    // 2-decimal map (plus both raw passes) to disk so no per-query datum
+    // is ever lost to the tail budget
+    try {
+      val full = line(2, results)
+      val p1s = p1.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }
+        .mkString("{", ",", "}")
+      val p2s = p2.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }
+        .mkString("{", ",", "}")
+      val dir = java.nio.file.Paths.get("target")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.write(dir.resolve("bench_full.json"),
+        s"""{"report":$full,"pass1":$p1s,"pass2":$p2s}\n"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () }
     // stop Spark first so the JSON is the absolute last stdout line
     spark.stop()
     println(out)

@@ -7,7 +7,9 @@ import org.apache.spark.sql.functions._
 /** Approximate-nearest-neighbour query entries. Approximate by design →
   * no SQL oracle (the driver records rows-only; recall against the exact
   * path is asserted in graft.index.AnnRecallSpec, never hash equality —
-  * SURVEY.md §7.4).
+  * SURVEY.md §7.4). Each entry probes a 100-query batch (k=10 per query)
+  * so the benched time measures the batched search path — probe fan-out,
+  * posting/leaf joins, heap top-k — rather than per-query setup.
   */
 object Ann {
 
@@ -45,7 +47,7 @@ object Ann {
       val e = Tables.spread(Tables(s, dir, "embeddings"))
       val model = memoized(s, dir, ivfMemo)(
         IvfIndex.build(e, "vec_id", "embedding", k = 8))
-      val queries = e.filter(col("vec_id") < 5)
+      val queries = e.filter(col("vec_id") < 100)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       model.search(queries, "qid", "qv", k = 10, nprobe = 3)
         .select(col("qid"), col("vec_id"), round(col("dist"), 6).as("dist"), col("rnk"))
@@ -64,7 +66,7 @@ object Ann {
       val model = memoized(s, dir, gannMemo)(
         GannIndex.build(e, "vec_id", "embedding",
           leafSize = 200, spill = 0.15, nTrees = 2))
-      val queries = e.filter(col("vec_id") < 5)
+      val queries = e.filter(col("vec_id") < 100)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       model.search(queries, "qid", "qv", k = 10)
         .select(col("qid"), col("vec_id"), round(col("dist"), 6).as("dist"), col("rnk"))
@@ -82,7 +84,7 @@ object Ann {
       val e = Tables.spread(Tables(s, dir, "embeddings"))
       val model = memoized(s, dir, pqMemo)(
         PqIndex.build(e, "vec_id", "embedding", m = 16, ksub = 16))
-      val queries = e.filter(col("vec_id") < 5)
+      val queries = e.filter(col("vec_id") < 100)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       model.searchRerank(queries, "qid", "qv", k = 10,
           shortlist = 50, vectors = e, vecCol = "embedding")
@@ -101,7 +103,7 @@ object Ann {
       val e = Tables.spread(Tables(s, dir, "embeddings"))
       val model = memoized(s, dir, ivfPqMemo)(
         IvfPq.build(e, "vec_id", "embedding", kCoarse = 8, m = 16, ksub = 16))
-      val queries = e.filter(col("vec_id") < 5)
+      val queries = e.filter(col("vec_id") < 100)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       model.searchRerank(queries, "qid", "qv", k = 10,
           nprobe = 3, shortlist = 50, vectors = e, vecCol = "embedding")
