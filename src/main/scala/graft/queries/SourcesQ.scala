@@ -38,7 +38,17 @@ object SourcesQ {
 
   private def tempDir(prefix: String): String = {
     val d = java.nio.file.Files.createTempDirectory(prefix)
-    d.toFile.deleteOnExit()
+    // deleteOnExit can't remove a non-empty directory and Spark writes
+    // part files inside — recurse at JVM exit so repeated roundtrip
+    // invocations don't leak staging dirs in /tmp
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      if (Files.exists(d)) {
+        Files.walk(d).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => { Files.deleteIfExists(p); () })
+      }
+    }))
     d.toString
   }
 

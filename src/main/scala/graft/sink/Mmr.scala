@@ -33,7 +33,8 @@ object Mmr {
       val sel = scala.collection.mutable.ArrayBuffer.empty[Int]
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
       var step = 1
-      while (step <= math.min(k, n)) {
+      var exhausted = false
+      while (!exhausted && step <= math.min(k, n)) {
         var bi = -1; var bs = Double.NegativeInfinity
         var i = 0
         while (i < n) {
@@ -51,9 +52,15 @@ object Mmr {
           }
           i += 1
         }
-        out += ((step.toLong, ids(bi), bs))
-        sel += bi
-        step += 1
+        // every remaining score NaN (NaN rel / degenerate embeddings):
+        // `score > bs` never fires, bi stays -1 — stop cleanly with the
+        // picks so far instead of throwing on ids(-1)
+        if (bi < 0) exhausted = true
+        else {
+          out += ((step.toLong, ids(bi), bs))
+          sel += bi
+          step += 1
+        }
       }
       out.toSeq
   }

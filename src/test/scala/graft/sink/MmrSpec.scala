@@ -47,4 +47,33 @@ class MmrSpec extends AnyFunSuite {
       .collect().map(_.getLong(2))
     assert(out.toSeq == Seq(1L, 2L, 3L)) // plain top-3 by rel
   }
+
+  test("all-NaN scores stop the selection instead of throwing") {
+    // NaN rel everywhere → no comparable candidate at step 1; the greedy
+    // loop must return an empty pick list, not IndexOutOfBounds
+    val nanRel = Seq(
+      (0L, 1L, Double.NaN, Seq(1.0, 0.0)),
+      (0L, 2L, Double.NaN, Seq(0.0, 1.0))
+    ).toDF("qid", "id", "rel", "emb")
+    assert(Mmr.diversify(nanRel, "qid", "id", "rel", "emb", k = 2).count() == 0)
+    // one NaN rel among valid candidates: valid ones picked, then stop —
+    // no IndexOutOfBounds on the exhausted tail
+    val mixed = Seq(
+      (0L, 1L, 0.9, Seq(1.0, 0.0)),
+      (0L, 2L, Double.NaN, Seq(0.0, 1.0))
+    ).toDF("qid", "id", "rel", "emb")
+    val picks = Mmr.diversify(mixed, "qid", "id", "rel", "emb", k = 2)
+      .orderBy("step").collect().map(_.getLong(2))
+    assert(picks.toSeq == Seq(1L))
+    // degenerate zero embeddings: cosine is NaN, but the max-sim guard
+    // (`c > ms`) skips NaN, so the diversity term degrades to "none" and
+    // selection falls back to relevance order — no crash, k picks
+    val zeroEmb = Seq(
+      (0L, 1L, 0.9, Seq(0.0, 0.0)),
+      (0L, 2L, 0.8, Seq(0.0, 0.0))
+    ).toDF("qid", "id", "rel", "emb")
+    val zp = Mmr.diversify(zeroEmb, "qid", "id", "rel", "emb", k = 2)
+      .orderBy("step").collect().map(_.getLong(2))
+    assert(zp.toSeq == Seq(1L, 2L))
+  }
 }
