@@ -375,8 +375,49 @@ object Corpus {
     },
     None)
 
+  /** Temperature-scaled language mixture weights (the multilingual
+    * rebalancing step of large-scale pretraining corpora — upweight tail
+    * languages by sampling q_l ∝ p_l^α with α = 0.5, the mBERT/XLM-R
+    * exponent): per language the natural share p, the resampled share q,
+    * and the target document count q·N the sampler would draw.
+    *
+    * Scale shape: one map-side-combined count per language (the only
+    * full-corpus pass), then all arithmetic happens on the
+    * languages-sized table with two 1-row broadcast totals — at 100 TB
+    * this is a scan plus a handful of driver-sized rows. Doubles are
+    * computed identically on both engines from exact integer counts;
+    * rounded to 6. */
+  val q_mixture_weights = Q(
+    "q_mixture_weights",
+    (s, dir) => {
+      val byLang = Tables(s, dir, "documents")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      val tot = broadcast(byLang.agg(sum(col("n")).as("ntot")))
+      val w = byLang.crossJoin(tot)
+        .withColumn("p", col("n") / col("ntot"))
+        .withColumn("w", pow(col("p"), lit(0.5)))
+      val z = broadcast(w.agg(sum(col("w")).as("z")))
+      w.crossJoin(z)
+        .select(col("lang"), col("n"),
+          round(col("p"), 6).as("p"),
+          round(col("w") / col("z"), 6).as("q"),
+          round(col("w") / col("z") * col("ntot")).cast("long").as("target_docs"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      |WITH l AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS ntot FROM l),
+      |w AS (SELECT lang, n, n::DOUBLE / ntot AS p,
+      |             pow(n::DOUBLE / ntot, 0.5) AS w
+      |      FROM l, t),
+      |z AS (SELECT sum(w) AS z FROM w)
+      |SELECT lang, n, round(p, 6) AS p, round(w / z, 6) AS q,
+      |  CAST(round(w / z * (SELECT ntot FROM t)) AS BIGINT) AS target_docs
+      |FROM w, z ORDER BY lang
+      |""".stripMargin))
+
   val all: Seq[Q] = Seq(q_token_bpe, q_corpus_filter, q_sample_stratified,
     q_decontaminate, q_pipeline_curate, q_ngram_topk, q_rare_tokens, q_zipf,
-    q_pack_sequences, q_bpe_merges)
+    q_pack_sequences, q_bpe_merges, q_mixture_weights)
 }
 

@@ -476,9 +476,51 @@ object Dedup {
       |FROM comp ORDER BY doc_id
       |""".stripMargin))
 
+  /** Duplicate-cluster size histogram: how many clusters have exactly k
+    * members (singletons included) — the dedup-rate diagnostic a curation
+    * run reads before deciding thresholds (a heavy tail here means the
+    * corpus has template spam; all-singletons means the threshold is too
+    * tight). Same component fixpoint as q_dedup_components, then two
+    * integer-exact aggregates; output is O(max cluster size) rows.
+    * At 100 TB nothing beyond the component labels (id, keep_id) ever
+    * shuffles — the histogram inputs are (keep_id, count) pairs. */
+  val q_dedup_cluster_sizes = Q(
+    "q_dedup_cluster_sizes",
+    (s, dir) => {
+      val pairs = simhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
+      val comp = graft.dedup.ConnectedComponents
+        .components(pairs, "doc_a", "doc_b")
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      docs
+        .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(coalesce(col("comp"), col("doc_id")).as("keep_id"))
+        .groupBy(col("keep_id")).agg(count(lit(1)).as("csize"))
+        .groupBy(col("csize")).agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("csize"))
+    },
+    Some(s"""
+      |WITH RECURSIVE s AS (
+      |  SELECT doc_id, ${Sql.simhash60("t")} AS sh
+      |  FROM (SELECT doc_id, ${Sql.toks()} AS t FROM documents)),
+      |p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+      |e AS (SELECT doc_a AS u, doc_b AS v FROM p
+      |      UNION ALL SELECT doc_b, doc_a FROM p),
+      |reach(u, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.v, reach.r FROM reach JOIN e ON e.u = reach.u),
+      |comp AS (SELECT u AS doc_id, min(r) AS keep_id FROM reach GROUP BY u),
+      |cs AS (SELECT keep_id, count(*) AS csize FROM comp GROUP BY keep_id)
+      |SELECT csize, count(*) AS n_clusters
+      |FROM cs GROUP BY csize ORDER BY csize
+      |""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q_dedup_incremental, q_dedup_spans,
     q_dedup_exact, q_dedup_ngram_jaccard, q_minhash_signatures,
     q_dedup_minhash_lsh, q_dedup_embedding, q_dedup_simhash,
-    q_dedup_components)
+    q_dedup_components, q_dedup_cluster_sizes)
 }

@@ -315,7 +315,71 @@ object TextAnalysis {
       |ORDER BY doc_id, page_idx
       |""".stripMargin))
 
+  /** Top-20 bigram collocations by PMI (pointwise mutual information,
+    * Church & Hanks '90) with a count floor — the phrase-mining /
+    * collocation pass a corpus analysis runs before tokenizer or
+    * stopword decisions. PMI = ln((c_b/N_b) / ((c_w1/N_u)·(c_w2/N_u)))
+    * over exact integer counts, so both engines compute the identical
+    * double and the ties order on the rounded value.
+    *
+    * Scale shape: two hash aggregates over (token) and (bigram) — both
+    * map-side combined, nothing but (key, count) pairs shuffle; the
+    * unigram counts join back onto the floored bigram table (vocabulary-
+    * sized after the floor) on token equi-keys; the two grand totals are
+    * 1-row broadcast crossJoins; the top-20 is TakeOrderedAndProject.
+    * At 100 TB the only full-corpus passes are the two token scans. */
+  val q_pmi_bigrams = Q(
+    "q_pmi_bigrams",
+    (s, dir) => {
+      // token arrays materialized once behind a cache: both the unigram
+      // and bigram passes read them (the quality_filter / shingleDf
+      // boundary lesson — without it pushdown re-inlines tokenization
+      // into each pass)
+      val bound = graft.core.Caches.cached(
+        Tables.spread(Tables(s, dir, "documents"))
+          .select(tokens(col("text")).as("t")))
+      val uni = bound.select(explode(col("t")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      val big = graft.core.Caches.cached(
+        bound.select(explode(shingles(col("t"), 2)).as("bg"))
+          .groupBy(col("bg")).agg(count(lit(1)).as("cb")))
+      val nu = broadcast(uni.agg(sum(col("cw")).as("nu")))
+      val nb = broadcast(big.agg(sum(col("cb")).as("nb")))
+      val floored = big.filter(col("cb") >= 5)
+        .withColumn("w1", split(col("bg"), " ").getItem(0))
+        .withColumn("w2", split(col("bg"), " ").getItem(1))
+      floored
+        .join(uni.select(col("w").as("w1"), col("cw").as("cw1")), Seq("w1"))
+        .join(uni.select(col("w").as("w2"), col("cw").as("cw2")), Seq("w2"))
+        .crossJoin(nu).crossJoin(nb)
+        .select(col("bg").as("bigram"), col("cb").as("n_pair"),
+          round(log((col("cb") / col("nb")) /
+            ((col("cw1") / col("nu")) * (col("cw2") / col("nu")))), 6).as("pmi"))
+        .orderBy(desc("pmi"), col("bigram"))
+        .limit(20)
+    },
+    Some(s"""
+      |WITH d AS (SELECT ${Sql.toks()} AS t FROM documents),
+      |uni AS (SELECT w, count(*) AS cw
+      |        FROM (SELECT unnest(t) AS w FROM d) GROUP BY w),
+      |big AS (SELECT bg, count(*) AS cb
+      |        FROM (SELECT unnest(${Sql.shingles2("t")}) AS bg FROM d)
+      |        GROUP BY bg),
+      |nu AS (SELECT CAST(sum(cw) AS DOUBLE) AS nu FROM uni),
+      |nb AS (SELECT CAST(sum(cb) AS DOUBLE) AS nb FROM big)
+      |SELECT bg AS bigram, cb AS n_pair,
+      |  round(ln((cb::DOUBLE / nb) /
+      |    ((u1.cw::DOUBLE / nu) * (u2.cw::DOUBLE / nu))), 6) AS pmi
+      |FROM big
+      |JOIN uni u1 ON u1.w = split_part(bg, ' ', 1)
+      |JOIN uni u2 ON u2.w = split_part(bg, ' ', 2)
+      |CROSS JOIN nu CROSS JOIN nb
+      |WHERE cb >= 5
+      |ORDER BY pmi DESC, bigram LIMIT 20
+      |""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q_token_count, q_text_quality, q_lang_id, q_doc_fingerprint, q_embed_hash,
-    q_tfidf_top_terms, q_doc_chunks, q_doc_pages, q_repetition_ratio)
+    q_tfidf_top_terms, q_doc_chunks, q_doc_pages, q_repetition_ratio,
+    q_pmi_bigrams)
 }
