@@ -271,9 +271,12 @@ object Corpus {
   val q_rare_tokens = Q(
     "q_rare_tokens",
     (s, dir) => {
-      val toksDf = Tables.spread(Tables(s, dir, "documents"))
-        .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
-      val dfreq = toksDf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      // the memoized postings' (doc_id, tok) pairs ARE the per-doc
+      // distinct tokens, and their per-tok count is this df — reuse the
+      // cached fit instead of re-tokenizing (see Postings)
+      val p = Postings(s, dir)
+      val toksDf = p.tf.select(col("doc_id"), col("tok"))
+      val dfreq = p.dfreq
       toksDf.join(broadcast(dfreq), Seq("tok"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_distinct"),
@@ -304,9 +307,10 @@ object Corpus {
   val q_zipf = Q(
     "q_zipf",
     (s, dir) => {
-      Tables.spread(Tables(s, dir, "documents"))
-        .select(explode(tokens(col("text"))).as("tok"))
-        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      // total occurrences per term = Σ per-doc tf — derived from the
+      // memoized postings instead of a fresh tokenize pass
+      Postings(s, dir).tf
+        .groupBy(col("tok")).agg(sum(col("tf")).as("c"))
         .groupBy(col("c")).agg(count(lit(1)).as("n_terms"))
         .select(col("c").as("term_count"), col("n_terms"))
         .orderBy(col("term_count"))

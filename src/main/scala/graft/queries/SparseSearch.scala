@@ -44,22 +44,15 @@ object SparseSearch {
     "q_sparse_search",
     (s, dir) => {
       import s.implicits._
-      val docs = Tables.spread(Tables(s, dir, "documents"))
-      val n = docs.agg(count(lit(1)).as("n"))
-      val tf = docs
-        .select(col("doc_id"), explode(TextF.tokens(col("text"))).as("tok"))
-        .groupBy(col("doc_id"), col("tok"))
-        .agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      val w = tf.join(dfreq, Seq("tok")).crossJoin(broadcast(n))
-        .withColumn("w", (col("tf") * col("n")).cast("double") / col("df"))
-        .select(col("doc_id"), col("tok"), col("w"))
-      // per-doc L2 norm over the FULL tf-idf vector, folded in tok order
-      val dnorm = w.groupBy(col("doc_id"))
-        .agg(sort_array(collect_list(struct(col("tok"), col("w")))).as("ws"))
-        .select(col("doc_id"),
-          sqrt(aggregate(col("ws"), lit(0.0),
-            (a, p) => a + p.getField("w") * p.getField("w"))).as("dnorm"))
+      // fit-once postings (memoized per app+dataset — see Postings):
+      // repeat searches read the cached inverted index, not a refit
+      val p = Postings(s, dir)
+      val (dfreq, n) = (p.dfreq, p.n)
+      // cached corpus state: weights postings + per-doc L2 norms (folded
+      // in tok order — see Postings.dnorm); only the query-side frames
+      // below are built per search
+      val w = p.w
+      val dnorm = p.dnorm
       // query vector: same weighting over the query's term frequencies;
       // out-of-vocabulary terms drop in the dfreq inner join (df undefined)
       val qw = queryTf.toDF("tok", "qtf")

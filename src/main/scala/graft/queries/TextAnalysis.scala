@@ -214,12 +214,9 @@ object TextAnalysis {
   val q_tfidf_top_terms = Q(
     "q_tfidf_top_terms",
     (s, dir) => {
-      val docs = Tables.spread(Tables(s, dir, "documents"))
-      val n = docs.agg(count(lit(1)).as("n"))
-      val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-        .groupBy(col("doc_id"), col("tok"))
-        .agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      // fit-once postings (memoized per app+dataset — see Postings)
+      val p = Postings(s, dir)
+      val (tf, dfreq, n) = (p.tf, p.dfreq, p.n)
       val w = Window.partitionBy(col("doc_id")).orderBy(desc("score"), col("tok"))
       tf.join(dfreq, Seq("tok"))
         .crossJoin(broadcast(n))
