@@ -3,7 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Dev tool: print the formatted physical plan and wall time of one query.
-  * Usage: runMain graft.Explain <queryName> [sfDir] [--time-only]
+  * Usage: runMain graft.Explain <queryName> [sfDir] [--time-only] [--warm]
+  * `--warm` runs the entry twice and times the second pass — steady-state
+  * like Bench's min-of-two (codegen compiled, memoized index/postings
+  * caches hot); default is the cold single invocation including builds.
   */
 object Explain {
   def main(args: Array[String]): Unit = {
@@ -27,6 +30,8 @@ object Explain {
     // second construction would rebuild indexes warm against the first
     // run's caches and understate the time.
     val timeOnly = args.contains("--time-only")
+    if (args.contains("--warm"))
+      SparkEntry.queries(name)(spark, sfDir).count()
     val t0 = System.nanoTime()
     val df = SparkEntry.queries(name)(spark, sfDir)
     if (!timeOnly) df.explain("formatted")
