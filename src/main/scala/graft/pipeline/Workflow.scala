@@ -90,7 +90,16 @@ object Workflow {
   def flattened(inputs: Seq[DataFrame]): DataFrame = {
     require(inputs.nonEmpty, "flattened() needs at least one input")
     val spark = inputs.head.sparkSession
-    val counts = inputs.map(_.count())
+    // the per-input len() counts are independent jobs — run them
+    // concurrently so the alignment prologue costs one job latency, not
+    // one per input (the GannIndex concurrent-tree pattern)
+    val counts = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      Await.result(
+        Future.sequence(inputs.map(df => Future(df.count()))), Duration.Inf)
+    }
     require(counts.forall(_ > 0), "flattened() inputs must be non-empty")
     val maxLen = counts.max
     val seen = scala.collection.mutable.Set.empty[String]

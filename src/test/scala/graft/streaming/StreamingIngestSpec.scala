@@ -22,9 +22,11 @@ class StreamingIngestSpec extends AnyFunSuite {
     // far); the stream only ever appends through insert()
     var model = IvfIndex.build(base, "vec_id", "embedding", k = 8)
 
-    // stage the arriving batch as parquet and stream it file-by-file
+    // stage the arriving batch as parquet and stream it file-by-file —
+    // 18 files = 18 micro-batch inserts, crossing the Compact.append
+    // lineage-truncation boundary (every 16th append) mid-stream
     val landing = java.nio.file.Files.createTempDirectory("graft_ingest")
-    arriving.coalesce(2).write.mode("overwrite").parquet(landing.toString)
+    arriving.repartition(18).write.mode("overwrite").parquet(landing.toString)
     val schema = emb.schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1") // several micro-batches
@@ -46,6 +48,12 @@ class StreamingIngestSpec extends AnyFunSuite {
 
     assert(model.assign.count() == 500)
     assert(model.assign.select("vec_id").distinct().count() == 500)
+    // the loop crossed a compaction: plan depth stayed bounded
+    assert(model.appends >= 17)
+    val unions = model.assign.queryExecution.logical.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }.size
+    assert(unions < graft.index.Compact.DefaultEvery)
     // a streamed-in vector is now served: its own embedding finds it
     val probe = arriving.filter(col("vec_id") === 42)
       .select(lit(9999L).as("qid"), col("embedding").as("qv"))
