@@ -48,6 +48,17 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(out.filter(col("id") === 2L).count() == 2) // ceil(3/2) clips
   }
 
+  test("inserting an empty batch is a safe no-op append") {
+    val base = Seq((1L, Seq(0.0, 0.0)), (2L, Seq(3.0, 4.0)), (3L, Seq(1.0, 1.0)),
+      (4L, Seq(2.0, 0.0))).toDF("vec_id", "embedding")
+    val m0 = IvfIndex.build(base, "vec_id", "embedding", k = 2)
+    val m1 = IvfIndex.insert(m0, emptyVecs)
+    assert(m1.appends == 1)
+    assert(m1.assign.count() == 4)
+    val qs = Seq((9L, Seq(3.0, 4.0))).toDF("qid", "qv")
+    assert(m1.search(qs, "qid", "qv", 1, nprobe = 2).count() == 1)
+  }
+
   test("MMR over an empty candidate frame yields zero rows") {
     val empty = Seq.empty[(Long, Long, Double, Seq[Double])]
       .toDF("qid", "id", "rel", "emb")
