@@ -162,6 +162,45 @@ object Corpus {
       |ORDER BY doc_id, probe_id
       |""".stripMargin))
 
+  /** Decontamination with a broadcast Bloom prefilter — the 100 TB shape
+    * of q_decontaminate: the probe set's shingles are sketched into a
+    * driver-built Bloom filter (KBs for a benchmark suite), broadcast,
+    * and applied as a scan-side predicate BEFORE any shuffle, so the
+    * postings join only ever sees corpus shingles that might hit the
+    * probe set (on a shuffled corpus the prefilter drops ~all postings
+    * at the scan). Results are EXACTLY q_decontaminate's — the Bloom
+    * admits no false negatives, and its false positives die in the same
+    * exact equi-join — so the same oracle hash-checks this plan. */
+  val q_decontaminate_bloom = Q(
+    "q_decontaminate_bloom",
+    (s, dir) => {
+      val sh = Dedup.shingleDf(s, dir)
+      val posting = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      val probes = posting.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("probe_id"), col("s"))
+      val bf = probes.stat.bloomFilter("s", 1 << 16, 0.01)
+      val bc = s.sparkContext.broadcast(bf)
+      val mightContain = udf { (x: String) => bc.value.mightContain(x) }
+      posting.filter(col("doc_id") % 97 =!= 0)
+        .filter(mightContain(col("s")))
+        .join(broadcast(probes), Seq("s"))
+        .groupBy(col("doc_id"), col("probe_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+        .orderBy(col("doc_id"), col("probe_id"))
+    },
+    Some(s"""
+      |WITH sh AS (
+      |  SELECT doc_id, list_distinct(${Sql.shingles3("t")}) AS sh
+      |  FROM (SELECT doc_id, ${Sql.toks()} AS t FROM documents))
+      |SELECT c.doc_id AS doc_id, p.doc_id AS probe_id,
+      |  CAST(len(list_filter(c.sh, x -> list_contains(p.sh, x))) AS BIGINT)
+      |    AS n_shared
+      |FROM sh c JOIN sh p ON p.doc_id % 97 = 0 AND c.doc_id % 97 <> 0
+      |WHERE len(list_filter(c.sh, x -> list_contains(p.sh, x))) >= 3
+      |ORDER BY doc_id, probe_id
+      |""".stripMargin))
+
   /** The full curation pipeline COMPOSED THROUGH THE ORCHESTRATION
     * SURFACE: a Workflow whose stages are all built by the string-keyed
     * operator registry (quality filter → exact-dup collapse → stratified
@@ -421,7 +460,7 @@ object Corpus {
       |""".stripMargin))
 
   val all: Seq[Q] = Seq(q_token_bpe, q_corpus_filter, q_sample_stratified,
-    q_decontaminate, q_pipeline_curate, q_ngram_topk, q_rare_tokens, q_zipf,
-    q_pack_sequences, q_bpe_merges, q_mixture_weights)
+    q_decontaminate, q_decontaminate_bloom, q_pipeline_curate, q_ngram_topk,
+    q_rare_tokens, q_zipf, q_pack_sequences, q_bpe_merges, q_mixture_weights)
 }
 
