@@ -244,10 +244,17 @@ object Operators {
         partitionCol = params.get("partitionCol"))
       VectorTable.load(spark, path)
     },
+    // generic parquet sink; optional comma-separated `partitionBy` for
+    // layout-partitioned writes (e.g. training shards keyed by the bin
+    // of q_pack_sequences — readers prune to the shards they train on)
     "parquet" -> { (spark, cp) => (ins, rp) =>
       val params = cp ++ rp
       val path = req(params, "path", "sink/parquet")
-      ins.head.write.mode("overwrite").parquet(path)
+      val writer = ins.head.write.mode("overwrite")
+      params.get("partitionBy")
+        .map(cols => writer.partitionBy(cols.split(",").toIndexedSeq: _*))
+        .getOrElse(writer)
+        .parquet(path)
       spark.read.parquet(path)
     },
     // index-tier sinks — the reference's make_operator("sink", "local")

@@ -133,6 +133,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pieces.count() > 0)
   }
 
+  test("parquet sink writes layout-partitioned training shards") {
+    val out = tmp("ops-shards")
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .withColumn("bin", pmod(col("doc_id"), lit(4)))
+    val sink = Operators.make(spark, "sink", "parquet",
+      Map("path" -> out, "partitionBy" -> "bin"))
+    val landed = sink(Seq(docs), Map.empty)
+    assert(landed.count() == 500)
+    // hive-style shard dirs exist → readers prune by bin
+    val dirs = new java.io.File(out).listFiles().map(_.getName)
+      .filter(_.startsWith("bin=")).sorted
+    assert(dirs.toSeq == Seq("bin=0", "bin=1", "bin=2", "bin=3"))
+  }
+
   test("index-tier sink + ann_search close the make_operator('sink','local') port path") {
     // the reference lifecycle: make_operator sink → insert/index →
     // search (factory.py:29-64, tasks/sinks/local/gann.py:196-259) —
