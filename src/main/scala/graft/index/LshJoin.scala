@@ -50,30 +50,58 @@ object LshJoin {
     * pass dominates. Both distance definitions are the same sequential
     * (xᵢ−yᵢ)² double fold, so the surviving pair set is identical
     * (LshJoinSpec pins equality against the two-sided MLlib join).
+    *
+    * `memoKey`: the hashed-bucket table is fit-once index state (the LSH
+    * twin of the memoized GANN/IVF models and tf-idf Postings), but its
+    * plan embeds per-fit UDF closures, so Spark's plan-identity cache
+    * dedup never fires across calls — callers that re-run the same
+    * (dataset, params) join pass a stable key to reuse the hashed table
+    * instead of refitting + re-caching per invocation. Evicted by
+    * `Caches.clear` like every memoized model.
     * Output: (idA, idB, dist) with idA < idB. */
+  private val hashedMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   def l2SelfJoin(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bucketLength: Double = 2.0, numTables: Int = 3,
-      seed: Long = 42L): DataFrame = {
-    val f = df.select(col(idCol),
-      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-    val lsh = new BucketedRandomProjectionLSH()
-      .setInputCol("features").setOutputCol("hashes")
-      .setBucketLength(bucketLength).setNumHashTables(numTables).setSeed(seed)
-    val model = lsh.fit(f)
-    val hashed = graft.core.Caches.cached(
-      model.transform(f)
-        .select(col(idCol), vector_to_array(col("features")).as("v"),
-          posexplode(col("hashes")).as(Seq("htab", "hv")))
-        .select(col(idCol), col("v"), col("htab"),
-          element_at(vector_to_array(col("hv")), 1).as("hkey")))
+      seed: Long = 42L, memoKey: Option[String] = None): DataFrame = {
+    def buildHashed(): DataFrame = {
+      val f = df.select(col(idCol),
+        array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+      val lsh = new BucketedRandomProjectionLSH()
+        .setInputCol("features").setOutputCol("hashes")
+        .setBucketLength(bucketLength).setNumHashTables(numTables).setSeed(seed)
+      val model = lsh.fit(f)
+      graft.core.Caches.cached(
+        model.transform(f)
+          .select(col(idCol), vector_to_array(col("features")).as("v"),
+            posexplode(col("hashes")).as(Seq("htab", "hv")))
+          .select(col(idCol), col("v"), col("htab"),
+            element_at(vector_to_array(col("hv")), 1).as("hkey")))
+    }
+    val hashed = memoKey match {
+      case Some(k0) =>
+        val spark = df.sparkSession
+        val k = s"${spark.sparkContext.applicationId}#$k0"
+        hashedMemo.computeIfAbsent(k, { kk =>
+          graft.core.Caches.onClear(spark) { hashedMemo.remove(kk); () }
+          buildHashed()
+        })
+      case None => buildHashed()
+    }
     val cand = hashed.select(col(idCol).as(s"${idCol}_a"), col("htab"), col("hkey"))
       .join(hashed.select(col(idCol).as(s"${idCol}_b"), col("htab"), col("hkey")),
         Seq("htab", "hkey"))
       .filter(col(s"${idCol}_a") < col(s"${idCol}_b"))
       .select(col(s"${idCol}_a"), col(s"${idCol}_b"))
       .distinct()
-    val va = hashed.select(col(idCol).as(s"${idCol}_a"), col("v").as("va")).distinct()
-    val vb = hashed.select(col(idCol).as(s"${idCol}_b"), col("v").as("vb")).distinct()
+    // verify sides come from the INPUT (one row per id already) — deriving
+    // them from the exploded hashed table needed a wide distinct over
+    // (id, vector) per side, two full-vector shuffles for nothing
+    val vecs = df.select(col(idCol),
+      col(vecCol).cast("array<double>").as("v"))
+    val va = vecs.select(col(idCol).as(s"${idCol}_a"), col("v").as("va"))
+    val vb = vecs.select(col(idCol).as(s"${idCol}_b"), col("v").as("vb"))
     cand.join(va, Seq(s"${idCol}_a")).join(vb, Seq(s"${idCol}_b"))
       .withColumn("dist",
         graft.functions.VectorF.l2Dist(col("va"), col("vb")))

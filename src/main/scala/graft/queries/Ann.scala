@@ -125,7 +125,8 @@ object Ann {
       // two-sided approxSimilarityJoin (LshJoinSpec pins the equality)
       graft.index.LshJoin.l2SelfJoin(
           e.select(col("vec_id"), col("embedding")),
-          "vec_id", "embedding", threshold = 1.2, numTables = 5)
+          "vec_id", "embedding", threshold = 1.2, numTables = 5,
+          memoKey = Some(s"ann_lsh_join#$dir"))
         .select(col("vec_id_a").as("ida"), col("vec_id_b").as("idb"),
           round(col("dist"), 6).as("dist"))
         .orderBy(col("ida"), col("idb"))

@@ -350,7 +350,7 @@ object Dedup {
         VectorF.normalize(col("embedding")).as("u"))
       val cand = graft.index.LshJoin.l2SelfJoin(
           unit, "vec_id", "u", threshold = cosineRadius(COSINE_T),
-          numTables = 8)
+          numTables = 8, memoKey = Some(s"dedup_embedding#$dir"))
         .select(col("vec_id_a").as("vec_a"), col("vec_id_b").as("vec_b"))
         .distinct()
       val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
