@@ -49,6 +49,19 @@ object Caches {
   def onClear(s: SparkSession)(f: => Unit): Unit =
     add(hooks, key(s), new Runnable { def run(): Unit = f })
 
+  /** Memoize a built-once model/frame per (application, key), registering
+    * eviction with [[clear]] so a stale entry never outlives the cached
+    * frames it points at — the shared skeleton of the ANN index model,
+    * tf-idf postings, and LSH hashed-table memos. The caller owns the
+    * map (one per model type keeps types simple and lets a family evict
+    * independently). */
+  def memoized[M](s: SparkSession, key: String,
+      memo: java.util.concurrent.ConcurrentHashMap[String, M])(build: => M): M =
+    memo.computeIfAbsent(s"${s.sparkContext.applicationId}#$key", { k =>
+      onClear(s) { memo.remove(k); () }
+      build
+    })
+
   /** Release every tracked cache and run every eviction hook for this
     * session's application. Non-blocking unpersist: storage is freed
     * asynchronously, correctness is unaffected (cached plans recompute). */

@@ -81,12 +81,7 @@ object LshJoin {
     }
     val hashed = memoKey match {
       case Some(k0) =>
-        val spark = df.sparkSession
-        val k = s"${spark.sparkContext.applicationId}#$k0"
-        hashedMemo.computeIfAbsent(k, { kk =>
-          graft.core.Caches.onClear(spark) { hashedMemo.remove(kk); () }
-          buildHashed()
-        })
+        graft.core.Caches.memoized(df.sparkSession, k0, hashedMemo)(buildHashed())
       case None => buildHashed()
     }
     val cand = hashed.select(col(idCol).as(s"${idCol}_a"), col("htab"), col("hkey"))

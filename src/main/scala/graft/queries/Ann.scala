@@ -27,19 +27,13 @@ object Ann {
     new java.util.concurrent.ConcurrentHashMap[String, PqIndex.Model]()
   private val ivfPqMemo =
     new java.util.concurrent.ConcurrentHashMap[String, IvfPq.Model]()
-  private def memoKey(s: org.apache.spark.sql.SparkSession, dir: String) =
-    s"${s.sparkContext.applicationId}#$dir"
-
-  /** Memoize an index build and register eviction with
-    * [[graft.core.Caches]]: `Caches.clear` must drop the map entry along
-    * with the model's cached assignment frame, or the stale model would
-    * silently recompute its assignment per search. */
+  /** Memoize an index build via [[graft.core.Caches.memoized]]:
+    * `Caches.clear` drops the map entry along with the model's cached
+    * assignment frame, or the stale model would silently recompute its
+    * assignment per search. */
   private def memoized[M](s: org.apache.spark.sql.SparkSession, dir: String,
       memo: java.util.concurrent.ConcurrentHashMap[String, M])(build: => M): M =
-    memo.computeIfAbsent(memoKey(s, dir), { k =>
-      graft.core.Caches.onClear(s) { memo.remove(k); () }
-      build
-    })
+    graft.core.Caches.memoized(s, dir, memo)(build)
 
   val q_ann_ivf = Q(
     "q_ann_ivf",

@@ -36,8 +36,7 @@ private[queries] object Postings {
     new java.util.concurrent.ConcurrentHashMap[String, P]()
 
   def apply(s: SparkSession, dir: String): P =
-    memo.computeIfAbsent(s"${s.sparkContext.applicationId}#$dir", { k =>
-      Caches.onClear(s) { memo.remove(k); () }
+    Caches.memoized(s, dir, memo) {
       val docs = Tables.spread(Tables(s, dir, "documents"))
       val tf = Caches.cached(docs
         .select(col("doc_id"), explode(TextF.tokens(col("text"))).as("tok"))
@@ -55,5 +54,5 @@ private[queries] object Postings {
           sqrt(aggregate(col("ws"), lit(0.0),
             (a, p) => a + p.getField("w") * p.getField("w"))).as("dnorm")))
       P(tf, dfreq, n, w, dnorm)
-    })
+    }
 }
