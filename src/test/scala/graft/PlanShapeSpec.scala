@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression net: the scale properties the flagship queries
+  * are designed around (SCALE.md / PLANS.md) asserted against the actual
+  * physical plans, so a refactor that silently reintroduces a cartesian
+  * product, loses parquet filter pushdown, or stops pruning columns
+  * fails CI instead of surfacing as a 100x regression on a real cluster.
+  *
+  * Planning only — `executedPlan` is inspected, no query is executed
+  * (index-backed entries build their memoized models once, at sf0.001).
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  // formatted explain descends into the AQE wrapper, where a collect on
+  // executedPlan stops at AdaptiveSparkPlanExec and misses the scans
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, TestSpark.sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  // The dedup / search / corpus families must never pair rows outside an
+  // equi-join: a CartesianProduct over corpus-sized inputs is the one
+  // plan shape that cannot survive a 100x scale-up. (1-row broadcast
+  // crosses plan as BroadcastNestedLoopJoin over a single-row side and
+  // are fine — only true cartesian products are banned.)
+  private val noCartesian = Seq(
+    "q_dedup_exact", "q_dedup_ngram_jaccard", "q_dedup_minhash_lsh",
+    "q_dedup_simhash", "q_dedup_spans", "q_dedup_embedding",
+    "q_dedup_incremental", "q_dedup_components", "q_dedup_cluster_sizes",
+    "q_decontaminate", "q_decontaminate_bloom",
+    "q_ann_ivf", "q_ann_gann", "q_knn_join", "q_pmi_bigrams",
+    "q_zorder_key", "q_pack_sequences", "q_tfidf_top_terms")
+
+  noCartesian.foreach { name =>
+    test(s"$name: no cartesian product in the physical plan") {
+      assert(!plan(name).contains("CartesianProduct"))
+    }
+  }
+
+  test("q01: shipdate predicate is pushed into the parquet scan") {
+    val p = plan("q01_pricing_summary")
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters:") && l.contains("l_shipdate")))
+  }
+
+  test("q01: the lineitem scan prunes to the referenced columns") {
+    // lineitem has 16 columns; q01 touches 7 — the ReadSchema struct
+    // must stay narrow or the scan reads the whole table for nothing
+    val rs = plan("q01_pricing_summary").linesIterator
+      .find(_.contains("ReadSchema:")).getOrElse(fail("no ReadSchema line"))
+    val ncols = rs.substring(rs.indexOf("struct<")).count(_ == ',') + 1
+    assert(ncols <= 8, s"lineitem scan reads $ncols columns: $rs")
+  }
+
+  test("q06: both range predicates reach the scan") {
+    val pushed = plan("q06_forecast_revenue").linesIterator
+      .filter(_.contains("PushedFilters:")).mkString
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_discount"))
+  }
+}
