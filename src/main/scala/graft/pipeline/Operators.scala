@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.functions.TextF
-import graft.index.{GannIndex, IvfIndex, IvfPq, PqIndex}
+import graft.index.{BqIndex, GannIndex, IvfIndex, IvfPq, PqIndex}
 import graft.sink.VectorTable
 import graft.sources.Sources
 import graft.vectorize.{HashEmbed, Multimodal, TfIdf}
@@ -172,8 +172,10 @@ object Operators {
         case "ivfpq" =>
           IvfPq.load(spark, path, idCol)
             .search(ins.head, qid, qvec, k, nprobe)
+        case "bq" =>
+          BqIndex.load(spark, path, idCol).search(ins.head, qid, qvec, k)
         case other => throw new IllegalArgumentException(
-          s"unknown ann_search index '$other' (have: gann, ivf, ivfpq, pq)")
+          s"unknown ann_search index '$other' (have: bq, gann, ivf, ivfpq, pq)")
       }
     },
     // deterministic stratified sampling: keep iff
@@ -269,7 +271,8 @@ object Operators {
     "gann" -> indexSink("gann"),
     "ivf" -> indexSink("ivf"),
     "pq" -> indexSink("pq"),
-    "ivfpq" -> indexSink("ivfpq"))
+    "ivfpq" -> indexSink("ivfpq"),
+    "bq" -> indexSink("bq"))
 
   private def indexSink(kind: String): Make = { (spark, cp) => (ins, rp) =>
     val params = cp ++ rp
@@ -301,6 +304,11 @@ object Operators {
           m = p(params, "m", "8").toInt,
           ksub = p(params, "ksub", "16").toInt)
         IvfPq.save(m, path)
+        spark.read.parquet(s"$path/codes")
+      case "bq" =>
+        val m = BqIndex.build(ins.head, idCol, vecCol,
+          fitSample = p(params, "fitSample", "4096").toInt)
+        BqIndex.save(m, path)
         spark.read.parquet(s"$path/codes")
     }
   }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tables
-import graft.index.{GannIndex, IvfIndex, IvfPq, PqIndex}
+import graft.index.{BqIndex, GannIndex, IvfIndex, IvfPq, PqIndex}
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbour query entries. Approximate by design →
@@ -27,6 +27,8 @@ object Ann {
     new java.util.concurrent.ConcurrentHashMap[String, PqIndex.Model]()
   private val ivfPqMemo =
     new java.util.concurrent.ConcurrentHashMap[String, IvfPq.Model]()
+  private val bqMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, BqIndex.Model]()
   /** Memoize an index build via [[graft.core.Caches.memoized]]:
     * `Caches.clear` drops the map entry along with the model's cached
     * assignment frame, or the stale model would silently recompute its
@@ -106,6 +108,25 @@ object Ann {
     },
     None)
 
+  /** BQ (1-bit binary quantization, 64x compression): Hamming shortlist
+    * over the packed sign-bit codes, exact rerank — the cheapest member
+    * of the compression tier (recall/monotonicity/roundtrip/insert
+    * pinned in BqSpec). */
+  val q_ann_bq = Q(
+    "q_ann_bq",
+    (s, dir) => {
+      val e = Tables.spread(Tables(s, dir, "embeddings"))
+      val model = memoized(s, dir, bqMemo)(
+        BqIndex.build(e, "vec_id", "embedding"))
+      val queries = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      model.searchRerank(queries, "qid", "qv", k = 10,
+          shortlist = 100, vectors = e, vecCol = "embedding")
+        .select(col("qid"), col("vec_id"), round(col("dist"), 6).as("dist"), col("rnk"))
+        .orderBy(col("qid"), col("rnk"))
+    },
+    None)
+
   /** MLlib BucketedRandomProjectionLSH approxSimilarityJoin — the stock
     * scaled ANN-join operator (SURVEY.md §7.1 item 9). Approximate →
     * rows-only; recall vs the exact pairwise join is pinned in
@@ -127,5 +148,6 @@ object Ann {
     },
     None)
 
-  val all: Seq[Q] = Seq(q_ann_ivf, q_ann_gann, q_ann_pq, q_ann_ivfpq, q_ann_lsh_join)
+  val all: Seq[Q] = Seq(q_ann_ivf, q_ann_gann, q_ann_pq, q_ann_ivfpq,
+    q_ann_bq, q_ann_lsh_join)
 }
