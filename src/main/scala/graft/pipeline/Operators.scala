@@ -35,7 +35,7 @@ object Operators {
 
   /** Sources — no input frames; `path` is required. */
   private val sources: Map[String, Make] =
-    Seq("local", "ingest", "parquet", "csv", "json", "text", "binary")
+    Seq("local", "ingest", "parquet", "orc", "csv", "json", "text", "binary")
       .map { fmt =>
         fmt -> ((spark: SparkSession, cp: Params) => (_: Seq[DataFrame], rp: Params) => {
           val params = cp ++ rp

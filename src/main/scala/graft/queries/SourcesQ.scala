@@ -71,5 +71,18 @@ object SourcesQ {
     },
     Some(oracleAgg))
 
-  val all: Seq[Q] = Seq(q_csv_roundtrip, q_json_roundtrip)
+  /** ORC roundtrip — the second columnar format (Spark-native reader;
+    * same staging-IO caveat as the csv/json roundtrips, so it is
+    * likewise excluded from the bench loop). Typed schema on re-read:
+    * ORC preserves types, so no docSchema coercion is needed. */
+  val q_orc_roundtrip = Q(
+    "q_orc_roundtrip",
+    (s, dir) => {
+      val tmp = tempDir("graft_orc")
+      Tables(s, dir, "documents").write.mode("overwrite").orc(tmp)
+      aggShape(s.read.orc(tmp))
+    },
+    Some(oracleAgg))
+
+  val all: Seq[Q] = Seq(q_csv_roundtrip, q_json_roundtrip, q_orc_roundtrip)
 }

@@ -41,6 +41,7 @@ object Sources {
       case "local" | "binary" => local(spark, path)
       case "ingest" => ingest(spark, path)
       case "parquet" => spark.read.parquet(path)
+      case "orc" => spark.read.orc(path)
       case "csv" => spark.read.option("header", "true").csv(path)
       case "json" => spark.read.json(path)
       case "text" => spark.read.text(path)
