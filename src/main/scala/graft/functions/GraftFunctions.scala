@@ -51,6 +51,8 @@ object GraftFunctions {
       cs => VectorF.normalize(cs(0)) },
     fd("graft_hamming", 2, "popcount hamming distance of two long signatures") {
       cs => VectorF.hammingDist(cs(0), cs(1)) },
+    fd("graft_hamming_words", 2, "summed popcount hamming over packed array<bigint> signatures") {
+      cs => VectorF.hammingWords(cs(0), cs(1)) },
     fd("graft_h32", 1, "deterministic 32-bit md5-prefix hash") { cs => TextF.h32(cs(0)) },
     fd("graft_h60", 1, "deterministic 60-bit md5-prefix hash") { cs => TextF.h60(cs(0)) },
     fd("graft_tokens", 1, "lowercased whitespace tokens, empties dropped") {

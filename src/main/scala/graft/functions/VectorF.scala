@@ -94,6 +94,12 @@ object VectorF {
   def hammingDist(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)).cast("int")
 
+  /** Σ popcount(aᵢ xor bᵢ) over two packed `array<long>` signatures —
+    * the codegen'd [[HammingWords]] kernel (the BQ index's distance). */
+  def hammingWords(a: Column, b: Column): Column =
+    ColumnBridge.column(HammingWords(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   /** Signed distance to the hyperplane (w, b) — GANN tree routing
     * (radient/tasks/sinks/local/gann.py:21-29). */
   def hyperplaneSide(v: Column, w: Column, bias: Column): Column =

@@ -30,11 +30,12 @@ import org.apache.spark.sql.functions._
   */
 object BqIndex {
 
-  /** Σ_w popcount(a_w xor b_w) over the packed signature words. */
+  /** Σ_w popcount(a_w xor b_w) over the packed signature words — the
+    * codegen'd [[graft.functions.HammingWords]] kernel (primitive
+    * XOR+POPCNT loop inside whole-stage codegen; an aggregate∘zip_with
+    * fold would dispatch an interpreted lambda per word). */
   private def hamming(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
-      lit(0L), _ + _)
+    graft.functions.VectorF.hammingWords(a, b)
 
   private[index] def encodeOne(v: IndexedSeq[Double],
       thresholds: Array[Double]): Array[Long] = {

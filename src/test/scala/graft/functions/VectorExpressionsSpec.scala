@@ -82,6 +82,30 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(row.isNullAt(0))
   }
 
+  test("HammingWords matches the per-word popcount fold and null rules") {
+    val rnd = new Random(7)
+    val pairs = (0 to 10).map { i =>
+      (List.fill(i)(rnd.nextLong()), List.fill(i)(rnd.nextLong()))
+    }
+    pairs.foreach { case (a, b) =>
+      val want = a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y).toLong }.sum
+      val got = Seq((a, b)).toDF("a", "b")
+        .select(VectorF.hammingWords(col("a"), col("b"))).head().getLong(0)
+      assert(got == want)
+    }
+    // length mismatch → null; null word → null
+    val mism = Seq((Seq(1L, 2L), Seq(1L))).toDF("a", "b")
+      .select(VectorF.hammingWords(col("a"), col("b"))).head()
+    assert(mism.isNullAt(0))
+    val nulled = Seq((Seq(Some(1L), None), Seq(Some(1L), Some(2L)))).toDF("a", "b")
+      .select(VectorF.hammingWords(col("a"), col("b"))).head()
+    assert(nulled.isNullAt(0))
+    // SQL registration
+    GraftFunctions.register(spark)
+    Seq((Seq(3L), Seq(1L))).toDF("a", "b").createOrReplaceTempView("hw_t")
+    assert(spark.sql("SELECT graft_hamming_words(a, b) FROM hw_t").head().getLong(0) == 1L)
+  }
+
   test("interpreted path (no codegen) agrees with codegen") {
     val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
     try {
