@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.functions.TextF
-import graft.index.{BqIndex, GannIndex, IvfIndex, IvfPq, PqIndex}
+import graft.index.{BqIndex, GannIndex, IvfBq, IvfIndex, IvfPq, PqIndex}
 import graft.sink.VectorTable
 import graft.sources.Sources
 import graft.vectorize.{HashEmbed, Multimodal, TfIdf}
@@ -174,8 +174,11 @@ object Operators {
             .search(ins.head, qid, qvec, k, nprobe)
         case "bq" =>
           BqIndex.load(spark, path, idCol).search(ins.head, qid, qvec, k)
+        case "ivfbq" =>
+          IvfBq.load(spark, path, idCol)
+            .search(ins.head, qid, qvec, k, nprobe)
         case other => throw new IllegalArgumentException(
-          s"unknown ann_search index '$other' (have: bq, gann, ivf, ivfpq, pq)")
+          s"unknown ann_search index '$other' (have: bq, gann, ivf, ivfbq, ivfpq, pq)")
       }
     },
     // deterministic stratified sampling: keep iff
@@ -272,7 +275,8 @@ object Operators {
     "ivf" -> indexSink("ivf"),
     "pq" -> indexSink("pq"),
     "ivfpq" -> indexSink("ivfpq"),
-    "bq" -> indexSink("bq"))
+    "bq" -> indexSink("bq"),
+    "ivfbq" -> indexSink("ivfbq"))
 
   private def indexSink(kind: String): Make = { (spark, cp) => (ins, rp) =>
     val params = cp ++ rp
@@ -309,6 +313,11 @@ object Operators {
         val m = BqIndex.build(ins.head, idCol, vecCol,
           fitSample = p(params, "fitSample", "4096").toInt)
         BqIndex.save(m, path)
+        spark.read.parquet(s"$path/codes")
+      case "ivfbq" =>
+        val m = IvfBq.build(ins.head, idCol, vecCol,
+          kCoarse = p(params, "kCoarse", "8").toInt)
+        IvfBq.save(m, path)
         spark.read.parquet(s"$path/codes")
     }
   }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tables
-import graft.index.{BqIndex, GannIndex, IvfIndex, IvfPq, PqIndex}
+import graft.index.{BqIndex, GannIndex, IvfBq, IvfIndex, IvfPq, PqIndex}
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbour query entries. Approximate by design →
@@ -29,6 +29,8 @@ object Ann {
     new java.util.concurrent.ConcurrentHashMap[String, IvfPq.Model]()
   private val bqMemo =
     new java.util.concurrent.ConcurrentHashMap[String, BqIndex.Model]()
+  private val ivfBqMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, IvfBq.Model]()
   /** Memoize an index build via [[graft.core.Caches.memoized]]:
     * `Caches.clear` drops the map entry along with the model's cached
     * assignment frame, or the stale model would silently recompute its
@@ -127,6 +129,25 @@ object Ann {
     },
     None)
 
+  /** IVF-BQ (cluster-pruned 1-bit residual codes): probe 3 of 8
+    * clusters, Hamming over the probed posting lists via the codegen
+    * HammingWords kernel, exact rerank — the binary sibling of IVF-PQ
+    * (recall/monotonicity/roundtrip/insert pinned in IvfBqSpec). */
+  val q_ann_ivfbq = Q(
+    "q_ann_ivfbq",
+    (s, dir) => {
+      val e = Tables.spread(Tables(s, dir, "embeddings"))
+      val model = memoized(s, dir, ivfBqMemo)(
+        IvfBq.build(e, "vec_id", "embedding", kCoarse = 8))
+      val queries = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      model.searchRerank(queries, "qid", "qv", k = 10,
+          nprobe = 3, shortlist = 100, vectors = e, vecCol = "embedding")
+        .select(col("qid"), col("vec_id"), round(col("dist"), 6).as("dist"), col("rnk"))
+        .orderBy(col("qid"), col("rnk"))
+    },
+    None)
+
   /** MLlib BucketedRandomProjectionLSH approxSimilarityJoin — the stock
     * scaled ANN-join operator (SURVEY.md §7.1 item 9). Approximate →
     * rows-only; recall vs the exact pairwise join is pinned in
@@ -149,5 +170,5 @@ object Ann {
     None)
 
   val all: Seq[Q] = Seq(q_ann_ivf, q_ann_gann, q_ann_pq, q_ann_ivfpq,
-    q_ann_bq, q_ann_lsh_join)
+    q_ann_bq, q_ann_ivfbq, q_ann_lsh_join)
 }
