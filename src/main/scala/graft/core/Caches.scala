@@ -25,6 +25,13 @@ object Caches {
     new java.util.concurrent.ConcurrentHashMap[String, java.util.List[DataFrame]]()
   private val hooks =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.List[Runnable]]()
+  // per-application clear generation: lets memoized detect a clear that
+  // raced a build (see below)
+  private val clearGen =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+
+  private def gen(appId: String): java.util.concurrent.atomic.AtomicLong =
+    clearGen.computeIfAbsent(appId, _ => new java.util.concurrent.atomic.AtomicLong(0))
 
   private def key(s: SparkSession): String = s.sparkContext.applicationId
 
@@ -54,19 +61,35 @@ object Caches {
     * frames it points at — the shared skeleton of the ANN index model,
     * tf-idf postings, and LSH hashed-table memos. The caller owns the
     * map (one per model type keeps types simple and lets a family evict
-    * independently). */
+    * independently).
+    *
+    * Clear/build race: the eviction hook is registered AFTER the mapping
+    * is published (a hook registered inside the mapping function could be
+    * consumed by a concurrent [[clear]] as a no-op `remove` before the
+    * entry exists), and the clear generation is re-checked afterwards —
+    * if a clear ran at any point during the build, the fresh entry's
+    * cached frames were just unpersisted, so the entry is dropped and
+    * the next call rebuilds into a fresh cache. */
   def memoized[M](s: SparkSession, key: String,
-      memo: java.util.concurrent.ConcurrentHashMap[String, M])(build: => M): M =
-    memo.computeIfAbsent(s"${s.sparkContext.applicationId}#$key", { k =>
+      memo: java.util.concurrent.ConcurrentHashMap[String, M])(build: => M): M = {
+    val appId = s.sparkContext.applicationId
+    val k = s"$appId#$key"
+    val g0 = gen(appId).get()
+    var built = false
+    val m = memo.computeIfAbsent(k, _ => { built = true; build })
+    if (built) {
       onClear(s) { memo.remove(k); () }
-      build
-    })
+      if (gen(appId).get() != g0) memo.remove(k)
+    }
+    m
+  }
 
   /** Release every tracked cache and run every eviction hook for this
     * session's application. Non-blocking unpersist: storage is freed
     * asynchronously, correctness is unaffected (cached plans recompute). */
   def clear(s: SparkSession): Unit = {
     val k = key(s)
+    gen(k).incrementAndGet() // published first: builds in flight see it
     Option(frames.remove(k)).foreach { l =>
       l.forEach(df => { df.unpersist(blocking = false); () })
     }

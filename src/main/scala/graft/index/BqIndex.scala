@@ -49,61 +49,71 @@ object BqIndex {
   }
 
   final case class Model(thresholds: Array[Double], codes: DataFrame,
-      idCol: String, appends: Int = 0) {
+      idCol: String, appends: Int = 0, metric: String = "l2") {
 
     private def encoded(queries: DataFrame, qid: String, qvec: String) = {
       val bc = queries.sparkSession.sparkContext.broadcast(thresholds)
       val encUdf = udf { (v: Seq[Double]) => encodeOne(v.toIndexedSeq, bc.value).toSeq }
-      queries.select(col(qid), encUdf(col(qvec).cast("array<double>")).as("qsig"))
+      Search.prepVectors(
+          queries.select(col(qid), col(qvec).cast("array<double>").as(qvec)),
+          qvec, metric)
+        .select(col(qid), encUdf(col(qvec)).as("qsig"))
     }
 
     /** Hamming top-k over the packed codes (coarse stage). */
-    def search(queries: DataFrame, qid: String, qvec: String, k: Int): DataFrame = {
+    def search(queries: DataFrame, qid: String, qvec: String, k: Int,
+        excludeSelf: Boolean = true): DataFrame = {
       val idType = GannIndex.requireIntegralId(codes, idCol)
-      codes.crossJoin(broadcast(encoded(queries, qid, qvec)))
-        .filter(col(idCol) =!= col(qid))
-        .select(col(qid), col(idCol),
-          hamming(col("sig"), col("qsig")).cast("double").as("dist"))
-        .groupBy(col(qid))
-        .agg(graft.functions.TopKAgg.topK(col("dist"), col(idCol).cast("long"), k).as("top"))
-        .select(col(qid), posexplode(col("top")).as(Seq("pos", "s")))
-        .select(col(qid), col("s.id").cast(idType).as(idCol),
-          col("s.dist").as("dist"), (col("pos") + 1).cast("int").as("rnk"))
+      Search.topKOut(
+        Search.selfFilter(
+            codes.crossJoin(broadcast(encoded(queries, qid, qvec))),
+            idCol, qid, excludeSelf)
+          .select(col(qid), col(idCol),
+            hamming(col("sig"), col("qsig")).cast("double").as("dist")),
+        qid, idCol, idType, k)
     }
 
-    /** Hamming shortlist + exact L2 rerank against the raw vectors (the
+    /** Hamming shortlist + exact rerank against the raw vectors (the
       * serving shape — see PqIndex.Model.searchRerank). */
     def searchRerank(queries: DataFrame, qid: String, qvec: String, k: Int,
-        shortlist: Int, vectors: DataFrame, vecCol: String): DataFrame = {
-      import org.apache.spark.sql.expressions.Window
+        shortlist: Int, vectors: DataFrame, vecCol: String,
+        excludeSelf: Boolean = true): DataFrame = {
       val idType = GannIndex.requireIntegralId(codes, idCol)
-      val cand = search(queries, qid, qvec, k = shortlist)
-        .select(col(qid), col(idCol))
-      val w = Window.partitionBy(col(qid)).orderBy(col("dist"), col(idCol))
-      cand
-        .join(vectors.select(col(idCol), col(vecCol)), Seq(idCol))
-        .join(queries.select(col(qid), col(qvec)), Seq(qid))
-        .select(col(qid), col(idCol),
-          graft.functions.VectorF.l2Dist(col(vecCol), col(qvec)).as("dist"))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= k)
-        .select(col(qid), col(idCol).cast(idType).as(idCol), col("dist"), col("rnk"))
+      val cand = search(queries, qid, qvec, k = shortlist,
+        excludeSelf = excludeSelf)
+      Search.rerank(cand, queries, qid, qvec, k, vectors, idCol, vecCol,
+        idType, metric)
     }
   }
 
   /** Incremental insert with FROZEN thresholds (the BQ member of the
     * insert family): encode the new vectors, append through
     * [[Compact.append]]. */
-  def insert(model: Model, df: DataFrame, vecCol: String): Model = {
+  def insert(model: Model, df: DataFrame, vecCol: String): Model =
+    model.copy(
+      codes = Compact.append(model.codes, encodeWith(model, df, vecCol),
+        model.appends),
+      appends = model.appends + 1)
+
+  /** Encode a batch against the FROZEN thresholds into code rows with
+    * the model's column layout — shared by the in-memory insert and the
+    * persisted block append ([[Blocks]]). */
+  private def encodeWith(model: Model, df: DataFrame, vecCol: String): DataFrame = {
     val bc = df.sparkSession.sparkContext.broadcast(model.thresholds)
     val encUdf = udf { (v: Seq[Double]) => encodeOne(v.toIndexedSeq, bc.value).toSeq }
-    val newCodes = df
-      .select(col(model.idCol), encUdf(col(vecCol).cast("array<double>")).as("sig"))
+    Search.prepVectors(
+        df.select(col(model.idCol), col(vecCol).cast("array<double>").as(vecCol)),
+        vecCol, model.metric)
+      .select(col(model.idCol), encUdf(col(vecCol)).as("sig"))
       .select(model.codes.columns.map(col).toIndexedSeq: _*)
-    model.copy(
-      codes = Compact.append(model.codes, newCodes, model.appends),
-      appends = model.appends + 1)
   }
+
+  /** O(batch) persisted insert: encode the batch against the frozen
+    * thresholds and append new parquet files under the saved codes dir —
+    * existing blocks are never read or rewritten (see [[Blocks]]). */
+  def appendToSaved(model: Model, path: String, df: DataFrame,
+      vecCol: String): Unit =
+    encodeWith(model, df, vecCol).write.mode("append").parquet(s"$path/codes")
 
   def save(model: Model, path: String): Unit = {
     val spark = model.codes.sparkSession
@@ -111,20 +121,24 @@ object BqIndex {
     model.thresholds.toSeq.zipWithIndex.map { case (t, i) => (i, t) }
       .toDF("dim", "threshold")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/thresholds")
+    Blocks.writeMeta(spark, path, model.metric)
     model.codes.write.mode("overwrite").parquet(s"$path/codes")
   }
 
   def load(spark: SparkSession, path: String, idCol: String): Model = {
     val thresholds = spark.read.parquet(s"$path/thresholds").collect()
       .map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1).map(_._2)
-    Model(thresholds, spark.read.parquet(s"$path/codes"), idCol)
+    Model(thresholds, spark.read.parquet(s"$path/codes"), idCol,
+      metric = Blocks.readMetric(spark, path))
   }
 
   /** Fit per-dimension mean thresholds on a spread sample (deterministic:
     * sequential fold over the hash-ordered sample) and encode every
     * vector in one distributed pass. */
-  def build(df: DataFrame, idCol: String, vecCol: String,
-      fitSample: Int = 4096): Model = {
+  def build(df0: DataFrame, idCol: String, vecCol: String,
+      fitSample: Int = 4096, metric: String = "l2"): Model = {
+    Search.checkMetric(metric)
+    val df = Search.prepVectors(df0, vecCol, metric)
     val sample = IvfIndex.hashSample(df, idCol,
       col(vecCol).cast("array<double>"), fitSample)
     require(sample.nonEmpty, "BqIndex.build: empty input")
@@ -138,6 +152,6 @@ object BqIndex {
     val encUdf = udf { (v: Seq[Double]) => encodeOne(v.toIndexedSeq, bc.value).toSeq }
     val codes = graft.core.Caches.cached(
       df.select(col(idCol), encUdf(col(vecCol).cast("array<double>")).as("sig")))
-    Model(thresholds, codes, idCol)
+    Model(thresholds, codes, idCol, metric = metric)
   }
 }

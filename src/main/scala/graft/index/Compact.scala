@@ -35,15 +35,28 @@ object Compact {
   val DefaultEvery = 16
 
   /** `old` must be the model's current (cached or checkpointed) state;
-    * `appends` the model's insert count so far. Returns the new state. */
+    * `appends` the model's insert count so far. Returns the new state.
+    *
+    * Durability: the default lineage truncation is `localCheckpoint` —
+    * blocks live on executors and are NOT fault-tolerant, so on a real
+    * cluster losing an executor permanently loses index-state blocks
+    * with no lineage to recompute (fine for a single-JVM session or any
+    * index that can be rebuilt/reloaded). For cluster deployments pass
+    * `reliable = true` after setting `sparkContext.setCheckpointDir` to
+    * durable storage — truncation then writes through the reliable
+    * checkpoint path and survives executor loss. The durable-by-layout
+    * alternative is the persisted block append (`appendToSaved` on each
+    * index + [[Blocks]]), which keeps index state in parquet and is also
+    * O(batch) per insert. */
   def append(old: DataFrame, extra: DataFrame, appends: Int,
-      compactEvery: Int = DefaultEvery): DataFrame = {
+      compactEvery: Int = DefaultEvery, reliable: Boolean = false): DataFrame = {
     val unioned = old.union(extra)
     val next =
       if ((appends + 1) % compactEvery == 0) {
         // lineage truncation: eager, so the pass below reads old's cache
         // before it is dropped
-        unioned.localCheckpoint(eager = true)
+        if (reliable) unioned.checkpoint(eager = true)
+        else unioned.localCheckpoint(eager = true)
       } else {
         val c = graft.core.Caches.cached(unioned)
         c.count() // materialize off the superseded cache before dropping it

@@ -102,7 +102,8 @@ object GannIndex {
 
   final case class Model(trees: IndexedSeq[Map[Int, Node]],
       leaves: Seq[(Int, Int)], assign: DataFrame,
-      idCol: String, vecCol: String, appends: Int = 0) {
+      idCol: String, vecCol: String, appends: Int = 0,
+      metric: String = "l2") {
 
     /** Single-tree view (forest of 1) — kept for tree-shape inspection. */
     def nodes: Map[Int, Node] = trees.head
@@ -124,26 +125,27 @@ object GannIndex {
       * top-k heap as a long and is cast back to its input type on output);
       * a non-numeric id would cast to null and silently vanish, so it is
       * rejected here instead. */
-    def search(queries: DataFrame, qid: String, qvec: String, k: Int): DataFrame = {
+    def search(queries: DataFrame, qid: String, qvec: String, k: Int,
+        excludeSelf: Boolean = true): DataFrame = {
       val idType = requireIntegralId(assign, idCol)
       val spark = queries.sparkSession
       val bc = spark.sparkContext.broadcast(trees)
       val routeUdf = udf { (v: Seq[Double]) => routeForest(bc.value, v.toArray) }
-      val probed = queries.select(col(qid), col(qvec),
-          explode(routeUdf(col(qvec).cast("array<double>"))).as("tl"))
+      val qn = Search.prepVectors(
+        queries.select(col(qid), col(qvec).cast("array<double>").as(qvec)),
+        qvec, metric)
+      val probed = qn.select(col(qid), col(qvec),
+          explode(routeUdf(col(qvec))).as("tl"))
         .select(col(qid), col(qvec),
           col("tl._1").as("tree"), col("tl._2").as("leaf"))
-      probed.join(assign.hint("shuffle_hash"), Seq("tree", "leaf"))
-        .filter(col(idCol) =!= col(qid))
-        .select(col(qid), col(idCol),
-          VectorF.l2Dist(col(qvec), col(vecCol)).as("dist"))
-        .groupBy(col(qid), col(idCol))
-        .agg(min(col("dist")).as("dist"))
-        .groupBy(col(qid))
-        .agg(TopKAgg.topK(col("dist"), col(idCol).cast("long"), k).as("top"))
-        .select(col(qid), posexplode(col("top")).as(Seq("pos", "s")))
-        .select(col(qid), col("s.id").cast(idType).as(idCol),
-          col("s.dist").as("dist"), (col("pos") + 1).cast("int").as("rnk"))
+      Search.topKOut(
+        Search.selfFilter(probed.join(assign.hint("shuffle_hash"),
+            Seq("tree", "leaf")), idCol, qid, excludeSelf)
+          .select(col(qid), col(idCol),
+            VectorF.l2Dist(col(qvec), col(vecCol)).as("dist"))
+          .groupBy(col(qid), col(idCol))
+          .agg(min(col("dist")).as("dist")),
+        qid, idCol, idType, k)
     }
   }
 
@@ -219,14 +221,30 @@ object GannIndex {
     * rebuild when the drift matters, like any frozen-structure ANN
     * index. */
   def insert(model: Model, df: DataFrame): Model = {
-    val newAssign = routedForest(
-        df.select(col(model.idCol), col(model.vecCol)),
-        model.trees, model.idCol, model.vecCol)
-      .select(model.assign.columns.map(col).toIndexedSeq: _*)
+    val newAssign = encodeWith(model, df)
     model.copy(
       assign = Compact.append(model.assign, newAssign, model.appends),
       appends = model.appends + 1)
   }
+
+  /** Route a batch through the FROZEN forest into assignment rows with
+    * the model's column layout — shared by the in-memory insert and the
+    * persisted block append ([[Blocks]]). */
+  private def encodeWith(model: Model, df: DataFrame): DataFrame =
+    routedForest(
+        Search.prepVectors(
+          df.select(col(model.idCol),
+            col(model.vecCol).cast("array<double>").as(model.vecCol)),
+          model.vecCol, model.metric),
+        model.trees, model.idCol, model.vecCol)
+      .select(model.assign.columns.map(col).toIndexedSeq: _*)
+
+  /** O(batch) persisted insert: route the batch through the frozen
+    * forest and append new parquet files under the saved assignment dir
+    * — existing blocks are never read or rewritten (see [[Blocks]]). */
+  def appendToSaved(model: Model, path: String, df: DataFrame): Unit =
+    encodeWith(model, df).write.mode("append")
+      .partitionBy("tree", "leaf").parquet(s"$path/assign")
 
   def save(model: Model, path: String): Unit = {
     val spark = model.assign.sparkSession
@@ -237,6 +255,7 @@ object GannIndex {
     }.toDF("tree", "id", "w", "bias", "lo", "hi", "left", "right")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/nodes")
+    Blocks.writeMeta(spark, path, model.metric)
     model.assign
       .write.mode("overwrite").partitionBy("tree", "leaf").parquet(s"$path/assign")
   }
@@ -254,7 +273,8 @@ object GannIndex {
     val assign = spark.read.parquet(s"$path/assign")
     val leaves = assign.select("tree", "leaf").distinct()
       .as[(Int, Int)].collect().toSeq.sorted
-    Model(trees, leaves, assign, idCol, vecCol)
+    Model(trees, leaves, assign, idCol, vecCol,
+      metric = Blocks.readMetric(spark, path))
   }
 
   /** Build ONE spill tree over the cached base; `t` is the tree seed.
@@ -363,11 +383,15 @@ object GannIndex {
     * engine makes. */
   def build(df: DataFrame, idCol: String, vecCol: String,
       leafSize: Int = 200, spill: Double = 0.0,
-      sampleSize: Int = 256, maxDepth: Int = 20, nTrees: Int = 1): Model = {
+      sampleSize: Int = 256, maxDepth: Int = 20, nTrees: Int = 1,
+      metric: String = "l2"): Model = {
     require(nTrees >= 1, s"nTrees must be >= 1, got $nTrees")
+    Search.checkMetric(metric)
     val spark = df.sparkSession
     import spark.implicits._
-    val base = df.select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
+    val base = Search.prepVectors(
+        df.select(col(idCol), col(vecCol).cast("array<double>").as(vecCol)),
+        vecCol, metric)
       .cache()
     val total = base.count().toDouble
     // trees are independent and deterministic given their seed, so they
@@ -391,6 +415,6 @@ object GannIndex {
     val leaves = assign.select("tree", "leaf").distinct()
       .as[(Int, Int)].collect().toSeq.sorted
     base.unpersist() // assign is materialized by the distinct above
-    Model(trees, leaves, assign, idCol, vecCol)
+    Model(trees, leaves, assign, idCol, vecCol, metric = metric)
   }
 }

@@ -26,95 +26,94 @@ import org.apache.spark.sql.functions._
 object IvfBq {
 
   final case class Model(coarse: Array[(Int, Array[Double])],
-      codes: DataFrame, idCol: String, appends: Int = 0) {
+      codes: DataFrame, idCol: String, appends: Int = 0,
+      metric: String = "l2") {
 
     /** (cluster, residual signature) rows per query for the probed
-      * clusters. */
+      * clusters — Coarse.nearestK partial-selects the probes (early
+      * abandon + bounded insertion; no full sort of kCoarse). */
     private def probed(queries: DataFrame, qid: String, qvec: String,
         nprobe: Int): DataFrame = {
       val bc = queries.sparkSession.sparkContext.broadcast(coarse)
       val np = nprobe
       val probeUdf = udf { (v: Seq[Double]) =>
         val arr = v.toArray
-        bc.value.map { case (cid, c) =>
-          var s = 0.0; var i = 0
-          while (i < arr.length) { val d = arr(i) - c(i); s += d * d; i += 1 }
-          (cid, c, s)
-        }.sortBy { case (cid, _, d) => (d, cid) }.take(np).map { case (cid, cent, _) =>
+        val cs = bc.value
+        Coarse.nearestK(arr, cs, np).map { pos =>
+          val (cid, cent) = cs(pos)
           val resid = IndexedSeq.tabulate(arr.length)(i => arr(i) - cent(i))
           (cid, BqIndex.encodeOne(resid, new Array[Double](arr.length)).toSeq)
         }.toSeq
       }
-      queries.select(col(qid), explode(probeUdf(col(qvec).cast("array<double>"))).as("p"))
+      Search.prepVectors(
+          queries.select(col(qid), col(qvec).cast("array<double>").as(qvec)),
+          qvec, metric)
+        .select(col(qid), explode(probeUdf(col(qvec))).as("p"))
         .select(col(qid), col("p._1").as("cluster"), col("p._2").as("qsig"))
     }
 
     /** Hamming top-k over the probed clusters' residual signatures. */
     def search(queries: DataFrame, qid: String, qvec: String,
-        k: Int, nprobe: Int): DataFrame = {
+        k: Int, nprobe: Int, excludeSelf: Boolean = true): DataFrame = {
       val idType = GannIndex.requireIntegralId(codes, idCol)
-      probed(queries, qid, qvec, nprobe).join(codes, Seq("cluster"))
-        .filter(col(idCol) =!= col(qid))
-        .select(col(qid), col(idCol),
-          graft.functions.VectorF.hammingWords(col("sig"), col("qsig"))
-            .cast("double").as("dist"))
-        .groupBy(col(qid))
-        .agg(graft.functions.TopKAgg.topK(col("dist"), col(idCol).cast("long"), k).as("top"))
-        .select(col(qid), posexplode(col("top")).as(Seq("pos", "s")))
-        .select(col(qid), col("s.id").cast(idType).as(idCol),
-          col("s.dist").as("dist"), (col("pos") + 1).cast("int").as("rnk"))
+      Search.topKOut(
+        Search.selfFilter(
+            probed(queries, qid, qvec, nprobe).join(codes, Seq("cluster")),
+            idCol, qid, excludeSelf)
+          .select(col(qid), col(idCol),
+            graft.functions.VectorF.hammingWords(col("sig"), col("qsig"))
+              .cast("double").as("dist")),
+        qid, idCol, idType, k)
     }
 
     /** Hamming shortlist + exact rerank (the serving shape — see
       * PqIndex.Model.searchRerank). */
     def searchRerank(queries: DataFrame, qid: String, qvec: String, k: Int,
-        nprobe: Int, shortlist: Int, vectors: DataFrame, vecCol: String): DataFrame = {
-      import org.apache.spark.sql.expressions.Window
+        nprobe: Int, shortlist: Int, vectors: DataFrame, vecCol: String,
+        excludeSelf: Boolean = true): DataFrame = {
       val idType = GannIndex.requireIntegralId(codes, idCol)
-      val cand = search(queries, qid, qvec, k = shortlist, nprobe = nprobe)
-        .select(col(qid), col(idCol))
-      val w = Window.partitionBy(col(qid)).orderBy(col("dist"), col(idCol))
-      cand
-        .join(vectors.select(col(idCol), col(vecCol)), Seq(idCol))
-        .join(queries.select(col(qid), col(qvec)), Seq(qid))
-        .select(col(qid), col(idCol),
-          graft.functions.VectorF.l2Dist(col(vecCol), col(qvec)).as("dist"))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= k)
-        .select(col(qid), col(idCol).cast(idType).as(idCol), col("dist"), col("rnk"))
+      val cand = search(queries, qid, qvec, k = shortlist, nprobe = nprobe,
+        excludeSelf = excludeSelf)
+      Search.rerank(cand, queries, qid, qvec, k, vectors, idCol, vecCol,
+        idType, metric)
     }
   }
 
-  /** One assign+encode pass against frozen centroids (shared by build
-    * and insert). */
-  private def encode(df: DataFrame, coarse: Array[(Int, Array[Double])],
-      idCol: String, vecCol: String): DataFrame = {
-    val bc = df.sparkSession.sparkContext.broadcast(coarse)
+  /** One assign+encode pass against the FROZEN centroids
+    * (Coarse.nearest1 early-abandon assign) — shared by the in-memory
+    * insert and the persisted block append ([[Blocks]]). */
+  private def encodeWith(model: Model, df: DataFrame, vecCol: String): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(model.coarse)
     val encUdf = udf { (v: Seq[Double]) =>
       val arr = v.toArray
-      var best = 0; var bd = Double.MaxValue
-      var bestCent: Array[Double] = null
-      bc.value.foreach { case (cid, c) =>
-        var s = 0.0; var i = 0
-        while (i < arr.length) { val d = arr(i) - c(i); s += d * d; i += 1 }
-        if (s < bd) { bd = s; best = cid; bestCent = c }
-      }
-      val resid = IndexedSeq.tabulate(arr.length)(i => arr(i) - bestCent(i))
-      (best, BqIndex.encodeOne(resid, new Array[Double](arr.length)).toSeq)
+      val cs = bc.value
+      val (cid, cent) = cs(Coarse.nearest1(arr, cs))
+      val resid = IndexedSeq.tabulate(arr.length)(i => arr(i) - cent(i))
+      (cid, BqIndex.encodeOne(resid, new Array[Double](arr.length)).toSeq)
     }
-    df.select(col(idCol), encUdf(col(vecCol).cast("array<double>")).as("e"))
-      .select(col(idCol), col("e._1").as("cluster"), col("e._2").as("sig"))
+    Search.prepVectors(
+        df.select(col(model.idCol), col(vecCol).cast("array<double>").as(vecCol)),
+        vecCol, model.metric)
+      .select(col(model.idCol), encUdf(col(vecCol)).as("e"))
+      .select(col(model.idCol), col("e._1").as("cluster"), col("e._2").as("sig"))
+      .select(model.codes.columns.map(col).toIndexedSeq: _*)
   }
 
   /** Incremental insert with FROZEN centroids (the IVF-BQ member of the
     * insert family). */
-  def insert(model: Model, df: DataFrame, vecCol: String): Model = {
-    val newCodes = encode(df, model.coarse, model.idCol, vecCol)
-      .select(model.codes.columns.map(col).toIndexedSeq: _*)
+  def insert(model: Model, df: DataFrame, vecCol: String): Model =
     model.copy(
-      codes = Compact.append(model.codes, newCodes, model.appends),
+      codes = Compact.append(model.codes, encodeWith(model, df, vecCol),
+        model.appends),
       appends = model.appends + 1)
-  }
+
+  /** O(batch) persisted insert: encode the batch against the frozen
+    * centroids and append new parquet files under the saved codes dir —
+    * existing blocks are never read or rewritten (see [[Blocks]]). */
+  def appendToSaved(model: Model, path: String, df: DataFrame,
+      vecCol: String): Unit =
+    encodeWith(model, df, vecCol).write.mode("append")
+      .partitionBy("cluster").parquet(s"$path/codes")
 
   /** Persist centroids + cluster-partitioned signatures (probes prune to
     * nprobe partitions, like IvfPq.save). */
@@ -124,6 +123,7 @@ object IvfBq {
     model.coarse.toSeq.map { case (cid, c) => (cid, c.toSeq) }
       .toDF("cluster", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    Blocks.writeMeta(spark, path, model.metric)
     model.codes.write.mode("overwrite")
       .partitionBy("cluster").parquet(s"$path/codes")
   }
@@ -132,7 +132,8 @@ object IvfBq {
     val coarse = spark.read.parquet(s"$path/centroids").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
-    Model(coarse, spark.read.parquet(s"$path/codes"), idCol)
+    Model(coarse, spark.read.parquet(s"$path/codes"), idCol,
+      metric = Blocks.readMetric(spark, path))
   }
 
   /** Coarse-quantize (IvfIndex), then sign-encode the residuals in one
@@ -140,8 +141,12 @@ object IvfBq {
     * known per row — no second nearest-centroid scan, the IvfPq.build
     * pattern). */
   def build(df: DataFrame, idCol: String, vecCol: String,
-      kCoarse: Int = 8, seed: Long = 42L): Model = {
-    val ivf = IvfIndex.build(df, idCol, vecCol, k = kCoarse, seed = seed)
+      kCoarse: Int = 8, seed: Long = 42L, metric: String = "l2"): Model = {
+    Search.checkMetric(metric)
+    // metric rides on the IVF build: its assign table holds the
+    // (normalized, for cosine) vectors the residual pass reads
+    val ivf = IvfIndex.build(df, idCol, vecCol, k = kCoarse, seed = seed,
+      metric = metric)
     val byId = ivf.centroids.toMap
     val bc = df.sparkSession.sparkContext.broadcast(byId)
     val sigUdf = udf { (v: Seq[Double], cluster: Int) =>
@@ -152,6 +157,6 @@ object IvfBq {
     val codes = graft.core.Caches.cached(
       ivf.assign.select(col(idCol), col("cluster"),
         sigUdf(col(vecCol).cast("array<double>"), col("cluster")).as("sig")))
-    Model(ivf.centroids, codes, idCol)
+    Model(ivf.centroids, codes, idCol, metric = metric)
   }
 }

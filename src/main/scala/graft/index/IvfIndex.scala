@@ -20,20 +20,17 @@ object IvfIndex {
 
   final case class Model(centroids: Array[(Int, Array[Double])],
       assign: DataFrame, idCol: String, vecCol: String,
-      appends: Int = 0) {
+      appends: Int = 0, metric: String = "l2") {
 
     def nearestClusters(v: Array[Double], nprobe: Int): Seq[Int] =
-      centroids.map { case (cid, c) =>
-        var s = 0.0; var i = 0
-        while (i < v.length) { val d = v(i) - c(i); s += d * d; i += 1 }
-        (cid, s)
-      }.sortBy { case (cid, d) => (d, cid) }.take(nprobe).map(_._1).toSeq
+      Coarse.nearestK(v, centroids, nprobe).map(centroids(_)._1).toSeq
 
     /** Batch search: probe nprobe clusters per query, exact-rank top-k.
       * `idCol` must be integral (rides the top-k heap as long, cast back
-      * on output — see GannIndex.requireIntegralId). */
+      * on output — see GannIndex.requireIntegralId). `excludeSelf`
+      * follows the id-domain convention in [[Search.selfFilter]]. */
     def search(queries: DataFrame, qid: String, qvec: String,
-        k: Int, nprobe: Int): DataFrame = {
+        k: Int, nprobe: Int, excludeSelf: Boolean = true): DataFrame = {
       val idType = GannIndex.requireIntegralId(assign, idCol)
       val spark = queries.sparkSession
       val bc = spark.sparkContext.broadcast(centroids)
@@ -41,26 +38,22 @@ object IvfIndex {
       val probeUdf = udf { (v: Seq[Double]) =>
         val cs = bc.value
         val arr = v.toArray
-        cs.map { case (cid, c) =>
-          var s = 0.0; var i = 0
-          while (i < arr.length) { val d = arr(i) - c(i); s += d * d; i += 1 }
-          (cid, s)
-        }.sortBy { case (cid, d) => (d, cid) }.take(np).map(_._1).toSeq
+        Coarse.nearestK(arr, cs, np).map(cs(_)._1).toSeq
       }
-      val probed = queries.select(col(qid), col(qvec),
-        explode(probeUdf(col(qvec).cast("array<double>"))).as("cluster"))
+      val qn = Search.prepVectors(
+        queries.select(col(qid), col(qvec).cast("array<double>").as(qvec)),
+        qvec, metric)
+      val probed = qn.select(col(qid), col(qvec),
+        explode(probeUdf(col(qvec))).as("cluster"))
       // bounded-heap top-k (TopKAgg): map-side partial aggregation ships
       // ≤k pairs per partition per query — no per-id dedup needed here,
       // every vector lives in exactly one posting list
-      probed.join(assign, Seq("cluster"))
-        .filter(col(idCol) =!= col(qid))
-        .select(col(qid), col(idCol),
-          VectorF.l2Dist(col(qvec), col(vecCol)).as("dist"))
-        .groupBy(col(qid))
-        .agg(graft.functions.TopKAgg.topK(col("dist"), col(idCol).cast("long"), k).as("top"))
-        .select(col(qid), posexplode(col("top")).as(Seq("pos", "s")))
-        .select(col(qid), col("s.id").cast(idType).as(idCol),
-          col("s.dist").as("dist"), (col("pos") + 1).cast("int").as("rnk"))
+      Search.topKOut(
+        Search.selfFilter(probed.join(assign, Seq("cluster")), idCol, qid,
+            excludeSelf)
+          .select(col(qid), col(idCol),
+            VectorF.l2Dist(col(qvec), col(vecCol)).as("dist")),
+        qid, idCol, idType, k)
     }
   }
 
@@ -72,12 +65,19 @@ object IvfIndex {
     * posting lists. Cluster balance drifts only as far as the data
     * does; rebuild when it matters. */
   def insert(model: Model, df: DataFrame): Model = {
-    val newAssign = assignNearest(df, model.centroids, model.idCol, model.vecCol)
-      .select(model.assign.columns.map(col).toIndexedSeq: _*)
+    val newAssign = encodeWith(model, df)
     model.copy(
       assign = Compact.append(model.assign, newAssign, model.appends),
       appends = model.appends + 1)
   }
+
+  /** Encode a batch against the FROZEN quantizer into assignment rows
+    * with the model's column layout — shared by the in-memory insert and
+    * the persisted block append ([[Blocks]]). */
+  private[index] def encodeWith(model: Model, df: DataFrame): DataFrame =
+    assignNearest(Search.prepVectors(df, model.vecCol, model.metric),
+        model.centroids, model.idCol, model.vecCol)
+      .select(model.assign.columns.map(col).toIndexedSeq: _*)
 
   /** Deterministic, storage-order-INDEPENDENT fit sample: the first n
     * rows in xxhash64(id) order — a spread sample at TakeOrdered cost
@@ -99,14 +99,8 @@ object IvfIndex {
       idCol: String, vecCol: String): DataFrame = {
     val bc = df.sparkSession.sparkContext.broadcast(centroids)
     val assignUdf = udf { (v: Seq[Double]) =>
-      val arr = v.toArray
-      var best = 0; var bd = Double.MaxValue
-      bc.value.foreach { case (cid, c) =>
-        var s = 0.0; var i = 0
-        while (i < arr.length) { val d = arr(i) - c(i); s += d * d; i += 1 }
-        if (s < bd) { bd = s; best = cid }
-      }
-      best
+      val cs = bc.value
+      cs(Coarse.nearest1(v.toArray, cs))._1
     }
     df.select(col(idCol), col(vecCol))
       .withColumn("cluster", assignUdf(col(vecCol).cast("array<double>")))
@@ -119,6 +113,7 @@ object IvfIndex {
     import spark.implicits._
     model.centroids.toSeq.toDF("cluster", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    Blocks.writeMeta(spark, path, model.metric)
     model.assign.write.mode("overwrite")
       .partitionBy("cluster").parquet(s"$path/assign")
   }
@@ -127,8 +122,20 @@ object IvfIndex {
     val centroids = spark.read.parquet(s"$path/centroids").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
-    Model(centroids, spark.read.parquet(s"$path/assign"), idCol, vecCol)
+    Model(centroids, spark.read.parquet(s"$path/assign"), idCol, vecCol,
+      metric = Blocks.readMetric(spark, path))
   }
+
+  /** O(batch) persisted insert: encode the batch against the FROZEN
+    * centroids and append it as new parquet files under the saved
+    * index's assignment dir — no read, union, or rewrite of the
+    * existing blocks (the distributed twin of the reference's flat
+    * in-memory append, gann.py:216-220; contrast [[insert]] +
+    * [[Compact.append]], whose per-insert materialization is O(corpus)).
+    * Reload with [[load]] to search the grown index. */
+  def appendToSaved(model: Model, path: String, df: DataFrame): Unit =
+    encodeWith(model, df).write.mode("append")
+      .partitionBy("cluster").parquet(s"$path/assign")
 
   /** Balance-aware Lloyd on the (driver-side) sample — the deterministic
     * twin of the reference's GKMeans size-decay objective
@@ -183,16 +190,19 @@ object IvfIndex {
     * touched by the single assignment pass. With `balance = true` the
     * quantizer is the GKMeans-parity size-penalized fit
     * ([[balancedLloyd]]) instead of MLlib KMeans. */
-  def build(df: DataFrame, idCol: String, vecCol: String,
+  def build(df0: DataFrame, idCol: String, vecCol: String,
       k: Int = 16, seed: Long = 42L, fitSample: Int = 100000,
-      balance: Boolean = false, sizeDecay: Double = 1.0): Model = {
+      balance: Boolean = false, sizeDecay: Double = 1.0,
+      metric: String = "l2"): Model = {
+    Search.checkMetric(metric)
+    val df = Search.prepVectors(df0, vecCol, metric)
     if (balance) {
       val sample = hashSample(df, idCol,
         col(vecCol).cast("array<double>"), fitSample)
       if (sample.isEmpty)
         return Model(Array.empty,
           df.select(col(idCol), col(vecCol)).withColumn("cluster", lit(0)),
-          idCol, vecCol)
+          idCol, vecCol, metric = metric)
       // multi-start over a few init seeds, keep the fit with the lowest
       // quantization error (Σ min-d² over the sample — the part of the
       // GKMeans objective that drives recall; balance is enforced inside
@@ -214,7 +224,7 @@ object IvfIndex {
       val centroids = cents.zipWithIndex.map { case (c, i) => (i, c) }
       val assign = graft.core.Caches.cached(
         assignNearest(df, centroids, idCol, vecCol))
-      return Model(centroids, assign, idCol, vecCol)
+      return Model(centroids, assign, idCol, vecCol, metric = metric)
     }
     val feat = df.select(col(idCol), col(vecCol))
       .withColumn("features", array_to_vector(col(vecCol).cast("array<double>")))
@@ -222,7 +232,7 @@ object IvfIndex {
     if (n == 0) // MLlib KMeans.fit rejects an empty dataset
       return Model(Array.empty,
         df.select(col(idCol), col(vecCol)).withColumn("cluster", lit(0)),
-        idCol, vecCol)
+        idCol, vecCol, metric = metric)
     val fitSet =
       if (n <= fitSample) feat
       else feat.sample(withReplacement = false, fitSample.toDouble / n, seed)
@@ -244,6 +254,6 @@ object IvfIndex {
         .select(col(idCol), col(vecCol), col("cluster")))
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }
-    Model(centroids, assign, idCol, vecCol)
+    Model(centroids, assign, idCol, vecCol, metric = metric)
   }
 }

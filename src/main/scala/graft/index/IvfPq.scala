@@ -33,61 +33,52 @@ object IvfPq {
   final case class Model(coarse: Array[(Int, Array[Double])],
       m: Int, dsub: Int, ksub: Int,
       codebooks: Array[Array[Array[Double]]],
-      codes: DataFrame, idCol: String, appends: Int = 0) {
+      codes: DataFrame, idCol: String, appends: Int = 0,
+      metric: String = "l2") {
 
     /** ADC search over the probed clusters' residual codes. */
     def search(queries: DataFrame, qid: String, qvec: String,
-        k: Int, nprobe: Int): DataFrame = {
+        k: Int, nprobe: Int, excludeSelf: Boolean = true): DataFrame = {
       val idType = GannIndex.requireIntegralId(codes, idCol)
       val spark = queries.sparkSession
       val bcC = spark.sparkContext.broadcast(coarse)
       val bcB = spark.sparkContext.broadcast(codebooks)
       val (mm, dd, kk, np) = (m, dsub, ksub, nprobe)
-      // per query: nprobe (cluster, ADC-table-of-residual) rows
+      // per query: nprobe (cluster, ADC-table-of-residual) rows —
+      // Coarse.nearestK partial-selects the probed clusters (early
+      // abandon + bounded insertion; no full sort of kCoarse)
       val probeUdf = udf { (v: Seq[Double]) =>
         val arr = v.toArray
-        // carry the centroid ref through the sort — no per-probe re-scan
-        // of the centroid list
-        bcC.value.map { case (cid, c) =>
-          var s = 0.0; var i = 0
-          while (i < arr.length) { val d = arr(i) - c(i); s += d * d; i += 1 }
-          (cid, c, s)
-        }.sortBy { case (cid, _, d) => (d, cid) }.take(np).map { case (cid, cent, _) =>
+        val cs = bcC.value
+        Coarse.nearestK(arr, cs, np).map { pos =>
+          val (cid, cent) = cs(pos)
           val resid = Array.tabulate(arr.length)(i => arr(i) - cent(i))
           (cid, PqIndex.distTable(resid.toIndexedSeq, bcB.value, mm, dd, kk).toSeq)
         }.toSeq
       }
-      val probed = queries.select(col(qid),
-        explode(probeUdf(col(qvec).cast("array<double>"))).as("p"))
+      val qn = Search.prepVectors(
+        queries.select(col(qid), col(qvec).cast("array<double>").as(qvec)),
+        qvec, metric)
+      val probed = qn.select(col(qid), explode(probeUdf(col(qvec))).as("p"))
         .select(col(qid), col("p._1").as("cluster"), col("p._2").as("dt"))
       val adc = graft.functions.VectorF.adc(col("codes"), col("dt"), kk)
-      probed.join(codes, Seq("cluster"))
-        .filter(col(idCol) =!= col(qid))
-        .select(col(qid), col(idCol), adc.as("dist"))
-        .groupBy(col(qid))
-        .agg(graft.functions.TopKAgg.topK(col("dist"), col(idCol).cast("long"), k).as("top"))
-        .select(col(qid), posexplode(col("top")).as(Seq("pos", "s")))
-        .select(col(qid), col("s.id").cast(idType).as(idCol),
-          col("s.dist").as("dist"), (col("pos") + 1).cast("int").as("rnk"))
+      Search.topKOut(
+        Search.selfFilter(probed.join(codes, Seq("cluster")), idCol, qid,
+            excludeSelf)
+          .select(col(qid), col(idCol), adc.as("dist")),
+        qid, idCol, idType, k)
     }
 
     /** ADC shortlist + exact rerank against the raw vectors (the serving
       * shape — see PqIndex.Model.searchRerank). */
     def searchRerank(queries: DataFrame, qid: String, qvec: String, k: Int,
-        nprobe: Int, shortlist: Int, vectors: DataFrame, vecCol: String): DataFrame = {
-      import org.apache.spark.sql.expressions.Window
+        nprobe: Int, shortlist: Int, vectors: DataFrame, vecCol: String,
+        excludeSelf: Boolean = true): DataFrame = {
       val idType = GannIndex.requireIntegralId(codes, idCol)
-      val cand = search(queries, qid, qvec, k = shortlist, nprobe = nprobe)
-        .select(col(qid), col(idCol))
-      val w = Window.partitionBy(col(qid)).orderBy(col("dist"), col(idCol))
-      cand
-        .join(vectors.select(col(idCol), col(vecCol)), Seq(idCol))
-        .join(queries.select(col(qid), col(qvec)), Seq(qid))
-        .select(col(qid), col(idCol),
-          graft.functions.VectorF.l2Dist(col(vecCol), col(qvec)).as("dist"))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= k)
-        .select(col(qid), col(idCol).cast(idType).as(idCol), col("dist"), col("rnk"))
+      val cand = search(queries, qid, qvec, k = shortlist, nprobe = nprobe,
+        excludeSelf = excludeSelf)
+      Search.rerank(cand, queries, qid, qvec, k, vectors, idCol, vecCol,
+        idType, metric)
     }
   }
 
@@ -95,32 +86,42 @@ object IvfPq {
     * IVF-PQ member of the insert family — see IvfIndex.insert /
     * PqIndex.insert): one broadcast-probe pass assigns each new vector
     * to its nearest cluster and PQ-encodes its residual; codes append. */
-  def insert(model: Model, df: DataFrame, vecCol: String): Model = {
+  def insert(model: Model, df: DataFrame, vecCol: String): Model =
+    model.copy(
+      codes = Compact.append(model.codes, encodeWith(model, df, vecCol),
+        model.appends),
+      appends = model.appends + 1)
+
+  /** One assign+encode pass against the FROZEN centroids and codebooks
+    * (Coarse.nearest1 early-abandon assign) — shared by the in-memory
+    * insert and the persisted block append ([[Blocks]]). */
+  private def encodeWith(model: Model, df: DataFrame, vecCol: String): DataFrame = {
     val spark = df.sparkSession
     val bcC = spark.sparkContext.broadcast(model.coarse)
     val bcB = spark.sparkContext.broadcast(model.codebooks)
     val (mm, dd) = (model.m, model.dsub)
     val encUdf = udf { (v: Seq[Double]) =>
       val arr = v.toArray
-      var best = 0; var bd = Double.MaxValue
-      bcC.value.foreach { case (cid, c) =>
-        var s = 0.0; var i = 0
-        while (i < arr.length) { val d = arr(i) - c(i); s += d * d; i += 1 }
-        if (s < bd) { bd = s; best = cid }
-      }
-      val cent = bcC.value.find(_._1 == best).get._2
+      val cs = bcC.value
+      val (cid, cent) = cs(Coarse.nearest1(arr, cs))
       val resid = IndexedSeq.tabulate(arr.length)(i => arr(i) - cent(i))
-      (best, PqIndex.encodeOne(resid, bcB.value, mm, dd).toSeq)
+      (cid, PqIndex.encodeOne(resid, bcB.value, mm, dd).toSeq)
     }
-    val newCodes = df
-      .select(col(model.idCol),
-        encUdf(col(vecCol).cast("array<double>")).as("e"))
+    Search.prepVectors(
+        df.select(col(model.idCol), col(vecCol).cast("array<double>").as(vecCol)),
+        vecCol, model.metric)
+      .select(col(model.idCol), encUdf(col(vecCol)).as("e"))
       .select(col(model.idCol), col("e._1").as("cluster"), col("e._2").as("codes"))
       .select(model.codes.columns.map(col).toIndexedSeq: _*)
-    model.copy(
-      codes = Compact.append(model.codes, newCodes, model.appends),
-      appends = model.appends + 1)
   }
+
+  /** O(batch) persisted insert: encode the batch against the frozen
+    * quantizers and append new parquet files under the saved codes dir —
+    * existing blocks are never read or rewritten (see [[Blocks]]). */
+  def appendToSaved(model: Model, path: String, df: DataFrame,
+      vecCol: String): Unit =
+    encodeWith(model, df, vecCol).write.mode("append")
+      .partitionBy("cluster").parquet(s"$path/codes")
 
   /** Persist centroids + codebooks + cluster-partitioned codes (probes
     * prune to nprobe partitions, like IvfIndex.save). */
@@ -136,6 +137,7 @@ object IvfPq {
     } yield (sub, code, model.codebooks(sub)(code).toSeq)
     rows.toDF("sub", "code", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    Blocks.writeMeta(spark, path, model.metric)
     model.codes.write.mode("overwrite")
       .partitionBy("cluster").parquet(s"$path/codes")
   }
@@ -150,7 +152,8 @@ object IvfPq {
     val ksub = cb.map(_._2).max + 1
     val books = Array.tabulate(m, ksub)((s, c) => cb.find(t => t._1 == s && t._2 == c).get._3)
     Model(coarse, m, books(0)(0).length, ksub, books,
-      spark.read.parquet(s"$path/codes"), idCol)
+      spark.read.parquet(s"$path/codes"), idCol,
+      metric = Blocks.readMetric(spark, path))
   }
 
   /** Coarse-quantize (distributed KMeans via IvfIndex), then PQ-encode
@@ -159,8 +162,13 @@ object IvfPq {
     * one distributed residual+encode pass. */
   def build(df: DataFrame, idCol: String, vecCol: String,
       kCoarse: Int = 8, m: Int = 8, ksub: Int = 16, seed: Long = 42L,
-      fitSample: Int = 4096, iters: Int = 10): Model = {
-    val ivf = IvfIndex.build(df, idCol, vecCol, k = kCoarse, seed = seed)
+      fitSample: Int = 4096, iters: Int = 10,
+      metric: String = "l2"): Model = {
+    Search.checkMetric(metric)
+    // metric rides on the IVF build: its assign table holds the
+    // (normalized, for cosine) vectors every later pass reads
+    val ivf = IvfIndex.build(df, idCol, vecCol, k = kCoarse, seed = seed,
+      metric = metric)
     val spark = df.sparkSession
     val bcC = spark.sparkContext.broadcast(ivf.centroids)
     val residUdf = udf { (v: Seq[Double], cluster: Int) =>
@@ -186,6 +194,6 @@ object IvfPq {
     // distributed state the searches touch
     val codes = graft.core.Caches.cached(
       resid.select(col(idCol), col("cluster"), encodeUdf(col("resid")).as("codes")))
-    Model(ivf.centroids, m, dsub, ksub, books, codes, idCol)
+    Model(ivf.centroids, m, dsub, ksub, books, codes, idCol, metric = metric)
   }
 }

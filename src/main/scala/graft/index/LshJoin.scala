@@ -79,9 +79,17 @@ object LshJoin {
           .select(col(idCol), col("v"), col("htab"),
             element_at(vector_to_array(col("hv")), 1).as("hkey")))
     }
+    // the LSH fit params are folded into the memo key so a later call
+    // with the same caller key but different bucketLength/numTables/seed
+    // can never be served a stale hashed table (whose candidate pairs
+    // would silently come from the old fit). The DATASET is still the
+    // caller's contract: memoKey must uniquely name the input frame
+    // (the query entries key by table dir), since frame identity is not
+    // observable here.
     val hashed = memoKey match {
       case Some(k0) =>
-        graft.core.Caches.memoized(df.sparkSession, k0, hashedMemo)(buildHashed())
+        val k = s"$k0#bl=$bucketLength#nt=$numTables#seed=$seed"
+        graft.core.Caches.memoized(df.sparkSession, k, hashedMemo)(buildHashed())
       case None => buildHashed()
     }
     val cand = hashed.select(col(idCol).as(s"${idCol}_a"), col("htab"), col("hkey"))

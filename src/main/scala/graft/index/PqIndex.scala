@@ -29,12 +29,14 @@ object PqIndex {
   /** codebooks(sub)(code) = centroid of length dsub. */
   final case class Model(m: Int, dsub: Int, ksub: Int,
       codebooks: Array[Array[Array[Double]]],
-      codes: DataFrame, idCol: String, appends: Int = 0) {
+      codes: DataFrame, idCol: String, appends: Int = 0,
+      metric: String = "l2") {
 
     /** ADC batch search: per-query distance table (UDF over the tiny
       * broadcast codebooks), then a codegen'd lookup-sum over the codes
       * table and a bounded-heap top-k. */
-    def search(queries: DataFrame, qid: String, qvec: String, k: Int): DataFrame = {
+    def search(queries: DataFrame, qid: String, qvec: String, k: Int,
+        excludeSelf: Boolean = true): DataFrame = {
       val idType = GannIndex.requireIntegralId(codes, idCol)
       val spark = queries.sparkSession
       val bc = spark.sparkContext.broadcast(codebooks)
@@ -43,21 +45,20 @@ object PqIndex {
       val dtUdf = udf { (v: Seq[Double]) =>
         PqIndex.distTable(v.toIndexedSeq, bc.value, mm, dd, kk).toSeq
       }
-      val probes = queries.select(col(qid),
-        dtUdf(col(qvec).cast("array<double>")).as("dt"))
+      val qn = Search.prepVectors(
+        queries.select(col(qid), col(qvec).cast("array<double>").as(qvec)),
+        qvec, metric)
+      val probes = qn.select(col(qid), dtUdf(col(qvec)).as("dt"))
       // approx dist = sum of m table lookups via the codegen'd AdcLookup
       // kernel — the distributed twin of the reference's per-candidate
       // distance kernel (gann.c:944-1007), reading 8 bytes of codes
       // instead of 256 of floats
       val adc = graft.functions.VectorF.adc(col("codes"), col("dt"), kk)
-      codes.crossJoin(broadcast(probes))
-        .filter(col(idCol) =!= col(qid))
-        .select(col(qid), col(idCol), adc.as("dist"))
-        .groupBy(col(qid))
-        .agg(graft.functions.TopKAgg.topK(col("dist"), col(idCol).cast("long"), k).as("top"))
-        .select(col(qid), posexplode(col("top")).as(Seq("pos", "s")))
-        .select(col(qid), col("s.id").cast(idType).as(idCol),
-          col("s.dist").as("dist"), (col("pos") + 1).cast("int").as("rnk"))
+      Search.topKOut(
+        Search.selfFilter(codes.crossJoin(broadcast(probes)), idCol, qid,
+            excludeSelf)
+          .select(col(qid), col(idCol), adc.as("dist")),
+        qid, idCol, idType, k)
     }
 
     /** Two-stage search: ADC shortlist of `shortlist` candidates per
@@ -68,38 +69,47 @@ object PqIndex {
       * (idCol, vecCol) table; only shortlist·|queries| rows of it are
       * ever read, via an id equi-join. */
     def searchRerank(queries: DataFrame, qid: String, qvec: String, k: Int,
-        shortlist: Int, vectors: DataFrame, vecCol: String): DataFrame = {
-      import org.apache.spark.sql.expressions.Window
+        shortlist: Int, vectors: DataFrame, vecCol: String,
+        excludeSelf: Boolean = true): DataFrame = {
       val idType = GannIndex.requireIntegralId(codes, idCol)
-      val cand = search(queries, qid, qvec, k = shortlist)
-        .select(col(qid), col(idCol))
-      val w = Window.partitionBy(col(qid)).orderBy(col("dist"), col(idCol))
-      cand
-        .join(vectors.select(col(idCol), col(vecCol)), Seq(idCol))
-        .join(queries.select(col(qid), col(qvec)), Seq(qid))
-        .select(col(qid), col(idCol),
-          graft.functions.VectorF.l2Dist(col(vecCol), col(qvec)).as("dist"))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= k)
-        .select(col(qid), col(idCol).cast(idType).as(idCol), col("dist"), col("rnk"))
+      val cand = search(queries, qid, qvec, k = shortlist,
+        excludeSelf = excludeSelf)
+      Search.rerank(cand, queries, qid, qvec, k, vectors, idCol, vecCol,
+        idType, metric)
     }
   }
 
   /** Incremental insert with FROZEN codebooks (the PQ twin of
     * IvfIndex.insert): encode the new vectors and append their codes.
     * Codebooks are fit statistics — inserts never retrain them. */
-  def insert(model: Model, df: DataFrame, vecCol: String): Model = {
+  def insert(model: Model, df: DataFrame, vecCol: String): Model =
+    model.copy(
+      codes = Compact.append(model.codes, encodeWith(model, df, vecCol),
+        model.appends),
+      appends = model.appends + 1)
+
+  /** Encode a batch against the FROZEN codebooks into code rows with the
+    * model's column layout — shared by the in-memory insert and the
+    * persisted block append ([[Blocks]]). */
+  private def encodeWith(model: Model, df: DataFrame, vecCol: String): DataFrame = {
     val bc = df.sparkSession.sparkContext.broadcast(model.codebooks)
     val (mm, dd) = (model.m, model.dsub)
     val encodeUdf = udf { (v: Seq[Double]) =>
       encodeOne(v.toIndexedSeq, bc.value, mm, dd).toSeq
     }
-    val newCodes = df.select(col(model.idCol),
-      encodeUdf(col(vecCol).cast("array<double>")).as("codes"))
-    model.copy(
-      codes = Compact.append(model.codes, newCodes, model.appends),
-      appends = model.appends + 1)
+    Search.prepVectors(
+        df.select(col(model.idCol), col(vecCol).cast("array<double>").as(vecCol)),
+        vecCol, model.metric)
+      .select(col(model.idCol), encodeUdf(col(vecCol)).as("codes"))
+      .select(model.codes.columns.map(col).toIndexedSeq: _*)
   }
+
+  /** O(batch) persisted insert: encode the batch against the frozen
+    * codebooks and append new parquet files under the saved codes dir —
+    * existing blocks are never read or rewritten (see [[Blocks]]). */
+  def appendToSaved(model: Model, path: String, df: DataFrame,
+      vecCol: String): Unit =
+    encodeWith(model, df, vecCol).write.mode("append").parquet(s"$path/codes")
 
   /** Persist codebooks + the compact codes table. */
   def save(model: Model, path: String): Unit = {
@@ -111,6 +121,7 @@ object PqIndex {
     } yield (sub, code, model.codebooks(sub)(code).toSeq)
     rows.toDF("sub", "code", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    Blocks.writeMeta(spark, path, model.metric)
     model.codes.write.mode("overwrite").parquet(s"$path/codes")
   }
 
@@ -121,7 +132,8 @@ object PqIndex {
     val ksub = cb.map(_._2).max + 1
     val books = Array.tabulate(m, ksub)((s, c) => cb.find(t => t._1 == s && t._2 == c).get._3)
     Model(m, books(0)(0).length, ksub, books,
-      spark.read.parquet(s"$path/codes"), idCol)
+      spark.read.parquet(s"$path/codes"), idCol,
+      metric = Blocks.readMetric(spark, path))
   }
 
   /** Seeded Lloyd iterations over one subspace's sample slice; empty
@@ -212,9 +224,12 @@ object PqIndex {
     * — the sample is index-build statistics, like IvfIndex's fitSample;
     * the full table is only touched by the single distributed encode
     * pass) and encode every vector to its m nearest-centroid codes. */
-  def build(df: DataFrame, idCol: String, vecCol: String,
+  def build(df0: DataFrame, idCol: String, vecCol: String,
       m: Int = 8, ksub: Int = 16, seed: Long = 42L,
-      fitSample: Int = 4096, iters: Int = 10): Model = {
+      fitSample: Int = 4096, iters: Int = 10,
+      metric: String = "l2"): Model = {
+    Search.checkMetric(metric)
+    val df = Search.prepVectors(df0, vecCol, metric)
     val first = df.select(vecCol).limit(1).collect()
     require(first.nonEmpty, "PqIndex.build: empty input")
     val dim = first(0).getSeq[Any](0).length
@@ -233,6 +248,6 @@ object PqIndex {
     val codes = graft.core.Caches.cached(
       df.select(col(idCol),
         encodeUdf(col(vecCol).cast("array<double>")).as("codes")))
-    Model(m, dsub, ksub, books, codes, idCol)
+    Model(m, dsub, ksub, books, codes, idCol, metric = metric)
   }
 }
