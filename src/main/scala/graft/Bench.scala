@@ -114,6 +114,13 @@ object Bench {
         s"""{"report":$full,"pass1":$p1s,"pass2":$p2s}\n"""
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () }
+    // quality artifact for the approximate entries (recall@10 vs exact,
+    // LSH pair recall, HLL error, FastRP/BPE equivalence) — computed
+    // AFTER the timed passes (index models are already memoized, so the
+    // re-searches are steady-state) and persisted beside bench_full.json
+    // so the driver can trend what the oracle gate can't see
+    try { RecallReport.write(spark, sfDir); () }
+    catch { case _: Throwable => () }
     // stop Spark first so the JSON is the absolute last stdout line
     spark.stop()
     println(out)

@@ -1,0 +1,252 @@
+package graft
+
+import graft.core.Tables
+import graft.functions.{TopKAgg, VectorF}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-round quality artifact for the APPROXIMATE operators — the
+  * entries the DuckDB oracle can't check (`no_oracle` in
+  * CORRECTNESS_r*.json report row counts only, so a recall regression
+  * would otherwise be invisible to the driver). Persists
+  * `target/recall_full.json` with:
+  *
+  *  - recall@10 vs the exact L2 path for the six ANN index entries
+  *    (`q_ann_ivf/gann/pq/ivfpq/bq/ivfbq` — search quality is the
+  *    reference's core value proposition, gann.py:234-239);
+  *  - pair recall vs an exact-subset verify for `q_ann_lsh_join`;
+  *  - max relative error of the HLL sketch (`q_events_approx_users`)
+  *    vs exact COUNT(DISTINCT);
+  *  - FastRP and BPE equivalence booleans (distributed == independent
+  *    sequential reference, the same properties FastRPSpec /
+  *    BpeTrainSpec pin — re-asserted here so the artifact is
+  *    self-contained per round).
+  *
+  * Invoked by [[Bench]] after the timed passes (models are memoized, so
+  * the ANN re-searches are steady-state) and standalone via [[Recall]].
+  */
+object RecallReport {
+
+  /** exact top-K neighbour id-sets per query for the ANN entries' batch
+    * (vec_id < 100, self excluded) — one broadcast-queries scan through
+    * the bounded-heap TopKAgg, the same shape as q_knn_brute. */
+  private def exactTopK(spark: SparkSession, sfDir: String,
+      k: Int): Map[Long, Set[Long]] = {
+    val e = Tables.spread(Tables(spark, sfDir, "embeddings"))
+    val queries = e.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    e.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        VectorF.l2Dist(col("embedding"), col("qv")).as("dist"))
+      .groupBy(col("qid"))
+      .agg(TopKAgg.topK(col("dist"), col("vec_id"), k).as("top"))
+      .select(col("qid"), explode(col("top")).as("s"))
+      .select(col("qid"), col("s.id"))
+      .collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+  }
+
+  private def recallOf(spark: SparkSession, sfDir: String,
+      exact: Map[Long, Set[Long]], name: String): Double = {
+    val got = SparkEntry.queries(name)(spark, sfDir)
+      .select("qid", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val per = exact.map { case (q, want) =>
+      got.getOrElse(q, Set.empty).intersect(want).size.toDouble / want.size
+    }
+    if (per.isEmpty) 0.0 else per.sum / per.size
+  }
+
+  /** Pair recall of the LSH join vs the exact pair set computed over a
+    * bounded hash-spread subset (the full exact pair set is O(n²) — at
+    * bench SF only a subset verify is affordable, and recall on a
+    * uniform subset estimates recall on the population). */
+  private def lshPairRecall(spark: SparkSession, sfDir: String): Double = {
+    val e = Tables.spread(Tables(spark, sfDir, "embeddings"))
+    val sub = e.orderBy(xxhash64(col("vec_id").cast("string")), col("vec_id"))
+      .limit(1500).select(col("vec_id"), col("embedding")).cache()
+    try {
+      val ids = sub.select("vec_id").collect().map(_.getLong(0)).toSet
+      val a = sub.select(col("vec_id").as("ida"), col("embedding").as("va"))
+      val b = sub.select(col("vec_id").as("idb"), col("embedding").as("vb"))
+      val exactPairs = a.crossJoin(broadcast(b))
+        .filter(col("ida") < col("idb"))
+        .filter(VectorF.l2Dist(col("va"), col("vb")) < lit(1.2))
+        .select("ida", "idb").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      if (exactPairs.isEmpty) 1.0
+      else {
+        val lsh = SparkEntry.queries("q_ann_lsh_join")(spark, sfDir)
+          .select("ida", "idb").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+          .filter { case (x, y) => ids(x) && ids(y) }.toSet
+        lsh.intersect(exactPairs).size.toDouble / exactPairs.size
+      }
+    } finally { sub.unpersist(blocking = false); () }
+  }
+
+  /** Max relative error of approx_count_distinct vs the exact distinct
+    * count, over the event types. */
+  private def hllMaxRelErr(spark: SparkSession, sfDir: String): Double = {
+    val approx = SparkEntry.queries("q_events_approx_users")(spark, sfDir)
+      .select("event_type", "approx_users").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables(spark, sfDir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.map { case (t, ex) =>
+      math.abs(approx.getOrElse(t, 0L) - ex).toDouble / math.max(ex, 1L)
+    }.max
+  }
+
+  // ---- equivalence booleans (fixed small inputs, SF-independent) ----
+
+  /** Independent sequential BPE (the BpeTrainSpec reference): merge the
+    * globally most frequent adjacent pair, ties lexicographic. */
+  private def naiveBpe(words: Seq[String], numMerges: Int): Seq[(String, String)] = {
+    var state: Map[Seq[String], Long] =
+      words.groupBy(identity).map { case (w, g) =>
+        (w.map(_.toString): Seq[String]) -> g.size.toLong
+      }
+    var merges = Vector.empty[(String, String)]
+    var round = 0
+    while (round < numMerges) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      state.foreach { case (syms, n) =>
+        syms.sliding(2).filter(_.length == 2).foreach { p =>
+          val k = (p(0), p(1)); counts(k) = counts.getOrElse(k, 0L) + n
+        }
+      }
+      if (counts.isEmpty) return merges
+      val best = counts.toSeq.minBy { case ((a, b), c) => (-c, a + " " + b) }._1
+      merges = merges :+ best
+      state = state.groupMapReduce { case (syms, _) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == best._1 && syms(i + 1) == best._2) {
+            out += best._1 + best._2; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.toSeq: Seq[String]
+      }(_._2)(_ + _)
+      round += 1
+    }
+    merges
+  }
+
+  private def bpeMatches(spark: SparkSession): Boolean = {
+    import spark.implicits._
+    val words = Seq.fill(10)("hug") ++ Seq.fill(5)("pug") ++
+      Seq.fill(12)("pun") ++ Seq.fill(4)("bun") ++ Seq.fill(5)("hugs")
+    val got = graft.vectorize.BpeTrain.learn(
+      graft.vectorize.BpeTrain.vocab(words.toDF("text"), "text"), numMerges = 6)
+    got == naiveBpe(words, numMerges = 6)
+  }
+
+  /** Distributed FastRP vs the dense closed form on a fixed 5-node
+    * graph (the FastRPSpec oracle, compacted). */
+  private def fastRpMatches(spark: SparkSession): Boolean = {
+    import spark.implicits._
+    val dim = 4; val seed = 42L; val weights = Seq(0.1, 0.2, 1.0, 3.0)
+    val edges = Seq((0L, 1L, 1.0), (1L, 2L, 1.0), (2L, 0L, 1.0),
+      (0L, 2L, 2.0), (3L, 0L, 1.0), (2L, 3L, 0.5), (4L, 2L, 1.0))
+    def h32(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4)
+        .map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.size
+    val idx = nodes.zipWithIndex.toMap
+    val a = Array.fill(n, n)(0.0)
+    edges.foreach { case (s, d, w) => a(idx(s))(idx(d)) += w }
+    val density = 1.0 / math.sqrt(dim)
+    val scale = math.sqrt(1.0 / density) / math.sqrt(dim)
+    def rRow(node: Long): Array[Double] =
+      (0 until dim).map { k =>
+        val u = (h32(s"rp$seed#$node#$k") % 1000000L).toDouble / 1000000.0
+        if (u < density / 2) scale else if (u < density) -scale else 0.0
+      }.toArray
+    val lr = nodes.map(nd => rRow(nd).map(_ * (0.5 / n)))
+    def matmul(x: Seq[Array[Double]]): Seq[Array[Double]] =
+      nodes.indices.map { i =>
+        val out = new Array[Double](dim)
+        nodes.indices.foreach { j =>
+          if (a(i)(j) != 0.0) (0 until dim).foreach(k => out(k) += a(i)(j) * x(j)(k))
+        }
+        out
+      }
+    var nk = matmul(lr)
+    val want = nk.map(_.map(_ * weights.head)).toArray
+    weights.tail.foreach { w =>
+      nk = matmul(nk)
+      nodes.indices.foreach(i =>
+        (0 until dim).foreach(k => want(i)(k) += w * nk(i)(k)))
+    }
+    val got = graft.vectorize.FastRP.embed(
+        edges.toDF("src", "dst", "weight"), dim, weights, beta = 0.0, seed = seed)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    nodes.indices.forall { i =>
+      got.get(nodes(i)).exists { g =>
+        (0 until dim).forall(k => math.abs(g(k) - want(i)(k)) < 1e-9)
+      }
+    }
+  }
+
+  private def fmt(v: Double): String =
+    "%.4f".formatLocal(java.util.Locale.ROOT, v)
+
+  /** Compute every quality number and return the artifact JSON. */
+  def compute(spark: SparkSession, sfDir: String): String = {
+    val k = 10
+    val exact = exactTopK(spark, sfDir, k)
+    val annEntries = Seq("q_ann_ivf", "q_ann_gann", "q_ann_pq",
+      "q_ann_ivfpq", "q_ann_bq", "q_ann_ivfbq")
+    val recalls = annEntries.map(nm =>
+      nm -> recallOf(spark, sfDir, exact, nm))
+    val lsh = lshPairRecall(spark, sfDir)
+    val hll = hllMaxRelErr(spark, sfDir)
+    val fastrp = fastRpMatches(spark)
+    val bpe = bpeMatches(spark)
+    val rj = recalls.map { case (nm, r) => "\"" + nm + "\":" + fmt(r) }
+      .mkString("{", ",", "}")
+    val sfName = new java.io.File(sfDir).getName
+    s"""{"recall_at_$k":$rj,"lsh_join_pair_recall":${fmt(lsh)},""" +
+      s""""hll_max_rel_err":${fmt(hll)},"fastrp_matches_dense":$fastrp,""" +
+      s""""bpe_matches_sequential":$bpe,"queries":${exact.size},"sf":"$sfName"}"""
+  }
+
+  /** Compute and persist `target/recall_full.json`; returns the JSON. */
+  def write(spark: SparkSession, sfDir: String): String = {
+    val json = compute(spark, sfDir)
+    val dir = java.nio.file.Paths.get("target")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(dir.resolve("recall_full.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    json
+  }
+}
+
+/** Standalone entry point: `runMain graft.Recall [sfDir]` — same
+  * session config as Bench, prints the artifact JSON as the last line. */
+object Recall {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption
+      .getOrElse(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = Tables.configure(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val json = RecallReport.write(spark, sfDir)
+    spark.stop()
+    println(json)
+    System.out.flush()
+  }
+}
