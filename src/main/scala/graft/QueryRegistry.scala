@@ -12,7 +12,7 @@ object QueryRegistry {
     Relational.all ++ Relational2.all ++ TextAnalysis.all ++ Corpus.all ++
       Dedup.all ++ VectorSearch.all ++ VectorCompress.all ++
       SparseSearch.all ++ Molecules.all ++
-      Ann.all ++ Pipelines.all ++ StreamingQ.all ++ SourcesQ.all
+      Ann.all ++ Pipelines.all ++ StreamingQ.all ++ SourcesQ.all ++ Fuzz.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -1,0 +1,54 @@
+package graft.queries
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Randomized differential testing of the relational surface: every
+  * generated plan ([[Fuzz.plan]]) is executed BOTH as its DataFrame-API
+  * rendering and as its SQL rendering through `spark.sql` — any
+  * divergence is a bug in the generator's renderings or a genuine
+  * DataFrame/SQL semantic mismatch. The same generator's fixed-seed
+  * plans (`q_fuzz_*`) are cross-checked against DuckDB by the driver's
+  * oracle gate each round, so the SQL rendering itself is
+  * second-engine-verified. */
+class FuzzRelationalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sf0001
+
+  private lazy val views: Unit =
+    Seq("region", "nation", "customer", "supplier", "orders", "part",
+      "lineitem").foreach { t =>
+      graft.core.Tables(spark, dir, t).cache().createOrReplaceTempView(t)
+    }
+
+  private def check(seed: Long): Option[(Long, String, String)] = {
+    val p = Fuzz.plan(seed)
+    val a = p.run(spark, dir).collect().map(_.toString).sorted.toSeq
+    val b = spark.sql(p.sql).collect().map(_.toString).sorted.toSeq
+    if (a == b) None
+    else Some((seed, p.sql,
+      s"df=${a.take(3).mkString("|")} sql=${b.take(3).mkString("|")}"))
+  }
+
+  test("1000 generated plans agree between DataFrame API and SQL") {
+    views
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val failures = Await.result(
+      Future.sequence((0L until 1000L).map(s => Future(check(s)))),
+      Duration.Inf).flatten
+    assert(failures.isEmpty,
+      s"${failures.size} divergences, first: ${failures.take(3)}")
+  }
+
+  test("driver-facing fuzz entries return rows at sf0.001") {
+    views
+    Fuzz.all.foreach { q =>
+      val n = q.run(spark, dir).count()
+      info(s"${q.name}: $n rows")
+      assert(n >= 0)
+      assert(q.oracle.nonEmpty)
+    }
+  }
+}
