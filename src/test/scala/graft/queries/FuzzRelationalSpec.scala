@@ -11,15 +11,31 @@ import org.scalatest.funsuite.AnyFunSuite
   * plans (`q_fuzz_*`) are cross-checked against DuckDB by the driver's
   * oracle gate each round, so the SQL rendering itself is
   * second-engine-verified. */
-class FuzzRelationalSpec extends AnyFunSuite {
+class FuzzRelationalSpec extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
   lazy val spark = TestSpark.spark
   private val dir = TestSpark.sf0001
+
+  // cached for the 1000-plan loop, but unpersisted in afterAll: a cached
+  // RAW table scan would otherwise be substituted (CacheManager plan
+  // match) into every later suite's plans in this JVM — PlanShapeSpec's
+  // pushdown/pruning assertions see an InMemoryRelation instead of the
+  // parquet scan and fail.
+  private val cachedTables =
+    scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
 
   private lazy val views: Unit =
     Seq("region", "nation", "customer", "supplier", "orders", "part",
       "lineitem").foreach { t =>
-      graft.core.Tables(spark, dir, t).cache().createOrReplaceTempView(t)
+      val df = graft.core.Tables(spark, dir, t).cache()
+      cachedTables += df
+      df.createOrReplaceTempView(t)
     }
+
+  override def afterAll(): Unit = {
+    cachedTables.foreach(_.unpersist())
+    super.afterAll()
+  }
 
   private def check(seed: Long): Option[(Long, String, String)] = {
     val p = Fuzz.plan(seed)
