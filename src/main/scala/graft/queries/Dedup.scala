@@ -374,6 +374,75 @@ object Dedup {
       |ORDER BY vec_a, vec_b
       |""".stripMargin))
 
+  private val TIGHT_T = 0.9
+
+  /** Embedding near-dup in the PRODUCTION threshold regime (τ = 0.9) —
+    * the 100 TB companion to [[q_dedup_embedding]]. The testdata
+    * embeddings are near-uniform (max background cosine ≈ 0.51), so the
+    * entry plants its true pairs deterministically IN-QUERY: each vector
+    * gets a twin (vec_id + 1 000 000, divisible by 8 so id%8 is stable)
+    * with dimensions `i % 8 == vec_id % 8` zeroed — cos(v, twin) =
+    * ‖v_kept‖/‖v‖ ≈ √(7/8) ≈ 0.935, a construction both engines express
+    * exactly (arithmetic only, no RNG), so unlike an approximate entry
+    * this one is fully DuckDB-hash-checked with non-trivial output.
+    *
+    * Candidates come from [[graft.index.SignLsh]] (AND-bits/OR-bands
+    * hyperplane signs, a bucketed (band, key) equi-join); every candidate
+    * is exact-verified with the double-fold cosine on the constructed
+    * vectors, so precision is exact by construction and recall of the
+    * fixed-seed generator is pinned by this oracle plus SignLshSpec.
+    * Contrast with q_dedup_embedding's τ = 0.45: THERE the threshold sits
+    * inside the background continuum (zero margin), exactness forces
+    * all-pairs verification, and the cost is inherently quadratic; at a
+    * production margin (θ_true ≤ 26° vs ≈ 90° background) the banded join
+    * does bucket-local work — the measured 10× scale ratios for both
+    * regimes are recorded in SCALE.md. */
+  val q_dedup_embedding_tight = Q(
+    "q_dedup_embedding_tight",
+    (s, dir) => {
+      val base = Tables.spread(Tables(s, dir, "embeddings"))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val twin = base.select(
+        (col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("e"), (x, i) =>
+          when(pmod(i, lit(8)) === pmod(col("vec_id"), lit(8)), lit(0.0))
+            .otherwise(x)).as("e"))
+      val corpus = graft.core.Caches.cached(
+        base.unionByName(twin)
+          .withColumn("nrm", VectorF.l2Norm(col("e"))))
+      val cand = graft.index.SignLsh.candidatePairs(
+        corpus, "vec_id", "e",
+        memoKey = Some(s"dedup_embedding_tight#$dir"))
+      val a = corpus.select(col("vec_id").as("vec_id_a"), col("e").as("ea"),
+        col("nrm").as("nrma"))
+      val b = corpus.select(col("vec_id").as("vec_id_b"), col("e").as("eb"),
+        col("nrm").as("nrmb"))
+      cand.join(a, Seq("vec_id_a")).join(b, Seq("vec_id_b"))
+        .select(col("vec_id_a").as("vec_a"), col("vec_id_b").as("vec_b"),
+          round(VectorF.cosinePre(VectorF.dot(col("ea"), col("eb")),
+            col("nrma"), col("nrmb")), 6).as("cos_sim"))
+        .filter(col("cos_sim") >= TIGHT_T)
+        .orderBy(col("vec_a"), col("vec_b"))
+    },
+    Some(s"""
+      |WITH c AS (
+      |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+      |  FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000,
+      |    list_transform(range(1, len(embedding)+1),
+      |      i -> CASE WHEN (i-1) % 8 = vec_id % 8 THEN 0.0
+      |           ELSE embedding[i]::DOUBLE END)
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, e, ${Sql.norm("e")} AS nrm FROM c)
+      |SELECT vec_a, vec_b, cos_sim FROM (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |    round(${Sql.dotd("a.e", "b.e")} / (a.nrm * b.nrm), 6) AS cos_sim
+      |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+      |WHERE cos_sim >= $TIGHT_T
+      |ORDER BY vec_a, vec_b
+      |""".stripMargin))
+
   /** SimHash near-dup: 60-bit TF-weighted SimHash signatures, pairs with
     * Hamming distance ≤ 3. Candidate generation is banded over 4 disjoint
     * 15-bit bands (pigeonhole: d ≤ 3 over 4 disjoint bands ⇒ at least one
@@ -521,6 +590,7 @@ object Dedup {
   val all: Seq[Q] = Seq(
     q_dedup_incremental, q_dedup_spans,
     q_dedup_exact, q_dedup_ngram_jaccard, q_minhash_signatures,
-    q_dedup_minhash_lsh, q_dedup_embedding, q_dedup_simhash,
+    q_dedup_minhash_lsh, q_dedup_embedding, q_dedup_embedding_tight,
+    q_dedup_simhash,
     q_dedup_components, q_dedup_cluster_sizes)
 }
