@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-curve rehearsal: measure the flagship dedup ladder and the
+  * compressed ANN searches at sf0.1 and at an N×-scaled synthetic
+  * corpus, and report the wall-time ratios (SCALE.md) — the empirical
+  * check that the "linear in shuffled bytes" plan-shape claims hold.
+  *
+  * The N× corpus is built from sf0.1 so the per-copy data DISTRIBUTION
+  * is identical to the measured 1× baseline:
+  *
+  *  - documents: copy k replaces every token t with md5(t + salt_k) —
+  *    a per-copy token bijection, so each copy carries exactly the
+  *    original's duplicate/shingle structure while sharing no n-grams
+  *    across copies (cross-copy dup pairs would otherwise grow the
+  *    candidate workload quadratically instead of linearly);
+  *  - embeddings: copy k applies a seeded sign-flip + dimension
+  *    rotation — an ISOMETRY, so within-copy pairwise distances (and
+  *    the planted near-dup pairs) are exactly preserved, while
+  *    cross-copy distances sit near sqrt(2) for these unit vectors,
+  *    far above every near-dup threshold.
+  *
+  * Run: `runMain graft.Scale [factor]` (default 10). Writes
+  * `target/scale.json` and prints a markdown table.
+  */
+object Scale {
+
+  private val MeasuredQueries = Seq(
+    "q_dedup_minhash_lsh", "q_dedup_spans", "q_dedup_embedding",
+    "q_dedup_embedding_tight", "q_ann_ivfpq", "q_ann_bq")
+
+  private def buildScaled(spark: SparkSession, base: String, out: String,
+      factor: Int): Unit = {
+    if (new java.io.File(s"$out/embeddings.parquet/_SUCCESS").exists()) return
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    val docCopies = (0 until factor).map { k =>
+      if (k == 0) docs.select("doc_id", "text", "lang", "source", "n_chars")
+      else docs.select(
+        (col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+        array_join(
+          transform(split(col("text"), " "),
+            t => substring(md5(concat(t, lit(s"#cp$k"))), 1, 8)),
+          " ").as("text"),
+        col("lang"), col("source"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    }
+    docCopies.reduce(_.unionByName(_))
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$out/documents.parquet")
+
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val embCopies = (0 until factor).map { k =>
+      if (k == 0) emb.select("vec_id", "embedding", "label")
+      else emb.select(
+        (col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+        expr(
+          s"""transform(sequence(0, ${dim - 1}), i ->
+             |  CAST(element_at(embedding, (CAST(i AS INT) + $k) % $dim + 1)
+             |    * (CASE WHEN pmod(xxhash64(concat('s$k#', i)), 2) = 0
+             |       THEN 1.0 ELSE -1.0 END) AS FLOAT))""".stripMargin)
+          .as("embedding"),
+        col("label"))
+    }
+    embCopies.reduce(_.unionByName(_))
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$out/embeddings.parquet")
+  }
+
+  private def timeOne(spark: SparkSession, dir: String, name: String): Double = {
+    val t0 = System.nanoTime()
+    SparkEntry.queries(name)(spark, dir).count()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val warm = "/root/testdata/sf0.001"
+    val out = s"/tmp/graft_scale/x$factor"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = graft.core.Tables.configure(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    buildScaled(spark, base, out, factor)
+    // codegen/JIT warm-up so the 1× pass doesn't pay compile costs
+    MeasuredQueries.foreach { q =>
+      try { SparkEntry.queries(q)(spark, warm).count(); () }
+      catch { case _: Throwable => () }
+    }
+    graft.core.Caches.clear(spark)
+    val t1 = MeasuredQueries.map(q => q -> timeOne(spark, base, q))
+    graft.core.Caches.clear(spark)
+    val tN = MeasuredQueries.map(q => q -> timeOne(spark, out, q))
+    graft.core.Caches.clear(spark)
+
+    val rows = t1.zip(tN).map { case ((q, a), (_, b)) => (q, a, b, b / a) }
+    val md = rows.map { case (q, a, b, r) =>
+      f"| $q | $a%.1f | $b%.1f | ${r}%.1f× |"
+    }
+    val json = rows.map { case (q, a, b, r) =>
+      f"""\"$q\":{\"t1\":$a%.2f,\"t$factor\":$b%.2f,\"ratio\":$r%.2f}"""
+    }.mkString("{", ",", s""","factor":$factor}""")
+    try {
+      val dir = java.nio.file.Paths.get("target")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.write(dir.resolve("scale.json"),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () }
+    spark.stop()
+    println(s"| query | 1x sec | ${factor}x sec | ratio |")
+    println("| --- | --- | --- | --- |")
+    md.foreach(println)
+    println(json)
+    System.out.flush()
+  }
+}

@@ -1,7 +1,8 @@
 package graft.pipeline
 
 import graft.functions.TextF
-import graft.index.{BqIndex, GannIndex, IvfBq, IvfIndex, IvfPq, PqIndex}
+import graft.functions.VectorF
+import graft.index.{BqIndex, GannIndex, IvfBq, IvfIndex, IvfPq, PqIndex, SignLsh}
 import graft.sink.VectorTable
 import graft.sources.Sources
 import graft.vectorize.{HashEmbed, Multimodal, TfIdf}
@@ -143,6 +144,34 @@ object Operators {
         .agg(min(col(idCol)).as(idCol))
         .select(col(idCol))
       d.join(keep, Seq(idCol), "left_semi")
+    },
+    // embedding near-dup pair table at a production cosine threshold:
+    // SignLsh banded candidates (AND-bits/OR-bands hyperplane signs, a
+    // bucketed equi-join — the scalable regime, see SCALE.md) + exact
+    // cosine verify of every candidate; emits (<id>_a, <id>_b, cos_sim)
+    // for a downstream components/keeper stage
+    "cosine_near_dup" -> { (_, cp) => (ins, rp) =>
+      val params = cp ++ rp
+      val idCol = p(params, "idCol", "vec_id")
+      val vecCol = p(params, "vecCol", "embedding")
+      val tau = p(params, "minCosine", "0.9").toDouble
+      val bands = p(params, "bands", "48").toInt
+      val bits = p(params, "bits", "12").toInt
+      val seed = p(params, "seed", "7").toLong
+      val c = graft.core.Caches.cached(ins.head
+        .select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
+        .withColumn("_nrm", VectorF.l2Norm(col(vecCol))))
+      val cand = SignLsh.candidatePairs(c, idCol, vecCol, bands, bits, seed)
+      val a = c.select(col(idCol).as(s"${idCol}_a"),
+        col(vecCol).as("_ea"), col("_nrm").as("_na"))
+      val b = c.select(col(idCol).as(s"${idCol}_b"),
+        col(vecCol).as("_eb"), col("_nrm").as("_nb"))
+      cand.join(a, Seq(s"${idCol}_a")).join(b, Seq(s"${idCol}_b"))
+        .withColumn("cos_sim",
+          VectorF.cosinePre(VectorF.dot(col("_ea"), col("_eb")),
+            col("_na"), col("_nb")))
+        .filter(col("cos_sim") >= tau)
+        .select(col(s"${idCol}_a"), col(s"${idCol}_b"), col("cos_sim"))
     },
     // load a persisted ANN index (built by the matching index-tier sink
     // below) and search the input frame as the query batch — the search

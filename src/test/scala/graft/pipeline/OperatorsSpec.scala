@@ -99,6 +99,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept == Set(3L, 7L), s"got $kept")
   }
 
+  test("cosine_near_dup finds planted twins through the banded join") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    // plant exact duplicates of every vector (cos = 1.0 pairs)
+    val corpus = emb.unionByName(
+      emb.select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding")))
+    val pairs = Operators.make(spark, "transform", "cosine_near_dup",
+      Map("minCosine" -> "0.99"))(Seq(corpus), Map.empty)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val n = emb.count()
+    val expected = emb.select("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 1000000L)).toSet
+    assert(pairs == expected,
+      s"expected $n twin pairs, got ${pairs.size}; missed=${(expected -- pairs).take(3)}")
+  }
+
   test("stratified_sample is deterministic and respects quotas") {
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
     val mk = Operators.make(spark, "transform", "stratified_sample",
