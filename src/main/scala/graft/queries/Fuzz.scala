@@ -5,8 +5,11 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Randomized differential fuzzing of the relational surface: a seeded
-  * generator produces small filter/join/aggregate plans over the TPC-H
-  * tables as an AST rendered BOTH as a DataFrame-API plan and as ANSI
+  * generator produces small relational plans over the TPC-H tables —
+  * filters, inner/semi/anti joins (EXISTS / NOT EXISTS decorrelation),
+  * grouped/global aggregates with HAVING, DISTINCT projections,
+  * total-order ORDER BY + LIMIT, and row_number/running-sum windows —
+  * as an AST rendered BOTH as a DataFrame-API plan and as ANSI
   * SQL — the two executions must agree row-for-row. FuzzRelationalSpec
   * runs ≥1000 generated plans DataFrame-vs-`spark.sql`; three fixed
   * seeds are exported as `q_fuzz_*` query entries whose SQL rendering IS
@@ -36,7 +39,11 @@ object Fuzz {
   private final case class FCol(name: String, kind: Kind,
       lo: Double = 0, hi: Double = 0, lowCard: Boolean = false)
 
-  private final case class FTable(name: String, cols: Seq[FCol])
+  /** uniqueKey: a single-column primary key that stays unique under every
+    * declared (many-to-one) dim join — the deterministic ORDER BY for the
+    * window shapes. None (lineitem) excludes the table from them. */
+  private final case class FTable(name: String, cols: Seq[FCol],
+      uniqueKey: Option[String] = None)
 
   /** base-table key = dim-table key equi-join. */
   private final case class FJoin(dim: FTable, leftKey: String, rightKey: String)
@@ -48,19 +55,22 @@ object Fuzz {
 
   private val nation = FTable("nation", Seq(
     FCol("n_nationkey", IntK, 0, 24),
-    FCol("n_regionkey", IntK, 0, 4, lowCard = true)))
+    FCol("n_regionkey", IntK, 0, 4, lowCard = true)),
+    uniqueKey = Some("n_nationkey"))
 
   private val customer = FTable("customer", Seq(
     FCol("c_custkey", IntK, 1, 1000),
     FCol("c_nationkey", IntK, 0, 24, lowCard = true),
     FCol("c_acctbal", DblK, -999, 9999),
     FCol("c_mktsegment", StrK(Seq("AUTOMOBILE", "BUILDING", "FURNITURE",
-      "HOUSEHOLD", "MACHINERY")), lowCard = true)))
+      "HOUSEHOLD", "MACHINERY")), lowCard = true)),
+    uniqueKey = Some("c_custkey"))
 
   private val supplier = FTable("supplier", Seq(
     FCol("s_suppkey", IntK, 1, 100),
     FCol("s_nationkey", IntK, 0, 24, lowCard = true),
-    FCol("s_acctbal", DblK, -999, 9999)))
+    FCol("s_acctbal", DblK, -999, 9999)),
+    uniqueKey = Some("s_suppkey"))
 
   private val orders = FTable("orders", Seq(
     FCol("o_orderkey", IntK, 1, 60000),
@@ -68,14 +78,16 @@ object Fuzz {
     FCol("o_orderstatus", StrK(Seq("F", "O", "P")), lowCard = true),
     FCol("o_totalprice", DblK, 900, 400000),
     FCol("o_orderpriority", StrK(Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
-      "4-NOT SPECIFIED", "5-LOW")), lowCard = true)))
+      "4-NOT SPECIFIED", "5-LOW")), lowCard = true)),
+    uniqueKey = Some("o_orderkey"))
 
   private val part = FTable("part", Seq(
     FCol("p_partkey", IntK, 1, 2000),
     FCol("p_size", IntK, 1, 50, lowCard = true),
     FCol("p_retailprice", DblK, 900, 2000),
     FCol("p_brand", StrK((1 to 5).flatMap(i => (1 to 5).map(j => s"Brand#$i$j"))),
-      lowCard = true)))
+      lowCard = true)),
+    uniqueKey = Some("p_partkey"))
 
   private val lineitem = FTable("lineitem", Seq(
     FCol("l_orderkey", IntK, 1, 60000),
@@ -211,61 +223,157 @@ object Fuzz {
   }
 
   /** Generate the plan for a seed. `forceAgg` restricts to the
-    * aggregate shape (bounded output — used for the driver entries). */
+    * aggregate shape (bounded output — used for the driver entries).
+    *
+    * Join forms: none / inner dim join / EXISTS semi / NOT EXISTS anti
+    * (the semi/anti subquery optionally carries its own dim predicate —
+    * the decorrelation path nobody hand-writes twice the same way).
+    * Output shapes: aggregate (grouped/global, optional HAVING on
+    * count(*)), projection (optional DISTINCT, optional total-order
+    * ORDER BY + LIMIT — ordering by EVERY projected column NULLS FIRST
+    * makes the kept multiset deterministic even with duplicate tuples),
+    * and window (row_number + optional running integer sum partitioned
+    * by a low-cardinality key, ordered by the base table's primary key,
+    * top-j filtered). Every numeric surface keeps the determinism rules
+    * from the header (explicit BIGINT casts for row_number/sums, no
+    * double accumulation).
+    */
   def plan(seed: Long, forceAgg: Boolean = false): Plan = {
     val rnd = new scala.util.Random(seed)
     val (base, joinable) = pick(rnd, bases)
-    val join = if (joinable.nonEmpty && rnd.nextBoolean()) Some(pick(rnd, joinable)) else None
-    val cols = base.cols ++ join.map(_.dim.cols).getOrElse(Seq.empty)
+    // 0 = no join, 1 = inner dim join, 2 = EXISTS semi, 3 = NOT EXISTS anti
+    val joinKind = if (joinable.isEmpty) 0 else rnd.nextInt(4)
+    val join = if (joinKind >= 1) Some(pick(rnd, joinable)) else None
+    // dim columns are only visible downstream of an INNER join
+    val cols = base.cols ++
+      (if (joinKind == 1) join.map(_.dim.cols).getOrElse(Seq.empty) else Seq.empty)
+    val dimPred =
+      if (joinKind >= 2 && rnd.nextBoolean()) Some(genPred(rnd, join.get.dim.cols))
+      else None
     val pred = if (forceAgg || rnd.nextInt(4) > 0) Some(genPred(rnd, cols)) else None
 
-    val fromSql = base.name + join.map(j =>
-      s" JOIN ${j.dim.name} ON ${j.leftKey} = ${j.rightKey}").getOrElse("")
-    val whereSql = pred.map(p => s" WHERE ${p.sql}").getOrElse("")
-
-    def src(s: SparkSession, dir: String): DataFrame = {
-      val b = Tables(s, dir, base.name)
-      val joined = join match {
-        case Some(j) =>
-          b.join(Tables(s, dir, j.dim.name), col(j.leftKey) === col(j.rightKey))
-        case None => b
+    val fromSql = base.name + (if (joinKind == 1) join.map(j =>
+      s" JOIN ${j.dim.name} ON ${j.leftKey} = ${j.rightKey}").getOrElse("") else "")
+    val existsSql = join.flatMap { j =>
+      if (joinKind < 2) None
+      else {
+        val not = if (joinKind == 3) "NOT " else ""
+        val extra = dimPred.map(p => s" AND (${p.sql})").getOrElse("")
+        Some(s"${not}EXISTS (SELECT 1 FROM ${j.dim.name} WHERE " +
+          s"${j.dim.name}.${j.rightKey} = ${base.name}.${j.leftKey}$extra)")
       }
-      pred match { case Some(p) => joined.filter(p.df); case None => joined }
+    }
+    def whereSql(extraPred: Option[Pred]): String = {
+      val terms = extraPred.map(p => s"(${p.sql})").toSeq ++ existsSql
+      if (terms.isEmpty) "" else terms.mkString(" WHERE ", " AND ", "")
     }
 
-    if (forceAgg || rnd.nextInt(3) > 0) {
-      // aggregate shape (grouped or global)
-      val groupable = cols.filter(_.lowCard)
+    def src(s: SparkSession, dir: String, extraPred: Option[Pred]): DataFrame = {
+      val b = Tables(s, dir, base.name)
+      val joined = join match {
+        case Some(j) if joinKind == 1 =>
+          b.join(Tables(s, dir, j.dim.name), col(j.leftKey) === col(j.rightKey))
+        case Some(j) => // semi (2) / anti (3) against the filtered dim
+          val d0 = Tables(s, dir, j.dim.name)
+          val d = dimPred.map(p => d0.filter(p.df)).getOrElse(d0)
+          b.join(d, col(j.leftKey) === col(j.rightKey),
+            if (joinKind == 2) "left_semi" else "left_anti")
+        case None => b
+      }
+      extraPred match { case Some(p) => joined.filter(p.df); case None => joined }
+    }
+
+    val groupable = cols.filter(_.lowCard)
+    // 0-2 aggregate, 3-4 projection, 5 window (falls back to projection
+    // when the base has no stable unique key or nothing to partition by)
+    val shape = if (forceAgg) 0 else rnd.nextInt(6)
+
+    if (shape <= 2) {
+      // aggregate shape (grouped or global, optional HAVING)
       val gcols =
         if (groupable.nonEmpty && (forceAgg || rnd.nextBoolean()))
           rnd.shuffle(groupable).take(1 + rnd.nextInt(math.min(2, groupable.size)))
             .map(_.name).sorted
         else Seq.empty
-      val aggs = genAggs(rnd, cols)
+      val aggs0 = genAggs(rnd, cols)
+      val havingMin =
+        if (gcols.nonEmpty && rnd.nextInt(3) == 0) Some(1 + rnd.nextInt(4)) else None
+      // HAVING count(*) needs count(*) in the aggregate list
+      val aggs =
+        if (havingMin.isDefined && !aggs0.contains(CountStar))
+          (aggs0 :+ CountStar).sortBy(_.alias)
+        else aggs0
       val selSql = (gcols ++ aggs.map(_.sql)).mkString(", ")
       val gSql = if (gcols.nonEmpty) s" GROUP BY ${gcols.mkString(", ")}" else ""
-      val sql = s"SELECT $selSql FROM $fromSql$whereSql$gSql"
+      val hSql = havingMin.map(m => s" HAVING count(*) >= $m").getOrElse("")
+      val sql = s"SELECT $selSql FROM $fromSql${whereSql(pred)}$gSql$hSql"
       Plan(seed, sql, (s, dir) => {
-        val g = src(s, dir)
+        val g = src(s, dir, pred)
         val agged =
           if (gcols.nonEmpty)
             g.groupBy(gcols.map(col): _*).agg(aggs.head.df, aggs.tail.map(_.df): _*)
           else g.agg(aggs.head.df, aggs.tail.map(_.df): _*)
-        agged.select((gcols ++ aggs.map(_.alias)).map(col): _*)
+        val out = agged.select((gcols ++ aggs.map(_.alias)).map(col): _*)
+        havingMin match {
+          case Some(m) => out.filter(col(CountStar.alias) >= m)
+          case None => out
+        }
+      })
+    } else if (shape == 5 && base.uniqueKey.nonEmpty && groupable.nonEmpty) {
+      // window shape: row_number (+ optional running int sum) per group,
+      // ordered by the primary key — deterministic in both engines
+      val g = pick(rnd, groupable).name
+      val uk = base.uniqueKey.get
+      val topJ = 1 + rnd.nextInt(5)
+      val csumCol =
+        if (rnd.nextBoolean())
+          Some(pick(rnd, base.cols.filter(c => c.kind == IntK && c.name != uk)
+            match { case Seq() => base.cols.filter(_.kind == IntK); case xs => xs }).name)
+        else None
+      val over = s"OVER (PARTITION BY $g ORDER BY $uk)"
+      val csumSel = csumCol.map(c =>
+        s", CAST(sum($c) OVER (PARTITION BY $g ORDER BY $uk " +
+          s"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS csum")
+        .getOrElse("")
+      val outCols = Seq(g, uk, "rn") ++ csumCol.map(_ => "csum")
+      val sql =
+        s"SELECT ${outCols.mkString(", ")} FROM (" +
+          s"SELECT $g, $uk, CAST(row_number() $over AS BIGINT) AS rn$csumSel " +
+          s"FROM $fromSql${whereSql(pred)}) AS w WHERE rn <= $topJ"
+      Plan(seed, sql, (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col(g)).orderBy(col(uk))
+        val in = src(s, dir, pred)
+          .withColumn("rn", row_number().over(w).cast("long"))
+        val withSum = csumCol match {
+          case Some(c) => in.withColumn("csum",
+            sum(col(c)).over(w.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)).cast("long"))
+          case None => in
+        }
+        withSum.filter(col("rn") <= topJ).select(outCols.map(col): _*)
       })
     } else {
-      // projection shape: a few concrete columns, always filtered
+      // projection shape: a few concrete columns, always filtered;
+      // optional DISTINCT; optional total-order ORDER BY + LIMIT
       val p = pred.getOrElse(genPred(rnd, cols))
       val proj = rnd.shuffle(cols).take(2 + rnd.nextInt(3)).map(_.name).sorted
-      val sql = s"SELECT ${proj.mkString(", ")} FROM $fromSql WHERE ${p.sql}"
+      val distinct = rnd.nextInt(3) == 0
+      val limitN =
+        if (rnd.nextInt(3) == 0) Some(1 + rnd.nextInt(50)) else None
+      val distSql = if (distinct) "DISTINCT " else ""
+      val orderSql = limitN.map(n =>
+        s" ORDER BY ${proj.map(c => s"$c NULLS FIRST").mkString(", ")} LIMIT $n")
+        .getOrElse("")
+      val sql =
+        s"SELECT $distSql${proj.mkString(", ")} FROM $fromSql${whereSql(Some(p))}$orderSql"
       Plan(seed, sql, (s, dir) => {
-        val b = Tables(s, dir, base.name)
-        val joined = join match {
-          case Some(j) =>
-            b.join(Tables(s, dir, j.dim.name), col(j.leftKey) === col(j.rightKey))
-          case None => b
+        val base0 = src(s, dir, Some(p)).select(proj.map(col): _*)
+        val d = if (distinct) base0.distinct() else base0
+        limitN match {
+          case Some(n) => d.orderBy(proj.map(c => col(c).asc_nulls_first): _*).limit(n)
+          case None => d
         }
-        joined.filter(p.df).select(proj.map(col): _*)
       })
     }
   }
@@ -273,8 +381,13 @@ object Fuzz {
   /** Three fixed-seed aggregate plans exported to the driver's oracle
     * gate: the SQL rendering runs in DuckDB, the DataFrame rendering in
     * Spark — a per-round cross-engine differential check of the same
-    * generator FuzzRelationalSpec exercises Spark-vs-Spark. */
-  val driverSeeds = Seq(101L, 202L, 303L)
+    * generator FuzzRelationalSpec exercises Spark-vs-Spark.
+    *
+    * Seeds chosen (scan over 1..500 at sf0.001) for non-trivial rows and
+    * feature diversity: 10 = inner join + grouped aggregate + HAVING,
+    * 14 = EXISTS semi join + HAVING + DECIMAL sums, 45 = NOT EXISTS anti
+    * join + disjunctive predicate. */
+  val driverSeeds = Seq(10L, 14L, 45L)
 
   val all: Seq[Q] = driverSeeds.map { s =>
     val p = plan(s, forceAgg = true)
