@@ -11,7 +11,7 @@ object QueryRegistry {
   def all: Seq[Q] =
     Relational.all ++ Relational2.all ++ TextAnalysis.all ++ Corpus.all ++
       Dedup.all ++ VectorSearch.all ++ VectorCompress.all ++
-      SparseSearch.all ++ Molecules.all ++
+      SparseSearch.all ++ HybridSearch.all ++ Molecules.all ++
       Ann.all ++ Pipelines.all ++ StreamingQ.all ++ SourcesQ.all ++ Fuzz.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

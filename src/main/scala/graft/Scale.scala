@@ -29,7 +29,12 @@ object Scale {
 
   private val MeasuredQueries = Seq(
     "q_dedup_minhash_lsh", "q_dedup_spans", "q_dedup_embedding",
-    "q_dedup_embedding_tight", "q_ann_ivfpq", "q_ann_bq")
+    "q_dedup_embedding_tight", "q_ann_ivfpq", "q_ann_bq",
+    // text/graph/fusion families (documents-only inputs, so the scaled
+    // corpus covers them): inverted-index search, corpus statistics,
+    // iterative BPE, connected components, hybrid RRF fusion
+    "q_sparse_search", "q_ngram_topk", "q_bpe_merges",
+    "q_dedup_components", "q_hybrid_rrf")
 
   private def buildScaled(spark: SparkSession, base: String, out: String,
       factor: Int): Unit = {

@@ -7,8 +7,10 @@ import org.apache.spark.sql.functions._
 /** Randomized differential fuzzing of the relational surface: a seeded
   * generator produces small relational plans over the TPC-H tables —
   * filters, inner/semi/anti joins (EXISTS / NOT EXISTS decorrelation),
-  * grouped/global aggregates with HAVING, DISTINCT projections,
-  * total-order ORDER BY + LIMIT, and row_number/running-sum windows —
+  * LEFT OUTER joins against filtered dims (NULL-extension, three-valued
+  * predicate logic, NULL grouping), grouped/global aggregates with
+  * HAVING, DISTINCT projections, total-order ORDER BY + LIMIT,
+  * UNION ALL / INTERSECT / EXCEPT, and row_number/running-sum windows —
   * as an AST rendered BOTH as a DataFrame-API plan and as ANSI
   * SQL — the two executions must agree row-for-row. FuzzRelationalSpec
   * runs ≥1000 generated plans DataFrame-vs-`spark.sql`; three fixed
@@ -241,21 +243,37 @@ object Fuzz {
   def plan(seed: Long, forceAgg: Boolean = false): Plan = {
     val rnd = new scala.util.Random(seed)
     val (base, joinable) = pick(rnd, bases)
-    // 0 = no join, 1 = inner dim join, 2 = EXISTS semi, 3 = NOT EXISTS anti
-    val joinKind = if (joinable.isEmpty) 0 else rnd.nextInt(4)
+    // 0 = no join, 1 = inner dim join, 2 = EXISTS semi, 3 = NOT EXISTS anti,
+    // 4 = LEFT OUTER against a FILTERED dim (the filter is what produces
+    // NULL-extended rows — the FK is complete, so an unfiltered outer join
+    // would degenerate to inner). forceAgg (driver oracle entries) remaps
+    // 4 → 1: outer-join aggregates can emit NULL cells, whose
+    // pandas/duckdb dtype coercion is engine-dependent; the NULL paths
+    // stay covered by the Spark-vs-Spark spec.
+    val joinKind0 = if (joinable.isEmpty) 0 else rnd.nextInt(5)
+    val joinKind = if (forceAgg && joinKind0 == 4) 1 else joinKind0
     val join = if (joinKind >= 1) Some(pick(rnd, joinable)) else None
-    // dim columns are only visible downstream of an INNER join
+    // dim columns are only visible downstream of an INNER/OUTER join
     val cols = base.cols ++
-      (if (joinKind == 1) join.map(_.dim.cols).getOrElse(Seq.empty) else Seq.empty)
+      (if (joinKind == 1 || joinKind == 4) join.map(_.dim.cols).getOrElse(Seq.empty)
+       else Seq.empty)
     val dimPred =
-      if (joinKind >= 2 && rnd.nextBoolean()) Some(genPred(rnd, join.get.dim.cols))
+      if (joinKind >= 2 && (joinKind0 == 4 || rnd.nextBoolean()))
+        Some(genPred(rnd, join.get.dim.cols))
       else None
     val pred = if (forceAgg || rnd.nextInt(4) > 0) Some(genPred(rnd, cols)) else None
 
-    val fromSql = base.name + (if (joinKind == 1) join.map(j =>
-      s" JOIN ${j.dim.name} ON ${j.leftKey} = ${j.rightKey}").getOrElse("") else "")
+    val fromSql = base.name + (joinKind match {
+      case 1 => join.map(j =>
+        s" JOIN ${j.dim.name} ON ${j.leftKey} = ${j.rightKey}").getOrElse("")
+      case 4 => join.map(j =>
+        s" LEFT JOIN (SELECT * FROM ${j.dim.name}" +
+          dimPred.map(p => s" WHERE ${p.sql}").getOrElse("") +
+          s") AS dimf ON ${j.leftKey} = ${j.rightKey}").getOrElse("")
+      case _ => ""
+    })
     val existsSql = join.flatMap { j =>
-      if (joinKind < 2) None
+      if (joinKind < 2 || joinKind == 4) None
       else {
         val not = if (joinKind == 3) "NOT " else ""
         val extra = dimPred.map(p => s" AND (${p.sql})").getOrElse("")
@@ -273,11 +291,14 @@ object Fuzz {
       val joined = join match {
         case Some(j) if joinKind == 1 =>
           b.join(Tables(s, dir, j.dim.name), col(j.leftKey) === col(j.rightKey))
-        case Some(j) => // semi (2) / anti (3) against the filtered dim
+        case Some(j) => // semi (2) / anti (3) / outer (4) vs the filtered dim
           val d0 = Tables(s, dir, j.dim.name)
           val d = dimPred.map(p => d0.filter(p.df)).getOrElse(d0)
-          b.join(d, col(j.leftKey) === col(j.rightKey),
-            if (joinKind == 2) "left_semi" else "left_anti")
+          b.join(d, col(j.leftKey) === col(j.rightKey), joinKind match {
+            case 2 => "left_semi"
+            case 3 => "left_anti"
+            case _ => "left_outer"
+          })
         case None => b
       }
       extraPred match { case Some(p) => joined.filter(p.df); case None => joined }
@@ -285,8 +306,10 @@ object Fuzz {
 
     val groupable = cols.filter(_.lowCard)
     // 0-2 aggregate, 3-4 projection, 5 window (falls back to projection
-    // when the base has no stable unique key or nothing to partition by)
-    val shape = if (forceAgg) 0 else rnd.nextInt(6)
+    // when the base has no stable unique key or nothing to partition by),
+    // 6 set operation (base table only — UNION ALL keeps bag semantics,
+    // INTERSECT/EXCEPT are set-distinct in BOTH engines' defaults)
+    val shape = if (forceAgg) 0 else rnd.nextInt(7)
 
     if (shape <= 2) {
       // aggregate shape (grouped or global, optional HAVING)
@@ -317,6 +340,27 @@ object Fuzz {
         havingMin match {
           case Some(m) => out.filter(col(CountStar.alias) >= m)
           case None => out
+        }
+      })
+    } else if (shape == 6) {
+      // set-operation shape: two differently-filtered projections of the
+      // SAME base (same schema by construction), combined with
+      // UNION ALL / INTERSECT / EXCEPT — the join draw is ignored
+      val p1 = genPred(rnd, base.cols)
+      val p2 = genPred(rnd, base.cols)
+      val proj = rnd.shuffle(base.cols).take(2 + rnd.nextInt(2)).map(_.name).sorted
+      val opSql = pick(rnd, Seq("UNION ALL", "INTERSECT", "EXCEPT"))
+      val sql =
+        s"SELECT ${proj.mkString(", ")} FROM ${base.name} WHERE ${p1.sql} " +
+          s"$opSql SELECT ${proj.mkString(", ")} FROM ${base.name} WHERE ${p2.sql}"
+      Plan(seed, sql, (s, dir) => {
+        val b = Tables(s, dir, base.name)
+        val l = b.filter(p1.df).select(proj.map(col): _*)
+        val r = b.filter(p2.df).select(proj.map(col): _*)
+        opSql match {
+          case "UNION ALL" => l.union(r)
+          case "INTERSECT" => l.intersect(r)
+          case _ => l.except(r)
         }
       })
     } else if (shape == 5 && base.uniqueKey.nonEmpty && groupable.nonEmpty) {
@@ -383,11 +427,11 @@ object Fuzz {
     * Spark — a per-round cross-engine differential check of the same
     * generator FuzzRelationalSpec exercises Spark-vs-Spark.
     *
-    * Seeds chosen (scan over 1..500 at sf0.001) for non-trivial rows and
-    * feature diversity: 10 = inner join + grouped aggregate + HAVING,
-    * 14 = EXISTS semi join + HAVING + DECIMAL sums, 45 = NOT EXISTS anti
-    * join + disjunctive predicate. */
-  val driverSeeds = Seq(10L, 14L, 45L)
+    * Seeds chosen (FuzzSeedScan at sf0.001) for non-trivial rows and
+    * feature diversity: 32 = inner lineitem⋈orders join + HAVING,
+    * 41 = EXISTS semi join + HAVING, 50 = NOT EXISTS anti join +
+    * disjunctive predicate (87 groups). */
+  val driverSeeds = Seq(32L, 41L, 50L)
 
   val all: Seq[Q] = driverSeeds.map { s =>
     val p = plan(s, forceAgg = true)

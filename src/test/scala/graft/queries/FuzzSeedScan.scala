@@ -1,0 +1,34 @@
+package graft.queries
+
+import graft.TestSpark
+
+/** Utility main (test scope): scan fuzz seeds for driver-entry candidates.
+  * Whenever the generator's draw stream changes, the fixed `driverSeeds`
+  * describe different plans — rerun this
+  * (`sbt "Test/runMain graft.queries.FuzzSeedScan"`) and re-pick seeds
+  * whose forceAgg plans are non-trivial (rows > 0) and feature-diverse
+  * (join kinds, HAVING), then validate them against DuckDB via the
+  * oracle gate. */
+object FuzzSeedScan {
+  def main(args: Array[String]): Unit = {
+    val spark = TestSpark.spark
+    val dir = TestSpark.sf0001
+    val max = args.headOption.map(_.toInt).getOrElse(200)
+    (1 to max).foreach { seed =>
+      val p = Fuzz.plan(seed.toLong, forceAgg = true)
+      val rows =
+        try p.run(spark, dir).count()
+        catch { case e: Throwable => println(s"SEED $seed ERROR $e"); -1L }
+      val sql = p.sql.replaceAll("\\s+", " ")
+      val feats = Seq(
+        if (sql.contains("NOT EXISTS")) "ANTI"
+        else if (sql.contains("EXISTS")) "SEMI"
+        else if (sql.contains("JOIN")) "JOIN" else "",
+        if (sql.contains("HAVING")) "HAVING" else "",
+        if (sql.contains("GROUP BY")) "GRP" else "")
+        .filter(_.nonEmpty).mkString("+")
+      println(s"SEED $seed rows=$rows feats=$feats sql=${sql.take(160)}")
+    }
+    spark.stop()
+  }
+}
