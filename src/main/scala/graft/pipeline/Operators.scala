@@ -173,6 +173,23 @@ object Operators {
         .filter(col("cos_sim") >= tau)
         .select(col(s"${idCol}_a"), col(s"${idCol}_b"), col("cos_sim"))
     },
+    // reciprocal-rank fusion of N ranked lists (the hybrid-search tail —
+    // Milvus RRFRanker semantics over any mix of sparse/dense/binary
+    // rankings; the oracle-checked fixed form is q_hybrid_rrf). Each
+    // input carries (idCol, rankCol); ids absent from a list simply
+    // contribute nothing. rrf = Σ 1/(k + rank), fused top-N.
+    "rrf_fuse" -> { (_, cp) => (ins, rp) =>
+      val params = cp ++ rp
+      val idCol = p(params, "idCol", "doc_id")
+      val rankCol = p(params, "rankCol", "rnk")
+      val kRrf = p(params, "k", "60").toInt
+      val topN = p(params, "topN", "10").toInt
+      ins.map(df => df.select(col(idCol),
+          (lit(1.0) / (lit(kRrf) + col(rankCol))).as("_c")))
+        .reduce(_.unionByName(_))
+        .groupBy(col(idCol)).agg(sum(col("_c")).as("rrf"))
+        .orderBy(desc("rrf"), col(idCol)).limit(topN)
+    },
     // load a persisted ANN index (built by the matching index-tier sink
     // below) and search the input frame as the query batch — the search
     // half of the reference's local-index lifecycle

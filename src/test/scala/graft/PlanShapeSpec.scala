@@ -34,7 +34,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_decontaminate", "q_decontaminate_bloom",
     "q_ann_ivf", "q_ann_gann", "q_ann_pq", "q_ann_ivfpq", "q_ann_bq",
     "q_ann_ivfbq", "q_knn_join", "q_pmi_bigrams",
-    "q_zorder_key", "q_pack_sequences", "q_tfidf_top_terms")
+    "q_zorder_key", "q_pack_sequences", "q_tfidf_top_terms",
+    "q_sparse_search", "q_hybrid_rrf", "q_knn_grouped")
 
   noCartesian.foreach { name =>
     test(s"$name: no cartesian product in the physical plan") {

@@ -150,6 +150,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pieces.count() > 0)
   }
 
+  test("rrf_fuse merges ranked lists with reciprocal-rank scores") {
+    import spark.implicits._
+    val sparse = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("doc_id", "rnk")
+    val dense = Seq((3L, 1L), (4L, 2L)).toDF("doc_id", "rnk")
+    val fuse = Operators.make(spark, "transform", "rrf_fuse",
+      Map("k" -> "60", "topN" -> "3"))
+    val out = fuse(Seq(sparse, dense), Map.empty).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(3L, 1L, 2L))
+    // doc 3: in both lists → 1/63 + 1/61; doc 1: 1/61 alone — 3 wins
+    val top = out.head.getDouble(1)
+    assert(math.abs(top - (1.0 / 63 + 1.0 / 61)) < 1e-12)
+  }
+
   test("parquet sink writes layout-partitioned training shards") {
     val out = tmp("ops-shards")
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
