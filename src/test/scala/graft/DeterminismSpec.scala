@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Partition-count independence: SCALE.md's global rule — deterministic
+  * math (sequential double folds, DECIMAL money sums, md5-derived
+  * hashes) means re-partitioning for scale can never change an answer,
+  * which is what makes the sf0.01 oracle a valid proxy for cluster
+  * runs — asserted empirically. Representative entries from every
+  * numeric-risk family (money aggregation, float cosine folds, rank
+  * windows, RRF fusion, minhash banding, connected components) run
+  * under `spark.sql.shuffle.partitions` = 4 and again = 7 (coprime, so
+  * every hash partitioner reassigns rows) and must collect the exact
+  * same multiset — cell-for-cell, no tolerance.
+  */
+class DeterminismSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sf0001
+
+  private val entries = Seq(
+    "q01_pricing_summary", // DECIMAL money sums over group fan-in
+    "q_sparse_search",     // sequential-fold tf-idf cosines
+    "q_hybrid_rrf",        // two rank lists + RRF fusion
+    "q_knn_grouped",       // per-group rank windows on float scores
+    "q_dedup_minhash_lsh", // banded signature join + verify
+    "q_dedup_components",  // union-find / label propagation keepers
+    "q_customer_running_spend") // running-sum window over money
+
+  private def rows(name: String): Seq[String] =
+    SparkEntry.queries(name)(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+
+  entries.foreach { name =>
+    test(s"$name: identical results at shuffle.partitions 4 vs 7") {
+      val key = "spark.sql.shuffle.partitions"
+      val before = spark.conf.get(key)
+      try {
+        spark.conf.set(key, "4")
+        graft.core.Caches.clear(spark)
+        val a = rows(name)
+        spark.conf.set(key, "7")
+        graft.core.Caches.clear(spark)
+        val b = rows(name)
+        assert(a == b, s"$name diverged across partition counts")
+        assert(a.nonEmpty)
+      } finally {
+        spark.conf.set(key, before)
+        graft.core.Caches.clear(spark)
+      }
+    }
+  }
+}
