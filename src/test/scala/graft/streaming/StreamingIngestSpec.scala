@@ -60,4 +60,62 @@ class StreamingIngestSpec extends AnyFunSuite {
     val top = model.search(probe, "qid", "qv", k = 1, nprobe = 8).collect()
     assert(top.length == 1 && top(0).getLong(1) == 42L)
   }
+
+  test("streamed block appends to a SAVED index: O(batch) files, served on load") {
+    // the production deployment shape: the index lives on durable
+    // storage, the stream appends encoded blocks (appendToSaved — no
+    // read-modify-write of existing blocks), serving reloads
+    val emb = spark.read
+      .parquet(s"${TestSpark.sf0001}/embeddings.parquet").cache()
+    val base = emb.filter(col("vec_id") >= 100)
+    val arriving = emb.filter(col("vec_id") < 100)
+
+    val model = IvfIndex.build(base, "vec_id", "embedding", k = 8)
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_stream_idx").toString
+    IvfIndex.save(model, idxDir)
+
+    def dataFiles(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(idxDir))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified).toMap
+    }
+    val before = dataFiles()
+
+    val landing = java.nio.file.Files.createTempDirectory("graft_ingest2")
+    arriving.repartition(6).write.mode("overwrite").parquet(landing.toString)
+    val stream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(landing.toString)
+    val q = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val staged = batch.select("vec_id", "embedding").cache()
+        staged.count()
+        IvfIndex.appendToSaved(model, idxDir, staged)
+        staged.unpersist()
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    // O(batch): every pre-existing block file is byte-untouched — the
+    // stream only ever ADDED files
+    val after = dataFiles()
+    assert(before.forall { case (p, m) => after.get(p).contains(m) },
+      "streamed appends must not rewrite existing index blocks")
+    assert(after.size > before.size)
+
+    // the reloaded index serves the full corpus, including streamed rows
+    val served = IvfIndex.load(spark, idxDir, "vec_id", "embedding")
+    assert(served.assign.count() == 500)
+    val probe = arriving.filter(col("vec_id") === 42)
+      .select(lit(9999L).as("qid"), col("embedding").as("qv"))
+    val top = served.search(probe, "qid", "qv", k = 1, nprobe = 8).collect()
+    assert(top.length == 1 && top(0).getLong(1) == 42L)
+  }
 }
