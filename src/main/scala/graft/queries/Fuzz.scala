@@ -10,7 +10,9 @@ import org.apache.spark.sql.functions._
   * LEFT OUTER joins against filtered dims (NULL-extension, three-valued
   * predicate logic, NULL grouping), grouped/global aggregates with
   * HAVING, DISTINCT projections, total-order ORDER BY + LIMIT,
-  * UNION ALL / INTERSECT / EXCEPT, and row_number/running-sum windows —
+  * UNION ALL / INTERSECT / EXCEPT, IS [NOT] NULL and BETWEEN predicate
+  * leaves, conditional counts (sum CASE WHEN), and
+  * row_number/running-sum windows —
   * as an AST rendered BOTH as a DataFrame-API plan and as ANSI
   * SQL — the two executions must agree row-for-row. FuzzRelationalSpec
   * runs ≥1000 generated plans DataFrame-vs-`spark.sql`; three fixed
@@ -146,6 +148,20 @@ object Fuzz {
     def df = if (and) a.df && b.df else a.df || b.df
   }
 
+  private final case class Between(c: FCol, lo: Double, hi: Double) extends Pred {
+    private def l(v: Double) =
+      if (v == v.floor) v.toLong.toString else v.toString
+    def sql = s"${c.name} BETWEEN ${l(lo)} AND ${l(hi)}"
+    def df = col(c.name).between(lit(lo), lit(hi))
+  }
+
+  /** NULL test — only ever true downstream of a LEFT OUTER join's
+    * NULL-extension, but valid (constant-false) anywhere. */
+  private final case class IsNull(c: FCol, neg: Boolean) extends Pred {
+    def sql = s"${c.name} IS ${if (neg) "NOT " else ""}NULL"
+    def df = if (neg) col(c.name).isNotNull else col(c.name).isNull
+  }
+
   private sealed trait Agg { def alias: String; def sql: String; def df: Column }
 
   private case object CountStar extends Agg {
@@ -173,6 +189,13 @@ object Fuzz {
     def sql = s"count(${c.name}) AS $alias"
     def df = count(col(c.name)).as(alias)
   }
+  /** Conditional count — sum(CASE WHEN p). DuckDB's integer sum is
+    * HUGEINT, so the explicit BIGINT cast is load-bearing. */
+  private final case class CondCount(p: Pred) extends Agg {
+    val alias = "cnt_cond"
+    def sql = s"CAST(sum(CASE WHEN ${p.sql} THEN 1 ELSE 0 END) AS BIGINT) AS $alias"
+    def df = sum(when(p.df, 1).otherwise(0)).cast("long").as(alias)
+  }
 
   /** A generated plan: both renderings plus a human-readable signature. */
   final case class Plan(seed: Long, sql: String,
@@ -192,11 +215,15 @@ object Fuzz {
   private def genPred(rnd: scala.util.Random, cols: Seq[FCol]): Pred = {
     def leaf(): Pred = {
       val c = pick(rnd, cols)
-      c.kind match {
+      if (rnd.nextInt(8) == 0) IsNull(c, neg = rnd.nextBoolean())
+      else c.kind match {
         case StrK(vs) =>
           if (rnd.nextInt(3) == 0)
             StrIn(c, rnd.shuffle(vs).take(1 + rnd.nextInt(math.min(3, vs.size))).sorted)
           else StrEq(c, pick(rnd, vs), neg = rnd.nextInt(4) == 0)
+        case _ if rnd.nextInt(4) == 0 =>
+          val a = halfLit(rnd, c); val b = halfLit(rnd, c)
+          Between(c, math.min(a, b), math.max(a, b))
         case _ =>
           NumCmp(c, pick(rnd, Seq("<", "<=", ">", ">=")), halfLit(rnd, c))
       }
@@ -209,7 +236,7 @@ object Fuzz {
   }
 
   private def genAggs(rnd: scala.util.Random, cols: Seq[FCol]): Seq[Agg] = {
-    def one(): Agg = rnd.nextInt(5) match {
+    def one(): Agg = rnd.nextInt(6) match {
       case 0 => CountStar
       case 1 => val c = pick(rnd, cols); MinMax(c, isMin = rnd.nextBoolean())
       case 2 =>
@@ -217,6 +244,7 @@ object Fuzz {
       case 3 =>
         val dbls = cols.filter(_.kind == DblK)
         if (dbls.isEmpty) CountStar else SumDec(pick(rnd, dbls))
+      case 4 => CondCount(genPred(rnd, cols))
       case _ => CountCol(pick(rnd, cols))
     }
     val aggs = Seq.fill(1 + rnd.nextInt(3))(one())
@@ -428,10 +456,10 @@ object Fuzz {
     * generator FuzzRelationalSpec exercises Spark-vs-Spark.
     *
     * Seeds chosen (FuzzSeedScan at sf0.001) for non-trivial rows and
-    * feature diversity: 32 = inner lineitem⋈orders join + HAVING,
-    * 41 = EXISTS semi join + HAVING, 50 = NOT EXISTS anti join +
-    * disjunctive predicate (87 groups). */
-  val driverSeeds = Seq(32L, 41L, 50L)
+    * feature diversity: 20 = inner lineitem⋈part join + conditional
+    * count (CASE WHEN + BETWEEN), 25 = NOT EXISTS anti join + HAVING +
+    * DECIMAL sums, 46 = EXISTS semi join + HAVING + conditional count. */
+  val driverSeeds = Seq(20L, 25L, 46L)
 
   val all: Seq[Q] = driverSeeds.map { s =>
     val p = plan(s, forceAgg = true)
