@@ -177,15 +177,25 @@ object Operators {
     // Milvus RRFRanker semantics over any mix of sparse/dense/binary
     // rankings; the oracle-checked fixed form is q_hybrid_rrf). Each
     // input carries (idCol, rankCol); ids absent from a list simply
-    // contribute nothing. rrf = Σ 1/(k + rank), fused top-N.
+    // contribute nothing. rrf = Σ w_i/(k + rank_i), fused top-N —
+    // per-list weights (the WeightedRanker half of Milvus's two fusers,
+    // applied to rank contributions) via comma-separated `weights`,
+    // default all 1.
     "rrf_fuse" -> { (_, cp) => (ins, rp) =>
       val params = cp ++ rp
       val idCol = p(params, "idCol", "doc_id")
       val rankCol = p(params, "rankCol", "rnk")
       val kRrf = p(params, "k", "60").toInt
       val topN = p(params, "topN", "10").toInt
-      ins.map(df => df.select(col(idCol),
-          (lit(1.0) / (lit(kRrf) + col(rankCol))).as("_c")))
+      val ws = p(params, "weights", "")
+        .split(",").filter(_.nonEmpty).map(_.trim.toDouble)
+      require(ws.isEmpty || ws.length == ins.length,
+        s"rrf_fuse: ${ws.length} weights for ${ins.length} inputs")
+      ins.zipWithIndex.map { case (df, i) =>
+          val w = if (ws.isEmpty) 1.0 else ws(i)
+          df.select(col(idCol),
+            (lit(w) / (lit(kRrf) + col(rankCol))).as("_c"))
+        }
         .reduce(_.unionByName(_))
         .groupBy(col(idCol)).agg(sum(col("_c")).as("rrf"))
         .orderBy(desc("rrf"), col(idCol)).limit(topN)

@@ -161,6 +161,12 @@ class OperatorsSpec extends AnyFunSuite {
     // doc 3: in both lists → 1/63 + 1/61; doc 1: 1/61 alone — 3 wins
     val top = out.head.getDouble(1)
     assert(math.abs(top - (1.0 / 63 + 1.0 / 61)) < 1e-12)
+
+    // weighted fusion: down-weighting the dense list flips 3 below 1
+    val wfuse = Operators.make(spark, "transform", "rrf_fuse",
+      Map("k" -> "60", "topN" -> "3", "weights" -> "1,0.02"))
+    val wout = wfuse(Seq(sparse, dense), Map.empty).collect()
+    assert(wout.map(_.getLong(0)).toSeq == Seq(1L, 3L, 2L))
   }
 
   test("parquet sink writes layout-partitioned training shards") {
