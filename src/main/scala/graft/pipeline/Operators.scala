@@ -173,6 +173,22 @@ object Operators {
         .filter(col("cos_sim") >= tau)
         .select(col(s"${idCol}_a"), col(s"${idCol}_b"), col("cos_sim"))
     },
+    // corpus-fit bigram-LM cross-entropy scoring (CCNet-style perplexity
+    // filtering; the oracle-checked fixed form is q_lm_cross_entropy).
+    // Emits (idCol, n_bigrams, cross_entropy); optional maxEntropy keeps
+    // only docs at or below the threshold (low = fluent)
+    "lm_score" -> { (_, cp) => (ins, rp) =>
+      val params = cp ++ rp
+      val idCol = p(params, "idCol", "doc_id")
+      val textCol = p(params, "textCol", "text")
+      val bound = graft.core.Caches.cached(ins.head
+        .select(col(idCol), TextF.tokens(col(textCol)).as("t")))
+      val scored = graft.queries.Corpus.lmCrossEntropy(bound, idCol)
+      params.get("maxEntropy") match {
+        case Some(m) => scored.filter(col("cross_entropy") <= m.toDouble)
+        case None => scored
+      }
+    },
     // reciprocal-rank fusion of N ranked lists (the hybrid-search tail —
     // Milvus RRFRanker semantics over any mix of sparse/dense/binary
     // rankings; the oracle-checked fixed form is q_hybrid_rrf). Each

@@ -459,8 +459,95 @@ object Corpus {
       |FROM w, z ORDER BY lang
       |""".stripMargin))
 
+  /** The bigram-LM scoring kernel of [[q_lm_cross_entropy]] (and the
+    * `lm_score` registry transform): input = (idCol, t token-array),
+    * output = (idCol, n_bigrams, cross_entropy). The LM is fit on the
+    * input corpus itself. */
+  private[graft] def lmCrossEntropy(
+      bound: org.apache.spark.sql.DataFrame,
+      idCol: String): org.apache.spark.sql.DataFrame = {
+    val id = col(idCol)
+    val bg = bound.select(id, explode(shingles(col("t"), 2)).as("bg"))
+    val dbg = bg.groupBy(id, col("bg")).agg(count(lit(1)).as("cnt"))
+    val c12 = bg.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+    val uni = bound.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val v = broadcast(uni.agg(count(lit(1)).as("v")))
+    val scored = dbg.join(c12, Seq("bg"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .join(uni.select(col("w").as("w1"), col("c1")), Seq("w1"))
+      .crossJoin(v)
+      .select(id, col("bg"), col("cnt"),
+        round(log((col("c12") + 1).cast("double") / (col("c1") + col("v"))), 6)
+          .as("lnp"))
+    scored.groupBy(id)
+      .agg(sort_array(collect_list(struct(col("bg"), col("cnt"), col("lnp"))))
+        .as("terms"))
+      .select(id,
+        aggregate(col("terms"), lit(0.0),
+          (a, t) => a + t.getField("cnt").cast("double") * t.getField("lnp"))
+          .as("nll"),
+        aggregate(col("terms"), lit(0L), (a, t) => a + t.getField("cnt"))
+          .as("n"))
+      .select(id, col("n").as("n_bigrams"),
+        round(-col("nll") / col("n"), 6).as("cross_entropy"))
+  }
+
+  /** CCNet-style LM quality scoring: a bigram language model with add-1
+    * smoothing fit on the corpus itself, each document scored by its
+    * per-bigram cross-entropy H(d) = −Σ cnt·ln p(w2|w1) / n — the
+    * perplexity-filtering signal every large-scale curation pipeline
+    * ranks documents by (low H = fluent/in-distribution, high H =
+    * noise). p(w2|w1) = (c(w1w2)+1) / (c(w1)+V) over the corpus bigram
+    * and unigram tables; docs with no bigrams (< 2 tokens) drop out.
+    *
+    * Exactness: all counts are integers; the ONE transcendental per
+    * (doc, bigram) pair — ln p — is rounded to 6dp BEFORE the per-doc
+    * fold (the q_pmi_bigrams precedent: ln agrees across engines to
+    * well under 1e-6), so both engines fold the identical doubles, in
+    * the identical order (bigram-sorted sequential fold, cnt·lnp per
+    * distinct bigram — k·x, not x+…+x, so repeat bigrams cost one IEEE
+    * multiply on both sides). H rounds to 6dp at the end.
+    *
+    * Scale shape: two (key,count) hash aggregates fit the LM (map-side
+    * combined, Zipf-small outputs); scoring joins each doc's DISTINCT
+    * bigrams (vocabulary-bounded per doc) against the bigram/unigram
+    * tables on equi-keys and folds per doc — document payloads move
+    * once, into the per-doc distinct-bigram aggregate. */
+  val q_lm_cross_entropy = Q(
+    "q_lm_cross_entropy",
+    (s, dir) => {
+      val bound = graft.core.Caches.cached(
+        Tables.spread(Tables(s, dir, "documents"))
+          .select(col("doc_id"), tokens(col("text")).as("t")))
+      lmCrossEntropy(bound, "doc_id").orderBy(col("doc_id"))
+    },
+    Some(s"""
+      |WITH d AS (SELECT doc_id, ${Sql.toks()} AS t FROM documents),
+      |bg AS (SELECT doc_id, unnest(${Sql.shingles2("t")}) AS bg FROM d),
+      |dbg AS (SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY doc_id, bg),
+      |c12 AS (SELECT bg, count(*) AS c12 FROM bg GROUP BY bg),
+      |uni AS (SELECT w, count(*) AS c1
+      |        FROM (SELECT unnest(t) AS w FROM d) GROUP BY w),
+      |v AS (SELECT count(*) AS v FROM uni),
+      |scored AS (
+      |  SELECT doc_id, bg, cnt,
+      |    round(ln((c12 + 1)::DOUBLE / (c1 + v)), 6) AS lnp
+      |  FROM dbg JOIN c12 USING (bg)
+      |  JOIN uni ON uni.w = split_part(bg, ' ', 1)
+      |  CROSS JOIN v),
+      |folded AS (
+      |  SELECT doc_id,
+      |    list_sum(list(cnt::DOUBLE * lnp ORDER BY bg, cnt, lnp)) AS nll,
+      |    CAST(sum(cnt) AS BIGINT) AS n
+      |  FROM scored GROUP BY doc_id)
+      |SELECT doc_id, n AS n_bigrams, round(-nll / n, 6) AS cross_entropy
+      |FROM folded ORDER BY doc_id
+      |""".stripMargin))
+
   val all: Seq[Q] = Seq(q_token_bpe, q_corpus_filter, q_sample_stratified,
     q_decontaminate, q_decontaminate_bloom, q_pipeline_curate, q_ngram_topk,
-    q_rare_tokens, q_zipf, q_pack_sequences, q_bpe_merges, q_mixture_weights)
+    q_rare_tokens, q_zipf, q_pack_sequences, q_bpe_merges, q_mixture_weights,
+    q_lm_cross_entropy)
 }
 

@@ -169,6 +169,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(wout.map(_.getLong(0)).toSeq == Seq(1L, 3L, 2L))
   }
 
+  test("lm_score ranks fluent text below shuffled text") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val score = Operators.make(spark, "transform", "lm_score", Map.empty)
+    val out = score(Seq(docs), Map.empty).cache()
+    val n = out.count()
+    assert(n > 0 && n <= docs.count()) // <2-token docs drop out
+    // cross-entropy is a positive, finite per-doc signal
+    import org.apache.spark.sql.functions.{col, min => smin, max => smax}
+    val (lo, hi) = out
+      .agg(smin(col("cross_entropy")), smax(col("cross_entropy")))
+      .collect().headOption.map(r => (r.getDouble(0), r.getDouble(1))).get
+    assert(lo > 0 && hi < 50 && lo < hi)
+    // thresholding at the max keeps everything; below the min, nothing
+    val all = score(Seq(docs), Map("maxEntropy" -> hi.toString)).count()
+    val none = score(Seq(docs), Map("maxEntropy" -> (lo / 2).toString)).count()
+    assert(all == n && none == 0)
+    out.unpersist()
+    ()
+  }
+
   test("parquet sink writes layout-partitioned training shards") {
     val out = tmp("ops-shards")
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
