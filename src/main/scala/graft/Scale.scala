@@ -34,7 +34,7 @@ object Scale {
     // corpus covers them): inverted-index search, corpus statistics,
     // iterative BPE, connected components, hybrid RRF fusion
     "q_sparse_search", "q_ngram_topk", "q_bpe_merges",
-    "q_dedup_components", "q_hybrid_rrf")
+    "q_dedup_components", "q_hybrid_rrf", "q_lm_cross_entropy")
 
   private def buildScaled(spark: SparkSession, base: String, out: String,
       factor: Int): Unit = {

@@ -87,7 +87,11 @@ object SignLsh {
     def build(): DataFrame = {
       val vecD = col(vecCol).cast("array<double>")
       val sample = IvfIndex.hashSample(df, idCol, vecD, 4096)
-      require(sample.nonEmpty, "SignLsh.bandKeys: empty input")
+      if (sample.isEmpty)
+        // empty-frame propagation (the [None] skip protocol): no rows to
+        // hash → an empty (id, band, key) table with the right schema
+        return df.select(col(idCol), lit(0).as("band"), lit(0L).as("key"))
+          .limit(0)
       val dim = sample(0).length
       val mean = new Array[Double](dim)
       sample.foreach { v =>

@@ -86,4 +86,30 @@ class EdgeCasesSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("empty input"))
   }
+
+  test("lm_score on empty and sub-bigram docs yields zero rows") {
+    val score = graft.pipeline.Operators.make(
+      spark, "transform", "lm_score", Map.empty)
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(score(Seq(empty), Map.empty).count() == 0)
+    // one-token docs have no bigrams: scored frame is empty, not a crash
+    val tiny = Seq((1L, "hello"), (2L, "  "), (3L, "")).toDF("doc_id", "text")
+    assert(score(Seq(tiny), Map.empty).count() == 0)
+  }
+
+  test("rrf_fuse degenerates gracefully: single list and empty lists") {
+    val fuse = graft.pipeline.Operators.make(
+      spark, "transform", "rrf_fuse", Map("topN" -> "5"))
+    val one = Seq((1L, 1L), (2L, 2L)).toDF("doc_id", "rnk")
+    val out = fuse(Seq(one), Map.empty).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L)) // rank order preserved
+    val none = Seq.empty[(Long, Long)].toDF("doc_id", "rnk")
+    assert(fuse(Seq(none, none), Map.empty).count() == 0)
+  }
+
+  test("cosine_near_dup over an empty vector frame yields zero pairs") {
+    val nd = graft.pipeline.Operators.make(
+      spark, "transform", "cosine_near_dup", Map("bands" -> "4", "bits" -> "4"))
+    assert(nd(Seq(emptyVecs), Map.empty).count() == 0)
+  }
 }
