@@ -47,7 +47,7 @@ object Ann {
         IvfIndex.build(e, "vec_id", "embedding", k = 8))
       val queries = e.filter(col("vec_id") < 100)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      model.search(queries, "qid", "qv", k = 10, nprobe = 3)
+      model.search(queries, "qid", "qv", k = 10, nprobe = 4)
         .select(col("qid"), col("vec_id"), round(col("dist"), 6).as("dist"), col("rnk"))
         .orderBy(col("qid"), col("rnk"))
     },
@@ -104,7 +104,7 @@ object Ann {
       val queries = e.filter(col("vec_id") < 100)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       model.searchRerank(queries, "qid", "qv", k = 10,
-          nprobe = 3, shortlist = 50, vectors = e, vecCol = "embedding")
+          nprobe = 4, shortlist = 50, vectors = e, vecCol = "embedding")
         .select(col("qid"), col("vec_id"), round(col("dist"), 6).as("dist"), col("rnk"))
         .orderBy(col("qid"), col("rnk"))
     },
@@ -142,7 +142,7 @@ object Ann {
       val queries = e.filter(col("vec_id") < 100)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       model.searchRerank(queries, "qid", "qv", k = 10,
-          nprobe = 3, shortlist = 100, vectors = e, vecCol = "embedding")
+          nprobe = 4, shortlist = 100, vectors = e, vecCol = "embedding")
         .select(col("qid"), col("vec_id"), round(col("dist"), 6).as("dist"), col("rnk"))
         .orderBy(col("qid"), col("rnk"))
     },
