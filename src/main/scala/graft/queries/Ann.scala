@@ -92,7 +92,7 @@ object Ann {
     None)
 
   /** IVF-PQ (the canonical 100 TB layout: coarse clusters + PQ-coded
-    * residuals): probe 3 of 8 clusters, ADC over the probed posting
+    * residuals): probe 4 of 8 clusters, ADC over the probed posting
     * lists, exact rerank of the shortlist. Recall/monotonicity/roundtrip
     * pinned in IvfPqSpec. */
   val q_ann_ivfpq = Q(
@@ -104,7 +104,7 @@ object Ann {
       val queries = e.filter(col("vec_id") < 100)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       model.searchRerank(queries, "qid", "qv", k = 10,
-          nprobe = 4, shortlist = 50, vectors = e, vecCol = "embedding")
+          nprobe = 4, shortlist = 100, vectors = e, vecCol = "embedding")
         .select(col("qid"), col("vec_id"), round(col("dist"), 6).as("dist"), col("rnk"))
         .orderBy(col("qid"), col("rnk"))
     },
@@ -129,7 +129,7 @@ object Ann {
     },
     None)
 
-  /** IVF-BQ (cluster-pruned 1-bit residual codes): probe 3 of 8
+  /** IVF-BQ (cluster-pruned 1-bit residual codes): probe 4 of 8
     * clusters, Hamming over the probed posting lists via the codegen
     * HammingWords kernel, exact rerank — the binary sibling of IVF-PQ
     * (recall/monotonicity/roundtrip/insert pinned in IvfBqSpec). */
