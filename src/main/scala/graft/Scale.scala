@@ -106,13 +106,39 @@ object Scale {
     val tN = MeasuredQueries.map(q => q -> timeOne(spark, out, q))
     graft.core.Caches.clear(spark)
 
+    // The "bits is the log₂(n) knob" claim, measured: run the SignLsh
+    // near-dup transform on the N× corpus at the 1×-tuned bits and at
+    // bits + log2(N) — the widened key should hold per-bucket occupancy
+    // (and so candidate volume / wall-time) near the 1× level.
+    val knob = {
+      val extra = (math.log(factor) / math.log(2)).round.toInt
+      def timeTight(dir: String, bits: Int): (Double, Long) = {
+        val nd = graft.pipeline.Operators.make(spark, "transform",
+          "cosine_near_dup",
+          Map("minCosine" -> "0.9", "bands" -> "48", "bits" -> bits.toString))
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        val t0 = System.nanoTime()
+        val n = nd(Seq(emb), Map.empty).count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val (tBase, _) = timeTight(base, 12)
+      graft.core.Caches.clear(spark)
+      val (tFixed, nF) = timeTight(out, 12)
+      graft.core.Caches.clear(spark)
+      val (tWide, nW) = timeTight(out, 12 + extra)
+      graft.core.Caches.clear(spark)
+      f"""\"signlsh_bits_knob\":{\"t1_bits12\":$tBase%.2f,""" +
+        f"""\"t${factor}_bits12\":$tFixed%.2f,\"t${factor}_bits${12 + extra}\":$tWide%.2f,""" +
+        f"""\"pairs_fixed\":$nF,\"pairs_wide\":$nW}"""
+    }
+
     val rows = t1.zip(tN).map { case ((q, a), (_, b)) => (q, a, b, b / a) }
     val md = rows.map { case (q, a, b, r) =>
       f"| $q | $a%.1f | $b%.1f | ${r}%.1f× |"
     }
-    val json = rows.map { case (q, a, b, r) =>
+    val json = (rows.map { case (q, a, b, r) =>
       f"""\"$q\":{\"t1\":$a%.2f,\"t$factor\":$b%.2f,\"ratio\":$r%.2f}"""
-    }.mkString("{", ",", s""","factor":$factor}""")
+    } :+ knob).mkString("{", ",", s""","factor":$factor}""")
     try {
       val dir = java.nio.file.Paths.get("target")
       java.nio.file.Files.createDirectories(dir)
