@@ -176,7 +176,10 @@ object Operators {
     // corpus-fit bigram-LM cross-entropy scoring (CCNet-style perplexity
     // filtering; the oracle-checked fixed form is q_lm_cross_entropy).
     // Emits (idCol, n_bigrams, cross_entropy); optional maxEntropy keeps
-    // only docs at or below the threshold (low = fluent)
+    // only docs at or below the threshold (low = fluent). mode=filter
+    // returns the ORIGINAL input rows whose score passes instead of the
+    // score table — the curation-stage form (docs with no bigrams drop,
+    // like every other sub-minimum-length curation verdict)
     "lm_score" -> { (_, cp) => (ins, rp) =>
       val params = cp ++ rp
       val idCol = p(params, "idCol", "doc_id")
@@ -184,10 +187,13 @@ object Operators {
       val bound = graft.core.Caches.cached(ins.head
         .select(col(idCol), TextF.tokens(col(textCol)).as("t")))
       val scored = graft.queries.Corpus.lmCrossEntropy(bound, idCol)
-      params.get("maxEntropy") match {
+      val kept = params.get("maxEntropy") match {
         case Some(m) => scored.filter(col("cross_entropy") <= m.toDouble)
         case None => scored
       }
+      if (p(params, "mode", "score") == "filter")
+        ins.head.join(kept.select(col(idCol)), Seq(idCol), "left_semi")
+      else kept
     },
     // reciprocal-rank fusion of N ranked lists (the hybrid-search tail —
     // Milvus RRFRanker semantics over any mix of sparse/dense/binary

@@ -545,8 +545,83 @@ object Corpus {
       |FROM folded ORDER BY doc_id
       |""".stripMargin))
 
+  /** The curation pipeline v2 — [[q_pipeline_curate]] with the LM
+    * quality stage in the chain: quality filter → bigram-LM perplexity
+    * filter (fit on the FILTER SURVIVORS, τ = 3.42 ≈ the 75th
+    * percentile) → exact-dup collapse → stratified sample, every stage
+    * built by the string-keyed registry and run as one lazy DataFrame.
+    * The oracle states the same four-stage composition in SQL — stage
+    * order AND the LM's fit population are both checked (fitting on the
+    * raw corpus instead of the filter survivors shifts every count and
+    * fails the hash). */
+  val q_pipeline_curate2 = Q(
+    "q_pipeline_curate2",
+    (s, dir) => {
+      import graft.pipeline.{Operators, Workflow}
+      val curated = new Workflow()
+        .source("docs", Tables.spread(Tables(s, dir, "documents")))
+        .addWithParams("quality",
+          Operators.make(s, "transform", "quality_filter"))
+        .addWithParams("lm",
+          Operators.make(s, "transform", "lm_score",
+            Map("mode" -> "filter", "maxEntropy" -> "3.42")))
+        .addWithParams("dedup",
+          Operators.make(s, "transform", "dedup_exact_keep"))
+        .addWithParams("sample",
+          Operators.make(s, "transform", "stratified_sample",
+            Map("quotas" -> "en:500,de:200,es:200,fr:200,zh:200")))
+        .execute()
+      curated
+        .select(col("doc_id"), col("lang"),
+          col("bucket").cast("long").as("bucket"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      |WITH f0 AS (
+      |  SELECT doc_id, lang, text, t FROM (
+      |    SELECT doc_id, lang, text, t, len(t) AS nt,
+      |      len(list_filter(t, x -> x IN ${TextAnalysis.stopwordsSql})) AS sw,
+      |      len(g) AS n3, len(list_distinct(g)) AS nd
+      |    FROM (SELECT doc_id, lang, text, t, ${Sql.shingles3("t")} AS g
+      |          FROM (SELECT doc_id, lang, text, ${Sql.toks()} AS t
+      |                FROM documents)))
+      |  WHERE nt >= 5 AND nt <= 1000
+      |    AND sw * 1000 >= nt * 50 AND (n3 - nd) * 1000 <= n3 * 200),
+      |bg AS (SELECT doc_id, unnest(${Sql.shingles2("t")}) AS bg FROM f0),
+      |dbg AS (SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY doc_id, bg),
+      |c12 AS (SELECT bg, count(*) AS c12 FROM bg GROUP BY bg),
+      |uni AS (SELECT w, count(*) AS c1
+      |        FROM (SELECT unnest(t) AS w FROM f0) GROUP BY w),
+      |v AS (SELECT count(*) AS v FROM uni),
+      |scored AS (
+      |  SELECT doc_id, bg, cnt,
+      |    round(ln((c12 + 1)::DOUBLE / (c1 + v)), 6) AS lnp
+      |  FROM dbg JOIN c12 USING (bg)
+      |  JOIN uni ON uni.w = split_part(bg, ' ', 1)
+      |  CROSS JOIN v),
+      |folded AS (
+      |  SELECT doc_id,
+      |    list_sum(list(cnt::DOUBLE * lnp ORDER BY bg, cnt, lnp)) AS nll,
+      |    CAST(sum(cnt) AS BIGINT) AS n
+      |  FROM scored GROUP BY doc_id),
+      |keep AS (SELECT doc_id FROM folded WHERE round(-nll / n, 6) <= 3.42),
+      |f AS (SELECT f0.doc_id, f0.lang, f0.text FROM f0 JOIN keep USING (doc_id)),
+      |k AS (SELECT min(doc_id) AS doc_id FROM f
+      |      GROUP BY md5(lower(trim(text)))),
+      |d AS (SELECT f.doc_id, f.lang FROM f JOIN k USING (doc_id))
+      |SELECT doc_id, lang, bucket FROM (
+      |  SELECT doc_id, lang,
+      |    ${Sql.h32("lang || '#' || doc_id")} % 1000 AS bucket
+      |  FROM d)
+      |WHERE bucket < CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 200
+      |  WHEN 'es' THEN 200 WHEN 'fr' THEN 200 WHEN 'zh' THEN 200
+      |  ELSE 100 END
+      |ORDER BY doc_id
+      |""".stripMargin))
+
   val all: Seq[Q] = Seq(q_token_bpe, q_corpus_filter, q_sample_stratified,
-    q_decontaminate, q_decontaminate_bloom, q_pipeline_curate, q_ngram_topk,
+    q_decontaminate, q_decontaminate_bloom, q_pipeline_curate,
+    q_pipeline_curate2, q_ngram_topk,
     q_rare_tokens, q_zipf, q_pack_sequences, q_bpe_merges, q_mixture_weights,
     q_lm_cross_entropy)
 }
