@@ -587,10 +587,91 @@ object Dedup {
       |FROM cs GROUP BY csize ORDER BY csize
       |""".stripMargin))
 
+  /** SemDeDup-shaped semantic dedup (Abbas et al. 2023: cluster the
+    * embeddings, then search for near-dups only WITHIN each cluster):
+    * every vector hard-assigns to its nearest of 8 fixed deterministic
+    * centroids (vec_id < 8 seeds — the q_cluster_assign shape), and the
+    * pairwise cosine verify runs per cluster instead of globally. The
+    * cluster scoping is the method's approximation — cross-cluster dups
+    * are deliberately out of scope — and the oracle states the SAME
+    * scoped semantics, so the entry is hash-exact including any twin
+    * that lands across a cluster boundary from its source.
+    *
+    * Same planted-twin corpus as [[q_dedup_embedding_tight]] (the raw
+    * testdata has no true near-dups). Scale shape: assignment is a
+    * narrow broadcast-argmin pass; the per-cluster pair join is the
+    * quadratic-in-cluster-size trade SemDeDup makes (k clusters cut
+    * pair volume by ~k vs all-pairs); at 100 TB k grows with the corpus
+    * so cluster populations stay bounded, and the verify stays
+    * bucket-local exactly like the SignLsh path. */
+  val q_dedup_semantic = Q(
+    "q_dedup_semantic",
+    (s, dir) => {
+      val base = Tables.spread(Tables(s, dir, "embeddings"))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val twin = base.select(
+        (col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("e"), (x, i) =>
+          when(pmod(i, lit(8)) === pmod(col("vec_id"), lit(8)), lit(0.0))
+            .otherwise(x)).as("e"))
+      val corpus = graft.core.Caches.cached(
+        base.unionByName(twin)
+          .withColumn("nrm", VectorF.l2Norm(col("e"))))
+      val cents = corpus.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("e").as("cv"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cdist"), col("cid"))
+      val assigned = graft.core.Caches.cached(corpus
+        .crossJoin(broadcast(cents))
+        .withColumn("cdist", VectorF.l2Dist(col("e"), col("cv")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .select(col("vec_id"), col("cid").as("cluster"), col("e"), col("nrm")))
+      val a = assigned.select(col("cluster"), col("vec_id").as("vec_a"),
+        col("e").as("ea"), col("nrm").as("nrma"))
+      val b = assigned.select(col("cluster"), col("vec_id").as("vec_b"),
+        col("e").as("eb"), col("nrm").as("nrmb"))
+      a.join(b, Seq("cluster"))
+        .filter(col("vec_a") < col("vec_b"))
+        .select(col("cluster"), col("vec_a"), col("vec_b"),
+          round(VectorF.cosinePre(VectorF.dot(col("ea"), col("eb")),
+            col("nrma"), col("nrmb")), 6).as("cos_sim"))
+        .filter(col("cos_sim") >= TIGHT_T)
+        .orderBy(col("cluster"), col("vec_a"), col("vec_b"))
+    },
+    Some(s"""
+      |WITH c AS (
+      |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+      |  FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000,
+      |    list_transform(range(1, len(embedding)+1),
+      |      i -> CASE WHEN (i-1) % 8 = vec_id % 8 THEN 0.0
+      |           ELSE embedding[i]::DOUBLE END)
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, e, ${Sql.norm("e")} AS nrm FROM c),
+      |cents AS (SELECT vec_id AS cid, e AS cv FROM n WHERE vec_id < 8),
+      |asg AS (
+      |  SELECT vec_id, cluster, e, nrm FROM (
+      |    SELECT n.vec_id, cents.cid AS cluster, n.e, n.nrm,
+      |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+      |        ${Sql.l2("n.e", "cents.cv")}, cents.cid) AS rnk
+      |    FROM n, cents)
+      |  WHERE rnk = 1)
+      |SELECT cluster, vec_a, vec_b, cos_sim FROM (
+      |  SELECT a.cluster, a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |    round(${Sql.dotd("a.e", "b.e")} / (a.nrm * b.nrm), 6) AS cos_sim
+      |  FROM asg a JOIN asg b
+      |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+      |WHERE cos_sim >= $TIGHT_T
+      |ORDER BY cluster, vec_a, vec_b
+      |""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q_dedup_incremental, q_dedup_spans,
     q_dedup_exact, q_dedup_ngram_jaccard, q_minhash_signatures,
     q_dedup_minhash_lsh, q_dedup_embedding, q_dedup_embedding_tight,
+    q_dedup_semantic,
     q_dedup_simhash,
     q_dedup_components, q_dedup_cluster_sizes)
 }
