@@ -173,6 +173,18 @@ object Operators {
         .filter(col("cos_sim") >= tau)
         .select(col(s"${idCol}_a"), col(s"${idCol}_b"), col("cos_sim"))
     },
+    // PII redaction (the scrub stage upstream of every other curation
+    // verb; exact form = q_scrub_pii): emails and IPv4 literals in
+    // textCol are replaced with redaction tags, in place
+    "pii_scrub" -> { (_, cp) => (ins, rp) =>
+      val params = cp ++ rp
+      val textCol = p(params, "textCol", "text")
+      ins.head.withColumn(textCol,
+        regexp_replace(
+          regexp_replace(col(textCol),
+            graft.queries.Corpus.EMAIL_RE, "<EMAIL>"),
+          graft.queries.Corpus.IP_RE, "<IP>"))
+    },
     // corpus-fit bigram-LM cross-entropy scoring (CCNet-style perplexity
     // filtering; the oracle-checked fixed form is q_lm_cross_entropy).
     // Emits (idCol, n_bigrams, cross_entropy); optional maxEntropy keeps

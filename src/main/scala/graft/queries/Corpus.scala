@@ -619,10 +619,68 @@ object Corpus {
       |ORDER BY doc_id
       |""".stripMargin))
 
+  /** ASCII-conservative so the Java and RE2 engines match byte-for-byte
+    * (the q_token_bpe discipline). */
+  private[graft] val EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private[graft] val IP_RE = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** PII scrubbing — the redaction stage every training-data pipeline
+    * runs before anything else sees the text: emails and IPv4 literals
+    * are counted and replaced with redaction tags. The corpus is
+    * synthetic and clean, so the entry PLANTS deterministic PII
+    * in-query (an email on doc_id ≡ 0 mod 10, an IP on ≡ 5 — arithmetic
+    * only, both engines construct the identical strings) and the oracle
+    * verifies the actual redaction: per-doc match counts plus the md5 of
+    * the scrubbed text, hash-exact. Regexes are ASCII-conservative so
+    * Java (Spark) and RE2 (DuckDB) agree byte-for-byte; DuckDB's
+    * regexp_replace needs the explicit 'g' flag to match Spark's
+    * replace-all default. Scale: narrow per-row projection, no shuffle
+    * except the presentation sort. */
+  val q_scrub_pii = Q(
+    "q_scrub_pii",
+    (s, dir) => {
+      val planted = Tables(s, dir, "documents")
+        .withColumn("txt", concat(col("text"),
+          when(col("doc_id") % 10 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com now")))
+            .when(col("doc_id") % 10 === 5,
+              concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+                lit(".0."), (col("doc_id") % 100).cast("string"), lit(" seen")))
+            .otherwise(lit(""))))
+      planted
+        .withColumn("n_emails",
+          size(regexp_extract_all(col("txt"), lit(EMAIL_RE), lit(0))).cast("long"))
+        .withColumn("n_ips",
+          size(regexp_extract_all(col("txt"), lit(IP_RE), lit(0))).cast("long"))
+        .withColumn("scrubbed",
+          regexp_replace(regexp_replace(col("txt"), EMAIL_RE, "<EMAIL>"),
+            IP_RE, "<IP>"))
+        .select(col("doc_id"), col("n_emails"), col("n_ips"),
+          md5(col("scrubbed")).as("scrubbed_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      |WITH planted AS (
+      |  SELECT doc_id, text ||
+      |    CASE WHEN doc_id % 10 = 0
+      |           THEN ' contact user' || doc_id || '@example.com now'
+      |         WHEN doc_id % 10 = 5
+      |           THEN ' from 10.' || (doc_id % 256) || '.0.' || (doc_id % 100) || ' seen'
+      |         ELSE '' END AS txt
+      |  FROM documents)
+      |SELECT doc_id,
+      |  len(regexp_extract_all(txt, '$EMAIL_RE')) AS n_emails,
+      |  len(regexp_extract_all(txt, '$IP_RE')) AS n_ips,
+      |  md5(regexp_replace(regexp_replace(txt, '$EMAIL_RE', '<EMAIL>', 'g'),
+      |      '$IP_RE', '<IP>', 'g')) AS scrubbed_md5
+      |FROM planted ORDER BY doc_id
+      |""".stripMargin))
+
   val all: Seq[Q] = Seq(q_token_bpe, q_corpus_filter, q_sample_stratified,
     q_decontaminate, q_decontaminate_bloom, q_pipeline_curate,
     q_pipeline_curate2, q_ngram_topk,
     q_rare_tokens, q_zipf, q_pack_sequences, q_bpe_merges, q_mixture_weights,
-    q_lm_cross_entropy)
+    q_lm_cross_entropy, q_scrub_pii)
 }
 

@@ -169,6 +169,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(wout.map(_.getLong(0)).toSeq == Seq(1L, 3L, 2L))
   }
 
+  test("pii_scrub redacts emails and IPs in place") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail me at alice.b@corp-mail.io today"),
+      (2L, "server 192.168.1.7 responded"),
+      (3L, "clean row")).toDF("doc_id", "text")
+    val scrub = Operators.make(spark, "transform", "pii_scrub", Map.empty)
+    val out = scrub(Seq(docs), Map.empty).orderBy("doc_id")
+      .collect().map(_.getString(1)).toSeq
+    assert(out == Seq("mail me at <EMAIL> today",
+      "server <IP> responded", "clean row"))
+  }
+
   test("lm_score ranks fluent text below shuffled text") {
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
     val score = Operators.make(spark, "transform", "lm_score", Map.empty)
