@@ -24,7 +24,9 @@ class DeterminismSpec extends AnyFunSuite {
     "q_knn_grouped",       // per-group rank windows on float scores
     "q_dedup_minhash_lsh", // banded signature join + verify
     "q_dedup_components",  // union-find / label propagation keepers
-    "q_customer_running_spend") // running-sum window over money
+    "q_customer_running_spend", // running-sum window over money
+    "q_lm_cross_entropy",  // ln-term fold over per-doc bigram lists
+    "q_dedup_semantic")    // centroid argmin + in-cluster cosine verify
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, dir)
