@@ -1039,7 +1039,54 @@ object Relational2 {
       |FROM orders GROUP BY o_year ORDER BY o_year
       |""".stripMargin))
 
+  /** Ordered funnel analysis: how many users completed
+    * view → click → purchase IN ORDER (each stage's timestamp strictly
+    * after the previous stage's first completion) — the product-analytics
+    * verb next to sessionization and attribution. Stage k's population
+    * is min-timestamp per user filtered against stage k−1, so the
+    * semantics are first-touch (a later faster path doesn't resurrect a
+    * user). All comparisons are on exact timestamps and the output is
+    * pure counts → hash-checked.
+    *
+    * Scale shape: three user_id-keyed aggregates chained by equi-joins —
+    * the events table shuffles on user_id and every subsequent join is
+    * co-partitioned on the same key (one wide stage under AQE); no
+    * self-join pair blowup, state per user is one timestamp per stage. */
+  val q_events_funnel = Q(
+    "q_events_funnel",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val t1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val t2 = ev.filter(col("event_type") === "click")
+        .join(t1, Seq("user_id")).filter(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val t3 = ev.filter(col("event_type") === "purchase")
+        .join(t2, Seq("user_id")).filter(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      t1.agg(lit(1L).as("stage"), count(lit(1)).as("n_users"))
+        .unionByName(t2.agg(lit(2L).as("stage"), count(lit(1)).as("n_users")))
+        .unionByName(t3.agg(lit(3L).as("stage"), count(lit(1)).as("n_users")))
+        .orderBy(col("stage"))
+    },
+    Some("""
+      |WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
+      |            WHERE event_type = 'view' GROUP BY user_id),
+      |t2 AS (SELECT e.user_id, min(ts) AS t2
+      |       FROM events e JOIN t1 USING (user_id)
+      |       WHERE event_type = 'click' AND ts > t1 GROUP BY e.user_id),
+      |t3 AS (SELECT e.user_id, min(ts) AS t3
+      |       FROM events e JOIN t2 USING (user_id)
+      |       WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id)
+      |SELECT CAST(1 AS BIGINT) AS stage, count(*) AS n_users FROM t1
+      |UNION ALL SELECT CAST(2 AS BIGINT), count(*) FROM t2
+      |UNION ALL SELECT CAST(3 AS BIGINT), count(*) FROM t3
+      |ORDER BY stage
+      |""".stripMargin))
+
   val all: Seq[Q] = Seq(
+    q_events_funnel,
     q02_cheapest_part, q04_order_priority, q07_volume_shipping,
     q08_market_share,
     q12_priority_lines, q13_customer_distribution, q14_promo_revenue,
