@@ -191,6 +191,97 @@ case class AdcLookup(left: Expression, right: Expression, ksub: Int)
     copy(left = l, right = r)
 }
 
+/** √Σᵢ (qᵢ − (minᵢ + (codesᵢ & 0xFF)·scaleᵢ))² — the scalar-quantization
+  * (SQ8) asymmetric distance: the raw query against a per-dimension
+  * uint8-dequantized candidate, the shortlist kernel of the 4x rung of
+  * the compression tier ([[graft.index.SqIndex]]). The quantizer grid
+  * (per-dimension mins and scales, fit once on a spread sample) rides
+  * along as constructor state — KB-scale, referenced from the generated
+  * code via `addReferenceObj`, never shipped per row. `left` = codes
+  * (binary, one byte per dimension), `right` = query (array<float|double>);
+  * a length mismatch with the query or the grid, or a null query
+  * element, yields null (the HOF forms' null-poisoning convention).
+  */
+case class SqDistance(left: Expression, right: Expression,
+    mins: Array[Double], scales: Array[Double]) extends BinaryExpression {
+  override def prettyName: String = "graft_sq_dist"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, ArrayType(FloatType | DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (binary, array<float|double>), got " +
+            s"${l.simpleString} and ${r.simpleString}")
+    }
+
+  @transient private lazy val qIsFloat =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val codes = l.asInstanceOf[Array[Byte]]
+    val q = r.asInstanceOf[ArrayData]
+    val n = codes.length
+    if (n != q.numElements() || n != mins.length) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (q.isNullAt(i)) return null
+      val qi = if (qIsFloat) q.getFloat(i).toDouble else q.getDouble(i)
+      val d = qi - (mins(i) + (codes(i) & 0xFF) * scales(i))
+      s += d * d
+      i += 1
+    }
+    math.sqrt(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val minsRef = ctx.addReferenceObj("sqMins", mins, "double[]")
+    val scalesRef = ctx.addReferenceObj("sqScales", scales, "double[]")
+    val qa = if (qIsFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (codes, q) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = $codes.length;
+         |if ($n != $q.numElements() || $n != $minsRef.length) { ${ev.isNull} = true; } else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($q.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $d = (double) $q.$qa($i)
+         |      - ($minsRef[$i] + ($codes[$i] & 0xFF) * $scalesRef[$i]);
+         |    $s += $d * $d;
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = java.lang.Math.sqrt($s); }
+         |}
+       """.stripMargin
+    })
+  }
+
+  // Array-valued constructor state breaks case-class equality (reference
+  // equality on arrays), which Catalyst uses for semanticEquals/CSE —
+  // compare the grid by content like the children.
+  override def equals(o: Any): Boolean = o match {
+    case s: SqDistance =>
+      s.left == left && s.right == right &&
+        java.util.Arrays.equals(s.mins, mins) &&
+        java.util.Arrays.equals(s.scales, scales)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(left, right,
+      Integer.valueOf(java.util.Arrays.hashCode(mins)),
+      Integer.valueOf(java.util.Arrays.hashCode(scales)))
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SqDistance =
+    copy(left = l, right = r)
+}
+
 /** Σ popcount(aᵢ xor bᵢ) over packed signature words — the multi-word
   * Hamming kernel behind the BQ index (gann.c's distance kernel role for
   * the 1-bit tier): XOR + POPCNT in a primitive loop inside whole-stage

@@ -90,6 +90,14 @@ object VectorF {
     ColumnBridge.column(AdcLookup(
       ColumnBridge.expression(codes), ColumnBridge.expression(dt), ksub))
 
+  /** SQ8 asymmetric distance: raw query vs per-dimension uint8-dequantized
+    * codes over the broadcast-free constructor grid (codegen'd
+    * [[SqDistance]] — the [[graft.index.SqIndex]] shortlist kernel). */
+  def sqDist(codes: Column, q: Column, mins: Array[Double],
+      scales: Array[Double]): Column =
+    ColumnBridge.column(SqDistance(
+      ColumnBridge.expression(codes), ColumnBridge.expression(q), mins, scales))
+
   /** Hamming distance between two long-encoded bit signatures (SimHash). */
   def hammingDist(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)).cast("int")

@@ -2,7 +2,7 @@ package graft.pipeline
 
 import graft.functions.TextF
 import graft.functions.VectorF
-import graft.index.{BqIndex, GannIndex, IvfBq, IvfIndex, IvfPq, PqIndex, SignLsh}
+import graft.index.{BqIndex, GannIndex, IvfBq, IvfIndex, IvfPq, PqIndex, SignLsh, SqIndex}
 import graft.sink.VectorTable
 import graft.sources.Sources
 import graft.vectorize.{HashEmbed, Multimodal, TfIdf}
@@ -267,8 +267,10 @@ object Operators {
         case "ivfbq" =>
           IvfBq.load(spark, path, idCol)
             .search(ins.head, qid, qvec, k, nprobe)
+        case "sq" =>
+          SqIndex.load(spark, path, idCol).search(ins.head, qid, qvec, k)
         case other => throw new IllegalArgumentException(
-          s"unknown ann_search index '$other' (have: bq, gann, ivf, ivfbq, ivfpq, pq)")
+          s"unknown ann_search index '$other' (have: bq, gann, ivf, ivfbq, ivfpq, pq, sq)")
       }
     },
     // deterministic stratified sampling: keep iff
@@ -366,7 +368,8 @@ object Operators {
     "pq" -> indexSink("pq"),
     "ivfpq" -> indexSink("ivfpq"),
     "bq" -> indexSink("bq"),
-    "ivfbq" -> indexSink("ivfbq"))
+    "ivfbq" -> indexSink("ivfbq"),
+    "sq" -> indexSink("sq"))
 
   private def indexSink(kind: String): Make = { (spark, cp) => (ins, rp) =>
     val params = cp ++ rp
@@ -408,6 +411,11 @@ object Operators {
         val m = IvfBq.build(ins.head, idCol, vecCol,
           kCoarse = p(params, "kCoarse", "8").toInt)
         IvfBq.save(m, path)
+        spark.read.parquet(s"$path/codes")
+      case "sq" =>
+        val m = SqIndex.build(ins.head, idCol, vecCol,
+          fitSample = p(params, "fitSample", "4096").toInt)
+        SqIndex.save(m, path)
         spark.read.parquet(s"$path/codes")
     }
   }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tables
-import graft.index.{BqIndex, GannIndex, IvfBq, IvfIndex, IvfPq, PqIndex}
+import graft.index.{BqIndex, GannIndex, IvfBq, IvfIndex, IvfPq, PqIndex, SqIndex}
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbour query entries. Approximate by design →
@@ -31,6 +31,8 @@ object Ann {
     new java.util.concurrent.ConcurrentHashMap[String, BqIndex.Model]()
   private val ivfBqMemo =
     new java.util.concurrent.ConcurrentHashMap[String, IvfBq.Model]()
+  private val sqMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, SqIndex.Model]()
   /** Memoize an index build via [[graft.core.Caches.memoized]]:
     * `Caches.clear` drops the map entry along with the model's cached
     * assignment frame, or the stale model would silently recompute its
@@ -148,6 +150,25 @@ object Ann {
     },
     None)
 
+  /** SQ8 (8-bit scalar quantization, 4x compression): asymmetric-distance
+    * shortlist over the byte codes via the codegen SqDistance kernel,
+    * exact rerank — the near-exact rung of the compression tier
+    * (recall/monotonicity/roundtrip/insert pinned in SqSpec). */
+  val q_ann_sq = Q(
+    "q_ann_sq",
+    (s, dir) => {
+      val e = Tables.spread(Tables(s, dir, "embeddings"))
+      val model = memoized(s, dir, sqMemo)(
+        SqIndex.build(e, "vec_id", "embedding"))
+      val queries = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      model.searchRerank(queries, "qid", "qv", k = 10,
+          shortlist = 30, vectors = e, vecCol = "embedding")
+        .select(col("qid"), col("vec_id"), round(col("dist"), 6).as("dist"), col("rnk"))
+        .orderBy(col("qid"), col("rnk"))
+    },
+    None)
+
   /** MLlib BucketedRandomProjectionLSH approxSimilarityJoin — the stock
     * scaled ANN-join operator (SURVEY.md §7.1 item 9). Approximate →
     * rows-only; recall vs the exact pairwise join is pinned in
@@ -170,5 +191,5 @@ object Ann {
     None)
 
   val all: Seq[Q] = Seq(q_ann_ivf, q_ann_gann, q_ann_pq, q_ann_ivfpq,
-    q_ann_bq, q_ann_ivfbq, q_ann_lsh_join)
+    q_ann_bq, q_ann_ivfbq, q_ann_sq, q_ann_lsh_join)
 }

@@ -131,4 +131,22 @@ class BlockAppendSpec extends AnyFunSuite {
     assert(rows(ldP.search(queries, "qid", "qv", 5))
       === rows(imP.search(queries, "qid", "qv", 5)))
   }
+
+  test("SQ: appendToSaved grows the saved index by exactly the batch") {
+    val dir = tmp("graft_blk_sq")
+    val m = SqIndex.build(base, "vec_id", "embedding")
+    SqIndex.save(m, dir)
+    val n0 = spark.read.parquet(s"$dir/codes").count()
+    val before = dataFiles(s"$dir/codes")
+
+    SqIndex.appendToSaved(m, dir, batch1, "embedding")
+    val after = dataFiles(s"$dir/codes")
+    before.foreach { case (f, t) => assert(after.get(f).contains(t)) }
+    assert(spark.read.parquet(s"$dir/codes").count() === n0 + batch1.count())
+
+    val loaded = SqIndex.load(spark, dir, "vec_id")
+    val inMem = SqIndex.insert(m, batch1, "embedding")
+    assert(rows(loaded.search(queries, "qid", "qv", 5))
+      === rows(inMem.search(queries, "qid", "qv", 5)))
+  }
 }
