@@ -84,6 +84,64 @@ object TextAnalysis {
       |ORDER BY doc_id
       |""".stripMargin))
 
+  /** Gopher-style quality-rule composite (the published rule family of
+    * Rae et al. 2021 §A1.1, as C4/RefinedWeb-era pipelines apply it):
+    * per-document word count, mean word length, symbol-token ratio,
+    * duplicate-3-gram fraction, and required-stopword hits, plus the
+    * conjunctive `keep` verdict. The rules here are the subset observable
+    * on whitespace-tokenizable text (line-shape rules need newline
+    * structure the corpus lacks). Every metric is an exact rational
+    * (integer counts, one IEEE division), so the oracle hash-matches
+    * with no tolerance. Scale: one narrow projection pass per document,
+    * no shuffle but the presentation sort. */
+  val q_gopher_rules = Q(
+    "q_gopher_rules",
+    (s, dir) => {
+      Tables(s, dir, "documents")
+        .withColumn("t", tokens(col("text")))
+        .withColumn("g", shingles(col("t"), 3))
+        .select(
+          col("doc_id"),
+          size(col("t")).cast("long").as("n_words"),
+          (aggregate(col("t"), lit(0), (acc, x) => acc + length(x)).cast("double")
+            / greatest(size(col("t")), lit(1))).as("mean_word_len"),
+          (size(filter(col("t"), x => x.rlike("[^a-z0-9]"))).cast("double")
+            / greatest(size(col("t")), lit(1))).as("symbol_ratio"),
+          when(size(col("g")) > 0,
+            lit(1.0) - size(array_distinct(col("g"))).cast("double") / size(col("g")))
+            .otherwise(lit(0.0)).as("rep_ratio"),
+          hitCount(col("t"), stopwords).cast("long").as("sw_hits"))
+        .withColumn("keep",
+          col("n_words") >= 30 && col("n_words") <= 100000 &&
+            col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+            col("symbol_ratio") <= 0.1 &&
+            col("rep_ratio") <= 0.3 &&
+            col("sw_hits") >= 2)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      |SELECT doc_id, n_words, mean_word_len, symbol_ratio, rep_ratio, sw_hits,
+      |  (n_words >= 30 AND n_words <= 100000
+      |   AND mean_word_len >= 3.0::DOUBLE AND mean_word_len <= 10.0::DOUBLE
+      |   AND symbol_ratio <= 0.1::DOUBLE
+      |   AND rep_ratio <= 0.3::DOUBLE
+      |   AND sw_hits >= 2) AS keep
+      |FROM (
+      |  SELECT doc_id,
+      |    CAST(len(t) AS BIGINT) AS n_words,
+      |    CAST(coalesce(list_sum(list_transform(t, x -> len(x))), 0) AS DOUBLE)
+      |      / greatest(len(t), 1) AS mean_word_len,
+      |    CAST(len(list_filter(t, x -> regexp_matches(x, '[^a-z0-9]'))) AS DOUBLE)
+      |      / greatest(len(t), 1) AS symbol_ratio,
+      |    CASE WHEN len(g) > 0
+      |         THEN 1.0::DOUBLE - CAST(len(list_distinct(g)) AS DOUBLE) / len(g)
+      |         ELSE 0.0::DOUBLE END AS rep_ratio,
+      |    CAST(len(list_filter(t, x -> x IN ${sqlList(stopwords)})) AS BIGINT) AS sw_hits
+      |  FROM (SELECT doc_id, t, ${Sql.shingles3("t")} AS g
+      |        FROM (SELECT doc_id, ${Sql.toks()} AS t FROM documents)))
+      |ORDER BY doc_id
+      |""".stripMargin))
+
   /** Within-document repetition (the C4/Gopher-family "duplicate n-gram
     * fraction" quality signal): share of word 3-grams that repeat an
     * earlier 3-gram in the same document — 1 − distinct/total. High
@@ -376,7 +434,8 @@ object TextAnalysis {
       |""".stripMargin))
 
   val all: Seq[Q] = Seq(
-    q_token_count, q_text_quality, q_lang_id, q_doc_fingerprint, q_embed_hash,
+    q_token_count, q_text_quality, q_gopher_rules, q_lang_id,
+    q_doc_fingerprint, q_embed_hash,
     q_tfidf_top_terms, q_doc_chunks, q_doc_pages, q_repetition_ratio,
     q_pmi_bigrams)
 }
