@@ -11,8 +11,8 @@ import org.apache.spark.sql.functions._
   * would otherwise be invisible to the driver). Persists
   * `target/recall_full.json` with:
   *
-  *  - recall@10 vs the exact L2 path for the seven ANN index entries
-  *    (`q_ann_ivf/gann/pq/ivfpq/bq/ivfbq/sq` — search quality is the
+  *  - recall@10 vs the exact L2 path for the eight ANN index entries
+  *    (`q_ann_ivf/gann/pq/ivfpq/bq/ivfbq/sq/ivfsq` — search quality is the
   *    reference's core value proposition, gann.py:234-239);
   *  - pair recall vs an exact-subset verify for `q_ann_lsh_join`;
   *  - max relative error of the HLL sketch (`q_events_approx_users`)
@@ -205,7 +205,7 @@ object RecallReport {
     val k = 10
     val exact = exactTopK(spark, sfDir, k)
     val annEntries = Seq("q_ann_ivf", "q_ann_gann", "q_ann_pq",
-      "q_ann_ivfpq", "q_ann_bq", "q_ann_ivfbq", "q_ann_sq")
+      "q_ann_ivfpq", "q_ann_bq", "q_ann_ivfbq", "q_ann_sq", "q_ann_ivfsq")
     val recalls = annEntries.map(nm =>
       nm -> recallOf(spark, sfDir, exact, nm))
     val lsh = lshPairRecall(spark, sfDir)

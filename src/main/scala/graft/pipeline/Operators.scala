@@ -2,7 +2,7 @@ package graft.pipeline
 
 import graft.functions.TextF
 import graft.functions.VectorF
-import graft.index.{BqIndex, GannIndex, IvfBq, IvfIndex, IvfPq, PqIndex, SignLsh, SqIndex}
+import graft.index.{BqIndex, GannIndex, IvfBq, IvfIndex, IvfPq, IvfSq, PqIndex, SignLsh, SqIndex}
 import graft.sink.VectorTable
 import graft.sources.Sources
 import graft.vectorize.{HashEmbed, Multimodal, TfIdf}
@@ -269,8 +269,11 @@ object Operators {
             .search(ins.head, qid, qvec, k, nprobe)
         case "sq" =>
           SqIndex.load(spark, path, idCol).search(ins.head, qid, qvec, k)
+        case "ivfsq" =>
+          IvfSq.load(spark, path, idCol)
+            .search(ins.head, qid, qvec, k, nprobe)
         case other => throw new IllegalArgumentException(
-          s"unknown ann_search index '$other' (have: bq, gann, ivf, ivfbq, ivfpq, pq, sq)")
+          s"unknown ann_search index '$other' (have: bq, gann, ivf, ivfbq, ivfpq, ivfsq, pq, sq)")
       }
     },
     // deterministic stratified sampling: keep iff
@@ -369,7 +372,8 @@ object Operators {
     "ivfpq" -> indexSink("ivfpq"),
     "bq" -> indexSink("bq"),
     "ivfbq" -> indexSink("ivfbq"),
-    "sq" -> indexSink("sq"))
+    "sq" -> indexSink("sq"),
+    "ivfsq" -> indexSink("ivfsq"))
 
   private def indexSink(kind: String): Make = { (spark, cp) => (ins, rp) =>
     val params = cp ++ rp
@@ -416,6 +420,11 @@ object Operators {
         val m = SqIndex.build(ins.head, idCol, vecCol,
           fitSample = p(params, "fitSample", "4096").toInt)
         SqIndex.save(m, path)
+        spark.read.parquet(s"$path/codes")
+      case "ivfsq" =>
+        val m = IvfSq.build(ins.head, idCol, vecCol,
+          kCoarse = p(params, "kCoarse", "8").toInt)
+        IvfSq.save(m, path)
         spark.read.parquet(s"$path/codes")
     }
   }

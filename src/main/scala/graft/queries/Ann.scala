@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tables
-import graft.index.{BqIndex, GannIndex, IvfBq, IvfIndex, IvfPq, PqIndex, SqIndex}
+import graft.index.{BqIndex, GannIndex, IvfBq, IvfIndex, IvfPq, IvfSq, PqIndex, SqIndex}
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbour query entries. Approximate by design →
@@ -33,6 +33,8 @@ object Ann {
     new java.util.concurrent.ConcurrentHashMap[String, IvfBq.Model]()
   private val sqMemo =
     new java.util.concurrent.ConcurrentHashMap[String, SqIndex.Model]()
+  private val ivfSqMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, IvfSq.Model]()
   /** Memoize an index build via [[graft.core.Caches.memoized]]:
     * `Caches.clear` drops the map entry along with the model's cached
     * assignment frame, or the stale model would silently recompute its
@@ -169,6 +171,25 @@ object Ann {
     },
     None)
 
+  /** IVF-SQ (cluster-pruned SQ8 residual codes — the Milvus IVF_SQ8 /
+    * FAISS IVFx,SQ8 production config): probe 4 of 8 clusters, codegen
+    * asymmetric SqDistance over the probed posting lists, exact rerank
+    * (recall/monotonicity/roundtrip/insert pinned in IvfSqSpec). */
+  val q_ann_ivfsq = Q(
+    "q_ann_ivfsq",
+    (s, dir) => {
+      val e = Tables.spread(Tables(s, dir, "embeddings"))
+      val model = memoized(s, dir, ivfSqMemo)(
+        IvfSq.build(e, "vec_id", "embedding", kCoarse = 8))
+      val queries = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      model.searchRerank(queries, "qid", "qv", k = 10,
+          nprobe = 4, shortlist = 50, vectors = e, vecCol = "embedding")
+        .select(col("qid"), col("vec_id"), round(col("dist"), 6).as("dist"), col("rnk"))
+        .orderBy(col("qid"), col("rnk"))
+    },
+    None)
+
   /** MLlib BucketedRandomProjectionLSH approxSimilarityJoin — the stock
     * scaled ANN-join operator (SURVEY.md §7.1 item 9). Approximate →
     * rows-only; recall vs the exact pairwise join is pinned in
@@ -191,5 +212,5 @@ object Ann {
     None)
 
   val all: Seq[Q] = Seq(q_ann_ivf, q_ann_gann, q_ann_pq, q_ann_ivfpq,
-    q_ann_bq, q_ann_ivfbq, q_ann_sq, q_ann_lsh_join)
+    q_ann_bq, q_ann_ivfbq, q_ann_sq, q_ann_ivfsq, q_ann_lsh_join)
 }

@@ -33,7 +33,7 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_dedup_incremental", "q_dedup_components", "q_dedup_cluster_sizes",
     "q_decontaminate", "q_decontaminate_bloom",
     "q_ann_ivf", "q_ann_gann", "q_ann_pq", "q_ann_ivfpq", "q_ann_bq",
-    "q_ann_ivfbq", "q_ann_sq", "q_knn_join", "q_pmi_bigrams",
+    "q_ann_ivfbq", "q_ann_sq", "q_ann_ivfsq", "q_knn_join", "q_pmi_bigrams",
     "q_zorder_key", "q_pack_sequences", "q_tfidf_top_terms",
     "q_sparse_search", "q_hybrid_rrf", "q_knn_grouped")
 

@@ -149,4 +149,15 @@ class BlockAppendSpec extends AnyFunSuite {
     assert(rows(loaded.search(queries, "qid", "qv", 5))
       === rows(inMem.search(queries, "qid", "qv", 5)))
   }
+
+  test("IVF-SQ: persisted append matches in-memory insert") {
+    val dir = tmp("graft_blk_ivfsq")
+    val m = IvfSq.build(base, "vec_id", "embedding", kCoarse = 4)
+    IvfSq.save(m, dir)
+    IvfSq.appendToSaved(m, dir, batch1, "embedding")
+    val loaded = IvfSq.load(spark, dir, "vec_id")
+    val inMem = IvfSq.insert(m, batch1, "embedding")
+    assert(rows(loaded.search(queries, "qid", "qv", 5, nprobe = 4))
+      === rows(inMem.search(queries, "qid", "qv", 5, nprobe = 4)))
+  }
 }

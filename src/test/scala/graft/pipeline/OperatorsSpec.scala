@@ -244,11 +244,11 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hits.columns.toSet == Set("qid", "vec_id", "dist", "rnk"))
   }
 
-  test("all seven index sinks land state and serve ann_search") {
+  test("all eight index sinks land state and serve ann_search") {
     val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 2)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    for (kind <- Seq("gann", "ivf", "pq", "ivfpq", "bq", "ivfbq", "sq")) {
+    for (kind <- Seq("gann", "ivf", "pq", "ivfpq", "bq", "ivfbq", "sq", "ivfsq")) {
       val path = tmp(s"ops-$kind")
       val sink = Operators.make(spark, "sink", kind,
         Map("path" -> path, "idCol" -> "vec_id", "vecCol" -> "embedding"))
