@@ -1085,8 +1085,42 @@ object Relational2 {
       |ORDER BY stage
       |""".stripMargin))
 
+  /** Cohort retention matrix at the (user, event_type) grain — "feature
+    * retention": each user's cohort date per event type is their first
+    * day using that type, and the matrix counts distinct users of the
+    * type still active `day_offset` days after their own first use. The
+    * classic product-analytics triangle, keyed by type because the
+    * corpus is dense at the user level (nearly every user starts day 1).
+    * Scale: the first-use aggregate and the activity join share the
+    * (user_id, event_type) shuffle key, then a two-phase distinct count
+    * on the small (type, offset) key space — no wide row ever forms. */
+  val q_events_retention = Q(
+    "q_events_retention",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type"), to_date(col("ts")).as("d"))
+      val first = ev.groupBy(col("user_id"), col("event_type"))
+        .agg(min(col("d")).as("cohort"))
+      ev.join(first, Seq("user_id", "event_type"))
+        .groupBy(col("event_type"),
+          datediff(col("d"), col("cohort")).cast("long").as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type"), col("day_offset"))
+    },
+    Some("""
+      |WITH e AS (SELECT user_id, event_type, ts::DATE AS d FROM events),
+      |f AS (SELECT user_id, event_type, min(d) AS cohort
+      |      FROM e GROUP BY 1, 2)
+      |SELECT e.event_type,
+      |  CAST(datediff('day', f.cohort, e.d) AS BIGINT) AS day_offset,
+      |  count(DISTINCT e.user_id) AS n_users
+      |FROM e JOIN f USING (user_id, event_type)
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2
+      |""".stripMargin))
+
   val all: Seq[Q] = Seq(
-    q_events_funnel,
+    q_events_funnel, q_events_retention,
     q02_cheapest_part, q04_order_priority, q07_volume_shipping,
     q08_market_share,
     q12_priority_lines, q13_customer_distribution, q14_promo_revenue,
