@@ -48,9 +48,23 @@ object Tables {
     if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    // The generator has shipped events.ts as TIMESTAMP(NANOS) (read as
+    // long under nanosAsLong) and as TIMESTAMP(MICROS, isAdjustedToUTC=
+    // false) (read as TIMESTAMP_NTZ) across testdata regenerations.
+    // Normalize BOTH to the session-zone TimestampType so every consumer
+    // (unix_micros, window, interval arithmetic, Verify's dump-layer
+    // NTZ cast) sees one dtype; under the UTC session zone the NTZ→LTZ
+    // cast is wall-clock-identical, matching the DuckDB oracle's naive
+    // microsecond reading.
+    if (name != "events") df
+    else df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          df("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.streaming.Streams
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types._
@@ -15,32 +16,49 @@ import org.apache.spark.sql.types._
   */
 object StreamingQ {
 
-  /** events.parquet carries TIMESTAMP(NANOS); under the nanosAsLong
-    * session conf the stream schema sees a long column, truncated to
-    * micros exactly like graft.core.Tables. */
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** Stage the events file into a fresh landing directory and open it as
+    * a file stream with `ts` as a proper TimestampType — the reference's
+    * IngestSource contract (copy into a landing dir, then pick up:
+    * radient/tasks/sources/ingest.py:7-18). Robust to the parquet
+    * timestamp encoding, which the data generator has shipped several
+    * ways: TIMESTAMP(MICROS, isAdjustedToUTC=false) arrives as
+    * TIMESTAMP_NTZ and is cast to the session-zone TimestampType
+    * (wall-clock-identical under the UTC session zone); TIMESTAMP(NANOS)
+    * arrives as a long under the nanosAsLong session conf and is
+    * truncated to micros — the same dtype-guarded normalization
+    * graft.core.Tables applies on the batch path. The encoding is
+    * detected from a driver-side batch footer read of the single staged
+    * file (file streams require a user-supplied schema, so it cannot be
+    * inferred stream-side). */
+  private def stagedEventStream(s: SparkSession, dir: String, tag: String)
+      : DataFrame = {
+    val landing = java.nio.file.Files.createTempDirectory(s"graft_stream_$tag")
+    val staged = landing.resolve("events.parquet")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"), staged)
+    staged.toFile.deleteOnExit(); landing.toFile.deleteOnExit()
+    if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchTs = s.read.parquet(staged.toString).schema("ts").dataType
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", batchTs),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    val raw = s.readStream.schema(schema).parquet(landing.toString)
+    batchTs match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
+  }
 
   val q_stream_windowed = Q(
     "q_stream_windowed",
     (s, dir) => {
-      // stage the file into a landing directory and stream THAT — the
-      // file source wants a directory, and this is literally the
-      // reference's IngestSource contract (copy into a landing dir, then
-      // pick up: radient/tasks/sources/ingest.py:7-18)
-      val landing = java.nio.file.Files.createTempDirectory("graft_stream_events")
-      val staged = landing.resolve("events.parquet")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"), staged)
-      staged.toFile.deleteOnExit(); landing.toFile.deleteOnExit()
-      val stream = s.readStream.schema(rawSchema)
-        .parquet(landing.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val stream = stagedEventStream(s, dir, "events")
       val agg = stream
         .withWatermark("ts", "30 minutes")
         .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
@@ -80,14 +98,7 @@ object StreamingQ {
   val q_stream_dedup = Q(
     "q_stream_dedup",
     (s, dir) => {
-      val landing = java.nio.file.Files.createTempDirectory("graft_stream_dedup")
-      val staged = landing.resolve("events.parquet")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"), staged)
-      staged.toFile.deleteOnExit(); landing.toFile.deleteOnExit()
-      val stream = s.readStream.schema(rawSchema)
-        .parquet(landing.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val stream = stagedEventStream(s, dir, "dedup")
         .select(col("user_id"), col("event_type"), col("ts"))
       val dd = graft.streaming.Streams
         .dedupWithinWatermark(stream, Seq("user_id", "event_type"))
@@ -117,14 +128,7 @@ object StreamingQ {
   val q_stream_join = Q(
     "q_stream_join",
     (s, dir) => {
-      val landing = java.nio.file.Files.createTempDirectory("graft_stream_join")
-      val staged = landing.resolve("events.parquet")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"), staged)
-      staged.toFile.deleteOnExit(); landing.toFile.deleteOnExit()
-      val stream = s.readStream.schema(rawSchema)
-        .parquet(landing.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val stream = stagedEventStream(s, dir, "join")
       val p = stream.filter(col("event_type") === "purchase")
         .select(col("event_id").as("pid"), col("user_id").as("pu"), col("ts").as("pts"))
         .withWatermark("pts", "30 minutes")
