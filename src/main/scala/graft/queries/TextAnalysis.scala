@@ -433,9 +433,48 @@ object TextAnalysis {
       |ORDER BY pmi DESC, bigram LIMIT 20
       |""".stripMargin))
 
+  /** Exact per-language length quantiles (p10/p25/p50/p75/p90/p99 of
+    * n_chars) — the distribution profile a curation run reads before
+    * setting its Gopher-style length cutoffs. Selection is rank-based:
+    * the value at row ⌈p·n/100⌉ of the (n_chars, doc_id) order within
+    * each language — INTEGER ceil-division ((p·n+99) div 100), so both
+    * engines compute the identical position (a fractional-percentile
+    * form hits the DECIMAL-vs-DOUBLE literal split: DuckDB parses 0.1
+    * as DECIMAL and Spark as double, and ceil(0.1·500) then differs at
+    * the ulp). Plan: one window over lang (bounded per-group sort) + a
+    * 6-element explode; at 100 TB the same question is answered by
+    * approx_percentile over the scan — this exact form is the oracle
+    * that validates it. */
+  val q_profile_quantiles = Q(
+    "q_profile_quantiles",
+    (s, dir) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      Tables(s, dir, "documents")
+        .select(col("lang"), col("n_chars"), col("doc_id"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("lang"))))
+        .select(col("lang"), col("n_chars"), col("rn"), col("cnt"),
+          explode(typedLit(Seq(10, 25, 50, 75, 90, 99))).as("p"))
+        .filter(col("rn") === expr("(p * cnt + 99) div 100"))
+        .select(col("lang"), col("p"), col("n_chars").as("q_chars"))
+        .orderBy(col("lang"), col("p"))
+    },
+    Some("""
+      |WITH ranked AS (
+      |  SELECT lang, n_chars,
+      |    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY lang) AS cnt
+      |  FROM documents)
+      |SELECT lang, p, n_chars AS q_chars
+      |FROM ranked, UNNEST([10, 25, 50, 75, 90, 99]) AS t(p)
+      |WHERE rn = (p * cnt + 99) // 100
+      |ORDER BY lang, p
+      |""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q_token_count, q_text_quality, q_gopher_rules, q_lang_id,
     q_doc_fingerprint, q_embed_hash,
     q_tfidf_top_terms, q_doc_chunks, q_doc_pages, q_repetition_ratio,
-    q_pmi_bigrams)
+    q_pmi_bigrams, q_profile_quantiles)
 }
