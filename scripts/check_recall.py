@@ -1,0 +1,56 @@
+#!/usr/bin/env python3
+"""Quality gate for the approximate operators: read target/recall_full.json
+(written by graft.Bench / graft.Recall) and exit nonzero on any floor breach.
+
+The artifact is self-gating — it carries its own "floors" map and the
+"floor_failures" list computed in-engine (graft.RecallReport), so this script
+only has to read and enforce; it also re-checks the numbers against the
+embedded floors so a stale artifact with a hand-edited failures list can't
+sneak past.
+
+Usage: python3 scripts/check_recall.py [path/to/recall_full.json]
+       (optionally run `sbt "runMain graft.Recall <sfDir>"` first — that main
+        already exits nonzero on breach; this script is the driver-side /
+        CI-side replica that works from the persisted artifact alone)
+"""
+import json
+import sys
+from pathlib import Path
+
+path = Path(sys.argv[1] if len(sys.argv) > 1 else "/root/repo/target/recall_full.json")
+if not path.exists():
+    print(f"FAIL: {path} missing — run graft.Bench or graft.Recall first")
+    sys.exit(2)
+
+art = json.loads(path.read_text())
+floors = art.get("floors", {})
+failures = list(art.get("floor_failures", []))
+
+# independent re-check of the recorded numbers against the recorded floors
+recalls = art.get("recall_at_10", {})
+for name, floor in floors.items():
+    if name in recalls and recalls[name] < floor:
+        msg = f"{name} recall {recalls[name]} < floor {floor}"
+        if msg not in " ".join(failures):
+            failures.append(msg)
+lsh = art.get("lsh_join_pair_recall")
+if lsh is not None and lsh < floors.get("lsh_join_pair_recall", 0.0):
+    failures.append(f"lsh_join_pair_recall {lsh} < floor {floors['lsh_join_pair_recall']}")
+hll = art.get("hll_max_rel_err")
+if hll is not None and hll > floors.get("hll_max_rel_err_max", 1.0):
+    failures.append(f"hll_max_rel_err {hll} > ceil {floors['hll_max_rel_err_max']}")
+if art.get("fastrp_matches_dense") is False:
+    failures.append("fastrp_matches_dense is false")
+if art.get("bpe_matches_sequential") is False:
+    failures.append("bpe_matches_sequential is false")
+
+for name, r in sorted(recalls.items()):
+    mark = "ok  " if r >= floors.get(name, 0.0) else "FAIL"
+    print(f"{mark} {name}: recall@10 {r} (floor {floors.get(name, '-')})")
+print(f"ok   lsh_join_pair_recall {lsh}  hll_max_rel_err {hll}")
+
+if failures:
+    for f in dict.fromkeys(failures):
+        print(f"FLOOR BREACH: {f}")
+    sys.exit(1)
+print("all quality floors hold")

@@ -118,9 +118,16 @@ object Bench {
     // LSH pair recall, HLL error, FastRP/BPE equivalence) — computed
     // AFTER the timed passes (index models are already memoized, so the
     // re-searches are steady-state) and persisted beside bench_full.json
-    // so the driver can trend what the oracle gate can't see
-    try { RecallReport.write(spark, sfDir); () }
-    catch { case _: Throwable => () }
+    // so the driver can trend what the oracle gate can't see. The
+    // artifact is self-gating: floor breaches land in its
+    // "floor_failures" list and are shouted on stderr here (stdout must
+    // stay JSON-only for the driver's tail parse; the hard nonzero exit
+    // lives in `runMain graft.Recall` / scripts/check_recall.py).
+    try {
+      val rep = RecallReport.write(spark, sfDir)
+      rep.failures.foreach(f =>
+        System.err.println(s"[bench] RECALL FLOOR BREACH: $f"))
+    } catch { case _: Throwable => () }
     // stop Spark first so the JSON is the absolute last stdout line
     spark.stop()
     println(out)

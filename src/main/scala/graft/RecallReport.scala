@@ -30,7 +30,7 @@ object RecallReport {
   /** exact top-K neighbour id-sets per query for the ANN entries' batch
     * (vec_id < 100, self excluded) — one broadcast-queries scan through
     * the bounded-heap TopKAgg, the same shape as q_knn_brute. */
-  private def exactTopK(spark: SparkSession, sfDir: String,
+  private[graft] def exactTopK(spark: SparkSession, sfDir: String,
       k: Int): Map[Long, Set[Long]] = {
     val e = Tables.spread(Tables(spark, sfDir, "embeddings"))
     val queries = e.filter(col("vec_id") < 100)
@@ -48,9 +48,14 @@ object RecallReport {
   }
 
   private def recallOf(spark: SparkSession, sfDir: String,
-      exact: Map[Long, Set[Long]], name: String): Double = {
-    val got = SparkEntry.queries(name)(spark, sfDir)
-      .select("qid", "vec_id").collect()
+      exact: Map[Long, Set[Long]], name: String): Double =
+    recallOfDf(SparkEntry.queries(name)(spark, sfDir), exact)
+
+  /** Mean per-query recall of a (qid, vec_id) result frame against the
+    * exact neighbour sets — shared with the [[RecallCurve]] sweep. */
+  private[graft] def recallOfDf(df: DataFrame,
+      exact: Map[Long, Set[Long]]): Double = {
+    val got = df.select("qid", "vec_id").collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
     val per = exact.map { case (q, want) =>
       got.getOrElse(q, Set.empty).intersect(want).size.toDouble / want.size
@@ -200,8 +205,27 @@ object RecallReport {
   private def fmt(v: Double): String =
     "%.4f".formatLocal(java.util.Locale.ROOT, v)
 
-  /** Compute every quality number and return the artifact JSON. */
-  def compute(spark: SparkSession, sfDir: String): String = {
+  /** Per-entry quality FLOORS — the gate that makes a recall regression
+    * fail loudly instead of shipping a green round (the oracle can't see
+    * approximate-entry quality; without floors a refactor dropping GANN
+    * recall 0.75 → 0.40 would still pass every artifact). Values sit
+    * ~0.04-0.10 under the measured sf0.1 steady state (recall is
+    * deterministic per SF — hash-seeded fits, no RNG — so any breach is
+    * a code change, not noise). The BQ-family floors reflect the tuned
+    * 40×k shortlist defaults (see the RecallCurve sweep in SCALE.md). */
+  private[graft] val recallFloors: Map[String, Double] = Map(
+    "q_ann_ivf" -> 0.80, "q_ann_gann" -> 0.70, "q_ann_pq" -> 0.62,
+    "q_ann_ivfpq" -> 0.78, "q_ann_bq" -> 0.80, "q_ann_ivfbq" -> 0.80,
+    "q_ann_sq" -> 0.95, "q_ann_ivfsq" -> 0.80)
+  private[graft] val lshPairRecallFloor: Double = 0.95
+  private[graft] val hllMaxRelErrCeil: Double = 0.05
+
+  /** The artifact plus the list of floor breaches (empty = healthy). */
+  final case class Report(json: String, failures: Seq[String])
+
+  /** Compute every quality number; the JSON carries the floors and the
+    * breach list so the per-round artifact is self-gating. */
+  def compute(spark: SparkSession, sfDir: String): Report = {
     val k = 10
     val exact = exactTopK(spark, sfDir, k)
     val annEntries = Seq("q_ann_ivf", "q_ann_gann", "q_ann_pq",
@@ -212,27 +236,52 @@ object RecallReport {
     val hll = hllMaxRelErr(spark, sfDir)
     val fastrp = fastRpMatches(spark)
     val bpe = bpeMatches(spark)
+    val failures =
+      recalls.collect { case (nm, r) if r < recallFloors(nm) =>
+        s"$nm recall ${fmt(r)} < floor ${fmt(recallFloors(nm))}" } ++
+      (if (lsh < lshPairRecallFloor)
+        Seq(s"q_ann_lsh_join pair recall ${fmt(lsh)} < floor ${fmt(lshPairRecallFloor)}")
+      else Nil) ++
+      (if (hll > hllMaxRelErrCeil)
+        Seq(s"q_events_approx_users max rel err ${fmt(hll)} > ceil ${fmt(hllMaxRelErrCeil)}")
+      else Nil) ++
+      (if (!fastrp) Seq("fastrp_matches_dense is false") else Nil) ++
+      (if (!bpe) Seq("bpe_matches_sequential is false") else Nil)
     val rj = recalls.map { case (nm, r) => "\"" + nm + "\":" + fmt(r) }
       .mkString("{", ",", "}")
+    val fj = recallFloors.toSeq.sortBy(_._1)
+      .map { case (nm, f) => "\"" + nm + "\":" + fmt(f) }
+      .mkString("{", ",",
+        s""","lsh_join_pair_recall":${fmt(lshPairRecallFloor)}""" +
+        s""","hll_max_rel_err_max":${fmt(hllMaxRelErrCeil)}}""")
+    def qstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val failJ = failures.map(qstr).mkString("[", ",", "]")
     val sfName = new java.io.File(sfDir).getName
-    s"""{"recall_at_$k":$rj,"lsh_join_pair_recall":${fmt(lsh)},""" +
+    val json =
+      s"""{"recall_at_$k":$rj,"lsh_join_pair_recall":${fmt(lsh)},""" +
       s""""hll_max_rel_err":${fmt(hll)},"fastrp_matches_dense":$fastrp,""" +
-      s""""bpe_matches_sequential":$bpe,"queries":${exact.size},"sf":"$sfName"}"""
+      s""""bpe_matches_sequential":$bpe,"queries":${exact.size},"sf":"$sfName",""" +
+      s""""floors":$fj,"floor_failures":$failJ}"""
+    Report(json, failures)
   }
 
-  /** Compute and persist `target/recall_full.json`; returns the JSON. */
-  def write(spark: SparkSession, sfDir: String): String = {
-    val json = compute(spark, sfDir)
+  /** Compute and persist `target/recall_full.json`; returns the report
+    * (callers gate on `failures` — [[Recall]] exits nonzero, [[Bench]]
+    * shouts on stderr). */
+  def write(spark: SparkSession, sfDir: String): Report = {
+    val rep = compute(spark, sfDir)
     val dir = java.nio.file.Paths.get("target")
     java.nio.file.Files.createDirectories(dir)
     java.nio.file.Files.write(dir.resolve("recall_full.json"),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    json
+      (rep.json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    rep
   }
 }
 
 /** Standalone entry point: `runMain graft.Recall [sfDir]` — same
-  * session config as Bench, prints the artifact JSON as the last line. */
+  * session config as Bench, prints the artifact JSON as the last line
+  * and EXITS NONZERO on any floor breach (the round gate: a recall
+  * regression must fail loudly, not ship inside a green round). */
 object Recall {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption
@@ -244,9 +293,11 @@ object Recall {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val json = RecallReport.write(spark, sfDir)
+    val rep = RecallReport.write(spark, sfDir)
     spark.stop()
-    println(json)
+    rep.failures.foreach(f => System.err.println(s"[recall] FLOOR BREACH: $f"))
+    println(rep.json)
     System.out.flush()
+    if (rep.failures.nonEmpty) sys.exit(1)
   }
 }

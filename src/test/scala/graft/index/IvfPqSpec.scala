@@ -12,7 +12,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class IvfPqSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private val K = 10
-  private val NQ = 20
+  private val NQ = 100
 
   private lazy val emb = spark.read
     .parquet(s"${TestSpark.sf0001}/embeddings.parquet").cache()
