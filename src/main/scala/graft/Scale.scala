@@ -27,8 +27,12 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  // q_dedup_embedding (τ=0.45 dense regime) was measured here through
+  // round 8 — 27× at 10× data, the number that demoted it to spec-only
+  // (see Dedup.q_dedup_embedding scaladoc); the registered entries below
+  // are all production-shaped
   private val MeasuredQueries = Seq(
-    "q_dedup_minhash_lsh", "q_dedup_spans", "q_dedup_embedding",
+    "q_dedup_minhash_lsh", "q_dedup_spans",
     "q_dedup_embedding_tight", "q_ann_ivfpq", "q_ann_bq",
     // text/graph/fusion families (documents-only inputs, so the scaled
     // corpus covers them): inverted-index search, corpus statistics,

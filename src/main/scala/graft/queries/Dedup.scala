@@ -325,18 +325,21 @@ object Dedup {
       |""".stripMargin
     })
 
-  /** Embedding near-dup, LSH-bucketed (the scale path): candidates come
-    * from `LshJoin.l2Join` over UNIT vectors — on the unit sphere
-    * cos(a,b) ≥ τ ⇔ ‖â−b̂‖ ≤ √(2−2τ), so an L2 radius join with a small
-    * slack over-generates a superset of the true pairs — then every
-    * candidate is verified with the exact double-fold cosine on the
-    * ORIGINAL vectors, which restores bit-exactness against the all-pairs
-    * oracle. No cross join anywhere in the plan: candidates meet only
-    * inside random-projection hash buckets (`BucketedRandomProjectionLSH`
-    * seeded → deterministic). The all-pairs form this replaced survives as
-    * the recall oracle in EmbeddingDedupSpec. At 100 TB the same shape
-    * holds, and a tighter near-dup threshold (0.9+) shrinks the radius —
-    * and with it the buckets' collision rate — further. */
+  /** Embedding near-dup at τ=0.45 — SPEC-ONLY since round 9 (not in
+    * [[all]], so not an oracle entry): at this τ the threshold sits
+    * INSIDE the testdata's background cosine continuum, so the true pair
+    * set itself grows quadratically with the corpus and ANY exact method
+    * must examine ~all near-threshold pairs — measured 27× wall-time at
+    * 10× data (SCALE.md). No implementation can fix an operator whose
+    * OUTPUT is quadratic; the production-margin regimes that do scale
+    * are the registered [[q_dedup_embedding_tight]] (SignLsh banding,
+    * τ=0.9) and [[q_dedup_semantic]] (cluster-scoped verify). Kept as a
+    * callable Q because EmbeddingDedupSpec uses it as the dense-regime
+    * recall oracle: candidates from `LshJoin.l2SelfJoin` over UNIT
+    * vectors — on the unit sphere cos(a,b) ≥ τ ⇔ ‖â−b̂‖ ≤ √(2−2τ) — then
+    * exact double-fold cosine verify on the ORIGINAL vectors, pinned
+    * equal to the brute-force all-pairs set, with no cross join in the
+    * plan (also pinned there). */
   val q_dedup_embedding = Q(
     "q_dedup_embedding",
     (s, dir) => {
@@ -667,10 +670,12 @@ object Dedup {
       |ORDER BY cluster, vec_a, vec_b
       |""".stripMargin))
 
+  // q_dedup_embedding (the τ=0.45 dense regime) is deliberately NOT
+  // registered — spec-only, see its scaladoc
   val all: Seq[Q] = Seq(
     q_dedup_incremental, q_dedup_spans,
     q_dedup_exact, q_dedup_ngram_jaccard, q_minhash_signatures,
-    q_dedup_minhash_lsh, q_dedup_embedding, q_dedup_embedding_tight,
+    q_dedup_minhash_lsh, q_dedup_embedding_tight,
     q_dedup_semantic,
     q_dedup_simhash,
     q_dedup_components, q_dedup_cluster_sizes)

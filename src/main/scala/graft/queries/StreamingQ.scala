@@ -5,54 +5,83 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
 
-/** Structured-Streaming query entry: the SAME windowed aggregation code
-  * that runs continuously (watermark + window, Streams.windowedCounts
-  * shape) executed over the events table as a file stream and materialized
-  * through a memory sink. The DuckDB oracle states the batch equivalence —
-  * a streaming aggregation over a bounded source must equal the batch
-  * aggregation (10-minute tumbling windows; value sums in exact DECIMAL so
-  * batch/stream/oracle partition orders all agree).
+/** Structured-Streaming query entries: the SAME windowed aggregation /
+  * dedup / interval-join code that runs continuously (watermark + window,
+  * Streams.windowedCounts shape) executed over the events table as a
+  * MULTI-MICRO-BATCH file stream (chronological chunks, one file per
+  * trigger — see [[StreamingQ.stagedEventStream]]) and materialized
+  * through a memory sink. The DuckDB oracle states the batch
+  * equivalence — a streaming query over a bounded source must equal the
+  * batch query (value sums in exact DECIMAL so batch/stream/oracle
+  * partition orders all agree), and because the replay spans several
+  * micro-batches, state carry-over and (in the interval join) watermark
+  * eviction run UNDER that oracle instead of beside it.
   */
 object StreamingQ {
 
-  /** Stage the events file into a fresh landing directory and open it as
-    * a file stream with `ts` as a proper TimestampType — the reference's
-    * IngestSource contract (copy into a landing dir, then pick up:
-    * radient/tasks/sources/ingest.py:7-18). Robust to the parquet
-    * timestamp encoding, which the data generator has shipped several
-    * ways: TIMESTAMP(MICROS, isAdjustedToUTC=false) arrives as
-    * TIMESTAMP_NTZ and is cast to the session-zone TimestampType
-    * (wall-clock-identical under the UTC session zone); TIMESTAMP(NANOS)
-    * arrives as a long under the nanosAsLong session conf and is
-    * truncated to micros — the same dtype-guarded normalization
-    * graft.core.Tables applies on the batch path. The encoding is
-    * detected from a driver-side batch footer read of the single staged
-    * file (file streams require a user-supplied schema, so it cannot be
-    * inferred stream-side). */
-  private def stagedEventStream(s: SparkSession, dir: String, tag: String)
-      : DataFrame = {
+  /** Stage the events table into a fresh landing directory as `numFiles`
+    * CHRONOLOGICAL chunks and open it as a file stream processed one
+    * file per trigger — the reference's IngestSource contract (copy into
+    * a landing dir, then pick up: radient/tasks/sources/ingest.py:7-18),
+    * replayed as a genuine multi-micro-batch stream: equal-count
+    * time-ordered chunks with strictly increasing modification times, so
+    * the file source (oldest-first) feeds the query in event-time order
+    * and the watermark ADVANCES BETWEEN BATCHES — state actually crosses
+    * micro-batch boundaries and (where the query's semantics allow)
+    * evicts mid-run, instead of the whole corpus landing in one batch
+    * where eviction can never fire. MultiBatchReplaySpec asserts the
+    * >1-batch execution.
+    *
+    * The staging read goes through [[graft.core.Tables]], whose
+    * dtype-guarded normalization absorbs every parquet `ts` encoding the
+    * data generator has shipped (TIMESTAMP(NANOS) / MICROS / NTZ — see
+    * Tables.apply); the chunks are written with the normalized
+    * TimestampType, so the stream side needs no per-encoding handling
+    * and the session sees no extra conf changes here. */
+  private[graft] def stagedEventStream(s: SparkSession, dir: String,
+      tag: String, numFiles: Int = 4): DataFrame =
+    s.readStream.schema(Streams.eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stageChunks(s, dir, tag, numFiles).toString)
+
+  /** Stage the landing directory for [[stagedEventStream]] (split out so
+    * MultiBatchReplaySpec can inspect the chunk layout directly). */
+  private[graft] def stageChunks(s: SparkSession, dir: String,
+      tag: String, numFiles: Int): java.nio.file.Path = {
+    // landing registered for deleteOnExit BEFORE its files: deleteOnExit
+    // runs in reverse registration order, so the chunk files go first and
+    // the by-then-empty directory last
     val landing = java.nio.file.Files.createTempDirectory(s"graft_stream_$tag")
-    val staged = landing.resolve("events.parquet")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"), staged)
-    staged.toFile.deleteOnExit(); landing.toFile.deleteOnExit()
-    if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batchTs = s.read.parquet(staged.toString).schema("ts").dataType
-    val schema = StructType(Seq(
-      StructField("event_id", LongType),
-      StructField("ts", batchTs),
-      StructField("user_id", LongType),
-      StructField("event_type", StringType),
-      StructField("value", DoubleType),
-      StructField("props", StringType)))
-    val raw = s.readStream.schema(schema).parquet(landing.toString)
-    batchTs match {
-      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
-      case _ => raw
-    }
+    landing.toFile.deleteOnExit()
+    val ev = graft.core.Tables(s, dir, "events")
+    // equal-count chronological chunks (single-partition window sort:
+    // harness staging over the bounded replay corpus, not engine path)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("ts"), col("event_id"))
+    val chunks = ev.withColumn("_fid", ntile(numFiles).over(w)).cache()
+    try {
+      val base = System.currentTimeMillis()
+      (1 to numFiles).foreach { i =>
+        val tmp = landing.resolve(s"_tmp$i")
+        chunks.filter(col("_fid") === i).drop("_fid")
+          .coalesce(1).write.parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+        val dest = landing.resolve(f"chunk$i%03d.parquet")
+        java.nio.file.Files.move(part, dest)
+        java.nio.file.Files.list(tmp).iterator().asScala
+          .foreach(p => java.nio.file.Files.delete(p))
+        java.nio.file.Files.delete(tmp)
+        dest.toFile.deleteOnExit()
+        // strictly increasing mod times pin the file source's oldest-first
+        // processing order to the chronological chunk order
+        dest.toFile.setLastModified(base + i * 2000L)
+        ()
+      }
+    } finally { chunks.unpersist(blocking = false); () }
+    landing
   }
 
   val q_stream_windowed = Q(
@@ -86,22 +115,31 @@ object StreamingQ {
       |ORDER BY window_start, event_type
       |""".stripMargin))
 
-  /** Streaming exact dedup over the event file stream: distinct
-    * (user_id, event_type) pairs via `dropDuplicatesWithinWatermark` —
-    * first occurrence emits immediately in append mode, duplicate state
-    * is evicted as the watermark advances (bounded, unlike plain
-    * dropDuplicates). Over a bounded replay nothing evicts mid-run, so
-    * the result is exactly the batch DISTINCT — which is what the oracle
-    * states. The emitted row per key is whichever arrived first (not
-    * deterministic under reordering), so only the KEY columns are
-    * projected — the distinct key set is order-independent. */
+  /** Streaming exact dedup over the multi-batch event file stream:
+    * distinct (user_id, event_type) pairs via
+    * `dropDuplicatesWithinWatermark` — first occurrence emits immediately
+    * in append mode, duplicate-suppression state carries ACROSS the
+    * replay's micro-batches, and is evicted once the watermark passes its
+    * delay (bounded, unlike plain dropDuplicates). The delay here is
+    * sized to the corpus time span (~30 days): every key in the events
+    * table RECURS beyond any operational delay, and a key whose state was
+    * evicted legitimately re-emits on its next occurrence (that
+    * re-emission semantics is pinned in StreamsTtlSpec) — so the only
+    * delay under which the streaming result equals the batch DISTINCT the
+    * oracle states is one covering the replay span. Mid-run EVICTION
+    * under the oracle is exercised by [[q_stream_join]], whose interval
+    * bound makes eviction provably output-neutral. The emitted row per
+    * key is whichever arrived first (not deterministic under reordering),
+    * so only the KEY columns are projected — the distinct key set is
+    * order-independent. */
   val q_stream_dedup = Q(
     "q_stream_dedup",
     (s, dir) => {
       val stream = stagedEventStream(s, dir, "dedup")
         .select(col("user_id"), col("event_type"), col("ts"))
       val dd = graft.streaming.Streams
-        .dedupWithinWatermark(stream, Seq("user_id", "event_type"))
+        .dedupWithinWatermark(stream, Seq("user_id", "event_type"),
+          watermarkDelay = "35 days")
         .select(col("user_id"), col("event_type"))
       // dedup state partitions sized to key cardinality, like
       // q_stream_windowed (see the note there)
@@ -121,9 +159,15 @@ object StreamingQ {
     * q_events_attribution's range window, as Structured Streaming's
     * watermarked interval join (both sides buffered, state evicted once
     * the watermark passes the interval bound, so state is
-    * 30-minutes-of-stream per side, not the stream). Over a bounded
-    * replay nothing evicts mid-run, so the emitted pair set equals the
-    * batch join — which is what the oracle states. Integer id pairs →
+    * 30-minutes-of-stream per side, not the stream). Under the
+    * chronological multi-batch replay the watermark advances between
+    * micro-batches and buffered rows ARE evicted mid-run — and the
+    * interval bound makes that eviction output-neutral (an evicted click
+    * is older than watermark − 30 min, and every purchase still to
+    * arrive is newer than the watermark, so the pair the eviction
+    * discards could never satisfy `cts >= pts - 30 min`), which is why
+    * this is the entry where eviction runs UNDER the DuckDB oracle: the
+    * emitted pair set still equals the batch join. Integer id pairs →
     * order-independent → hash-checked. */
   val q_stream_join = Q(
     "q_stream_join",

@@ -96,6 +96,15 @@ object Streams {
     events.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Number of micro-batches the last [[runToMemory]] run under each
+    * sink name executed — MultiBatchReplaySpec reads this to assert the
+    * staged replays really cross batch boundaries (a single-batch replay
+    * can never exercise watermark advancement or state carry-over). */
+  private val executedBatches =
+    new scala.collection.concurrent.TrieMap[String, Long]
+  private[graft] def batchesExecuted(name: String): Option[Long] =
+    executedBatches.get(name)
+
   /** Run a streaming frame to completion against a memory sink and return
     * the materialized result (test/local harness). */
   def runToMemory(df: DataFrame, name: String,
@@ -103,6 +112,8 @@ object Streams {
     val q = df.writeStream.outputMode(mode)
       .format("memory").queryName(name).start()
     q.processAllAvailable()
+    Option(q.lastProgress).foreach(p =>
+      executedBatches.put(name, p.batchId + 1))
     q.stop()
     df.sparkSession.table(name)
   }

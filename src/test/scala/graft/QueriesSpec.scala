@@ -9,8 +9,7 @@ class QueriesSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
   // queries whose correct sf0.001 result may legitimately be empty
-  private val mayBeEmpty = Set("q_dedup_ngram_jaccard", "q_dedup_minhash_lsh",
-    "q_dedup_embedding")
+  private val mayBeEmpty = Set("q_dedup_ngram_jaccard", "q_dedup_minhash_lsh")
 
   QueryRegistry.all.foreach { q =>
     test(s"${q.name} runs at sf0.001") {
