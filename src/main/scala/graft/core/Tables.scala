@@ -32,16 +32,42 @@ object Tables {
     * small parquet tables are one row group = one scan split, so without
     * this the whole kernel runs on a single core no matter the cluster
     * size. At 100 TB scans arrive multi-split and this degrades to a
-    * no-op (partitions ≥ default parallelism ⇒ returned unchanged); the
-    * shuffle it introduces moves only the raw rows once, before the
-    * expensive projection, and every caller caches immediately above it.
-    * Apply ONLY at compute-heavy cached bases — putting it under a
-    * filterable scan would hide the filter from parquet pushdown. */
+    * no-op (estimated splits ≥ default parallelism ⇒ returned
+    * unchanged); the shuffle it introduces moves only the raw rows once,
+    * before the expensive projection, and every caller caches
+    * immediately above it. Apply ONLY at compute-heavy cached bases —
+    * putting it under a filterable scan would hide the filter from
+    * parquet pushdown.
+    *
+    * The split count is ESTIMATED at plan time from the relation's size
+    * statistics (parquet reports summed file sizes) against
+    * `spark.sql.files.maxPartitionBytes` — the same ratio the scan
+    * planner packs splits by — instead of `df.rdd.getNumPartitions`,
+    * which would construct the full RDD conversion lineage for every
+    * spread caller just to read one number. */
   def spread(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+    val spark = df.sparkSession
+    val p = spark.sparkContext.defaultParallelism
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    val estSplits = (bytes / BigInt(math.max(maxSplit, 1L))).toLong + 1
+    if (estSplits >= p) df else df.repartition(p)
   }
 
+  /** Load one testdata table with the dtype-guarded `ts` normalization.
+    *
+    * SESSION-CONF SIDE EFFECT (documented contract): if the session was
+    * built without [[sessionConf]], this sets
+    * `spark.sql.legacy.parquet.nanosAsLong=true` for the WHOLE session
+    * and never flips it back — a scoped set would not work, because the
+    * returned frame is lazy and the conf must still hold at execution
+    * time, and flip-flopping it mid-session would make two reads of the
+    * same NANOS file disagree. Library users with their own
+    * TIMESTAMP(NANOS) parquet elsewhere in the session inherit the
+    * changed read behavior (those columns arrive as long nanos instead
+    * of an AnalysisException); build the session through [[configure]]
+    * to make the conf explicit up front. (Also in README §timestamps.) */
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // fallback for externally-built sessions that skipped sessionConf —
     // set once, never flipped back, so unrelated reads see a stable conf

@@ -37,25 +37,31 @@ object Compact {
   /** `old` must be the model's current (cached or checkpointed) state;
     * `appends` the model's insert count so far. Returns the new state.
     *
-    * Durability: the default lineage truncation is `localCheckpoint` —
-    * blocks live on executors and are NOT fault-tolerant, so on a real
-    * cluster losing an executor permanently loses index-state blocks
-    * with no lineage to recompute (fine for a single-JVM session or any
-    * index that can be rebuilt/reloaded). For cluster deployments pass
-    * `reliable = true` after setting `sparkContext.setCheckpointDir` to
-    * durable storage — truncation then writes through the reliable
-    * checkpoint path and survives executor loss. The durable-by-layout
+    * Durability (auto-detected): lineage truncation goes through the
+    * RELIABLE `checkpoint()` whenever the session has a checkpoint dir
+    * configured (`sparkContext.setCheckpointDir` to durable storage) —
+    * the cluster deployment shape, surviving executor loss — and falls
+    * back to `localCheckpoint` otherwise, whose blocks live on executors
+    * and are NOT fault-tolerant (fine for a single-JVM session or any
+    * index that can be rebuilt/reloaded). So the ingest loop's
+    * durability is a one-line session decision, not an API change at
+    * every insert site; pass `reliable = Some(...)` to override the
+    * detection either way. ReliableCompactionSpec drives the ingest loop
+    * across a truncation boundary in both modes. The durable-by-layout
     * alternative is the persisted block append (`appendToSaved` on each
     * index + [[Blocks]]), which keeps index state in parquet and is also
     * O(batch) per insert. */
   def append(old: DataFrame, extra: DataFrame, appends: Int,
-      compactEvery: Int = DefaultEvery, reliable: Boolean = false): DataFrame = {
+      compactEvery: Int = DefaultEvery,
+      reliable: Option[Boolean] = None): DataFrame = {
     val unioned = old.union(extra)
     val next =
       if ((appends + 1) % compactEvery == 0) {
+        val useReliable = reliable.getOrElse(
+          old.sparkSession.sparkContext.getCheckpointDir.isDefined)
         // lineage truncation: eager, so the pass below reads old's cache
         // before it is dropped
-        if (reliable) unioned.checkpoint(eager = true)
+        if (useReliable) unioned.checkpoint(eager = true)
         else unioned.localCheckpoint(eager = true)
       } else {
         val c = graft.core.Caches.cached(unioned)

@@ -52,7 +52,7 @@ object Sharding {
     * code × 3" style up/down-sampling factors of an LLM data recipe
     * (fractional part realized by hash threshold, so a 1.2-epoch corpus
     * repeats every document once and a deterministic 20% of them twice). */
-  private val EpochW: Seq[(String, Double)] =
+  private[queries] val EpochW: Seq[(String, Double)] =
     Seq("en" -> 1.2, "de" -> 2.0, "es" -> 0.5, "fr" -> 1.0, "zh" -> 2.7)
 
   /** Source-weighted epoch plan: materialize (doc_id, copy) rows where

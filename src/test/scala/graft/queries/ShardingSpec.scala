@@ -14,16 +14,25 @@ class ShardingSpec extends AnyFunSuite {
   private val sf = TestSpark.sf0001
 
   test("split assignment is stable under corpus growth (prefix property)") {
-    // the split of a document depends only on its own id: recomputing
-    // over any subset yields the same assignment — the property that
-    // lets a growing corpus keep its historical holdout
+    // the split of a document depends only on its own id: RE-RUNNING the
+    // entry over a materially smaller corpus (a strict subset staged as
+    // its own documents table) yields the same assignment for every
+    // surviving document — the property that lets a growing corpus keep
+    // its historical holdout. Filtering the full-corpus OUTPUT would not
+    // catch a row-count-dependent split (ntile/percent_rank would pass
+    // that); running on a different-sized input does.
     val full = Sharding.q_split_holdout.run(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
-    val subset = Sharding.q_split_holdout.run(spark, sf)
-    val sub = subset.filter(subset("doc_id") % 3 === 0)
+    val subDir = java.nio.file.Files.createTempDirectory("graft_split_sub")
+    subDir.toFile.deleteOnExit()
+    val docs = graft.core.Tables(spark, sf, "documents")
+    docs.filter(docs("doc_id") % 3 === 0)
+      .write.mode("overwrite").parquet(s"$subDir/documents.parquet")
+    val sub = Sharding.q_split_holdout.run(spark, subDir.toString)
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
-    assert(sub.nonEmpty)
-    sub.foreach { case (id, s) => assert(full(id) == s) }
+    assert(sub.nonEmpty && sub.size < full.size)
+    sub.foreach { case (id, s) => assert(full(id) == s,
+      s"doc $id reassigned $s after corpus shrank — split is size-dependent") }
   }
 
   test("epoch plan realizes the weights: copies per doc is floor(w) or ceil(w)") {
@@ -32,7 +41,9 @@ class ShardingSpec extends AnyFunSuite {
       .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
     val langs = graft.core.Tables(spark, sf, "documents")
       .selectExpr("doc_id", "lang").as[(Long, String)].collect().toMap
-    val w = Map("en" -> 1.2, "de" -> 2.0, "es" -> 0.5, "fr" -> 1.0, "zh" -> 2.7)
+    // the PRODUCTION weight table, not a re-declared copy — if the
+    // weights change, these assertions follow them automatically
+    val w = Sharding.EpochW.toMap
     langs.foreach { case (id, lang) =>
       val wl = w(lang)
       val n = perDoc.getOrElse(id, 0L)
@@ -73,5 +84,17 @@ class ShardingSpec extends AnyFunSuite {
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(p.contains("Window"))
     assert(!p.contains("CartesianProduct"))
+    // the ranking exchange hashes on the SHARD key — one exchange, each
+    // shard a bounded partition
+    assert(p.contains("hashpartitioning(shard"),
+      s"window exchange must hash-partition by shard:\n$p")
+    // exactly one GLOBAL sort (formatted Sort arguments carry the global
+    // flag: '..., true, 0' global / '..., false, 0' per-partition): the
+    // presentation orderBy. The window's own sort must stay per-shard.
+    val globalSorts = "\\], true, 0".r.findAllIn(p).length
+    assert(globalSorts == 1,
+      s"expected exactly the presentation orderBy as a global sort, found $globalSorts:\n$p")
+    val localSorts = "\\], false, 0".r.findAllIn(p).length
+    assert(localSorts >= 1, s"window must sort within shard partitions:\n$p")
   }
 }
