@@ -7,19 +7,23 @@ import org.apache.spark.sql.functions._
 /** Randomized differential fuzzing of the relational surface: a seeded
   * generator produces small relational plans over the TPC-H tables —
   * filters, inner/semi/anti joins (EXISTS / NOT EXISTS decorrelation),
-  * LEFT OUTER joins against filtered dims (NULL-extension, three-valued
-  * predicate logic, NULL grouping), grouped/global aggregates with
-  * HAVING, DISTINCT projections, total-order ORDER BY + LIMIT,
+  * LEFT and FULL OUTER joins against filtered dims (NULL-extension on
+  * one or both sides, three-valued predicate logic, NULL grouping,
+  * NULL-heavy decimal aggregates), grouped/global aggregates with
+  * HAVING, grouping analytics (ROLLUP / CUBE / GROUPING SETS),
+  * correlated scalar subqueries (SQL renders the correlated form, the
+  * DataFrame side is its hand-decorrelated rewrite), DISTINCT
+  * projections, total-order ORDER BY + LIMIT,
   * UNION ALL / INTERSECT / EXCEPT, IS [NOT] NULL and BETWEEN predicate
   * leaves, conditional counts (sum CASE WHEN), and
   * row_number/running-sum windows —
   * as an AST rendered BOTH as a DataFrame-API plan and as ANSI
   * SQL — the two executions must agree row-for-row. FuzzRelationalSpec
-  * runs ≥1000 generated plans DataFrame-vs-`spark.sql`; three fixed
+  * runs ≥1000 generated plans DataFrame-vs-`spark.sql`; five fixed
   * seeds are exported as `q_fuzz_*` query entries whose SQL rendering IS
   * the DuckDB oracle, so the driver cross-checks the same generator
   * against a second engine every round. This is the cheapest route to
-  * correctness bugs the fixed 91-query inventory can't reach: the
+  * correctness bugs the fixed query inventory can't reach: the
   * generator explores predicate/join/aggregate combinations nobody
   * hand-wrote.
   *
@@ -274,19 +278,21 @@ object Fuzz {
     // 0 = no join, 1 = inner dim join, 2 = EXISTS semi, 3 = NOT EXISTS anti,
     // 4 = LEFT OUTER against a FILTERED dim (the filter is what produces
     // NULL-extended rows — the FK is complete, so an unfiltered outer join
-    // would degenerate to inner). forceAgg (driver oracle entries) remaps
-    // 4 → 1: outer-join aggregates can emit NULL cells, whose
-    // pandas/duckdb dtype coercion is engine-dependent; the NULL paths
-    // stay covered by the Spark-vs-Spark spec.
-    val joinKind0 = if (joinable.isEmpty) 0 else rnd.nextInt(5)
-    val joinKind = if (forceAgg && joinKind0 == 4) 1 else joinKind0
+    // would degenerate to inner), 5 = FULL OUTER against a FILTERED dim
+    // (NULL-extension on BOTH sides: filtered-out dims null the dim cols,
+    // unreferenced dims null the base cols). forceAgg (driver oracle
+    // entries) remaps 4/5 → 1: outer-join aggregates can emit NULL cells,
+    // whose pandas/duckdb dtype coercion is engine-dependent; the NULL
+    // paths stay covered by the Spark-vs-Spark spec.
+    val joinKind0 = if (joinable.isEmpty) 0 else rnd.nextInt(6)
+    val joinKind = if (forceAgg && joinKind0 >= 4) 1 else joinKind0
     val join = if (joinKind >= 1) Some(pick(rnd, joinable)) else None
     // dim columns are only visible downstream of an INNER/OUTER join
     val cols = base.cols ++
-      (if (joinKind == 1 || joinKind == 4) join.map(_.dim.cols).getOrElse(Seq.empty)
+      (if (joinKind == 1 || joinKind >= 4) join.map(_.dim.cols).getOrElse(Seq.empty)
        else Seq.empty)
     val dimPred =
-      if (joinKind >= 2 && (joinKind0 == 4 || rnd.nextBoolean()))
+      if (joinKind >= 2 && (joinKind0 >= 4 || rnd.nextBoolean()))
         Some(genPred(rnd, join.get.dim.cols))
       else None
     val pred = if (forceAgg || rnd.nextInt(4) > 0) Some(genPred(rnd, cols)) else None
@@ -294,14 +300,14 @@ object Fuzz {
     val fromSql = base.name + (joinKind match {
       case 1 => join.map(j =>
         s" JOIN ${j.dim.name} ON ${j.leftKey} = ${j.rightKey}").getOrElse("")
-      case 4 => join.map(j =>
-        s" LEFT JOIN (SELECT * FROM ${j.dim.name}" +
+      case 4 | 5 => join.map(j =>
+        s" ${if (joinKind == 5) "FULL" else "LEFT"} JOIN (SELECT * FROM ${j.dim.name}" +
           dimPred.map(p => s" WHERE ${p.sql}").getOrElse("") +
           s") AS dimf ON ${j.leftKey} = ${j.rightKey}").getOrElse("")
       case _ => ""
     })
     val existsSql = join.flatMap { j =>
-      if (joinKind < 2 || joinKind == 4) None
+      if (joinKind < 2 || joinKind >= 4) None
       else {
         val not = if (joinKind == 3) "NOT " else ""
         val extra = dimPred.map(p => s" AND (${p.sql})").getOrElse("")
@@ -319,12 +325,13 @@ object Fuzz {
       val joined = join match {
         case Some(j) if joinKind == 1 =>
           b.join(Tables(s, dir, j.dim.name), col(j.leftKey) === col(j.rightKey))
-        case Some(j) => // semi (2) / anti (3) / outer (4) vs the filtered dim
+        case Some(j) => // semi (2) / anti (3) / outer (4/5) vs the filtered dim
           val d0 = Tables(s, dir, j.dim.name)
           val d = dimPred.map(p => d0.filter(p.df)).getOrElse(d0)
           b.join(d, col(j.leftKey) === col(j.rightKey), joinKind match {
             case 2 => "left_semi"
             case 3 => "left_anti"
+            case 5 => "full_outer"
             case _ => "left_outer"
           })
         case None => b
@@ -336,8 +343,25 @@ object Fuzz {
     // 0-2 aggregate, 3-4 projection, 5 window (falls back to projection
     // when the base has no stable unique key or nothing to partition by),
     // 6 set operation (base table only — UNION ALL keeps bag semantics,
-    // INTERSECT/EXCEPT are set-distinct in BOTH engines' defaults)
-    val shape = if (forceAgg) 0 else rnd.nextInt(7)
+    // INTERSECT/EXCEPT are set-distinct in BOTH engines' defaults),
+    // 7 grouping analytics (ROLLUP / CUBE / GROUPING SETS),
+    // 8 correlated scalar subquery (SQL renders the correlated form,
+    // the DataFrame side is its hand-decorrelated group+join rewrite —
+    // a differential of exactly the decorrelation Catalyst performs).
+    // forceAgg (driver oracle entries) draws bounded-output aggregate
+    // shapes only: plain aggregates, STRING-grouped grouping analytics
+    // (string group cells stay object-dtype under NULL subtotals on both
+    // engines, where a nulled int64 group column would coerce to
+    // engine-dependent dtypes), and correlated-subquery aggregates.
+    val strGroupable = groupable.filter(_.kind.isInstanceOf[StrK])
+    val gaCols = if (forceAgg) strGroupable else groupable
+    val shape0 =
+      if (forceAgg) Seq(0, 0, 7, 8)(rnd.nextInt(4)) else rnd.nextInt(9)
+    val shape = shape0 match {
+      case 7 if gaCols.isEmpty => 0
+      case 8 if joinable.isEmpty => 0
+      case s => s
+    }
 
     if (shape <= 2) {
       // aggregate shape (grouped or global, optional HAVING)
@@ -370,6 +394,103 @@ object Fuzz {
           case None => out
         }
       })
+    } else if (shape == 7) {
+      // grouping-analytics shape: the same aggregate surface under
+      // ROLLUP / CUBE / GROUPING SETS — subtotal rows null the grouping
+      // cells identically in both engines, so sorted-row comparison holds
+      val gcols = rnd.shuffle(gaCols)
+        .take(1 + rnd.nextInt(math.min(2, gaCols.size))).map(_.name).sorted
+      val aggs = genAggs(rnd, cols)
+      val mode = rnd.nextInt(3)
+      val subsets: Seq[Seq[String]] =
+        (0 to gcols.size).flatMap(k => gcols.combinations(k)).toSeq
+      // the FULL set is always a member: every selected grouping column
+      // must appear in at least one grouping set, or the projection of
+      // the missing column is invalid in both engines
+      val sets: Seq[Seq[String]] =
+        if (mode == 2) {
+          val others = rnd.shuffle(subsets.filterNot(_ == gcols))
+          gcols +: others.take(rnd.nextInt(others.size + 1))
+        } else Seq.empty
+      val gSql = mode match {
+        case 0 => s" GROUP BY ROLLUP(${gcols.mkString(", ")})"
+        case 1 => s" GROUP BY CUBE(${gcols.mkString(", ")})"
+        case _ => s" GROUP BY GROUPING SETS (${
+          sets.map(ss => s"(${ss.mkString(", ")})").mkString(", ")})"
+      }
+      val selSql = (gcols ++ aggs.map(_.sql)).mkString(", ")
+      val sql = s"SELECT $selSql FROM $fromSql${whereSql(pred)}$gSql"
+      Plan(seed, sql, (s, dir) => {
+        val g = src(s, dir, pred)
+        val grouped = mode match {
+          case 0 => g.rollup(gcols.map(col): _*)
+          case 1 => g.cube(gcols.map(col): _*)
+          case _ => g.groupingSets(sets.map(_.map(col)), gcols.map(col): _*)
+        }
+        grouped.agg(aggs.head.df, aggs.tail.map(_.df): _*)
+          .select((gcols ++ aggs.map(_.alias)).map(col): _*)
+      })
+    } else if (shape == 8) {
+      // correlated-scalar-subquery shape: SQL filters the base on
+      // `basecol op (SELECT min/max(dim.x) WHERE dim.pk = base.fk [AND p])`;
+      // the DataFrame side runs the DECORRELATED rewrite by hand —
+      // group the (filtered) dim per key, left-join, compare (an empty
+      // subquery yields NULL, the comparison is NULL, the row drops —
+      // identically on both paths). forceAgg aggregates the survivors.
+      val j = pick(rnd, joinable)
+      val x = pick(rnd, j.dim.cols.filter(c => c.kind == IntK || c.kind == DblK))
+      val isMin = rnd.nextBoolean()
+      val subPred = if (rnd.nextInt(3) > 0) Some(genPred(rnd, j.dim.cols)) else None
+      val op = pick(rnd, Seq("<", "<=", ">", ">="))
+      val bc = pick(rnd, base.cols.filter(c => c.kind == IntK || c.kind == DblK))
+      val basePred = if (rnd.nextBoolean()) Some(genPred(rnd, base.cols)) else None
+      val fn = if (isMin) "min" else "max"
+      val subSql = s"SELECT $fn(${x.name}) FROM ${j.dim.name} WHERE " +
+        s"${j.dim.name}.${j.rightKey} = ${base.name}.${j.leftKey}" +
+        subPred.map(p => s" AND (${p.sql})").getOrElse("")
+      val whereCorr = basePred.map(p => s"(${p.sql}) AND ").getOrElse("") +
+        s"${bc.name} $op ($subSql)"
+      def survivors(s: SparkSession, dir: String): DataFrame = {
+        val d0 = Tables(s, dir, j.dim.name)
+        val d = subPred.map(p => d0.filter(p.df)).getOrElse(d0)
+        val sub = d.groupBy(col(j.rightKey))
+          .agg((if (isMin) min(col(x.name)) else max(col(x.name))).as("_sub"))
+        val b0 = Tables(s, dir, base.name)
+        val b = basePred.map(p => b0.filter(p.df)).getOrElse(b0)
+        val cmp = op match {
+          case "<" => col(bc.name) < col("_sub")
+          case "<=" => col(bc.name) <= col("_sub")
+          case ">" => col(bc.name) > col("_sub")
+          case _ => col(bc.name) >= col("_sub")
+        }
+        b.join(sub, col(j.leftKey) === col(j.rightKey), "left").filter(cmp)
+      }
+      if (forceAgg || rnd.nextBoolean()) {
+        val bg = base.cols.filter(c =>
+          c.lowCard && (!forceAgg || c.kind.isInstanceOf[StrK]))
+        val gcols =
+          if (bg.nonEmpty && (forceAgg || rnd.nextBoolean()))
+            rnd.shuffle(bg).take(1 + rnd.nextInt(math.min(2, bg.size)))
+              .map(_.name).sorted
+          else Seq.empty
+        val aggs = genAggs(rnd, base.cols)
+        val selSql = (gcols ++ aggs.map(_.sql)).mkString(", ")
+        val gSql = if (gcols.nonEmpty) s" GROUP BY ${gcols.mkString(", ")}" else ""
+        val sql = s"SELECT $selSql FROM ${base.name} WHERE $whereCorr$gSql"
+        Plan(seed, sql, (s, dir) => {
+          val g = survivors(s, dir)
+          val agged =
+            if (gcols.nonEmpty)
+              g.groupBy(gcols.map(col): _*).agg(aggs.head.df, aggs.tail.map(_.df): _*)
+            else g.agg(aggs.head.df, aggs.tail.map(_.df): _*)
+          agged.select((gcols ++ aggs.map(_.alias)).map(col): _*)
+        })
+      } else {
+        val proj = rnd.shuffle(base.cols).take(2 + rnd.nextInt(3)).map(_.name).sorted
+        val sql = s"SELECT ${proj.mkString(", ")} FROM ${base.name} WHERE $whereCorr"
+        Plan(seed, sql, (s, dir) =>
+          survivors(s, dir).select(proj.map(col): _*))
+      }
     } else if (shape == 6) {
       // set-operation shape: two differently-filtered projections of the
       // SAME base (same schema by construction), combined with
@@ -450,16 +571,21 @@ object Fuzz {
     }
   }
 
-  /** Three fixed-seed aggregate plans exported to the driver's oracle
-    * gate: the SQL rendering runs in DuckDB, the DataFrame rendering in
+  /** Fixed-seed aggregate plans exported to the driver's oracle gate:
+    * the SQL rendering runs in DuckDB, the DataFrame rendering in
     * Spark — a per-round cross-engine differential check of the same
     * generator FuzzRelationalSpec exercises Spark-vs-Spark.
     *
     * Seeds chosen (FuzzSeedScan at sf0.001) for non-trivial rows and
-    * feature diversity: 20 = inner lineitem⋈part join + conditional
-    * count (CASE WHEN + BETWEEN), 25 = NOT EXISTS anti join + HAVING +
-    * DECIMAL sums, 46 = EXISTS semi join + HAVING + conditional count. */
-  val driverSeeds = Seq(20L, 25L, 46L)
+    * feature diversity across the round-9 widened grammar:
+    * 5 = correlated scalar subquery (lineitem vs part min) + grouped
+    * aggregate, 14 = HAVING + DECIMAL sum, 23 = EXISTS semi join +
+    * ROLLUP + conditional count, 32 = inner lineitem⋈orders join +
+    * CUBE + DECIMAL sum, 33 = correlated scalar subquery + two-key
+    * grouped aggregate, 86 = NOT EXISTS anti join + ROLLUP +
+    * conditional count, 92 = inner join + GROUPING SETS + conditional
+    * count. */
+  val driverSeeds = Seq(5L, 14L, 23L, 32L, 33L, 86L, 92L)
 
   val all: Seq[Q] = driverSeeds.map { s =>
     val p = plan(s, forceAgg = true)

@@ -25,6 +25,10 @@ object FuzzSeedScan {
         else if (sql.contains("EXISTS")) "SEMI"
         else if (sql.contains("JOIN")) "JOIN" else "",
         if (sql.contains("HAVING")) "HAVING" else "",
+        if (sql.contains("ROLLUP")) "ROLLUP" else "",
+        if (sql.contains("CUBE")) "CUBE" else "",
+        if (sql.contains("GROUPING SETS")) "GSETS" else "",
+        if (sql.contains("(SELECT min") || sql.contains("(SELECT max")) "CORRSUB" else "",
         if (sql.contains("GROUP BY")) "GRP" else "")
         .filter(_.nonEmpty).mkString("+")
       println(s"SEED $seed rows=$rows feats=$feats sql=${sql.take(160)}")
