@@ -68,10 +68,13 @@ object Ann {
       // leafSize 200 = the reference's MAX_LEAF_SIZE build termination
       // (radient/tasks/sinks/local/gann.py:15); nTrees = the n_trees
       // recall knob (gann.py:201) — search probes every tree and
-      // dedupes candidates across trees before the exact re-rank
+      // dedupes candidates across trees before the exact re-rank.
+      // nTrees=3 puts recall@10 at 0.89 (2 trees measured 0.754, under
+      // the tier's 0.8 line); trees build concurrently, so the third
+      // tree costs scheduling overlap, not a third build wall-clock
       val model = memoized(s, dir, gannMemo)(
         GannIndex.build(e, "vec_id", "embedding",
-          leafSize = 200, spill = 0.15, nTrees = 2))
+          leafSize = 200, spill = 0.15, nTrees = 3))
       val queries = e.filter(col("vec_id") < 100)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       model.search(queries, "qid", "qv", k = 10)
@@ -93,7 +96,7 @@ object Ann {
       val queries = e.filter(col("vec_id") < 100)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       model.searchRerank(queries, "qid", "qv", k = 10,
-          shortlist = 50, vectors = e, vecCol = "embedding")
+          shortlist = 100, vectors = e, vecCol = "embedding")
         .select(col("qid"), col("vec_id"), round(col("dist"), 6).as("dist"), col("rnk"))
         .orderBy(col("qid"), col("rnk"))
     },

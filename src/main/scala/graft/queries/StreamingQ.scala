@@ -46,9 +46,25 @@ object StreamingQ {
       .option("maxFilesPerTrigger", "1")
       .parquet(stageChunks(s, dir, tag, numFiles).toString)
 
+  /** Staged landing dirs are memoized per (source dir, tag, numFiles)
+    * for the life of the JVM: the chunk files are immutable once
+    * written, every (re-)invocation of an entry reads the same corpus,
+    * and re-sorting + re-writing the chunks per call would make the
+    * bench measure harness staging IO instead of the streaming engine
+    * (each query start still gets its own fresh checkpoint, so the
+    * stream re-processes the files from scratch — only the STAGING is
+    * reused). */
+  private val stagedMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]
+
   /** Stage the landing directory for [[stagedEventStream]] (split out so
     * MultiBatchReplaySpec can inspect the chunk layout directly). */
   private[graft] def stageChunks(s: SparkSession, dir: String,
+      tag: String, numFiles: Int): java.nio.file.Path =
+    stagedMemo.computeIfAbsent(s"$dir#$tag#$numFiles",
+      _ => stageChunksNow(s, dir, tag, numFiles))
+
+  private def stageChunksNow(s: SparkSession, dir: String,
       tag: String, numFiles: Int): java.nio.file.Path = {
     // landing registered for deleteOnExit BEFORE its files: deleteOnExit
     // runs in reverse registration order, so the chunk files go first and
