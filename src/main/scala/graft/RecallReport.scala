@@ -215,7 +215,7 @@ object RecallReport {
     * 40×k shortlist defaults (see the RecallCurve sweep in SCALE.md). */
   private[graft] val recallFloors: Map[String, Double] = Map(
     "q_ann_ivf" -> 0.80, "q_ann_gann" -> 0.80, "q_ann_pq" -> 0.80,
-    "q_ann_ivfpq" -> 0.78, "q_ann_bq" -> 0.80, "q_ann_ivfbq" -> 0.80,
+    "q_ann_ivfpq" -> 0.80, "q_ann_bq" -> 0.80, "q_ann_ivfbq" -> 0.80,
     "q_ann_sq" -> 0.95, "q_ann_ivfsq" -> 0.80)
   private[graft] val lshPairRecallFloor: Double = 0.95
   private[graft] val hllMaxRelErrCeil: Double = 0.05

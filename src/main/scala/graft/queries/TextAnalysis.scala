@@ -472,9 +472,94 @@ object TextAnalysis {
       |ORDER BY lang, p
       |""".stripMargin))
 
+  /** CCNet-style per-language percentile prune: keep each language's
+    * documents above its own 20th percentile of stopword density — the
+    * quality-filter recipe that prunes per-LANGUAGE (a global threshold
+    * lets a high-resource language's distribution set the bar for every
+    * other one; CCNet and the Gopher pipeline both cut by within-group
+    * percentile for exactly that reason). The cut is an exact integer
+    * rank test (`5·rn > n` ⇔ rn above ⌊n/5⌋), ties broken by doc_id, so
+    * the keep set is deterministic and the oracle hash-matches.
+    *
+    * Scale: only the NARROW (doc_id, lang, score) projection enters the
+    * per-language window sort — payloads never shuffle — and the
+    * emitted keep-list equi-joins back to the corpus scan downstream.
+    * Language skew makes partitions uneven, but each partition sorts
+    * ~24-byte rows (spillable) — the q_shuffle_shards bounded-sort
+    * argument with language as the shard key. */
+  val q_quality_percentile_filter = Q(
+    "q_quality_percentile_filter",
+    (s, dir) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("score"), col("doc_id"))
+      val cw = Window.partitionBy(col("lang"))
+      Tables(s, dir, "documents")
+        .withColumn("t", tokens(col("text")))
+        .select(col("doc_id"), col("lang"),
+          (hitCount(col("t"), stopwords).cast("double") /
+            greatest(size(col("t")), lit(1))).as("score"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(cw))
+        .filter(col("rn") * 5 > col("n"))
+        .select(col("doc_id"), col("lang"),
+          round(col("score"), 6).as("score"), col("rn"))
+        .orderBy(col("lang"), col("rn"))
+    },
+    Some(s"""
+      |WITH scored AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(list_filter(t, x -> x IN $stopwordsSql)) AS DOUBLE)
+      |      / greatest(len(t), 1) AS score
+      |  FROM (SELECT doc_id, lang, ${Sql.toks()} AS t FROM documents)),
+      |ranked AS (
+      |  SELECT doc_id, lang, score,
+      |    row_number() OVER (PARTITION BY lang ORDER BY score, doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY lang) AS n
+      |  FROM scored)
+      |SELECT doc_id, lang, round(score, 6) AS score, rn
+      |FROM ranked WHERE rn * 5 > n
+      |ORDER BY lang, rn
+      |""".stripMargin))
+
+  /** Markup normalization — the strip-boilerplate stage every
+    * web-scraped corpus passes through before tokenization. The corpus
+    * is plain text, so the markup is CONSTRUCTED in-query (the
+    * planted-twin pattern: both engines wrap each document in the same
+    * div/p/br skeleton, making the STRIP the operator under test and
+    * the result hash-exact): strip tags with one `<[^>]+>` regex pass,
+    * collapse whitespace, trim; emit length + md5 of the cleaned text.
+    * Scale: narrow per-row projection, no shuffle but the presentation
+    * sort. */
+  val q_strip_markup = Q(
+    "q_strip_markup",
+    (s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("<div id=\""), col("doc_id"), lit("\"><p>"),
+            col("text"), lit("</p><br/></div>")).as("html"))
+        .select(col("doc_id"),
+          trim(regexp_replace(regexp_replace(col("html"), "<[^>]+>", " "),
+            "\\s+", " ")).as("clean"))
+        .select(col("doc_id"),
+          length(col("clean")).cast("long").as("n_clean"),
+          md5(col("clean")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      |SELECT doc_id,
+      |  CAST(length(clean) AS BIGINT) AS n_clean,
+      |  md5(clean) AS clean_md5
+      |FROM (
+      |  SELECT doc_id, trim(regexp_replace(regexp_replace(
+      |    '<div id="' || doc_id || '"><p>' || text || '</p><br/></div>',
+      |    '<[^>]+>', ' ', 'g'), '\s+', ' ', 'g')) AS clean
+      |  FROM documents)
+      |ORDER BY doc_id
+      |""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q_token_count, q_text_quality, q_gopher_rules, q_lang_id,
     q_doc_fingerprint, q_embed_hash,
     q_tfidf_top_terms, q_doc_chunks, q_doc_pages, q_repetition_ratio,
-    q_pmi_bigrams, q_profile_quantiles)
+    q_pmi_bigrams, q_profile_quantiles,
+    q_quality_percentile_filter, q_strip_markup)
 }
