@@ -590,6 +590,61 @@ object Dedup {
       |FROM cs GROUP BY csize ORDER BY csize
       |""".stripMargin))
 
+  /** Quality-weighted keeper selection: the same duplicate clusters as
+    * [[q_dedup_components]], but the kept representative is the BEST
+    * document of each cluster (longest `n_chars`, ties to the smaller
+    * doc_id) instead of the smallest id — the policy curation pipelines
+    * actually run ("keep the most complete copy"; min-id keeps whichever
+    * crawl happened to be ingested first, which for truncated or
+    * boilerplate-heavy duplicates is often the worst copy). Composes two
+    * oracle-checked families: the connected-components fixpoint supplies
+    * the cluster label, a per-cluster ordered window picks the argmax.
+    * Scale: only (id, label) and (id, n_chars) narrow rows shuffle; the
+    * keeper window partitions by cluster, so each sort is bounded by
+    * cluster size (the same skew bound as the cluster-size histogram). */
+  val q_dedup_keep_best = Q(
+    "q_dedup_keep_best",
+    (s, dir) => {
+      val pairs = simhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
+      val comp = graft.dedup.ConnectedComponents
+        .components(pairs, "doc_a", "doc_b")
+      val docs = Tables(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      val labelled = docs
+        .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chars"),
+          coalesce(col("comp"), col("doc_id")).as("cluster"))
+      val w = Window.partitionBy(col("cluster"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      labelled
+        .withColumn("best_id", first(col("doc_id")).over(w))
+        .select(col("doc_id"), col("cluster"), col("best_id"),
+          (col("doc_id") === col("best_id")).as("kept"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      |WITH RECURSIVE s AS (
+      |  SELECT doc_id, ${Sql.simhash60("t")} AS sh
+      |  FROM (SELECT doc_id, ${Sql.toks()} AS t FROM documents)),
+      |p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+      |e AS (SELECT doc_a AS u, doc_b AS v FROM p
+      |      UNION ALL SELECT doc_b, doc_a FROM p),
+      |reach(u, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.v, reach.r FROM reach JOIN e ON e.u = reach.u),
+      |comp AS (SELECT u AS doc_id, min(r) AS cluster FROM reach GROUP BY u)
+      |SELECT doc_id, cluster, best_id, doc_id = best_id AS kept
+      |FROM (
+      |  SELECT d.doc_id, comp.cluster,
+      |    first_value(d.doc_id) OVER (
+      |      PARTITION BY comp.cluster ORDER BY d.n_chars DESC, d.doc_id) AS best_id
+      |  FROM documents d JOIN comp ON comp.doc_id = d.doc_id)
+      |ORDER BY doc_id
+      |""".stripMargin))
+
   /** SemDeDup-shaped semantic dedup (Abbas et al. 2023: cluster the
     * embeddings, then search for near-dups only WITHIN each cluster):
     * every vector hard-assigns to its nearest of 8 fixed deterministic
@@ -678,5 +733,5 @@ object Dedup {
     q_dedup_minhash_lsh, q_dedup_embedding_tight,
     q_dedup_semantic,
     q_dedup_simhash,
-    q_dedup_components, q_dedup_cluster_sizes)
+    q_dedup_components, q_dedup_cluster_sizes, q_dedup_keep_best)
 }

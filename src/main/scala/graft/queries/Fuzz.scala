@@ -308,7 +308,16 @@ object Fuzz {
     })
     val existsSql = join.flatMap { j =>
       if (joinKind < 2 || joinKind >= 4) None
-      else {
+      else if (joinKind == 2 && (seed & 1) == 0) {
+        // IN-subquery rendering of the same semi join on even seeds —
+        // a second decorrelation surface (IN vs EXISTS) for free; keyed
+        // off the seed's parity, NOT an rnd draw, so the generator's
+        // draw stream (and with it every fixed driver seed's structure)
+        // is unchanged. Keys are non-null, so IN ≡ EXISTS here.
+        Some(s"${base.name}.${j.leftKey} IN (SELECT ${j.rightKey} FROM " +
+          s"${j.dim.name}" +
+          dimPred.map(p => s" WHERE (${p.sql})").getOrElse("") + ")")
+      } else {
         val not = if (joinKind == 3) "NOT " else ""
         val extra = dimPred.map(p => s" AND (${p.sql})").getOrElse("")
         Some(s"${not}EXISTS (SELECT 1 FROM ${j.dim.name} WHERE " +
