@@ -26,7 +26,9 @@ class DeterminismSpec extends AnyFunSuite {
     "q_dedup_components",  // union-find / label propagation keepers
     "q_customer_running_spend", // running-sum window over money
     "q_lm_cross_entropy",  // ln-term fold over per-doc bigram lists
-    "q_dedup_semantic")    // centroid argmin + in-cluster cosine verify
+    "q_dedup_semantic",    // centroid argmin + in-cluster cosine verify
+    "q_quality_percentile_filter", // per-language exact-rank cut (r9)
+    "q_dedup_keep_best")   // cluster argmax keeper over components (r9)
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, dir)

@@ -31,6 +31,7 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_dedup_simhash", "q_dedup_spans",
     "q_dedup_embedding_tight", "q_dedup_semantic",
     "q_dedup_incremental", "q_dedup_components", "q_dedup_cluster_sizes",
+    "q_dedup_keep_best",
     "q_decontaminate", "q_decontaminate_bloom",
     "q_ann_ivf", "q_ann_gann", "q_ann_pq", "q_ann_ivfpq", "q_ann_bq",
     "q_ann_ivfbq", "q_ann_sq", "q_ann_ivfsq", "q_knn_join", "q_pmi_bigrams",
