@@ -677,10 +677,91 @@ object Corpus {
       |FROM planted ORDER BY doc_id
       |""".stripMargin))
 
+  /** DSIR-style importance resampling weights (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every document by how much more likely its hashed-feature bag is
+    * under a TARGET distribution than under the raw-corpus
+    * distribution — log w(d) = Σ_b cnt_d(b) · ln(p_target(b)/p_raw(b))
+    * over B=1024 md5-hashed unigram buckets, both distributions add-1
+    * smoothed. The target here is the corpus's `lang = 'zh'` slice (the
+    * method is target-agnostic: swap in any exemplar set); a pipeline
+    * then samples ∝ exp(log w) or keeps the top slice — the
+    * domain-matching selection step between raw crawl and training mix.
+    *
+    * Exactness (the q_lm_cross_entropy pattern): all counts are
+    * integers; the ONE transcendental per bucket — the ln ratio — is
+    * rounded to 6dp before the per-doc fold, and the fold is a
+    * bucket-sorted sequential aggregate of cnt·lnr products, so both
+    * engines fold identical doubles in identical order.
+    *
+    * Scale: the bucket tables are ≤B rows (broadcast); the corpus moves
+    * once into the per-doc (doc, bucket, cnt) aggregate, which is
+    * ≤B-bounded per document; totals are 1-row broadcast crossJoins. */
+  val q_dsir_weights = Q(
+    "q_dsir_weights",
+    (s, dir) => {
+      val B = 1024
+      val bound = graft.core.Caches.cached(
+        Tables.spread(Tables(s, dir, "documents"))
+          .select(col("doc_id"), col("lang"), tokens(col("text")).as("t")))
+      val tok = graft.core.Caches.cached(
+        bound.select(col("doc_id"), col("lang"), explode(col("t")).as("w"))
+          .select(col("doc_id"), col("lang"),
+            pmod(h32s("dsir#", col("w")), lit(B)).as("b")))
+      val dbk = tok.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("cnt"))
+      val raw = tok.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+      val tgt = tok.filter(col("lang") === "zh")
+        .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+      val nr = broadcast(tok.agg(count(lit(1)).as("nr")))
+      val nt = broadcast(tok.filter(col("lang") === "zh")
+        .agg(count(lit(1)).as("nt")))
+      val ratio = raw.join(tgt, Seq("b"), "left")
+        .select(col("b"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
+        .crossJoin(nr).crossJoin(nt)
+        .select(col("b"), round(log(
+            ((col("ct") + 1).cast("double") / (col("nt") + B)) /
+            ((col("cr") + 1).cast("double") / (col("nr") + B))), 6)
+          .as("lnr"))
+      dbk.join(ratio, Seq("b"))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("b"), col("cnt"), col("lnr"))))
+          .as("terms"))
+        .select(col("doc_id"),
+          aggregate(col("terms"), lit(0L),
+            (a, t) => a + t.getField("cnt")).as("n_tokens"),
+          round(aggregate(col("terms"), lit(0.0),
+            (a, t) => a + t.getField("cnt").cast("double") * t.getField("lnr")), 6)
+            .as("dsir_logw"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      |WITH d AS (SELECT doc_id, lang, ${Sql.toks()} AS t FROM documents),
+      |tok AS (
+      |  SELECT doc_id, lang, ${Sql.h32("'dsir#' || w")} % 1024 AS b
+      |  FROM (SELECT doc_id, lang, unnest(t) AS w FROM d)),
+      |dbk AS (SELECT doc_id, b, count(*) AS cnt FROM tok GROUP BY doc_id, b),
+      |raw AS (SELECT b, count(*) AS cr FROM tok GROUP BY b),
+      |tgt AS (SELECT b, count(*) AS ct FROM tok WHERE lang = 'zh' GROUP BY b),
+      |nr AS (SELECT count(*) AS nr FROM tok),
+      |nt AS (SELECT count(*) AS nt FROM tok WHERE lang = 'zh'),
+      |ratio AS (
+      |  SELECT raw.b,
+      |    round(ln(((coalesce(ct, 0) + 1)::DOUBLE / (nt + 1024)) /
+      |             ((cr + 1)::DOUBLE / (nr + 1024))), 6) AS lnr
+      |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN nr CROSS JOIN nt),
+      |folded AS (
+      |  SELECT doc_id,
+      |    list_sum(list(cnt::DOUBLE * lnr ORDER BY b, cnt, lnr)) AS s,
+      |    CAST(sum(cnt) AS BIGINT) AS n
+      |  FROM dbk JOIN ratio USING (b) GROUP BY doc_id)
+      |SELECT doc_id, n AS n_tokens, round(s, 6) AS dsir_logw
+      |FROM folded ORDER BY doc_id
+      |""".stripMargin))
+
   val all: Seq[Q] = Seq(q_token_bpe, q_corpus_filter, q_sample_stratified,
     q_decontaminate, q_decontaminate_bloom, q_pipeline_curate,
     q_pipeline_curate2, q_ngram_topk,
     q_rare_tokens, q_zipf, q_pack_sequences, q_bpe_merges, q_mixture_weights,
-    q_lm_cross_entropy, q_scrub_pii)
+    q_lm_cross_entropy, q_scrub_pii, q_dsir_weights)
 }
 

@@ -28,7 +28,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q_lm_cross_entropy",  // ln-term fold over per-doc bigram lists
     "q_dedup_semantic",    // centroid argmin + in-cluster cosine verify
     "q_quality_percentile_filter", // per-language exact-rank cut (r9)
-    "q_dedup_keep_best")   // cluster argmax keeper over components (r9)
+    "q_dedup_keep_best",   // cluster argmax keeper over components (r9)
+    "q_dsir_weights")      // ln-ratio fold over hashed buckets (r9)
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, dir)
