@@ -207,6 +207,61 @@ object Operators {
         ins.head.join(kept.select(col(idCol)), Seq(idCol), "left_semi")
       else kept
     },
+    // DSIR importance-resampling weights (Xie et al. 2023; the
+    // oracle-checked fixed form is q_dsir_weights): per-doc
+    // log w = Σ cnt·ln(p_target/p_raw) over hashed unigram buckets,
+    // target = rows where targetCol == targetValue. Emits
+    // (idCol, n_tokens, dsir_logw); optional minLogw keeps docs at or
+    // above the threshold; mode=filter returns the ORIGINAL input rows
+    // that pass (the selection-stage form)
+    "dsir_weight" -> { (_, cp) => (ins, rp) =>
+      val params = cp ++ rp
+      val idCol = p(params, "idCol", "doc_id")
+      val textCol = p(params, "textCol", "text")
+      val targetCol = p(params, "targetCol", "lang")
+      val targetValue = p(params, "targetValue", "zh")
+      val buckets = p(params, "buckets", "1024").toInt
+      val bound = graft.core.Caches.cached(ins.head
+        .select(col(idCol), TextF.tokens(col(textCol)).as("t"),
+          (col(targetCol) === targetValue).as("_tgt")))
+      val scored = graft.queries.Corpus.dsirLogWeights(bound, idCol, buckets)
+      val kept = params.get("minLogw") match {
+        case Some(m) => scored.filter(col("dsir_logw") >= m.toDouble)
+        case None => scored
+      }
+      if (p(params, "mode", "score") == "filter")
+        ins.head.join(kept.select(col(idCol)), Seq(idCol), "left_semi")
+      else kept
+    },
+    // per-GROUP percentile quality prune (CCNet-style; the
+    // oracle-checked fixed form is q_quality_percentile_filter): rank
+    // every row inside its group by stopword density and drop the
+    // bottom dropBottomPct percent — the cut is the exact integer rank
+    // test rn·100 > n·dropBottomPct, so the keep set is deterministic.
+    // Only the narrow (id, group, score) projection enters the window;
+    // returns the ORIGINAL input rows that survive
+    "percentile_prune" -> { (_, cp) => (ins, rp) =>
+      val params = cp ++ rp
+      val idCol = p(params, "idCol", "doc_id")
+      val textCol = p(params, "textCol", "text")
+      val groupCol = p(params, "groupCol", "lang")
+      val dropPct = p(params, "dropBottomPct", "20").toInt
+      require(dropPct >= 0 && dropPct < 100,
+        s"percentile_prune: dropBottomPct $dropPct outside [0, 100)")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(groupCol)).orderBy(col("_score"), col(idCol))
+      val cw = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+      val keep = ins.head
+        .select(col(idCol), col(groupCol), TextF.tokens(col(textCol)).as("_t"))
+        .select(col(idCol), col(groupCol),
+          (TextF.hitCount(col("_t"), TextF.stopwords).cast("double") /
+            greatest(size(col("_t")), lit(1))).as("_score"))
+        .withColumn("_rn", row_number().over(w).cast("long"))
+        .withColumn("_n", count(lit(1)).over(cw))
+        .filter(col("_rn") * 100 > col("_n") * dropPct)
+        .select(col(idCol))
+      ins.head.join(keep, Seq(idCol), "left_semi")
+    },
     // reciprocal-rank fusion of N ranked lists (the hybrid-search tail —
     // Milvus RRFRanker semantics over any mix of sparse/dense/binary
     // rankings; the oracle-checked fixed form is q_hybrid_rrf). Each

@@ -697,42 +697,50 @@ object Corpus {
     * Scale: the bucket tables are ≤B rows (broadcast); the corpus moves
     * once into the per-doc (doc, bucket, cnt) aggregate, which is
     * ≤B-bounded per document; totals are 1-row broadcast crossJoins. */
+  /** The DSIR kernel of [[q_dsir_weights]] (and the `dsir_weight`
+    * registry transform): input = (idCol, t token-array, _tgt boolean),
+    * output = (idCol, n_tokens, dsir_logw). Both distributions are fit
+    * on the input itself (target = rows where _tgt). */
+  private[graft] def dsirLogWeights(
+      bound: org.apache.spark.sql.DataFrame, idCol: String,
+      buckets: Int = 1024): org.apache.spark.sql.DataFrame = {
+    val id = col(idCol)
+    val tok = graft.core.Caches.cached(
+      bound.select(id, col("_tgt"), explode(col("t")).as("w"))
+        .select(id, col("_tgt"), pmod(h32s("dsir#", col("w")), lit(buckets)).as("b")))
+    val dbk = tok.groupBy(id, col("b")).agg(count(lit(1)).as("cnt"))
+    val raw = tok.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val tgt = tok.filter(col("_tgt"))
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val nr = broadcast(tok.agg(count(lit(1)).as("nr")))
+    val nt = broadcast(tok.filter(col("_tgt")).agg(count(lit(1)).as("nt")))
+    val ratio = raw.join(tgt, Seq("b"), "left")
+      .select(col("b"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
+      .crossJoin(nr).crossJoin(nt)
+      .select(col("b"), round(log(
+          ((col("ct") + 1).cast("double") / (col("nt") + buckets)) /
+          ((col("cr") + 1).cast("double") / (col("nr") + buckets))), 6)
+        .as("lnr"))
+    dbk.join(ratio, Seq("b"))
+      .groupBy(id)
+      .agg(sort_array(collect_list(struct(col("b"), col("cnt"), col("lnr"))))
+        .as("terms"))
+      .select(id,
+        aggregate(col("terms"), lit(0L),
+          (a, t) => a + t.getField("cnt")).as("n_tokens"),
+        round(aggregate(col("terms"), lit(0.0),
+          (a, t) => a + t.getField("cnt").cast("double") * t.getField("lnr")), 6)
+          .as("dsir_logw"))
+  }
+
   val q_dsir_weights = Q(
     "q_dsir_weights",
     (s, dir) => {
-      val B = 1024
       val bound = graft.core.Caches.cached(
         Tables.spread(Tables(s, dir, "documents"))
-          .select(col("doc_id"), col("lang"), tokens(col("text")).as("t")))
-      val tok = graft.core.Caches.cached(
-        bound.select(col("doc_id"), col("lang"), explode(col("t")).as("w"))
-          .select(col("doc_id"), col("lang"),
-            pmod(h32s("dsir#", col("w")), lit(B)).as("b")))
-      val dbk = tok.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("cnt"))
-      val raw = tok.groupBy(col("b")).agg(count(lit(1)).as("cr"))
-      val tgt = tok.filter(col("lang") === "zh")
-        .groupBy(col("b")).agg(count(lit(1)).as("ct"))
-      val nr = broadcast(tok.agg(count(lit(1)).as("nr")))
-      val nt = broadcast(tok.filter(col("lang") === "zh")
-        .agg(count(lit(1)).as("nt")))
-      val ratio = raw.join(tgt, Seq("b"), "left")
-        .select(col("b"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
-        .crossJoin(nr).crossJoin(nt)
-        .select(col("b"), round(log(
-            ((col("ct") + 1).cast("double") / (col("nt") + B)) /
-            ((col("cr") + 1).cast("double") / (col("nr") + B))), 6)
-          .as("lnr"))
-      dbk.join(ratio, Seq("b"))
-        .groupBy(col("doc_id"))
-        .agg(sort_array(collect_list(struct(col("b"), col("cnt"), col("lnr"))))
-          .as("terms"))
-        .select(col("doc_id"),
-          aggregate(col("terms"), lit(0L),
-            (a, t) => a + t.getField("cnt")).as("n_tokens"),
-          round(aggregate(col("terms"), lit(0.0),
-            (a, t) => a + t.getField("cnt").cast("double") * t.getField("lnr")), 6)
-            .as("dsir_logw"))
-        .orderBy(col("doc_id"))
+          .select(col("doc_id"), tokens(col("text")).as("t"),
+            (col("lang") === "zh").as("_tgt")))
+      dsirLogWeights(bound, "doc_id").orderBy(col("doc_id"))
     },
     Some(s"""
       |WITH d AS (SELECT doc_id, lang, ${Sql.toks()} AS t FROM documents),

@@ -202,6 +202,56 @@ class OperatorsSpec extends AnyFunSuite {
     ()
   }
 
+  test("dsir_weight matches the oracle entry and filters by threshold") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val score = Operators.make(spark, "transform", "dsir_weight", Map.empty)
+    val out = score(Seq(docs), Map.empty).cache()
+    // same kernel as the oracle-checked q_dsir_weights (default params
+    // == the entry's fixed form, modulo the entry's spread)
+    val entry = graft.queries.Corpus.q_dsir_weights
+      .run(spark, TestSpark.sf0001)
+      .collect().map(_.toString).sorted.toSeq
+    assert(out.collect().map(_.toString).sorted.toSeq == entry)
+    // target-slice docs score higher on average than the rest — the
+    // method's whole point (weights favor target-like documents)
+    import org.apache.spark.sql.functions.{avg, col}
+    val byTgt = out.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang") === "zh").agg(avg(col("dsir_logw")))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(byTgt(true) > byTgt(false))
+    // mode=filter returns original rows, thresholded at the median logw
+    import org.apache.spark.sql.functions.expr
+    val med = out.agg(expr("percentile(dsir_logw, 0.5)")).head().getDouble(0)
+    val kept = Operators.make(spark, "transform", "dsir_weight",
+      Map("mode" -> "filter", "minLogw" -> med.toString))(Seq(docs), Map.empty)
+    assert(kept.columns.toSeq == docs.columns.toSeq)
+    assert(kept.count() > 0 && kept.count() < docs.count())
+    out.unpersist()
+    ()
+  }
+
+  test("percentile_prune drops the bottom quintile per group") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val prune = Operators.make(spark, "transform", "percentile_prune", Map.empty)
+    val out = prune(Seq(docs), Map.empty).cache()
+    assert(out.columns.toSeq == docs.columns.toSeq) // original rows survive
+    // exact per-language arithmetic: kept = n - floor(n/5)
+    import org.apache.spark.sql.functions.col
+    val perLang = docs.groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keptLang = out.groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    perLang.foreach { case (l, n) =>
+      assert(keptLang.getOrElse(l, 0L) == n - n / 5, s"lang $l: n=$n")
+    }
+    // dropBottomPct=0 keeps everything
+    val all = Operators.make(spark, "transform", "percentile_prune",
+      Map("dropBottomPct" -> "0"))(Seq(docs), Map.empty)
+    assert(all.count() == docs.count())
+    out.unpersist()
+    ()
+  }
+
   test("parquet sink writes layout-partitioned training shards") {
     val out = tmp("ops-shards")
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
