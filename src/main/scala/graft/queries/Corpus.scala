@@ -619,6 +619,77 @@ object Corpus {
       |ORDER BY doc_id
       |""".stripMargin))
 
+  /** The curation pipeline v3 — the ROUND-9 verbs composed under the
+    * oracle: per-language percentile prune (drop each language's bottom
+    * stopword-density quintile) → bigram-LM perplexity filter FIT ON THE
+    * PRUNE SURVIVORS (τ = 3.42) → deterministic stratified sample, every
+    * stage built by the string-keyed registry and run as one lazy
+    * DataFrame. The oracle restates the same three-stage composition in
+    * SQL — stage order matters twice over: the percentile ranks are
+    * computed on the full corpus but the LM's fit population is the
+    * prune survivors, so reordering (or fitting on the raw corpus)
+    * shifts every rank/count and fails the hash. */
+  val q_pipeline_curate3 = Q(
+    "q_pipeline_curate3",
+    (s, dir) => {
+      import graft.pipeline.{Operators, Workflow}
+      val curated = new Workflow()
+        .source("docs", Tables.spread(Tables(s, dir, "documents")))
+        .addWithParams("prune",
+          Operators.make(s, "transform", "percentile_prune"))
+        .addWithParams("lm",
+          Operators.make(s, "transform", "lm_score",
+            Map("mode" -> "filter", "maxEntropy" -> "3.42")))
+        .addWithParams("sample",
+          Operators.make(s, "transform", "stratified_sample",
+            Map("quotas" -> "en:600,de:300,es:300,fr:300,zh:300")))
+        .execute()
+      curated
+        .select(col("doc_id"), col("lang"),
+          col("bucket").cast("long").as("bucket"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      |WITH d AS (SELECT doc_id, lang, text, ${Sql.toks()} AS t FROM documents),
+      |sc AS (
+      |  SELECT doc_id, lang, text, t,
+      |    CAST(len(list_filter(t, x -> x IN ${TextAnalysis.stopwordsSql}))
+      |      AS DOUBLE) / greatest(len(t), 1) AS score
+      |  FROM d),
+      |rk AS (
+      |  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY score, doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY lang) AS n
+      |  FROM sc),
+      |f0 AS (SELECT doc_id, lang, text, t FROM rk WHERE rn * 100 > n * 20),
+      |bg AS (SELECT doc_id, unnest(${Sql.shingles2("t")}) AS bg FROM f0),
+      |dbg AS (SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY doc_id, bg),
+      |c12 AS (SELECT bg, count(*) AS c12 FROM bg GROUP BY bg),
+      |uni AS (SELECT w, count(*) AS c1
+      |        FROM (SELECT unnest(t) AS w FROM f0) GROUP BY w),
+      |v AS (SELECT count(*) AS v FROM uni),
+      |scored AS (
+      |  SELECT doc_id, bg, cnt,
+      |    round(ln((c12 + 1)::DOUBLE / (c1 + v)), 6) AS lnp
+      |  FROM dbg JOIN c12 USING (bg)
+      |  JOIN uni ON uni.w = split_part(bg, ' ', 1)
+      |  CROSS JOIN v),
+      |folded AS (
+      |  SELECT doc_id,
+      |    list_sum(list(cnt::DOUBLE * lnp ORDER BY bg, cnt, lnp)) AS nll,
+      |    CAST(sum(cnt) AS BIGINT) AS n
+      |  FROM scored GROUP BY doc_id),
+      |keep AS (SELECT doc_id FROM folded WHERE round(-nll / n, 6) <= 3.42),
+      |f AS (SELECT f0.doc_id, f0.lang FROM f0 JOIN keep USING (doc_id))
+      |SELECT doc_id, lang, bucket FROM (
+      |  SELECT doc_id, lang,
+      |    ${Sql.h32("lang || '#' || doc_id")} % 1000 AS bucket
+      |  FROM f)
+      |WHERE bucket < CASE lang WHEN 'en' THEN 600 WHEN 'de' THEN 300
+      |  WHEN 'es' THEN 300 WHEN 'fr' THEN 300 WHEN 'zh' THEN 300
+      |  ELSE 100 END
+      |ORDER BY doc_id
+      |""".stripMargin))
+
   /** ASCII-conservative so the Java and RE2 engines match byte-for-byte
     * (the q_token_bpe discipline). */
   private[graft] val EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
@@ -768,7 +839,7 @@ object Corpus {
 
   val all: Seq[Q] = Seq(q_token_bpe, q_corpus_filter, q_sample_stratified,
     q_decontaminate, q_decontaminate_bloom, q_pipeline_curate,
-    q_pipeline_curate2, q_ngram_topk,
+    q_pipeline_curate2, q_pipeline_curate3, q_ngram_topk,
     q_rare_tokens, q_zipf, q_pack_sequences, q_bpe_merges, q_mixture_weights,
     q_lm_cross_entropy, q_scrub_pii, q_dsir_weights)
 }
