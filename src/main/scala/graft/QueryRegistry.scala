@@ -10,6 +10,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object QueryRegistry {
   def all: Seq[Q] =
     Relational.all ++ Relational2.all ++ TextAnalysis.all ++ Corpus.all ++
+      CorpusOps.all ++
       Sharding.all ++ Dedup.all ++ VectorSearch.all ++ VectorCompress.all ++
       SparseSearch.all ++ HybridSearch.all ++ Molecules.all ++
       Ann.all ++ Pipelines.all ++ StreamingQ.all ++ SourcesQ.all ++ Fuzz.all

@@ -1,0 +1,62 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PageRank by power iteration over a weighted edge list — the graph
+  * centrality companion to [[graft.vectorize.FastRP]] (same `A·x`
+  * message-passing core, scalar state instead of a vector): per round
+  * every node sends `rank · w/outw` along its out-edges (one equi-join +
+  * one map-side-combined sum), dangling mass is folded back uniformly,
+  * and `rank ← (1−d)/n + d·(msgs + dangling/n)`.
+  *
+  * Scale shape: the (src, dst, p) transition table is cached once and
+  * re-joined each round; every round shuffles only (node, double) pairs —
+  * never payloads. Each round's rank frame is materialized with an EAGER
+  * `localCheckpoint` so lineage stays one round deep (the
+  * [[graft.dedup.ConnectedComponents]] lesson: the frame is referenced
+  * by both the dangling aggregate and the next round's join, so an
+  * uncheckpointed chain doubles per round). The dangling aggregate is
+  * the per-round driver action that GraphX's Pregel also pays; on a real
+  * cluster the localCheckpoint becomes a reliable checkpoint every few
+  * rounds.
+  */
+object PageRank {
+
+  /** (node, rank) for every node appearing in `edges` (src, dst, weight);
+    * ranks sum to 1. Fixed iteration count — deterministic output shape
+    * regardless of convergence, the form a scheduled corpus-refresh job
+    * wants. */
+  def ranks(edgesIn: DataFrame, iters: Int = 10,
+      damping: Double = 0.85): DataFrame = {
+    val edges = edgesIn.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"),
+      col("weight").cast("double").as("weight")).cache()
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct().cache()
+    val n = nodes.count()
+    val outw = edges.groupBy("src").agg(sum("weight").as("outw"))
+    val trans = edges.join(outw, "src")
+      .select(col("src"), col("dst"), (col("weight") / col("outw")).as("p"))
+      .cache()
+    // nodes with no out-edges: their rank leaks unless redistributed
+    val sinks = nodes.join(outw.select(col("src").as("node")),
+      Seq("node"), "left_anti").cache()
+    var rank = nodes.select(col("node"), lit(1.0 / n).as("rank"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val dangling = sinks.join(rank, Seq("node"))
+        .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
+      val msgs = trans.join(rank, trans("src") === rank("node"))
+        .select(trans("dst").as("node"), (col("rank") * col("p")).as("c"))
+        .groupBy("node").agg(sum("c").as("m"))
+      rank = nodes.join(msgs, Seq("node"), "left")
+        .select(col("node"),
+          (lit((1 - damping) / n) + lit(damping) *
+            (coalesce(col("m"), lit(0.0)) + lit(dangling / n))).as("rank"))
+        .localCheckpoint(true)
+    }
+    edges.unpersist(); trans.unpersist(); sinks.unpersist(); nodes.unpersist()
+    rank
+  }
+}

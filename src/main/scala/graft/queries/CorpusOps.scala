@@ -1,0 +1,139 @@
+package graft.queries
+
+import graft.core.{Caches, Tables}
+import graft.functions.TextF
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.CountMinSketch
+
+/** Corpus-maintenance operators — the recurring-pipeline half of curation
+  * that [[Corpus]]'s one-shot filters don't cover: sketch-guarded heavy
+  * hitters over a vocabulary too large to shuffle, and snapshot-delta
+  * classification between two crawls of the same corpus.
+  */
+object CorpusOps {
+  import TextF._
+
+  /** Frequent 3-grams via a Count-Min-Sketch candidate pass + exact
+    * verify — the frequent-items operator (output exactly the grams
+    * occurring ≥ 5 times, the duplicated-boilerplate detector) in the
+    * regime where [[Corpus.q_ngram_topk]]'s plain groupBy stops scaling:
+    * distinct n-grams grow with corpus size (not Zipf-bounded like the
+    * unigram vocabulary), so a full groupBy(gram) shuffles nearly the
+    * whole occurrence stream. Here the first pass merges FIXED-size CMS
+    * partials (map-side combine of ~1 MB blobs; the driver holds one
+    * sketch, never a vocabulary), the sketch broadcasts back as an
+    * occurrence-stream filter, and only the surviving candidate
+    * occurrences reach the exact groupBy. CMS never under-counts, so
+    * the candidate set is a superset of the true frequent grams and the
+    * exact pass makes the output hash-identical to the brute-force
+    * oracle (CorpusOpsSpec pins the superset property; both sketch
+    * sides go through the binary code path so Spark's agg and the probe
+    * hash the same bytes). In production the threshold is ⌈φN⌉ and eps
+    * trades sketch size (width·depth·8 B per partial through the merge)
+    * against candidate pruning; the fixture's synthetic text has no
+    * φN-frequent gram at any φ that survives scale-up, so the entry
+    * pins the absolute-count form. */
+  val q_heavy_hitters = Q(
+    "q_heavy_hitters",
+    (s, dir) => {
+      // cached (tracked): the gram stream feeds the sketch pass and the
+      // candidate pass
+      val grams = Caches.cached(
+        Tables.spread(Tables(s, dir, "documents"))
+          .withColumn("t", tokens(col("text")))
+          .select(explode(shingles(col("t"), 3)).as("gram")))
+      val thresh = 5L
+      val skBytes = grams
+        .select(count_min_sketch(col("gram").cast("binary"),
+          lit(0.0001d), lit(0.99d), lit(42)).as("sk"))
+        .head().getAs[Array[Byte]](0)
+      val bc = s.sparkContext.broadcast(skBytes)
+      val isCandidate = udf { (g: String) =>
+        // deserialize once per executor (lazy val inside the closure
+        // would not survive serialization; readFrom is cheap relative to
+        // the partition but memoize anyway via the companion cache)
+        CorpusOps.sketchFor(bc.value)
+          .estimateCount(g.getBytes(java.nio.charset.StandardCharsets.UTF_8)) >= thresh
+      }
+      grams.filter(isCandidate(col("gram")))
+        .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= thresh)
+        .orderBy(desc("cnt"), col("gram"))
+    },
+    Some(s"""
+      |WITH g AS (SELECT unnest(${Sql.shingles3("t")}) AS gram
+      |           FROM (SELECT ${Sql.toks()} AS t FROM documents))
+      |SELECT gram, count(*) AS cnt
+      |FROM g
+      |GROUP BY gram
+      |HAVING count(*) >= 5
+      |ORDER BY cnt DESC, gram
+      |""".stripMargin))
+
+  /** Per-JVM memo of deserialized sketches keyed by blob identity — the
+    * candidate UDF runs once per occurrence; re-parsing the blob per row
+    * would dominate. */
+  @transient private lazy val sketchCache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, CountMinSketch]()
+  private[queries] def sketchFor(bytes: Array[Byte]): CountMinSketch =
+    sketchCache.computeIfAbsent(System.identityHashCode(bytes),
+      _ => CountMinSketch.readFrom(bytes))
+
+  /** Snapshot delta — classify every document as added / removed /
+    * changed between the previous crawl and the current one, by content
+    * fingerprint. The previous snapshot is derived deterministically
+    * from the same table so the oracle can state it in SQL: docs with
+    * id ≡ 1 (mod 7) were absent then ("added" now), docs with id ≡ 2
+    * (mod 7) carried a stale text ("changed"), and a shifted id range
+    * (id + 10 000 000 for id ≡ 0 mod 13) existed then but not now
+    * ("removed"). Scale: both sides reduce to (doc_id, md5) pairs at
+    * the scan — the join shuffles 24-byte rows co-partitioned on
+    * doc_id, never document payloads, and the output is only the delta
+    * rows (the steady-state crawl delta is a small fraction of the
+    * corpus). Hash domain → oracle-exact. */
+  val q_corpus_delta = Q(
+    "q_corpus_delta",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val cur = docs.select(col("doc_id"), md5(col("text")).as("h"))
+      val prev = docs.filter(col("doc_id") % 7 =!= 1)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 7 === 2,
+            concat(col("text"), lit(" (stale)")))
+            .otherwise(col("text"))).as("h"))
+        .union(docs.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            md5(col("text")).as("h")))
+      cur.withColumnRenamed("h", "hc")
+        .join(prev.withColumnRenamed("h", "hp"), Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("hp").isNull, "added")
+            .when(col("hc").isNull, "removed")
+            .when(col("hc") =!= col("hp"), "changed")
+            .otherwise("unchanged").as("status"))
+        .filter(col("status") =!= "unchanged")
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      |WITH cur AS (SELECT doc_id, md5(text) AS hc FROM documents),
+      |prev AS (
+      |  SELECT doc_id,
+      |         md5(CASE WHEN doc_id % 7 = 2 THEN text || ' (stale)'
+      |                  ELSE text END) AS hp
+      |  FROM documents WHERE doc_id % 7 <> 1
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, md5(text) FROM documents
+      |  WHERE doc_id % 13 = 0)
+      |SELECT doc_id, status FROM (
+      |  SELECT coalesce(cur.doc_id, prev.doc_id) AS doc_id,
+      |         CASE WHEN hp IS NULL THEN 'added'
+      |              WHEN hc IS NULL THEN 'removed'
+      |              WHEN hc <> hp THEN 'changed'
+      |              ELSE 'unchanged' END AS status
+      |  FROM cur FULL OUTER JOIN prev ON cur.doc_id = prev.doc_id)
+      |WHERE status <> 'unchanged'
+      |ORDER BY doc_id
+      |""".stripMargin))
+
+  val all: Seq[Q] = Seq(q_heavy_hitters, q_corpus_delta)
+}

@@ -58,5 +58,27 @@ object Pipelines {
     },
     None)
 
-  val all: Seq[Q] = Seq(q_fastrp_embed, q_multimodal_embed)
+  /** PageRank centrality over the same customer↔nation bipartite graph
+    * as [[q_fastrp_embed]] — the "importance" signal a curation pass
+    * weights sources by (domain authority at web scale). No oracle: the
+    * per-round double sums are partition-order dependent; PageRankSpec
+    * pins the math against a dense driver-side power iteration and the
+    * rank-mass invariant (Σ rank = 1). Output rounded to 9 dp, hub
+    * (nation) nodes first. */
+  val q_pagerank = Q(
+    "q_pagerank",
+    (s, dir) => {
+      val cust = Tables(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("src"),
+          (col("c_nationkey").cast("long") + 10000L).as("dst"),
+          lit(1.0).as("weight"))
+      val edges = cust.union(
+        cust.select(col("dst").as("src"), col("src").as("dst"), col("weight")))
+      graft.graph.PageRank.ranks(edges, iters = 8)
+        .select(col("node"), round(col("rank"), 9).as("rank"))
+        .orderBy(desc("rank"), col("node"))
+    },
+    None)
+
+  val all: Seq[Q] = Seq(q_fastrp_embed, q_multimodal_embed, q_pagerank)
 }
