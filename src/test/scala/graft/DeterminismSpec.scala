@@ -29,7 +29,9 @@ class DeterminismSpec extends AnyFunSuite {
     "q_dedup_semantic",    // centroid argmin + in-cluster cosine verify
     "q_quality_percentile_filter", // per-language exact-rank cut (r9)
     "q_dedup_keep_best",   // cluster argmax keeper over components (r9)
-    "q_dsir_weights")      // ln-ratio fold over hashed buckets (r9)
+    "q_dsir_weights",      // ln-ratio fold over hashed buckets (r9)
+    "q_heavy_hitters",     // CMS candidate filter + exact count (r9)
+    "q_corpus_delta")      // full-outer fingerprint classification (r9)
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, dir)

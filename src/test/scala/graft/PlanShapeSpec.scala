@@ -36,7 +36,17 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_ann_ivf", "q_ann_gann", "q_ann_pq", "q_ann_ivfpq", "q_ann_bq",
     "q_ann_ivfbq", "q_ann_sq", "q_ann_ivfsq", "q_knn_join", "q_pmi_bigrams",
     "q_zorder_key", "q_pack_sequences", "q_tfidf_top_terms",
-    "q_sparse_search", "q_hybrid_rrf", "q_knn_grouped")
+    "q_sparse_search", "q_hybrid_rrf", "q_knn_grouped",
+    "q_corpus_delta")
+
+  test("q_corpus_delta: the snapshot join is a shuffled hash/merge join, not broadcast-nested-loop") {
+    // both sides are corpus-sized at 100 TB — the plan must pair them
+    // with an equi-join on doc_id
+    val p = plan("q_corpus_delta")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"))
+  }
 
   noCartesian.foreach { name =>
     test(s"$name: no cartesian product in the physical plan") {
