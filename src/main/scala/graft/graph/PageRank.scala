@@ -35,18 +35,37 @@ object PageRank {
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct().cache()
     val n = nodes.count()
+    // iterative-shuffle parallelism tracks the NODE table (the frames the
+    // loop re-shuffles), not the session's scan parallelism: at 15 k
+    // nodes a 32-partition round is pure task overhead, at 1 B nodes the
+    // session default is the cap. Scoped to this call like the streaming
+    // entries' state-partition override; restored before returning.
+    val spark = edgesIn.sparkSession
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val parts = math.max(4L, math.min(prevParts.toLong, n / 20000L + 1L))
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try {
     val outw = edges.groupBy("src").agg(sum("weight").as("outw"))
+    // repartitioned to the loop's parallelism before caching: the scan
+    // may have many small input splits, and every round re-reads these
+    // cached partitions — task count per round should match `parts`
     val trans = edges.join(outw, "src")
       .select(col("src"), col("dst"), (col("weight") / col("outw")).as("p"))
+      .repartition(parts.toInt, col("src"))
       .cache()
-    // nodes with no out-edges: their rank leaks unless redistributed
+    // nodes with no out-edges: their rank leaks unless redistributed.
+    // Counted once up front — a sink-free graph (the common symmetrized
+    // case) skips the per-round dangling aggregate entirely, halving the
+    // driver-job count of the loop.
     val sinks = nodes.join(outw.select(col("src").as("node")),
       Seq("node"), "left_anti").cache()
+    val hasSinks = sinks.limit(1).count() > 0
     var rank = nodes.select(col("node"), lit(1.0 / n).as("rank"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
-      val dangling = sinks.join(rank, Seq("node"))
-        .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
+      val dangling = if (!hasSinks) 0.0
+        else sinks.join(rank, Seq("node"))
+          .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
       val msgs = trans.join(rank, trans("src") === rank("node"))
         .select(trans("dst").as("node"), (col("rank") * col("p")).as("c"))
         .groupBy("node").agg(sum("c").as("m"))
@@ -58,5 +77,6 @@ object PageRank {
     }
     edges.unpersist(); trans.unpersist(); sinks.unpersist(); nodes.unpersist()
     rank
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 }

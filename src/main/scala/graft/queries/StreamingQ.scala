@@ -118,7 +118,7 @@ object StreamingQ {
       // this query; the session conf is restored before returning.
       // (Values are exact DECIMAL sums, so partitioning can't change them.)
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       try Streams.runToMemory(agg, "q_stream_windowed_sink", OutputMode.Complete())
         .orderBy(col("window_start"), col("event_type"))
       finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
@@ -160,7 +160,7 @@ object StreamingQ {
       // dedup state partitions sized to key cardinality, like
       // q_stream_windowed (see the note there)
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       try Streams.runToMemory(dd, "q_stream_dedup_sink", OutputMode.Append())
         .orderBy(col("user_id"), col("event_type"))
       finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
@@ -199,7 +199,7 @@ object StreamingQ {
           expr("pu = cu AND cts >= pts - interval 30 minutes AND cts < pts"))
         .select(col("pid"), col("cid"))
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       try Streams.runToMemory(joined, "q_stream_join_sink", OutputMode.Append())
         .orderBy(col("pid"), col("cid"))
       finally s.conf.set("spark.sql.shuffle.partitions", prevParts)

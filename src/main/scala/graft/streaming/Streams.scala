@@ -106,15 +106,39 @@ object Streams {
     executedBatches.get(name)
 
   /** Run a streaming frame to completion against a memory sink and return
-    * the materialized result (test/local harness). */
+    * the materialized result (test/local harness). The throwaway
+    * checkpoint goes to tmpfs when the host has one: the HDFS-backed
+    * state store fsyncs a delta file per state partition per micro-batch
+    * plus offset/commit logs, and on a disk-backed /tmp those syncs —
+    * not the joins — dominate a multi-batch replay. A real deployment
+    * puts the checkpoint on durable storage for recovery; this harness
+    * run is discarded on stop, so durability buys nothing. */
   def runToMemory(df: DataFrame, name: String,
       mode: OutputMode = OutputMode.Update()): DataFrame = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val ckBase = if (java.nio.file.Files.isDirectory(shm) &&
+        java.nio.file.Files.isWritable(shm)) shm
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val ck = java.nio.file.Files.createTempDirectory(ckBase, s"graft_ck_$name")
     val q = df.writeStream.outputMode(mode)
+      .option("checkpointLocation", ck.toString)
       .format("memory").queryName(name).start()
-    q.processAllAvailable()
-    Option(q.lastProgress).foreach(p =>
-      executedBatches.put(name, p.batchId + 1))
-    q.stop()
+    try {
+      q.processAllAvailable()
+      Option(q.lastProgress).foreach(p =>
+        executedBatches.put(name, p.batchId + 1))
+    } finally {
+      q.stop()
+      // the run is complete and the sink is in memory — the checkpoint
+      // has no further use; delete it now rather than letting finished
+      // runs accumulate in tmpfs
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(ck).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: java.io.IOException => () }
+    }
     df.sparkSession.table(name)
   }
 }
