@@ -351,6 +351,37 @@ object Operators {
           pmod(TextF.h32(concat(col(strataCol), lit("#"),
             col(idCol).cast("string"))), lit(1000)))
         .filter(col("bucket") < quotaCol)
+    },
+    // sketch-guarded frequent n-grams (exact counts of grams occurring
+    // >= minCount; the oracle-checked fixed form is q_heavy_hitters) —
+    // the boilerplate/contamination-phrase detector over a vocabulary
+    // too large to shuffle whole
+    "frequent_grams" -> { (_, cp) => (ins, rp) =>
+      val params = cp ++ rp
+      graft.queries.CorpusOps.frequentGrams(ins.head,
+        p(params, "textCol", "text"), p(params, "n", "3").toInt,
+        p(params, "minCount", "5").toLong,
+        p(params, "eps", "0.0001").toDouble)
+    },
+    // snapshot delta between two crawls: ins(0) = current, ins(1) =
+    // previous; emits (idCol, status in added/removed/changed) by md5
+    // content fingerprint (the oracle-checked fixed form is
+    // q_corpus_delta)
+    "snapshot_delta" -> { (_, cp) => (ins, rp) =>
+      val params = cp ++ rp
+      require(ins.size == 2,
+        s"snapshot_delta needs [current, previous] inputs, got ${ins.size}")
+      graft.queries.CorpusOps.snapshotDelta(ins(0), ins(1),
+        p(params, "idCol", "doc_id"), p(params, "textCol", "text"))
+    },
+    // PageRank centrality over an edge-list input (src, dst, weight) —
+    // the source-authority weighting signal (rows-only q_pagerank;
+    // PageRankSpec pins the math)
+    "pagerank" -> { (_, cp) => (ins, rp) =>
+      val params = cp ++ rp
+      graft.graph.PageRank.ranks(ins.head,
+        p(params, "iters", "10").toInt,
+        p(params, "damping", "0.85").toDouble)
     })
 
   /** Vectorizers — add an embedding column / rows. */

@@ -473,24 +473,28 @@ object Corpus {
     val uni = bound.select(explode(col("t")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c1"))
     val v = broadcast(uni.agg(count(lit(1)).as("v")))
+    // the ln term is rounded to 6 dp and then lifted to INTEGER micros
+    // (round6 lands within 1 ulp of k/1e6; ·1e6 + half-up round recovers
+    // k exactly on both engines, never near a .5 boundary) — so the
+    // per-doc fold is an exact integer sum: order-independent (no
+    // sorted-struct collect), codegen-friendly (HashAggregate over
+    // longs, where the sorted double fold needed an ObjectHashAggregate
+    // building and sorting a struct array per document), and still
+    // engine-exact (the only doubles are the one ln and the final two
+    // divisions, identical operation order on both sides)
     val scored = dbg.join(c12, Seq("bg"))
       .withColumn("w1", split(col("bg"), " ").getItem(0))
       .join(uni.select(col("w").as("w1"), col("c1")), Seq("w1"))
       .crossJoin(v)
-      .select(id, col("bg"), col("cnt"),
-        round(log((col("c12") + 1).cast("double") / (col("c1") + col("v"))), 6)
-          .as("lnp"))
+      .select(id, col("cnt"),
+        round(round(log((col("c12") + 1).cast("double") / (col("c1") + col("v"))), 6)
+          * lit(1e6)).cast("long").as("lnp_mu"))
     scored.groupBy(id)
-      .agg(sort_array(collect_list(struct(col("bg"), col("cnt"), col("lnp"))))
-        .as("terms"))
-      .select(id,
-        aggregate(col("terms"), lit(0.0),
-          (a, t) => a + t.getField("cnt").cast("double") * t.getField("lnp"))
-          .as("nll"),
-        aggregate(col("terms"), lit(0L), (a, t) => a + t.getField("cnt"))
-          .as("n"))
+      .agg(sum(col("cnt") * col("lnp_mu")).as("nll_mu"),
+        sum(col("cnt")).as("n"))
       .select(id, col("n").as("n_bigrams"),
-        round(-col("nll") / col("n"), 6).as("cross_entropy"))
+        round((-col("nll_mu")).cast("double") / lit(1e6) / col("n"), 6)
+          .as("cross_entropy"))
   }
 
   /** CCNet-style LM quality scoring: a bigram language model with add-1
@@ -502,12 +506,13 @@ object Corpus {
     * and unigram tables; docs with no bigrams (< 2 tokens) drop out.
     *
     * Exactness: all counts are integers; the ONE transcendental per
-    * (doc, bigram) pair — ln p — is rounded to 6dp BEFORE the per-doc
-    * fold (the q_pmi_bigrams precedent: ln agrees across engines to
-    * well under 1e-6), so both engines fold the identical doubles, in
-    * the identical order (bigram-sorted sequential fold, cnt·lnp per
-    * distinct bigram — k·x, not x+…+x, so repeat bigrams cost one IEEE
-    * multiply on both sides). H rounds to 6dp at the end.
+    * (doc, bigram) pair — ln p — is rounded to 6dp (the q_pmi_bigrams
+    * precedent: ln agrees across engines to well under 1e-6) and then
+    * lifted to exact BIGINT micros, so the per-doc fold is an INTEGER
+    * sum — order-independent on any partitioning, no sorted collect —
+    * and the only remaining doubles are the final two divisions,
+    * performed in the same order on both engines. H rounds to 6dp at
+    * the end.
     *
     * Scale shape: two (key,count) hash aggregates fit the LM (map-side
     * combined, Zipf-small outputs); scoring joins each doc's DISTINCT
@@ -530,18 +535,8 @@ object Corpus {
       |uni AS (SELECT w, count(*) AS c1
       |        FROM (SELECT unnest(t) AS w FROM d) GROUP BY w),
       |v AS (SELECT count(*) AS v FROM uni),
-      |scored AS (
-      |  SELECT doc_id, bg, cnt,
-      |    round(ln((c12 + 1)::DOUBLE / (c1 + v)), 6) AS lnp
-      |  FROM dbg JOIN c12 USING (bg)
-      |  JOIN uni ON uni.w = split_part(bg, ' ', 1)
-      |  CROSS JOIN v),
-      |folded AS (
-      |  SELECT doc_id,
-      |    list_sum(list(cnt::DOUBLE * lnp ORDER BY bg, cnt, lnp)) AS nll,
-      |    CAST(sum(cnt) AS BIGINT) AS n
-      |  FROM scored GROUP BY doc_id)
-      |SELECT doc_id, n AS n_bigrams, round(-nll / n, 6) AS cross_entropy
+      |${Sql.lmFold}
+      |SELECT doc_id, n AS n_bigrams, ${Sql.lmEntropy} AS cross_entropy
       |FROM folded ORDER BY doc_id
       |""".stripMargin))
 
@@ -593,18 +588,8 @@ object Corpus {
       |uni AS (SELECT w, count(*) AS c1
       |        FROM (SELECT unnest(t) AS w FROM f0) GROUP BY w),
       |v AS (SELECT count(*) AS v FROM uni),
-      |scored AS (
-      |  SELECT doc_id, bg, cnt,
-      |    round(ln((c12 + 1)::DOUBLE / (c1 + v)), 6) AS lnp
-      |  FROM dbg JOIN c12 USING (bg)
-      |  JOIN uni ON uni.w = split_part(bg, ' ', 1)
-      |  CROSS JOIN v),
-      |folded AS (
-      |  SELECT doc_id,
-      |    list_sum(list(cnt::DOUBLE * lnp ORDER BY bg, cnt, lnp)) AS nll,
-      |    CAST(sum(cnt) AS BIGINT) AS n
-      |  FROM scored GROUP BY doc_id),
-      |keep AS (SELECT doc_id FROM folded WHERE round(-nll / n, 6) <= 3.42),
+      |${Sql.lmFold},
+      |keep AS (SELECT doc_id FROM folded WHERE ${Sql.lmEntropy} <= 3.42),
       |f AS (SELECT f0.doc_id, f0.lang, f0.text FROM f0 JOIN keep USING (doc_id)),
       |k AS (SELECT min(doc_id) AS doc_id FROM f
       |      GROUP BY md5(lower(trim(text)))),
@@ -667,18 +652,8 @@ object Corpus {
       |uni AS (SELECT w, count(*) AS c1
       |        FROM (SELECT unnest(t) AS w FROM f0) GROUP BY w),
       |v AS (SELECT count(*) AS v FROM uni),
-      |scored AS (
-      |  SELECT doc_id, bg, cnt,
-      |    round(ln((c12 + 1)::DOUBLE / (c1 + v)), 6) AS lnp
-      |  FROM dbg JOIN c12 USING (bg)
-      |  JOIN uni ON uni.w = split_part(bg, ' ', 1)
-      |  CROSS JOIN v),
-      |folded AS (
-      |  SELECT doc_id,
-      |    list_sum(list(cnt::DOUBLE * lnp ORDER BY bg, cnt, lnp)) AS nll,
-      |    CAST(sum(cnt) AS BIGINT) AS n
-      |  FROM scored GROUP BY doc_id),
-      |keep AS (SELECT doc_id FROM folded WHERE round(-nll / n, 6) <= 3.42),
+      |${Sql.lmFold},
+      |keep AS (SELECT doc_id FROM folded WHERE ${Sql.lmEntropy} <= 3.42),
       |f AS (SELECT f0.doc_id, f0.lang FROM f0 JOIN keep USING (doc_id))
       |SELECT doc_id, lang, bucket FROM (
       |  SELECT doc_id, lang,
@@ -788,20 +763,22 @@ object Corpus {
     val ratio = raw.join(tgt, Seq("b"), "left")
       .select(col("b"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
       .crossJoin(nr).crossJoin(nt)
-      .select(col("b"), round(log(
+      // ln-ratio lifted to exact BIGINT micros (the lmCrossEntropy
+      // discipline): the per-doc fold becomes an order-independent
+      // integer sum — no sorted-struct collect, plain codegen
+      // HashAggregate — and the single final division is performed in
+      // the same order on both engines
+      .select(col("b"), round(round(log(
           ((col("ct") + 1).cast("double") / (col("nt") + buckets)) /
           ((col("cr") + 1).cast("double") / (col("nr") + buckets))), 6)
-        .as("lnr"))
+          * lit(1e6)).cast("long")
+        .as("lnr_mu"))
     dbk.join(ratio, Seq("b"))
       .groupBy(id)
-      .agg(sort_array(collect_list(struct(col("b"), col("cnt"), col("lnr"))))
-        .as("terms"))
-      .select(id,
-        aggregate(col("terms"), lit(0L),
-          (a, t) => a + t.getField("cnt")).as("n_tokens"),
-        round(aggregate(col("terms"), lit(0.0),
-          (a, t) => a + t.getField("cnt").cast("double") * t.getField("lnr")), 6)
-          .as("dsir_logw"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(col("cnt") * col("lnr_mu")).as("w_mu"))
+      .select(id, col("n_tokens"),
+        round(col("w_mu").cast("double") / lit(1e6), 6).as("dsir_logw"))
   }
 
   val q_dsir_weights = Q(
@@ -825,15 +802,15 @@ object Corpus {
       |nt AS (SELECT count(*) AS nt FROM tok WHERE lang = 'zh'),
       |ratio AS (
       |  SELECT raw.b,
-      |    round(ln(((coalesce(ct, 0) + 1)::DOUBLE / (nt + 1024)) /
-      |             ((cr + 1)::DOUBLE / (nr + 1024))), 6) AS lnr
+      |    CAST(round(round(ln(((coalesce(ct, 0) + 1)::DOUBLE / (nt + 1024)) /
+      |             ((cr + 1)::DOUBLE / (nr + 1024))), 6) * 1000000, 0)
+      |      AS BIGINT) AS lnr_mu
       |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN nr CROSS JOIN nt),
       |folded AS (
-      |  SELECT doc_id,
-      |    list_sum(list(cnt::DOUBLE * lnr ORDER BY b, cnt, lnr)) AS s,
+      |  SELECT doc_id, CAST(sum(cnt * lnr_mu) AS BIGINT) AS w_mu,
       |    CAST(sum(cnt) AS BIGINT) AS n
       |  FROM dbk JOIN ratio USING (b) GROUP BY doc_id)
-      |SELECT doc_id, n AS n_tokens, round(s, 6) AS dsir_logw
+      |SELECT doc_id, n AS n_tokens, round(w_mu::DOUBLE / 1000000.0, 6) AS dsir_logw
       |FROM folded ORDER BY doc_id
       |""".stripMargin))
 

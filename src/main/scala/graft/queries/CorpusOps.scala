@@ -33,33 +33,40 @@ object CorpusOps {
     * against candidate pruning; the fixture's synthetic text has no
     * φN-frequent gram at any φ that survives scale-up, so the entry
     * pins the absolute-count form. */
+  /** The engine form behind [[q_heavy_hitters]] and the
+    * `frequent_grams` workflow operator: exact counts of every token
+    * n-gram occurring ≥ `minCount` times, with the full gram vocabulary
+    * never shuffling (CMS candidate pass + exact count of survivors). */
+  def frequentGrams(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      n: Int, minCount: Long, eps: Double = 1e-4): org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    // cached (tracked): the gram stream feeds the sketch pass and the
+    // candidate pass
+    val grams = Caches.cached(
+      docs.withColumn("_t", tokens(col(textCol)))
+        .select(explode(shingles(col("_t"), n)).as("gram")))
+    val skBytes = grams
+      .select(count_min_sketch(col("gram").cast("binary"),
+        lit(eps), lit(0.99d), lit(42)).as("sk"))
+      .head().getAs[Array[Byte]](0)
+    val bc = s.sparkContext.broadcast(skBytes)
+    val isCandidate = udf { (g: String) =>
+      // deserialize once per executor (memoized by blob identity —
+      // readFrom per row would dominate the probe)
+      CorpusOps.sketchFor(bc.value)
+        .estimateCount(g.getBytes(java.nio.charset.StandardCharsets.UTF_8)) >= minCount
+    }
+    grams.filter(isCandidate(col("gram")))
+      .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .orderBy(desc("cnt"), col("gram"))
+  }
+
   val q_heavy_hitters = Q(
     "q_heavy_hitters",
-    (s, dir) => {
-      // cached (tracked): the gram stream feeds the sketch pass and the
-      // candidate pass
-      val grams = Caches.cached(
-        Tables.spread(Tables(s, dir, "documents"))
-          .withColumn("t", tokens(col("text")))
-          .select(explode(shingles(col("t"), 3)).as("gram")))
-      val thresh = 5L
-      val skBytes = grams
-        .select(count_min_sketch(col("gram").cast("binary"),
-          lit(0.0001d), lit(0.99d), lit(42)).as("sk"))
-        .head().getAs[Array[Byte]](0)
-      val bc = s.sparkContext.broadcast(skBytes)
-      val isCandidate = udf { (g: String) =>
-        // deserialize once per executor (lazy val inside the closure
-        // would not survive serialization; readFrom is cheap relative to
-        // the partition but memoize anyway via the companion cache)
-        CorpusOps.sketchFor(bc.value)
-          .estimateCount(g.getBytes(java.nio.charset.StandardCharsets.UTF_8)) >= thresh
-      }
-      grams.filter(isCandidate(col("gram")))
-        .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
-        .filter(col("cnt") >= thresh)
-        .orderBy(desc("cnt"), col("gram"))
-    },
+    (s, dir) =>
+      frequentGrams(Tables.spread(Tables(s, dir, "documents")),
+        "text", n = 3, minCount = 5L),
     Some(s"""
       |WITH g AS (SELECT unnest(${Sql.shingles3("t")}) AS gram
       |           FROM (SELECT ${Sql.toks()} AS t FROM documents))
@@ -91,28 +98,39 @@ object CorpusOps {
     * doc_id, never document payloads, and the output is only the delta
     * rows (the steady-state crawl delta is a small fraction of the
     * corpus). Hash domain → oracle-exact. */
+  /** The engine form behind [[q_corpus_delta]] and the `snapshot_delta`
+    * workflow operator: (idCol, status) for every document that is
+    * added, removed, or changed between `prev` and `cur`, by md5 content
+    * fingerprint of `textCol`. Unchanged rows are omitted — the delta is
+    * the actionable output and at a steady-state crawl a small fraction
+    * of the corpus. */
+  def snapshotDelta(cur: org.apache.spark.sql.DataFrame,
+      prev: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val c = cur.select(col(idCol), md5(col(textCol)).as("hc"))
+    val p = prev.select(col(idCol), md5(col(textCol)).as("hp"))
+    c.join(p, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("hp").isNull, "added")
+          .when(col("hc").isNull, "removed")
+          .when(col("hc") =!= col("hp"), "changed")
+          .otherwise("unchanged").as("status"))
+      .filter(col("status") =!= "unchanged")
+      .orderBy(col(idCol))
+  }
+
   val q_corpus_delta = Q(
     "q_corpus_delta",
     (s, dir) => {
       val docs = Tables(s, dir, "documents")
-      val cur = docs.select(col("doc_id"), md5(col("text")).as("h"))
       val prev = docs.filter(col("doc_id") % 7 =!= 1)
         .select(col("doc_id"),
-          md5(when(col("doc_id") % 7 === 2,
+          when(col("doc_id") % 7 === 2,
             concat(col("text"), lit(" (stale)")))
-            .otherwise(col("text"))).as("h"))
+            .otherwise(col("text")).as("text"))
         .union(docs.filter(col("doc_id") % 13 === 0)
-          .select((col("doc_id") + 10000000L).as("doc_id"),
-            md5(col("text")).as("h")))
-      cur.withColumnRenamed("h", "hc")
-        .join(prev.withColumnRenamed("h", "hp"), Seq("doc_id"), "full_outer")
-        .select(col("doc_id"),
-          when(col("hp").isNull, "added")
-            .when(col("hc").isNull, "removed")
-            .when(col("hc") =!= col("hp"), "changed")
-            .otherwise("unchanged").as("status"))
-        .filter(col("status") =!= "unchanged")
-        .orderBy(col("doc_id"))
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+      snapshotDelta(docs, prev, "doc_id", "text")
     },
     Some("""
       |WITH cur AS (SELECT doc_id, md5(text) AS hc FROM documents),

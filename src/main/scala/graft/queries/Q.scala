@@ -63,6 +63,29 @@ object Sql {
   def shingles2(t: String): String =
     s"list_transform(range(1, greatest(len($t), 1)), i -> concat_ws(' ', $t[i], $t[i+1]))"
 
+  /** Corpus.lmCrossEntropy twin: the bigram-LM `scored` + `folded` CTEs
+    * (integer-micros fold — ln rounded to 6 dp, lifted to exact BIGINT
+    * micros, summed order-independently). Expects CTEs `dbg(doc_id, bg,
+    * cnt)`, `c12(bg, c12)`, `uni(w, c1)`, `v(v)` in scope; yields
+    * `folded(doc_id, nll_mu, n)` with cross-entropy =
+    * round(-nll_mu/1e6/n, 6). */
+  val lmFold: String =
+    """scored AS (
+      |  SELECT doc_id, cnt,
+      |    CAST(round(round(ln((c12 + 1)::DOUBLE / (c1 + v)), 6) * 1000000, 0)
+      |      AS BIGINT) AS lnp_mu
+      |  FROM dbg JOIN c12 USING (bg)
+      |  JOIN uni ON uni.w = split_part(bg, ' ', 1)
+      |  CROSS JOIN v),
+      |folded AS (
+      |  SELECT doc_id, CAST(sum(cnt * lnp_mu) AS BIGINT) AS nll_mu,
+      |    CAST(sum(cnt) AS BIGINT) AS n
+      |  FROM scored GROUP BY doc_id)""".stripMargin
+
+  /** The folded → cross-entropy projection matching lmCrossEntropy's
+    * final divisions (same operation order on both engines). */
+  val lmEntropy: String = "round(-nll_mu::DOUBLE / 1000000.0 / n, 6)"
+
   /** TextF.minhash twin over a shingle list. */
   def minhash(sh: String, j: Int): String =
     s"coalesce(list_min(list_transform($sh, s -> ${h32(s"'$j#' || s")})), -1)"

@@ -311,4 +311,46 @@ class OperatorsSpec extends AnyFunSuite {
       assert(hits.count() == 6, s"$kind: 2 queries x k=3")
     }
   }
+
+  test("frequent_grams matches the oracle entry through the registry") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val op = Operators.make(spark, "transform", "frequent_grams", Map.empty)
+    val got = op(Seq(docs), Map.empty)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val entry = graft.queries.CorpusOps.q_heavy_hitters
+      .run(spark, TestSpark.sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(got == entry && got.nonEmpty)
+    // a higher floor strictly shrinks the result
+    val strict = Operators.make(spark, "transform", "frequent_grams",
+      Map("minCount" -> "8"))(Seq(docs), Map.empty).count()
+    assert(strict < got.size)
+  }
+
+  test("snapshot_delta classifies two-input snapshots") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val prev = docs.filter(col("doc_id") % 2 === 0) // odd ids are "added"
+    val op = Operators.make(spark, "transform", "snapshot_delta", Map.empty)
+    val out = op(Seq(docs, prev), Map.empty)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.nonEmpty && out.values.forall(_ == "added"))
+    assert(out.keys.forall(_ % 2 == 1))
+    intercept[IllegalArgumentException] {
+      op(Seq(docs), Map.empty)
+    }
+    ()
+  }
+
+  test("pagerank operator runs over an edge-list input") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L, 1.0), (2L, 1L, 1.0), (3L, 1L, 1.0))
+      .toDF("src", "dst", "weight")
+    val out = Operators.make(spark, "transform", "pagerank",
+      Map("iters" -> "5"))(Seq(edges), Map.empty)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(math.abs(out.values.sum - 1.0) < 1e-9)
+    assert(out(1L) > out(3L), "the doubly-linked hub outranks the leaf")
+  }
 }
