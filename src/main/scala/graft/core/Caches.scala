@@ -43,8 +43,14 @@ object Caches {
   /** `.cache()` + track: the engine-internal replacement for a bare
     * `df.cache()` wherever the cached frame outlives the builder call.
     * (Spark's CacheManager dedups identical plans, so re-tracking the
-    * same logical frame costs one list slot, not a second copy.) */
+    * same logical frame costs one list slot, not a second copy.)
+    * Streaming frames pass through untouched — a stream cannot be
+    * cached, and the guard is what lets the stateless registry
+    * operators (quality_filter, pii_scrub, …) apply unchanged to a
+    * `readStream` input: the cache is a batch-side reuse optimization,
+    * never a correctness dependency. */
   def cached(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df
     val c = df.cache()
     add(frames, key(df.sparkSession), c)
     c

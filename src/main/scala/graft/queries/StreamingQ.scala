@@ -65,18 +65,38 @@ object StreamingQ {
       _ => stageChunksNow(s, dir, tag, numFiles))
 
   private def stageChunksNow(s: SparkSession, dir: String,
+      tag: String, numFiles: Int): java.nio.file.Path =
+    stageFrameChunks(graft.core.Tables(s, dir, "events"),
+      Seq(col("ts"), col("event_id")), tag, numFiles)
+
+  /** The documents table as a multi-micro-batch file stream, chunked in
+    * doc_id arrival order (memoized like the events staging; the
+    * readStream schema is taken from the staged files themselves). */
+  private[graft] def stagedDocStream(s: SparkSession, dir: String,
+      tag: String, numFiles: Int = 4): DataFrame = {
+    val landing = stagedMemo.computeIfAbsent(s"$dir#doc#$tag#$numFiles",
+      _ => stageFrameChunks(graft.core.Tables(s, dir, "documents"),
+        Seq(col("doc_id")), tag, numFiles))
+    s.readStream.schema(s.read.parquet(landing.toString).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(landing.toString)
+  }
+
+  /** Stage ANY bounded frame as `numFiles` arrival-ordered chunks (the
+    * generalized form of the events staging — the documents replay uses
+    * doc_id as the arrival order). */
+  private[graft] def stageFrameChunks(df: DataFrame,
+      sortCols: Seq[org.apache.spark.sql.Column],
       tag: String, numFiles: Int): java.nio.file.Path = {
     // landing registered for deleteOnExit BEFORE its files: deleteOnExit
     // runs in reverse registration order, so the chunk files go first and
     // the by-then-empty directory last
     val landing = java.nio.file.Files.createTempDirectory(s"graft_stream_$tag")
     landing.toFile.deleteOnExit()
-    val ev = graft.core.Tables(s, dir, "events")
     // equal-count chronological chunks (single-partition window sort:
     // harness staging over the bounded replay corpus, not engine path)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("ts"), col("event_id"))
-    val chunks = ev.withColumn("_fid", ntile(numFiles).over(w)).cache()
+    val w = org.apache.spark.sql.expressions.Window.orderBy(sortCols: _*)
+    val chunks = df.withColumn("_fid", ntile(numFiles).over(w)).cache()
     try {
       val base = System.currentTimeMillis()
       (1 to numFiles).foreach { i =>
@@ -213,5 +233,51 @@ object StreamingQ {
       |ORDER BY pid, cid
       |""".stripMargin))
 
-  val all: Seq[Q] = Seq(q_stream_windowed, q_stream_dedup, q_stream_join)
+  /** Streaming corpus curation — the SAME string-keyed `quality_filter`
+    * registry operator the batch pipelines chain
+    * ([[Corpus.q_pipeline_curate2]]) applied UNCHANGED to a document
+    * file stream (stateless operators compose onto streams because the
+    * engine's cache helper passes streaming frames through), followed by
+    * cross-batch exact dedup as a streaming groupBy min(doc_id) per
+    * normalized content hash in Complete mode. State is one (hash, id)
+    * row per distinct surviving document — the in-memory twin of the
+    * persisted-index ingest path (StreamingIngestSpec) that a 100 TB
+    * deployment would use. min() over integer ids is order-independent,
+    * so the multi-batch replay is hash-exact against the batch oracle
+    * regardless of intra-batch arrival order. */
+  val q_stream_curate = Q(
+    "q_stream_curate",
+    (s, dir) => {
+      val stream = stagedDocStream(s, dir, "curate")
+      val kept = graft.pipeline.Operators
+        .make(s, "transform", "quality_filter")(Seq(stream), Map.empty)
+      val dd = kept
+        .withColumn("h", md5(lower(trim(col("text")))))
+        .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      // dedup state partitions sized to key cardinality, like
+      // q_stream_windowed (see the note there)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try Streams.runToMemory(dd, "q_stream_curate_sink", OutputMode.Complete())
+        .orderBy(col("doc_id"))
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    },
+    Some(s"""
+      |WITH f0 AS (
+      |  SELECT doc_id, text FROM (
+      |    SELECT doc_id, text, len(t) AS nt,
+      |      len(list_filter(t, x -> x IN ${TextAnalysis.stopwordsSql})) AS sw,
+      |      len(g) AS n3, len(list_distinct(g)) AS nd
+      |    FROM (SELECT doc_id, text, t, ${Sql.shingles3("t")} AS g
+      |          FROM (SELECT doc_id, text, ${Sql.toks()} AS t FROM documents)))
+      |  WHERE nt >= 5 AND nt <= 1000
+      |    AND sw * 1000 >= nt * 50 AND (n3 - nd) * 1000 <= n3 * 200)
+      |SELECT min(doc_id) AS doc_id FROM f0
+      |GROUP BY md5(lower(trim(text)))
+      |ORDER BY doc_id
+      |""".stripMargin))
+
+  val all: Seq[Q] =
+    Seq(q_stream_windowed, q_stream_dedup, q_stream_join, q_stream_curate)
 }

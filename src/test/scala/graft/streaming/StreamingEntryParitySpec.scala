@@ -59,4 +59,16 @@ class StreamingEntryParitySpec extends AnyFunSuite {
       .select(col("user_id"), col("event_type")).distinct()
     assert(collectSorted(streamed) == collectSorted(batch))
   }
+
+  test("q_stream_curate equals the SAME registry operator run in batch") {
+    val streamed = StreamingQ.q_stream_curate.run(spark, TestSpark.sf0001)
+    val docs = Tables(spark, TestSpark.sf0001, "documents")
+    val batch = graft.pipeline.Operators
+      .make(spark, "transform", "quality_filter")(Seq(docs), Map.empty)
+      .withColumn("h", md5(lower(trim(col("text")))))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    assert(collectSorted(streamed) == collectSorted(batch))
+    assert(streamed.count() > 0)
+  }
 }
