@@ -1119,8 +1119,71 @@ object Relational2 {
       |ORDER BY 1, 2
       |""".stripMargin))
 
+  /** Robust outlier flagging over the event stream — the data-quality
+    * monitor a pipeline runs on arriving telemetry: per event type, the
+    * EXACT lower median of `value` and the exact median absolute
+    * deviation (both by integer-rank selection, the
+    * [[TextAnalysis.q_profile_quantiles]] discipline), then every event
+    * whose deviation exceeds 3·MAD is emitted with its context. No
+    * float rounding anywhere: medians are actual data values, the
+    * deviation is one IEEE subtraction and the threshold one multiply,
+    * identical on both engines — hash-exact with raw doubles.
+    * Scale: two rank windows partitioned by event_type (bounded key
+    * groups) + two broadcast-sized per-type stat tables joined back at
+    * the scan; at extreme per-type cardinality the exact rank windows
+    * swap for approx_percentile with a documented error bound. */
+  val q_events_outliers = Q(
+    "q_events_outliers",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val wCnt = Window.partitionBy(col("event_type"))
+      def medianOf(df: DataFrame, c: String, as: String): DataFrame =
+        df.withColumn("rn", row_number().over(
+            Window.partitionBy(col("event_type"))
+              .orderBy(col(c), col("event_id"))))
+          .withColumn("n", count(lit(1)).over(wCnt))
+          .filter(col("rn") === floor((col("n") + 1) / 2))
+          .select(col("event_type"), col(c).as(as))
+      val med = medianOf(ev, "value", "med")
+      val dev = ev.join(broadcast(med), Seq("event_type"))
+        .withColumn("ad", abs(col("value") - col("med")))
+      val mad = medianOf(dev, "ad", "mad")
+      dev.join(broadcast(mad), Seq("event_type"))
+        .filter(col("ad") > lit(3.0) * col("mad"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("med"), col("mad"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      |WITH e AS (SELECT event_id, event_type, value FROM events),
+      |med AS (
+      |  SELECT event_type, value AS med FROM (
+      |    SELECT event_type, value, event_id,
+      |      row_number() OVER (PARTITION BY event_type
+      |        ORDER BY value, event_id) AS rn,
+      |      count(*) OVER (PARTITION BY event_type) AS n
+      |    FROM e)
+      |  WHERE rn = (n + 1) // 2),
+      |dev AS (SELECT e.*, med, abs(value - med) AS ad
+      |        FROM e JOIN med USING (event_type)),
+      |mad AS (
+      |  SELECT event_type, ad AS mad FROM (
+      |    SELECT event_type, ad, event_id,
+      |      row_number() OVER (PARTITION BY event_type
+      |        ORDER BY ad, event_id) AS rn,
+      |      count(*) OVER (PARTITION BY event_type) AS n
+      |    FROM dev)
+      |  WHERE rn = (n + 1) // 2)
+      |SELECT event_id, event_type, value, med, mad
+      |FROM dev JOIN mad USING (event_type)
+      |WHERE ad > 3 * mad
+      |ORDER BY event_id
+      |""".stripMargin))
+
   val all: Seq[Q] = Seq(
-    q_events_funnel, q_events_retention,
+    q_events_funnel, q_events_retention, q_events_outliers,
     q02_cheapest_part, q04_order_priority, q07_volume_shipping,
     q08_market_share,
     q12_priority_lines, q13_customer_distribution, q14_promo_revenue,
