@@ -76,7 +76,7 @@ object StreamingQ {
       tag: String, numFiles: Int = 4): DataFrame = {
     val landing = stagedMemo.computeIfAbsent(s"$dir#doc#$tag#$numFiles",
       _ => stageFrameChunks(graft.core.Tables(s, dir, "documents"),
-        Seq(col("doc_id")), tag, numFiles))
+        Seq(col("doc_id")), tag, numFiles, blockBytes = Some(64L * 1024)))
     s.readStream.schema(s.read.parquet(landing.toString).schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(landing.toString)
@@ -87,7 +87,8 @@ object StreamingQ {
     * doc_id as the arrival order). */
   private[graft] def stageFrameChunks(df: DataFrame,
       sortCols: Seq[org.apache.spark.sql.Column],
-      tag: String, numFiles: Int): java.nio.file.Path = {
+      tag: String, numFiles: Int,
+      blockBytes: Option[Long] = None): java.nio.file.Path = {
     // landing registered for deleteOnExit BEFORE its files: deleteOnExit
     // runs in reverse registration order, so the chunk files go first and
     // the by-then-empty directory last
@@ -101,8 +102,16 @@ object StreamingQ {
       val base = System.currentTimeMillis()
       (1 to numFiles).foreach { i =>
         val tmp = landing.resolve(s"_tmp$i")
-        chunks.filter(col("_fid") === i).drop("_fid")
-          .coalesce(1).write.parquet(tmp.toString)
+        // blockBytes caps the parquet row-group size: a coalesce(1)
+        // chunk is otherwise ONE row group, which no scan-split knob
+        // can parallelize — CPU-heavy per-row consumers (the streaming
+        // curation's token/shingle kernel) need multiple row groups so
+        // maxPartitionBytes yields real scan splits per micro-batch
+        val writer = chunks.filter(col("_fid") === i).drop("_fid")
+          .coalesce(1).write
+        blockBytes.fold(writer)(b =>
+          writer.option("parquet.block.size", b.toString))
+          .parquet(tmp.toString)
         val part = java.nio.file.Files.list(tmp).iterator().asScala
           .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
         val dest = landing.resolve(f"chunk$i%03d.parquet")
@@ -256,12 +265,24 @@ object StreamingQ {
         .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"))
       // dedup state partitions sized to key cardinality, like
-      // q_stream_windowed (see the note there)
+      // q_stream_windowed (see the note there). The scan-split cap is
+      // the streaming twin of Tables.spread: each staged chunk is ONE
+      // small file = one scan split, and the token/shingle kernel runs
+      // AT the scan (a repartition doesn't help — the optimizer pushes
+      // the filter back through it), so without the cap every
+      // micro-batch's CPU-heavy filter runs on a single core. At 100 TB
+      // arriving files exceed the default 128 MB split and this knob
+      // reverts to the default.
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val prevSplit = s.conf.get("spark.sql.files.maxPartitionBytes")
       s.conf.set("spark.sql.shuffle.partitions", "4")
+      s.conf.set("spark.sql.files.maxPartitionBytes", (64 * 1024).toString)
       try Streams.runToMemory(dd, "q_stream_curate_sink", OutputMode.Complete())
         .orderBy(col("doc_id"))
-      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        s.conf.set("spark.sql.files.maxPartitionBytes", prevSplit)
+      }
     },
     Some(s"""
       |WITH f0 AS (
