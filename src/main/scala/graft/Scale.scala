@@ -38,7 +38,10 @@ object Scale {
     // corpus covers them): inverted-index search, corpus statistics,
     // iterative BPE, connected components, hybrid RRF fusion
     "q_sparse_search", "q_ngram_topk", "q_bpe_merges",
-    "q_dedup_components", "q_hybrid_rrf", "q_lm_cross_entropy")
+    "q_dedup_components", "q_hybrid_rrf", "q_lm_cross_entropy",
+    // round-9 corpus-maintenance ops (documents-only inputs):
+    // sketch-guarded frequent grams, fingerprint snapshot delta
+    "q_heavy_hitters", "q_corpus_delta")
 
   private def buildScaled(spark: SparkSession, base: String, out: String,
       factor: Int): Unit = {
