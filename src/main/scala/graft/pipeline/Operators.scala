@@ -361,7 +361,7 @@ object Operators {
       graft.queries.CorpusOps.frequentGrams(ins.head,
         p(params, "textCol", "text"), p(params, "n", "3").toInt,
         p(params, "minCount", "5").toLong,
-        p(params, "eps", "0.0001").toDouble)
+        p(params, "eps", "0").toDouble) // 0 = auto-size from input stats
     },
     // snapshot delta between two crawls: ins(0) = current, ins(1) =
     // previous; emits (idCol, status in added/removed/changed) by md5

@@ -38,8 +38,25 @@ object CorpusOps {
     * n-gram occurring ≥ `minCount` times, with the full gram vocabulary
     * never shuffling (CMS candidate pass + exact count of survivors). */
   def frequentGrams(docs: org.apache.spark.sql.DataFrame, textCol: String,
-      n: Int, minCount: Long, eps: Double = 1e-4): org.apache.spark.sql.DataFrame = {
+      n: Int, minCount: Long, eps: Double = 0.0): org.apache.spark.sql.DataFrame = {
     val s = docs.sparkSession
+    // eps <= 0 → auto-size the sketch from the input's plan-time size
+    // statistics (the Tables.spread discipline): distinct n-grams are
+    // bounded by token occurrences ≈ bytes/~6 chars, and holding width
+    // near a quarter of that keeps per-cell load — and with it the
+    // over-estimate that admits false candidates into the exact pass —
+    // flat as the corpus grows (measured: the fixed-width form degraded
+    // the 10× ratio to 4.4×, SCALE.md). Bounds: 2^15 cells ≈ 1.3 MB
+    // sketch floor, 2^22 ≈ 168 MB ceiling per 5-row sketch — past that,
+    // raise minCount or tree-merge the partials instead. Any width is
+    // CORRECT (CMS never under-counts; false candidates die in the
+    // exact count) — the knob only trades sketch size vs pruning.
+    val epsEff = if (eps > 0) eps else {
+      val bytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes.toDouble
+      val width = math.min((1L << 22).toDouble,
+        math.max((1L << 15).toDouble, bytes / 24.0))
+      2.0 / width
+    }
     // cached (tracked): the gram stream feeds the sketch pass and the
     // candidate pass
     val grams = Caches.cached(
@@ -47,7 +64,7 @@ object CorpusOps {
         .select(explode(shingles(col("_t"), n)).as("gram")))
     val skBytes = grams
       .select(count_min_sketch(col("gram").cast("binary"),
-        lit(eps), lit(0.99d), lit(42)).as("sk"))
+        lit(epsEff), lit(0.99d), lit(42)).as("sk"))
       .head().getAs[Array[Byte]](0)
     val bc = s.sparkContext.broadcast(skBytes)
     val isCandidate = udf { (g: String) =>
