@@ -48,6 +48,39 @@ object Sources {
       case other => throw new IllegalArgumentException(s"unknown source format $other")
     }
 
+  /** Read semi-structured input (json/csv) in PERMISSIVE mode and split
+    * it into (clean, quarantine): malformed records land — whole — in
+    * the quarantine frame instead of killing the job (FAILFAST) or
+    * silently vanishing (DROPMALFORMED). The shape every recurring
+    * ingest needs at 100 TB: a crawl batch with 0.1% broken lines must
+    * neither abort 99.9% good work nor lose the evidence of what broke.
+    * Both frames derive from ONE scan (the corrupt-record column is
+    * populated by the same parse), and the quarantine carries the raw
+    * line for replay after a parser fix. `schema` is required — corrupt
+    * -record routing is meaningless under inference, which silently
+    * widens types to absorb damage instead of flagging it. */
+  def readWithQuarantine(spark: SparkSession, format: String, path: String,
+      schema: org.apache.spark.sql.types.StructType)
+      : (DataFrame, DataFrame) = {
+    require(format == "json" || format == "csv",
+      s"quarantine routing supports json/csv, got $format")
+    val corruptCol = "_corrupt_record"
+    val withCorrupt = schema.add(corruptCol,
+      org.apache.spark.sql.types.StringType, nullable = true)
+    val base = (format match {
+      case "json" => spark.read.schema(withCorrupt)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corruptCol).json(path)
+      case _ => spark.read.schema(withCorrupt)
+        .option("header", "true").option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corruptCol).csv(path)
+    }).cache()
+    val clean = base.filter(col(corruptCol).isNull).drop(corruptCol)
+    val quarantine = base.filter(col(corruptCol).isNotNull)
+      .select(col(corruptCol).as("raw_record"))
+    (clean, quarantine)
+  }
+
   /** Stamp source metadata columns the way vectorizers stamp `data`/`type`
     * (radient/tasks/vectorizers/_base.py:99): path + inferred modality
     * from the file extension. */

@@ -47,4 +47,32 @@ class SourcesSpec extends AnyFunSuite {
       Sources.reader(spark, "youtube", root)
     }
   }
+
+  test("quarantine routing: malformed json lines land whole, clean rows parse") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_quar")
+    dir.toFile.deleteOnExit()
+    val f = dir.resolve("batch.jsonl")
+    java.nio.file.Files.write(f,
+      ("""{"id": 1, "text": "ok one"}""" + "\n" +
+        """{"id": 2 "text": "missing comma"}""" + "\n" +
+        """{"id": 3, "text": "ok three"}""" + "\n" +
+        """not json at all""" + "\n").getBytes("UTF-8"))
+    f.toFile.deleteOnExit()
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val (clean, quarantine) =
+      Sources.readWithQuarantine(spark, "json", dir.toString, schema)
+    assert(clean.columns.toSeq == Seq("id", "text"))
+    assert(clean.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    val raw = quarantine.collect().map(_.getString(0))
+    assert(raw.length == 2)
+    assert(raw.exists(_.contains("missing comma")) &&
+      raw.exists(_.contains("not json at all")),
+      s"quarantine must carry the raw lines for replay: ${raw.toSeq}")
+    intercept[IllegalArgumentException] {
+      Sources.readWithQuarantine(spark, "parquet", dir.toString, schema)
+    }
+    ()
+  }
 }
