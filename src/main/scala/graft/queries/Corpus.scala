@@ -814,7 +814,43 @@ object Corpus {
       |FROM folded ORDER BY doc_id
       |""".stripMargin))
 
+  /** Exact-k per-stratum sampling — the eval-slice builder ("exactly 50
+    * docs per language, reproducibly"): rank by a salted hash within
+    * each stratum and keep the first k. Complements
+    * [[q_sample_stratified]]'s per-mille quotas (which bound the RATE,
+    * not the count): a benchmark slice needs the exact count, and the
+    * salted-hash order makes the pick independent of ingestion order,
+    * stable across retries, and uniformly random over the stratum for
+    * any non-adversarial id set. Scale: one rank window per stratum —
+    * bounded key groups, and k ≪ group so a WindowGroupLimit keeps
+    * per-partition state at k rows before the exchange. Hash domain →
+    * oracle-exact. */
+  val q_sample_exact_k = Q(
+    "q_sample_exact_k",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 50
+      val h = h32(concat(lit("slice#"), col("doc_id").cast("string")))
+      Tables(s, dir, "documents")
+        .withColumn("h", h)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))))
+        .filter(col("rk") <= k)
+        .select(col("doc_id"), col("lang"), col("rk").cast("long").as("rk"))
+        .orderBy(col("lang"), col("rk"))
+    },
+    Some(s"""
+      |SELECT doc_id, lang, rk FROM (
+      |  SELECT doc_id, lang,
+      |    CAST(row_number() OVER (PARTITION BY lang
+      |      ORDER BY ${Sql.h32("'slice#' || doc_id")}, doc_id) AS BIGINT) AS rk
+      |  FROM documents)
+      |WHERE rk <= 50
+      |ORDER BY lang, rk
+      |""".stripMargin))
+
   val all: Seq[Q] = Seq(q_token_bpe, q_corpus_filter, q_sample_stratified,
+    q_sample_exact_k,
     q_decontaminate, q_decontaminate_bloom, q_pipeline_curate,
     q_pipeline_curate2, q_pipeline_curate3, q_ngram_topk,
     q_rare_tokens, q_zipf, q_pack_sequences, q_bpe_merges, q_mixture_weights,
