@@ -39,6 +39,17 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_sparse_search", "q_hybrid_rrf", "q_knn_grouped",
     "q_corpus_delta")
 
+  test("q_sample_exact_k: the rank filter partial-limits BEFORE the exchange") {
+    // map-side WindowGroupLimit caps per-partition state at k rows per
+    // stratum — the property that lets the slice builder run over a
+    // 100 TB stratum without materializing it into one window sort
+    val p = plan("q_sample_exact_k")
+    // two WindowGroupLimit nodes: the map-side partial (below the
+    // stratum exchange) and the final one feeding the Window
+    assert("WindowGroupLimit".r.findAllIn(p).length >= 2,
+      s"rank-limit pushdown missing:\n$p")
+  }
+
   test("q_corpus_delta: the snapshot join is a shuffled hash/merge join, not broadcast-nested-loop") {
     // both sides are corpus-sized at 100 TB — the plan must pair them
     // with an equi-join on doc_id
