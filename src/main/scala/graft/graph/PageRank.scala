@@ -44,6 +44,9 @@ object PageRank {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     val parts = math.max(4L, math.min(prevParts.toLong, n / 20000L + 1L))
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    // released in the finally: a failed round (executor loss, OOM in a
+    // dangling collect) must not leave four frames pinned in storage
+    val pinned = scala.collection.mutable.Buffer[DataFrame](edges, nodes)
     try {
     val outw = edges.groupBy("src").agg(sum("weight").as("outw"))
     // repartitioned to the loop's parallelism before caching: the scan
@@ -59,6 +62,7 @@ object PageRank {
     // driver-job count of the loop.
     val sinks = nodes.join(outw.select(col("src").as("node")),
       Seq("node"), "left_anti").cache()
+    pinned += trans; pinned += sinks
     val hasSinks = sinks.limit(1).count() > 0
     var rank = nodes.select(col("node"), lit(1.0 / n).as("rank"))
       .localCheckpoint(true)
@@ -75,8 +79,10 @@ object PageRank {
             (coalesce(col("m"), lit(0.0)) + lit(dangling / n))).as("rank"))
         .localCheckpoint(true)
     }
-    edges.unpersist(); trans.unpersist(); sinks.unpersist(); nodes.unpersist()
     rank
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } finally {
+      pinned.foreach(f => { f.unpersist(); () })
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
   }
 }

@@ -94,23 +94,29 @@ object CorpusOps {
       |ORDER BY cnt DESC, gram
       |""".stripMargin))
 
-  /** Per-JVM memo of deserialized sketches keyed by blob identity — the
-    * candidate UDF runs once per occurrence; re-parsing the blob per row
-    * would dominate. */
+  /** Per-JVM memo of deserialized sketches keyed by the blob REFERENCE
+    * (array keys hash/compare by identity, so distinct blobs can never
+    * collide the way an identityHashCode key could — a collision there
+    * would probe the wrong sketch, which CAN undercount and silently
+    * break the candidate-superset guarantee). The candidate UDF runs
+    * once per occurrence; re-parsing the blob per row would dominate.
+    * Bounded: a handful of live sketches per JVM at most — clearing on
+    * overflow only costs a cheap re-parse. */
   @transient private lazy val sketchCache =
-    new java.util.concurrent.ConcurrentHashMap[Integer, CountMinSketch]()
-  private[queries] def sketchFor(bytes: Array[Byte]): CountMinSketch =
-    sketchCache.computeIfAbsent(System.identityHashCode(bytes),
-      _ => CountMinSketch.readFrom(bytes))
+    new java.util.concurrent.ConcurrentHashMap[Array[Byte], CountMinSketch]()
+  private[queries] def sketchFor(bytes: Array[Byte]): CountMinSketch = {
+    if (sketchCache.size > 8) sketchCache.clear()
+    sketchCache.computeIfAbsent(bytes, b => CountMinSketch.readFrom(b))
+  }
 
   /** Snapshot delta — classify every document as added / removed /
     * changed between the previous crawl and the current one, by content
     * fingerprint. The previous snapshot is derived deterministically
     * from the same table so the oracle can state it in SQL: docs with
     * id ≡ 1 (mod 7) were absent then ("added" now), docs with id ≡ 2
-    * (mod 7) carried a stale text ("changed"), and a shifted id range
-    * (id + 10 000 000 for id ≡ 0 mod 13) existed then but not now
-    * ("removed"). Scale: both sides reduce to (doc_id, md5) pairs at
+    * (mod 7) carried a stale text ("changed"), and a negated id range
+    * (-id - 1 for id ≡ 0 mod 13 — disjoint from real ids at any corpus
+    * size) existed then but not now ("removed"). Scale: both sides reduce to (doc_id, md5) pairs at
     * the scan — the join shuffles 24-byte rows co-partitioned on
     * doc_id, never document payloads, and the output is only the delta
     * rows (the steady-state crawl delta is a small fraction of the
@@ -124,8 +130,13 @@ object CorpusOps {
   def snapshotDelta(cur: org.apache.spark.sql.DataFrame,
       prev: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
-    val c = cur.select(col(idCol), md5(col(textCol)).as("hc"))
-    val p = prev.select(col(idCol), md5(col(textCol)).as("hp"))
+    // the fingerprint doubles as the row-presence marker after the
+    // full-outer join, so it must be non-null whenever the ROW exists —
+    // a raw md5(null-text) would make a live document read as absent
+    // ('removed'/'added' instead of 'changed'/'unchanged')
+    def fp(c: org.apache.spark.sql.Column) = coalesce(md5(c), lit("<null>"))
+    val c = cur.select(col(idCol), fp(col(textCol)).as("hc"))
+    val p = prev.select(col(idCol), fp(col(textCol)).as("hp"))
     c.join(p, Seq(idCol), "full_outer")
       .select(col(idCol),
         when(col("hp").isNull, "added")
@@ -140,24 +151,29 @@ object CorpusOps {
     "q_corpus_delta",
     (s, dir) => {
       val docs = Tables(s, dir, "documents")
+      // "removed" rows get NEGATIVE ids (-id - 1): provably disjoint
+      // from every real doc_id at any corpus size, where an additive
+      // shift collides with the id strides of scaled corpora
+      // (graft.Scale's 10x copies live at +k*10_000_000)
       val prev = docs.filter(col("doc_id") % 7 =!= 1)
         .select(col("doc_id"),
           when(col("doc_id") % 7 === 2,
             concat(col("text"), lit(" (stale)")))
             .otherwise(col("text")).as("text"))
         .union(docs.filter(col("doc_id") % 13 === 0)
-          .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+          .select((-col("doc_id") - 1L).as("doc_id"), col("text")))
       snapshotDelta(docs, prev, "doc_id", "text")
     },
     Some("""
-      |WITH cur AS (SELECT doc_id, md5(text) AS hc FROM documents),
+      |WITH cur AS (
+      |  SELECT doc_id, coalesce(md5(text), '<null>') AS hc FROM documents),
       |prev AS (
       |  SELECT doc_id,
-      |         md5(CASE WHEN doc_id % 7 = 2 THEN text || ' (stale)'
-      |                  ELSE text END) AS hp
+      |         coalesce(md5(CASE WHEN doc_id % 7 = 2 THEN text || ' (stale)'
+      |                  ELSE text END), '<null>') AS hp
       |  FROM documents WHERE doc_id % 7 <> 1
       |  UNION ALL
-      |  SELECT doc_id + 10000000, md5(text) FROM documents
+      |  SELECT -doc_id - 1, coalesce(md5(text), '<null>') FROM documents
       |  WHERE doc_id % 13 = 0)
       |SELECT doc_id, status FROM (
       |  SELECT coalesce(cur.doc_id, prev.doc_id) AS doc_id,

@@ -18,16 +18,24 @@ object Pipelines {
     * undirected input (radient/tasks/vectorizers/graph/fastrp.py:32-53).
     * No oracle: the iterative A·X float sums are partition-order
     * dependent; FastRPSpec pins the math against a local dense oracle. */
+  /** The customer↔nation bipartite graph both graph entries run on
+    * (nation nodes offset by 10 000 to share the long id space),
+    * symmetrized for undirected propagation — one builder so the "same
+    * graph" entries can never silently diverge. */
+  private def custNationEdges(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val cust = Tables(s, dir, "customer")
+      .select(col("c_custkey").as("src"),
+        (col("c_nationkey").cast("long") + 10000L).as("dst"),
+        lit(1.0).as("weight"))
+    cust.union(
+      cust.select(col("dst").as("src"), col("src").as("dst"), col("weight")))
+  }
+
   val q_fastrp_embed = Q(
     "q_fastrp_embed",
     (s, dir) => {
-      val cust = Tables(s, dir, "customer")
-        .select(col("c_custkey").as("src"),
-          (col("c_nationkey").cast("long") + 10000L).as("dst"),
-          lit(1.0).as("weight"))
-      val edges = cust.union(
-        cust.select(col("dst").as("src"), col("src").as("dst"), col("weight")))
-      FastRP.embed(edges, dim = 8)
+      FastRP.embed(custNationEdges(s, dir), dim = 8)
         .select(col("node"), posexplode(col("vec")).as(Seq("pos", "vraw")))
         .select(col("node"), col("pos"), round(col("vraw"), 6).as("v"))
         .orderBy(col("node"), col("pos"))
@@ -68,13 +76,7 @@ object Pipelines {
   val q_pagerank = Q(
     "q_pagerank",
     (s, dir) => {
-      val cust = Tables(s, dir, "customer")
-        .select(col("c_custkey").cast("long").as("src"),
-          (col("c_nationkey").cast("long") + 10000L).as("dst"),
-          lit(1.0).as("weight"))
-      val edges = cust.union(
-        cust.select(col("dst").as("src"), col("src").as("dst"), col("weight")))
-      graft.graph.PageRank.ranks(edges, iters = 8)
+      graft.graph.PageRank.ranks(custNationEdges(s, dir), iters = 8)
         .select(col("node"), round(col("rank"), 9).as("rank"))
         .orderBy(desc("rank"), col("node"))
     },

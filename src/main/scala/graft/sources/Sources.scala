@@ -74,9 +74,13 @@ object Sources {
       case _ => spark.read.schema(withCorrupt)
         .option("header", "true").option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", corruptCol).csv(path)
-    }).cache()
-    val clean = base.filter(col(corruptCol).isNull).drop(corruptCol)
-    val quarantine = base.filter(col(corruptCol).isNotNull)
+    })
+    // tracked cache (released by Caches.clear in long-lived sessions);
+    // required regardless: Spark refuses corrupt-column-only queries
+    // over raw files, and both returned frames share the one scan
+    val cached = graft.core.Caches.cached(base)
+    val clean = cached.filter(col(corruptCol).isNull).drop(corruptCol)
+    val quarantine = cached.filter(col(corruptCol).isNotNull)
       .select(col(corruptCol).as("raw_record"))
     (clean, quarantine)
   }

@@ -134,9 +134,11 @@ object Streams {
       // runs accumulate in tmpfs
       try {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(ck).iterator().asScala.toSeq
+        val walk = java.nio.file.Files.walk(ck)
+        try walk.iterator().asScala.toSeq
           .sortBy(-_.getNameCount)
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close() // Files.walk holds open directory handles
       } catch { case _: java.io.IOException => () }
     }
     df.sparkSession.table(name)

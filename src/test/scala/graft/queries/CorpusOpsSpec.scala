@@ -66,7 +66,7 @@ class CorpusOpsSpec extends AnyFunSuite {
       else if (id % 7 == 2) assert(rows.get(id).contains("changed"), s"doc $id")
       else assert(!rows.contains(id), s"doc $id should be unchanged")
       if (id % 13 == 0)
-        assert(rows.get(id + 10000000L).contains("removed"), s"doc $id")
+        assert(rows.get(-id - 1L).contains("removed"), s"doc $id")
     }
     // every output row is accounted for by one of the three rules
     assert(rows.size ==
