@@ -17,22 +17,29 @@ import json
 import sys
 from pathlib import Path
 
-path = Path(sys.argv[1] if len(sys.argv) > 1 else "/root/repo/target/recall_full.json")
+path = Path(sys.argv[1] if len(sys.argv) > 1 else "target/recall_full.json")
 if not path.exists():
     print(f"FAIL: {path} missing — run graft.Bench or graft.Recall first")
     sys.exit(2)
 
 art = json.loads(path.read_text())
 floors = art.get("floors", {})
+# a floors-less artifact (stale file from a pre-floors round, or a write
+# that died mid-computation) must FAIL, not pass vacuously — the gate's
+# whole point is that every metric is checked against an embedded floor
+if not floors:
+    print(f"FAIL: {path} carries no 'floors' map — stale or truncated artifact")
+    sys.exit(1)
 failures = list(art.get("floor_failures", []))
 
 # independent re-check of the recorded numbers against the recorded floors
 recalls = art.get("recall_at_10", {})
 for name, floor in floors.items():
     if name in recalls and recalls[name] < floor:
-        msg = f"{name} recall {recalls[name]} < floor {floor}"
-        if msg not in " ".join(failures):
-            failures.append(msg)
+        # dedup by metric name, not by formatted string: the artifact
+        # formats numbers differently than this re-check would
+        if not any(f.startswith(f"{name} ") for f in failures):
+            failures.append(f"{name} recall {recalls[name]} < floor {floor}")
 lsh = art.get("lsh_join_pair_recall")
 if lsh is not None and lsh < floors.get("lsh_join_pair_recall", 0.0):
     failures.append(f"lsh_join_pair_recall {lsh} < floor {floors['lsh_join_pair_recall']}")
@@ -47,7 +54,10 @@ if art.get("bpe_matches_sequential") is False:
 for name, r in sorted(recalls.items()):
     mark = "ok  " if r >= floors.get(name, 0.0) else "FAIL"
     print(f"{mark} {name}: recall@10 {r} (floor {floors.get(name, '-')})")
-print(f"ok   lsh_join_pair_recall {lsh}  hll_max_rel_err {hll}")
+lsh_ok = lsh is not None and lsh >= floors.get("lsh_join_pair_recall", 0.0)
+hll_ok = hll is not None and hll <= floors.get("hll_max_rel_err_max", 1.0)
+print(f"{'ok  ' if lsh_ok else 'FAIL'} lsh_join_pair_recall {lsh}")
+print(f"{'ok  ' if hll_ok else 'FAIL'} hll_max_rel_err {hll}")
 
 if failures:
     for f in dict.fromkeys(failures):

@@ -49,8 +49,18 @@ object Tables {
     val spark = df.sparkSession
     val p = spark.sparkContext.defaultParallelism
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-      spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    // mirror FilePartition.maxSplitBytes: the planner clamps the split
+    // size to min(maxPartitionBytes, max(openCostInBytes, bytes/cores)),
+    // so a mid-size table it already scans ≥p-way must not earn a
+    // redundant full-table repartition from a bytes/128MB underestimate
+    def conf(key: String, dflt: String): Long =
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get(key, dflt))
+    val maxPart = conf("spark.sql.files.maxPartitionBytes", "128m")
+    val openCost = conf("spark.sql.files.openCostInBytes", "4m")
+    val bytesPerCore = (bytes / BigInt(math.max(p, 1))).toLong
+    val maxSplit = math.min(maxPart,
+      math.max(openCost, math.max(bytesPerCore, 1L)))
     val estSplits = (bytes / BigInt(math.max(maxSplit, 1L))).toLong + 1
     if (estSplits >= p) df else df.repartition(p)
   }

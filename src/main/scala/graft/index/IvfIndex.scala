@@ -287,7 +287,8 @@ object IvfIndex {
     * reference's VC-bound subsampling idea,
     * radient/tasks/sinks/local/_gkmeans.py:26-36); the full table is only
     * touched by the single distributed assignment pass. The fit is
-    * seeded k-means++ + 8 Lloyd rounds over the hash-ordered sample:
+    * 8 seeded multi-starts of k-means++ + 12 Lloyd rounds over the
+    * hash-ordered sample (probe-recall-selected):
     * bit-deterministic AND partition-count independent, where the MLlib
     * KMeans it replaces gave a different quantizer (and a different
     * measured recall, 0.716 vs 0.825 at sf0.1) depending on `local[N]`.
@@ -339,7 +340,7 @@ object IvfIndex {
         df.select(col(idCol), col(vecCol)).withColumn("cluster", lit(0)),
         idCol, vecCol, metric = metric)
     // Multi-start k-means++ + Lloyd, keep the fit with the HIGHEST
-    // probe-recall score ([[probeScore]] at half-width probes — the
+    // probe-recall score ([[probeScore]] at 3k/8-width probes — the
     // criterion the index is actually graded on; see its scaladoc for
     // why quantization error picks wrong). The whole fit is driver-side
     // arithmetic over the bounded sample, no per-iteration Spark job, so

@@ -52,7 +52,7 @@ object Ann {
       val queries = e.filter(col("vec_id") < 100)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       // nprobe=5 of 8: the measured nprobe curve (SCALE.md;
-      // graft.RecallCurve) is 0.65/0.75/0.84/0.92 at nprobe 3/4/5/6 —
+      // graft.RecallCurve) is 0.67/0.78/0.85/0.93 at nprobe 3/4/5/6 —
       // 5 is the first rung over the 0.8 line, at 5/8 of the posting
       // lists per probe
       model.search(queries, "qid", "qv", k = 10, nprobe = 5)
@@ -197,7 +197,7 @@ object Ann {
     * asymmetric SqDistance over the probed posting lists, exact rerank
     * (recall/monotonicity/roundtrip/insert pinned in IvfSqSpec).
     * nprobe=5: SQ8 ranks are near-exact (flat SQ recall 1.0), so the
-    * curve tracks plain IVF — 0.75/0.84/0.92 at nprobe 4/5/6 (SCALE.md;
+    * curve tracks plain IVF — 0.78/0.85/0.93 at nprobe 4/5/6 (SCALE.md;
     * graft.RecallCurve) — and 5 is the first rung over 0.8. */
   val q_ann_ivfsq = Q(
     "q_ann_ivfsq",

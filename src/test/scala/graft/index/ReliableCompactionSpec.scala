@@ -29,6 +29,18 @@ class ReliableCompactionSpec extends AnyFunSuite {
 
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt")
     spark.sparkContext.setCheckpointDir(ckpt.toString)
+    // the shared session outlives this suite: restore the unset state so
+    // later suites exercise Compact.append's localCheckpoint auto-detect
+    // branch instead of silently routing through this temp dir (the
+    // field is private[spark]; reflection is the only unset path)
+    def clearCheckpointDir(): Unit =
+      try {
+        val f = classOf[org.apache.spark.SparkContext]
+          .getDeclaredField("checkpointDir")
+        f.setAccessible(true)
+        f.set(spark.sparkContext, None)
+      } catch { case _: ReflectiveOperationException => () }
+    try {
 
     var model = IvfIndex.build(base, "vec_id", "embedding", k = 8)
     (0 until 17).foreach { i =>
@@ -57,5 +69,9 @@ class ReliableCompactionSpec extends AnyFunSuite {
       .select(lit(9999L).as("qid"), col("embedding").as("qv"))
     val top = model.search(probe, "qid", "qv", k = 1, nprobe = 8).collect()
     assert(top.length == 1 && top(0).getLong(1) == 42L)
+
+    } finally clearCheckpointDir()
+    assert(spark.sparkContext.getCheckpointDir.isEmpty,
+      "checkpoint dir must not leak into later suites")
   }
 }
