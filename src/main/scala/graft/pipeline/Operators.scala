@@ -110,18 +110,17 @@ object Operators {
       val maxT = p(params, "maxTokens", "1000").toInt
       val swPm = p(params, "minStopwordPerMille", "50").toInt
       val repPm = p(params, "maxRepetitionPerMille", "200").toInt
-      val bound = graft.core.Caches.cached(ins.head
-        .withColumn("_t", TextF.tokens(col(textCol)))
-        .withColumn("_g", TextF.shingles(col("_t"), 3)))
-      bound
-        .withColumn("_nt", size(col("_t")))
-        .withColumn("_sw", TextF.hitCount(col("_t"), TextF.stopwords))
-        .withColumn("_n3", size(col("_g")))
-        .withColumn("_nd", size(array_distinct(col("_g"))))
-        .filter(col("_nt") >= minT && col("_nt") <= maxT &&
-          col("_sw") * 1000 >= col("_nt") * swPm &&
-          (col("_n3") - col("_nd")) * 1000 <= col("_n3") * repPm)
-        .drop("_t", "_g", "_nt", "_sw", "_n3", "_nd")
+      // single-pass codegen stats kernel — value-identical to the
+      // declarative tokens/shingles/hitCount chain (pinned in
+      // TextQualityStatsSpec) but ~10x cheaper per row, and stateless,
+      // so this operator runs unchanged on streaming inputs
+      ins.head
+        .withColumn("_q",
+          graft.functions.TextQualityStats.stats(col(textCol)))
+        .filter(col("_q.nt") >= minT && col("_q.nt") <= maxT &&
+          col("_q.sw") * 1000 >= col("_q.nt") * swPm &&
+          (col("_q.n3") - col("_q.nd")) * 1000 <= col("_q.n3") * repPm)
+        .drop("_q")
     },
     // MMR diversification of per-query candidate lists (graft.sink.Mmr):
     // one aggregate row per query group, k²-bounded kernel
