@@ -55,6 +55,58 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("frequentGrams equals brute force on random corpora (generative)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    val vocab = Vector("a", "b", "c", "dd", "ee", "ff", "gg")
+    for (trial <- 1 to 4) {
+      val docs = (0 until 40).map { i =>
+        val n = 1 + rnd.nextInt(12)
+        (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val minCount = 2L + rnd.nextInt(3)
+      val got = CorpusOps.frequentGrams(docs, "text", n = 3, minCount)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      val brute = docs
+        .select(explode(TextF.shingles(TextF.tokens(col("text")), 3)).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= minCount)
+        .orderBy(desc("c"), col("g"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      assert(got == brute, s"trial $trial minCount $minCount")
+    }
+  }
+
+  test("snapshotDelta matches a reference classifier on random mutations (generative)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9393)
+    for (trial <- 1 to 4) {
+      val curM = (0 until 30).map(i =>
+        i.toLong -> s"text-${rnd.nextInt(5)}-$i").toMap
+      // previous snapshot: drop some, mutate some, add some extinct ids
+      val prevM = curM.flatMap { case (id, t) =>
+        rnd.nextInt(4) match {
+          case 0 => None // added since
+          case 1 => Some(id -> (t + "-old")) // changed
+          case _ => Some(id -> t) // unchanged
+        }
+      } ++ (100L until 100L + rnd.nextInt(5)).map(id => id -> s"gone-$id")
+      val out = CorpusOps.snapshotDelta(
+          curM.toSeq.toDF("doc_id", "text"),
+          prevM.toSeq.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val expected = (curM.keySet ++ prevM.keySet).flatMap { id =>
+        (curM.get(id), prevM.get(id)) match {
+          case (Some(_), None) => Some(id -> "added")
+          case (None, Some(_)) => Some(id -> "removed")
+          case (Some(a), Some(b)) if a != b => Some(id -> "changed")
+          case _ => None
+        }
+      }.toMap
+      assert(out == expected, s"trial $trial")
+    }
+  }
+
   test("q_corpus_delta classifies by the membership arithmetic") {
     import spark.implicits._
     val rows = CorpusOps.q_corpus_delta.run(spark, sf)
