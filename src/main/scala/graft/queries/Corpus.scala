@@ -373,6 +373,55 @@ object Corpus {
     * any one window's key group; bins stay deterministic because the
     * order inside a shard is by doc_id, never by arrival. Integer-exact
     * → hash-checked. */
+  /** Concatenate-then-chunk span mapping — the OTHER packing regime
+    * (GPT-style pretraining: concatenate the corpus in a stable order,
+    * cut into fixed 512-token blocks, documents MAY straddle
+    * boundaries): for every (doc, chunk) incidence, the doc's token
+    * span inside that chunk. [[q_pack_sequences]] assigns each doc to
+    * the bin of its start offset (the collator-splits-later form); this
+    * entry materializes the full block map the data loader reads —
+    * a doc fans out to ⌈span/512⌉ rows via an explode over its chunk
+    * range. Same scale shape (per-language window cumsum, widened to
+    * (lang, shard) partitions at 100 TB); the explode adds rows
+    * proportional to boundary crossings, bounded by n_tok/512 per doc.
+    * Integer-exact → hash-checked. */
+  val q_pack_chunks = Q(
+    "q_pack_chunks",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(tokens(col("text"))).cast("long").as("n_tok"))
+        .withColumn("off", sum(col("n_tok")).over(w) - col("n_tok"))
+        .filter(col("n_tok") > 0)
+        .withColumn("chunk_id", explode(sequence(
+          expr("off DIV 512"), expr("(off + n_tok - 1) DIV 512"))))
+        .select(col("doc_id"), col("lang"), col("chunk_id"),
+          (greatest(col("off"), col("chunk_id") * 512) - col("chunk_id") * 512)
+            .as("start_in_chunk"),
+          (least(col("off") + col("n_tok"), (col("chunk_id") + 1) * 512)
+            - col("chunk_id") * 512).as("end_in_chunk"))
+        .orderBy(col("lang"), col("chunk_id"), col("doc_id"))
+    },
+    Some(s"""
+      |WITH d AS (SELECT doc_id, lang, CAST(len(${Sql.toks()}) AS BIGINT) AS n_tok
+      |           FROM documents),
+      |o AS (SELECT doc_id, lang, n_tok,
+      |        CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+      |          AS BIGINT) AS off
+      |      FROM d),
+      |x AS (SELECT doc_id, lang, n_tok, off,
+      |        unnest(generate_series(off // 512, (off + n_tok - 1) // 512)) AS chunk_id
+      |      FROM o WHERE n_tok > 0)
+      |SELECT doc_id, lang, CAST(chunk_id AS BIGINT) AS chunk_id,
+      |  CAST(greatest(off, chunk_id * 512) - chunk_id * 512 AS BIGINT) AS start_in_chunk,
+      |  CAST(least(off + n_tok, (chunk_id + 1) * 512) - chunk_id * 512 AS BIGINT) AS end_in_chunk
+      |FROM x ORDER BY lang, chunk_id, doc_id
+      |""".stripMargin))
+
   val q_pack_sequences = Q(
     "q_pack_sequences",
     (s, dir) => {
@@ -853,7 +902,8 @@ object Corpus {
     q_sample_exact_k,
     q_decontaminate, q_decontaminate_bloom, q_pipeline_curate,
     q_pipeline_curate2, q_pipeline_curate3, q_ngram_topk,
-    q_rare_tokens, q_zipf, q_pack_sequences, q_bpe_merges, q_mixture_weights,
+    q_rare_tokens, q_zipf, q_pack_sequences, q_pack_chunks, q_bpe_merges,
+    q_mixture_weights,
     q_lm_cross_entropy, q_scrub_pii, q_dsir_weights)
 }
 
