@@ -342,6 +342,44 @@ class OperatorsSpec extends AnyFunSuite {
     ()
   }
 
+  test("end-to-end crawl batch: quarantine -> scrub -> quality -> dedup keeps composing") {
+    // the full ingest story on one malformed crawl batch: malformed
+    // lines quarantined, survivors PII-scrubbed, quality-filtered, and
+    // exact-deduped — every stage a registry operator or source util
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_e2e")
+    dir.toFile.deleteOnExit()
+    val good = "the quick brown fox jumps over a lazy dog while it runs to town and beyond"
+    val lines = Seq(
+      s"""{"doc_id": 1, "text": "$good one"}""",
+      """{"doc_id": 2, "text": "contact me at bob@example.com"}""",
+      """{"doc_id": 3 BROKEN""",
+      s"""{"doc_id": 4, "text": "$good one"}""", // exact dup of 1
+      s"""{"doc_id": 5, "text": "$good two"}""",
+      """{"doc_id": 6, "text": "short"}""")
+    val f = dir.resolve("crawl.jsonl")
+    java.nio.file.Files.write(f, lines.mkString("\n").getBytes("UTF-8"))
+    f.toFile.deleteOnExit()
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val (clean, quarantine) = graft.sources.Sources
+      .readWithQuarantine(spark, "json", dir.toString, schema)
+    assert(quarantine.count() == 1)
+    val out = new Workflow()
+      .source("crawl", clean)
+      .addWithParams("scrub", Operators.make(spark, "transform", "pii_scrub"))
+      .addWithParams("quality",
+        Operators.make(spark, "transform", "quality_filter"))
+      .addWithParams("dedup",
+        Operators.make(spark, "transform", "dedup_exact_keep"))
+      .execute()
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 3 quarantined; 2 and 6 fail the quality gate (too short /
+    // stopword-poor after scrub); 4 deduped against 1 (min id kept)
+    assert(out.keySet == Set(1L, 5L), s"got $out")
+    assert(!out.values.exists(_.contains("bob@example.com")))
+  }
+
   test("pagerank operator runs over an edge-list input") {
     import spark.implicits._
     val edges = Seq((1L, 2L, 1.0), (2L, 1L, 1.0), (3L, 1L, 1.0))
