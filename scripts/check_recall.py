@@ -41,10 +41,14 @@ for name, floor in floors.items():
         if not any(f.startswith(f"{name} ") for f in failures):
             failures.append(f"{name} recall {recalls[name]} < floor {floor}")
 lsh = art.get("lsh_join_pair_recall")
-if lsh is not None and lsh < floors.get("lsh_join_pair_recall", 0.0):
+if lsh is None:
+    failures.append("lsh_join_pair_recall missing from artifact")
+elif lsh < floors.get("lsh_join_pair_recall", 0.0):
     failures.append(f"lsh_join_pair_recall {lsh} < floor {floors['lsh_join_pair_recall']}")
 hll = art.get("hll_max_rel_err")
-if hll is not None and hll > floors.get("hll_max_rel_err_max", 1.0):
+if hll is None:
+    failures.append("hll_max_rel_err missing from artifact")
+elif hll > floors.get("hll_max_rel_err_max", 1.0):
     failures.append(f"hll_max_rel_err {hll} > ceil {floors['hll_max_rel_err_max']}")
 if art.get("fastrp_matches_dense") is False:
     failures.append("fastrp_matches_dense is false")

@@ -48,20 +48,30 @@ object Tables {
   def spread(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val p = spark.sparkContext.defaultParallelism
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    // mirror FilePartition.maxSplitBytes: the planner clamps the split
-    // size to min(maxPartitionBytes, max(openCostInBytes, bytes/cores)),
-    // so a mid-size table it already scans ≥p-way must not earn a
-    // redundant full-table repartition from a bytes/128MB underestimate
-    def conf(key: String, dflt: String): Long =
-      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-        spark.conf.get(key, dflt))
-    val maxPart = conf("spark.sql.files.maxPartitionBytes", "128m")
-    val openCost = conf("spark.sql.files.openCostInBytes", "4m")
-    val bytesPerCore = (bytes / BigInt(math.max(p, 1))).toLong
-    val maxSplit = math.min(maxPart,
-      math.max(openCost, math.max(bytesPerCore, 1L)))
-    val estSplits = (bytes / BigInt(math.max(maxSplit, 1L))).toLong + 1
+    // the GUARANTEED scan parallelism is the file count: byte-range
+    // split math over-promises for single-row-group files (all rows
+    // land in the one split containing the row group's midpoint — the
+    // shape every small/mid parquet table written in one commit has),
+    // while a many-files table is already ≥fileCount-way parallel and
+    // must not earn a redundant full-table repartition. Metadata-only:
+    // reads the file index, never constructs the scan RDD.
+    val fileCount = df.queryExecution.optimizedPlan.collectFirst {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if lr.relation.isInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation] =>
+        lr.relation.asInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.inputFiles.length
+    }
+    val estSplits = fileCount match {
+      case Some(n) => n.toLong
+      case None => // derived/cached frame: fall back to the byte estimate
+        val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+        val maxSplit = org.apache.spark.network.util.JavaUtils
+          .byteStringAsBytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+        (bytes / BigInt(math.max(maxSplit, 1L))).toLong + 1
+    }
     if (estSplits >= p) df else df.repartition(p)
   }
 

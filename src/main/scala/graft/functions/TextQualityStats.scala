@@ -50,12 +50,52 @@ case class TextQualityStats(child: Expression) extends UnaryExpression {
   override def prettyName: String = "text_quality_stats"
 }
 
+/** The kernel as ONE boolean — the quality KEEP verdict with the
+  * thresholds baked in. The struct form's fields invite the optimizer
+  * to push the filter through the projection and re-inline the kernel
+  * once per conjunct field reference (up to 7 evaluations per row);
+  * a single boolean expression cannot be split, so the kernel runs
+  * exactly once per row no matter what the planner does. This is what
+  * `quality_filter` evaluates; the struct form stays for analysis
+  * projections that want the raw statistics. */
+case class TextQualityKeep(child: Expression,
+    minTokens: Int, maxTokens: Int,
+    minStopwordPerMille: Int, maxRepetitionPerMille: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"textQualityKeep needs a string column, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any =
+    TextQualityStats.keep(input.asInstanceOf[UTF8String],
+      minTokens, maxTokens, minStopwordPerMille, maxRepetitionPerMille)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextQualityStats.keep($c, " +
+        s"$minTokens, $maxTokens, $minStopwordPerMille, $maxRepetitionPerMille);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : TextQualityKeep = copy(child = newChild)
+
+  override def prettyName: String = "text_quality_keep"
+}
+
 object TextQualityStats {
   val schema: StructType = StructType(Seq(
     StructField("nt", IntegerType, nullable = false),
     StructField("sw", IntegerType, nullable = false),
     StructField("n3", IntegerType, nullable = false),
     StructField("nd", IntegerType, nullable = false)))
+
+  // hoisted: String.split("\\s+") would recompile the pattern per row
+  private val WS = java.util.regex.Pattern.compile("\\s+")
 
   private val stopSet: java.util.HashSet[String] = {
     val s = new java.util.HashSet[String]()
@@ -68,7 +108,24 @@ object TextQualityStats {
     * distinct 3-shingles through a hash set. Called from generated code
     * — keep the signature static-friendly. */
   def compute(text: UTF8String): InternalRow = {
-    val raw = text.trim().toLowerCase().toString.split("\\s+")
+    val s = statsOf(text)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](s(0), s(1), s(2), s(3)))
+  }
+
+  /** The keep verdict with thresholds applied — called from generated
+    * code; one kernel pass, integer arithmetic only. */
+  def keep(text: UTF8String, minT: Int, maxT: Int,
+      swPm: Int, repPm: Int): Boolean = {
+    val s = statsOf(text)
+    val nt = s(0); val sw = s(1); val n3 = s(2); val nd = s(3)
+    nt >= minT && nt <= maxT &&
+      sw.toLong * 1000 >= nt.toLong * swPm &&
+      (n3.toLong - nd.toLong) * 1000 <= n3.toLong * repPm
+  }
+
+  private def statsOf(text: UTF8String): Array[Int] = {
+    val raw = WS.split(text.trim().toLowerCase().toString)
     var nt = 0
     var sw = 0
     val toks = new java.util.ArrayList[String](raw.length)
@@ -96,8 +153,7 @@ object TextQualityStats {
         j += 1
       }
     }
-    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](nt, sw, n3, nd))
+    Array(nt, sw, n3, nd)
   }
 
   /** Column form. */
@@ -105,4 +161,11 @@ object TextQualityStats {
     org.apache.spark.sql.graft.ColumnBridge.column(
       TextQualityStats(org.apache.spark.sql.graft.ColumnBridge
         .eagerExpression(c)))
+
+  /** Column form of the boolean keep verdict. */
+  def keeps(c: org.apache.spark.sql.Column, minT: Int, maxT: Int,
+      swPm: Int, repPm: Int): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      TextQualityKeep(org.apache.spark.sql.graft.ColumnBridge
+        .eagerExpression(c), minT, maxT, swPm, repPm))
 }

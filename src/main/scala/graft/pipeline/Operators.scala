@@ -93,16 +93,15 @@ object Operators {
     // composite keep/drop quality filter (token-count window + stopword
     // floor + repetition ceiling); thresholds compared in the INTEGER
     // domain (per-mille) so no float boundary is engine-sensitive.
-    // The token + shingle arrays are materialized ONCE behind a cache
-    // before any stat touches them: higher-order functions evaluate
-    // interpreted (no codegen), and without the boundary projection
-    // collapse + predicate pushdown re-inline the token pipeline into
-    // every stat and every filter conjunct (~10 tokenizations per ROW —
-    // 19 s instead of ~1 s at sf0.1). Above the cache the stats are
-    // single passes over stored arrays, and downstream self-references
-    // (the dedup stage's semi join) re-read the cache, not the text.
-    // At cluster scale the same boundary is a materialized intermediate
-    // table (the Dedup.shingleDf lesson).
+    // The verdict is ONE codegen'd boolean expression
+    // (TextQualityKeep): value-identical to the declarative
+    // tokens/shingles/hitCount chain (pinned in TextQualityStatsSpec)
+    // but ~10x cheaper per row, stateless (so the operator runs
+    // unchanged on streaming inputs), and impossible for the planner to
+    // split — a struct-of-stats projection invites predicate pushdown
+    // to re-inline the kernel once per conjunct field reference, where
+    // a single boolean runs the kernel exactly once per row wherever
+    // the filter lands.
     "quality_filter" -> { (_, cp) => (ins, rp) =>
       val params = cp ++ rp
       val textCol = p(params, "textCol", "text")
@@ -110,17 +109,8 @@ object Operators {
       val maxT = p(params, "maxTokens", "1000").toInt
       val swPm = p(params, "minStopwordPerMille", "50").toInt
       val repPm = p(params, "maxRepetitionPerMille", "200").toInt
-      // single-pass codegen stats kernel — value-identical to the
-      // declarative tokens/shingles/hitCount chain (pinned in
-      // TextQualityStatsSpec) but ~10x cheaper per row, and stateless,
-      // so this operator runs unchanged on streaming inputs
-      ins.head
-        .withColumn("_q",
-          graft.functions.TextQualityStats.stats(col(textCol)))
-        .filter(col("_q.nt") >= minT && col("_q.nt") <= maxT &&
-          col("_q.sw") * 1000 >= col("_q.nt") * swPm &&
-          (col("_q.n3") - col("_q.nd")) * 1000 <= col("_q.n3") * repPm)
-        .drop("_q")
+      ins.head.filter(graft.functions.TextQualityStats
+        .keeps(col(textCol), minT, maxT, swPm, repPm))
     },
     // MMR diversification of per-query candidate lists (graft.sink.Mmr):
     // one aggregate row per query group, k²-bounded kernel

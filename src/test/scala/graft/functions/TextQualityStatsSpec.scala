@@ -45,6 +45,23 @@ class TextQualityStatsSpec extends AnyFunSuite {
     assert(rows(kernel(edge)) == rows(declarative(edge)))
   }
 
+  test("keep verdict equals the struct-form thresholds on the corpus + edges") {
+    import spark.implicits._
+    val docs = spark.read
+      .parquet(s"${TestSpark.sf0001}/documents.parquet").select("text")
+      .union(Seq("", "   ", "a b", "a b c d e", "the the the the the",
+        "x y z q w e r t").toDF("text"))
+    val viaKeep = docs
+      .filter(TextQualityStats.keeps(col("text"), 5, 1000, 50, 200))
+      .collect().map(_.getString(0)).sorted.toSeq
+    val viaStruct = kernel(docs)
+      .filter(col("nt") >= 5 && col("nt") <= 1000 &&
+        col("sw") * 1000 >= col("nt") * 50 &&
+        (col("n3") - col("nd")) * 1000 <= col("n3") * 200)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(viaKeep == viaStruct && viaKeep.nonEmpty)
+  }
+
   test("null text yields a null struct, matching the chain") {
     import spark.implicits._
     val df = Seq(Some("a b c"), None).toDF("text")
