@@ -32,7 +32,9 @@ class DeterminismSpec extends AnyFunSuite {
     "q_dsir_weights",      // ln-ratio fold over hashed buckets (r9)
     "q_heavy_hitters",     // CMS candidate filter + exact count (r9)
     "q_corpus_delta",      // full-outer fingerprint classification (r9)
-    "q_events_outliers")   // exact median/MAD rank selection (r9)
+    "q_events_outliers",   // exact median/MAD rank selection (r9)
+    "q_sample_exact_k",    // salted-hash rank windows (r9)
+    "q_pack_chunks")       // window cumsum + chunk-range explode (r9)
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, dir)
