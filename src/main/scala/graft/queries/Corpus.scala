@@ -363,16 +363,67 @@ object Corpus {
       |ORDER BY term_count
       |""".stripMargin))
 
-  /** Sequence packing — the last step before training: concatenate
-    * documents (in a stable order) into fixed-token-budget bins of 512,
-    * each doc assigned to the bin its start offset falls in (docs may
-    * straddle a boundary; the trainer's collator splits them). Packing
-    * is per-language, so the running offset is a window cumsum inside
-    * each lang partition — embarrassingly parallel across partitions.
-    * At 100 TB the partition key widens to (lang, shard-hash) to bound
-    * any one window's key group; bins stay deterministic because the
-    * order inside a shard is by doc_id, never by arrival. Integer-exact
-    * → hash-checked. */
+  /** Distributed two-phase prefix offsets — the scale-safe form of
+    * `sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id)`. The naive
+    * window funnels each language's ENTIRE corpus through one task's
+    * sort + running fold (corpus/5 through one core at any scale); this
+    * helper block-shards on `doc_id DIV blockDocs` — monotone in doc_id,
+    * so shard order IS doc order — and composes the exact global offset
+    * from (a) a local cumsum inside each (lang, shard) group, bounded by
+    * `blockDocs` rows regardless of corpus size, and (b) per-shard base
+    * offsets: the tiny (langs × shards) totals table, cumsum'd per lang
+    * and BROADCAST back. Integer sums → the two-phase composition is
+    * bit-exact vs the single window, so the DuckDB oracle (which keeps
+    * the simple window form) still hash-matches.
+    *
+    * Plan shape: ONE corpus shuffle, by (lang, shard). The base-offset
+    * branch reuses that same Exchange (ReuseExchange dedupes it — the
+    * groupBy's keys equal the partitioning keys so no second shuffle),
+    * aggregates each group to one row, cumsums the shard-count-sized
+    * result, and joins back as a BroadcastHashJoin. `blockDocs`
+    * (conf `graft.pack.blockDocs`, default 128 so the multi-shard path
+    * is exercised even at sf0.01) is the 100 TB knob: at 10¹² docs,
+    * blockDocs = 2²² keeps groups ≈4 M narrow rows (spillable window
+    * state) and the broadcast bases table ≈250 k rows per language.
+    *
+    * Reference anchor: scales the 1→N fan-out contract of
+    * `video_demux/default.py:37-59` / `pymupdf.py:41-47` to the corpus-
+    * wide packing step. Input must carry (doc_id, lang, n_tok ≥ 0);
+    * output adds `off` = sum of n_tok over same-lang docs with smaller
+    * doc_id. */
+  private[queries] def packOffsets(d: org.apache.spark.sql.DataFrame,
+                                   blockDocs: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the explicit null-filters mirror the constraints the inner join
+    // below would otherwise infer on its probe side only — keeping them
+    // in the SHARED subtree makes both branches' exchanges canonically
+    // identical, so AQE reuses one shuffle instead of re-scanning (and
+    // re-tokenizing) the corpus for the base offsets
+    val sharded = d.withColumn("_shard", expr(s"doc_id DIV $blockDocs"))
+      .filter(col("lang").isNotNull && col("_shard").isNotNull)
+    val localW = Window.partitionBy(col("lang"), col("_shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = sharded.withColumn("_cum", sum(col("n_tok")).over(localW))
+    // shard totals = the last local cumsum of each group (n_tok ≥ 0 ⇒
+    // max = last); exclusive per-lang running sum over shard order gives
+    // each shard its base. The window here runs over the shard-count-
+    // sized aggregate, not the corpus.
+    val bases = local.groupBy(col("lang"), col("_shard"))
+      .agg(max(col("_cum")).as("_tok"))
+      .withColumn("_base", coalesce(sum(col("_tok")).over(
+        Window.partitionBy(col("lang")).orderBy(col("_shard"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("lang"), col("_shard"), col("_base"))
+    local.join(broadcast(bases), Seq("lang", "_shard"))
+      .withColumn("off", col("_base") + col("_cum") - col("n_tok"))
+      .drop("_shard", "_cum", "_base")
+  }
+
+  /** The `graft.pack.blockDocs` knob (see [[packOffsets]]). */
+  private def packBlockDocs(s: org.apache.spark.sql.SparkSession): Long =
+    s.conf.get("graft.pack.blockDocs", "128").toLong
+
   /** Concatenate-then-chunk span mapping — the OTHER packing regime
     * (GPT-style pretraining: concatenate the corpus in a stable order,
     * cut into fixed 512-token blocks, documents MAY straddle
@@ -381,20 +432,18 @@ object Corpus {
     * the bin of its start offset (the collator-splits-later form); this
     * entry materializes the full block map the data loader reads —
     * a doc fans out to ⌈span/512⌉ rows via an explode over its chunk
-    * range. Same scale shape (per-language window cumsum, widened to
-    * (lang, shard) partitions at 100 TB); the explode adds rows
-    * proportional to boundary crossings, bounded by n_tok/512 per doc.
-    * Integer-exact → hash-checked. */
+    * range. Offsets come from the two-phase [[packOffsets]] (one
+    * (lang, shard) shuffle, bounded window groups, broadcast bases);
+    * the explode adds rows proportional to boundary crossings, bounded
+    * by n_tok/512 per doc. Integer-exact → hash-checked. */
   val q_pack_chunks = Q(
     "q_pack_chunks",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables(s, dir, "documents")
-        .select(col("doc_id"), col("lang"),
-          size(tokens(col("text"))).cast("long").as("n_tok"))
-        .withColumn("off", sum(col("n_tok")).over(w) - col("n_tok"))
+      packOffsets(
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            size(tokens(col("text"))).cast("long").as("n_tok")),
+        packBlockDocs(s))
         .filter(col("n_tok") > 0)
         .withColumn("chunk_id", explode(sequence(
           expr("off DIV 512"), expr("(off + n_tok - 1) DIV 512"))))
@@ -422,17 +471,26 @@ object Corpus {
       |FROM x ORDER BY lang, chunk_id, doc_id
       |""".stripMargin))
 
+  /** Sequence packing — the last step before training: concatenate
+    * documents (in a stable order) into fixed-token-budget bins of 512,
+    * each doc assigned to the bin its start offset falls in (docs may
+    * straddle a boundary; the trainer's collator splits them). Packing
+    * is per-language; the running offset is the two-phase distributed
+    * prefix sum of [[packOffsets]] — no task ever holds more than
+    * `blockDocs` rows of window state, so the plan survives a language
+    * whose corpus is 20 TB. Bins stay deterministic because the order
+    * inside a shard is by doc_id, never by arrival. Integer-exact
+    * → hash-checked. */
   val q_pack_sequences = Q(
     "q_pack_sequences",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables(s, dir, "documents")
-        .select(col("doc_id"), col("lang"),
-          size(tokens(col("text"))).cast("long").as("n_tok"))
-        .withColumn("off", sum(col("n_tok")).over(w) - col("n_tok"))
+      packOffsets(
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            size(tokens(col("text"))).cast("long").as("n_tok")),
+        packBlockDocs(s))
         .withColumn("bin", floor(col("off") / 512).cast("long"))
+        .select(col("doc_id"), col("lang"), col("n_tok"), col("off"), col("bin"))
         .orderBy(col("lang"), col("doc_id"))
     },
     Some(s"""
