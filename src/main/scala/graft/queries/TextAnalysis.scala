@@ -481,24 +481,68 @@ object TextAnalysis {
     * rank test (`5·rn > n` ⇔ rn above ⌊n/5⌋), ties broken by doc_id, so
     * the keep set is deterministic and the oracle hash-matches.
     *
-    * Scale: only the NARROW (doc_id, lang, score) projection enters the
-    * per-language window sort — payloads never shuffle — and the
-    * emitted keep-list equi-joins back to the corpus scan downstream.
-    * Language skew makes partitions uneven, but each partition sorts
-    * ~24-byte rows (spillable) — the q_shuffle_shards bounded-sort
-    * argument with language as the shard key. */
+    * The per-language rank is computed WITHOUT a per-language window:
+    * ordering is by the 6-dp-quantized score (the emitted precision —
+    * the quantized basis is the cross-engine contract, mirrored in the
+    * oracle's ORDER BY) with doc_id tie-break, and decomposes exactly as
+    *
+    *   rn = (#docs in lang with smaller score)            — score histogram
+    *      + (#tie docs in earlier doc_id blocks)          — tie-shard bases
+    *      + row_number inside the (lang, score, block)    — bounded group
+    *
+    * The histogram is bounded by 10⁶+1 integer-micro values per language
+    * no matter the corpus size (its cumsum runs over that aggregate, not
+    * the corpus); tie groups — at 10¹² docs a single score value can
+    * hold ~10⁶ docs per language — are split by the same `doc_id DIV
+    * blockDocs` monotone blocks as [[Corpus.packOffsets]], so every
+    * window group in the plan is bounded by blockDocs or by the
+    * shard-count. ONE corpus shuffle (the (lang, score, block) window;
+    * the tie-count branch reuses that exchange), plus narrow
+    * aggregate-sized joins that never reshuffle the corpus. Payloads
+    * never shuffle — only (doc_id, lang, score) enters. */
   val q_quality_percentile_filter = Q(
     "q_quality_percentile_filter",
     (s, dir) => {
-      val w = Window.partitionBy(col("lang")).orderBy(col("score"), col("doc_id"))
-      val cw = Window.partitionBy(col("lang"))
-      Tables(s, dir, "documents")
+      val b = s.conf.get("graft.pack.blockDocs", "128").toLong
+      val scored = Tables(s, dir, "documents")
         .withColumn("t", tokens(col("text")))
         .select(col("doc_id"), col("lang"),
           (hitCount(col("t"), stopwords).cast("double") /
             greatest(size(col("t")), lit(1))).as("score"))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("n", count(lit(1)).over(cw))
+        .withColumn("si",
+          expr("CAST(round(round(score, 6) * 1000000, 0) AS BIGINT)"))
+        .withColumn("_shard", expr(s"doc_id DIV $b"))
+        .filter(col("lang").isNotNull && col("si").isNotNull &&
+          col("_shard").isNotNull)
+      // local rank inside the bounded (lang, score, block) group
+      val local = scored.withColumn("_lrn", row_number().over(
+        Window.partitionBy(col("lang"), col("si"), col("_shard"))
+          .orderBy(col("doc_id"))).cast("long"))
+      // tie-shard bases: per-group counts (reuses the window's exchange —
+      // grouping keys equal the partitioning keys), exclusive cumsum over
+      // block order inside each tie
+      val tieBase = local.groupBy(col("lang"), col("si"), col("_shard"))
+        .agg(max(col("_lrn")).as("_cnt"))
+        .withColumn("_tbase", coalesce(sum(col("_cnt")).over(
+          Window.partitionBy(col("lang"), col("si")).orderBy(col("_shard"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("lang"), col("si"), col("_shard"), col("_tbase"))
+      // score histogram: ≤10⁶+1 rows per language; exclusive cumsum over
+      // score order + the language total, both over the aggregate only
+      val scoreBase = scored.groupBy(col("lang"), col("si"))
+        .agg(count(lit(1)).as("_c"))
+        .withColumn("_sbase", coalesce(sum(col("_c")).over(
+          Window.partitionBy(col("lang")).orderBy(col("si"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n", sum(col("_c")).over(Window.partitionBy(col("lang"))))
+        .select(col("lang"), col("si"), col("_sbase"), col("n"))
+      // combine the two aggregate tables first (both narrow) so the
+      // corpus side joins ONCE, on its own partitioning keys
+      val bases = tieBase.join(scoreBase, Seq("lang", "si"))
+        .select(col("lang"), col("si"), col("_shard"),
+          (col("_tbase") + col("_sbase")).as("_base"), col("n"))
+      local.join(bases, Seq("lang", "si", "_shard"))
+        .withColumn("rn", col("_base") + col("_lrn"))
         .filter(col("rn") * 5 > col("n"))
         .select(col("doc_id"), col("lang"),
           round(col("score"), 6).as("score"), col("rn"))
@@ -512,7 +556,9 @@ object TextAnalysis {
       |  FROM (SELECT doc_id, lang, ${Sql.toks()} AS t FROM documents)),
       |ranked AS (
       |  SELECT doc_id, lang, score,
-      |    row_number() OVER (PARTITION BY lang ORDER BY score, doc_id) AS rn,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY CAST(round(round(score, 6) * 1000000, 0) AS BIGINT),
+      |        doc_id) AS rn,
       |    count(*) OVER (PARTITION BY lang) AS n
       |  FROM scored)
       |SELECT doc_id, lang, round(score, 6) AS score, rn

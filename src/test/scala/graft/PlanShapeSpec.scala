@@ -35,9 +35,25 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_decontaminate", "q_decontaminate_bloom",
     "q_ann_ivf", "q_ann_gann", "q_ann_pq", "q_ann_ivfpq", "q_ann_bq",
     "q_ann_ivfbq", "q_ann_sq", "q_ann_ivfsq", "q_knn_join", "q_pmi_bigrams",
-    "q_zorder_key", "q_pack_sequences", "q_tfidf_top_terms",
+    "q_zorder_key", "q_pack_sequences", "q_pack_chunks",
+    "q_quality_percentile_filter", "q_tfidf_top_terms",
     "q_sparse_search", "q_hybrid_rrf", "q_knn_grouped",
     "q_corpus_delta")
+
+  // The round-10 rule that retired the engine's last single-task-per-
+  // group shapes: any window that orders corpus rows (doc_id in its
+  // spec) must carry the doc-block shard key, so its groups are bounded
+  // by blockDocs regardless of corpus size. Lang-only windows remain
+  // legal over aggregate-sized inputs (score histograms, shard bases).
+  for (name <- Seq("q_pack_sequences", "q_pack_chunks",
+      "q_quality_percentile_filter"))
+    test(s"$name: doc-ordered windows carry the block-shard key") {
+      val docWindows = plan(name).linesIterator.filter(l =>
+        l.contains("windowspecdefinition") && l.contains("doc_id")).toSeq
+      assert(docWindows.nonEmpty, "no doc-ordered window found")
+      docWindows.foreach(l =>
+        assert(l.contains("_shard"), s"unbounded corpus window: $l"))
+    }
 
   test("q_sample_exact_k: the rank filter partial-limits BEFORE the exchange") {
     // map-side WindowGroupLimit caps per-partition state at k rows per
