@@ -90,6 +90,26 @@ object Caches {
     m
   }
 
+  /** Free the storage behind an eagerly materialized frame: CacheManager
+    * entries via `unpersist`, plus the block-manager storage a
+    * `localCheckpoint` pinned. `Dataset.unpersist` alone cannot reach the
+    * latter — the blocks belong to the internal checkpoint RDD wrapped in
+    * the frame's LogicalRDD leaf, not to the cache manager — so an
+    * iterative loop that only unpersists leaks one state-sized RDD per
+    * round (at 10⁹ nodes, ~10× node-state pinned for the life of the
+    * job). Reliable `checkpoint()` FILES are untouched: they are the
+    * recovery surface and their lifecycle belongs to the checkpoint-dir
+    * owner, but their in-memory replica blocks are released the same
+    * way. Callers: the PageRank power loop and index compaction. */
+  def releaseMaterialized(df: DataFrame): Unit = {
+    df.unpersist(blocking = false)
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+  }
+
   /** Release every tracked cache and run every eviction hook for this
     * session's application. Non-blocking unpersist: storage is freed
     * asynchronously, correctness is unaffected (cached plans recompute). */

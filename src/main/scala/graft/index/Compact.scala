@@ -55,20 +55,31 @@ object Compact {
       compactEvery: Int = DefaultEvery,
       reliable: Option[Boolean] = None): DataFrame = {
     val unioned = old.union(extra)
-    val next =
-      if ((appends + 1) % compactEvery == 0) {
-        val useReliable = reliable.getOrElse(
-          old.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        // lineage truncation: eager, so the pass below reads old's cache
-        // before it is dropped
+    if ((appends + 1) % compactEvery == 0) {
+      val useReliable = reliable.getOrElse(
+        old.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      // lineage truncation: eager, so the pass below reads old's cache
+      // before it is dropped
+      val next =
         if (useReliable) unioned.checkpoint(eager = true)
         else unioned.localCheckpoint(eager = true)
-      } else {
-        val c = graft.core.Caches.cached(unioned)
-        c.count() // materialize off the superseded cache before dropping it
-        c
-      }
-    old.unpersist(blocking = false)
-    next
+      // `next` is lineage-truncated, so NOTHING references the superseded
+      // chain anymore: release old's cache AND the checkpoint RDD at the
+      // bottom of its union lineage (releaseMaterialized traverses the
+      // analyzed plan, so it reaches the LogicalRDD nested under the
+      // cached unions — bare unpersist cannot, and leaked one
+      // index-sized RDD per compaction cycle)
+      graft.core.Caches.releaseMaterialized(old)
+      next
+    } else {
+      val c = graft.core.Caches.cached(unioned)
+      c.count() // materialize off the superseded cache before dropping it
+      // cache-only branch: `c`'s lineage still bottoms out at the last
+      // checkpoint RDD (a cache eviction recomputes from it), so only
+      // the CacheManager entry for `old` may be dropped here — the
+      // checkpoint blocks must survive until the next true compaction
+      old.unpersist(blocking = false)
+      c
+    }
   }
 }

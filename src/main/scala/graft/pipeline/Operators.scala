@@ -364,8 +364,11 @@ object Operators {
         p(params, "idCol", "doc_id"), p(params, "textCol", "text"))
     },
     // PageRank centrality over an edge-list input (src, dst, weight) —
-    // the source-authority weighting signal (rows-only q_pagerank;
-    // PageRankSpec pins the math)
+    // the source-authority weighting signal (hash-checked q_pagerank;
+    // PageRankSpec pins the math). SINGLE-THREADED-SESSION assumption:
+    // ranks() scopes spark.sql.shuffle.partitions down for the life of
+    // the call (restored on exit) — do not run this operator
+    // concurrently with other queries on the same session
     "pagerank" -> { (_, cp) => (ins, rp) =>
       val params = cp ++ rp
       graft.graph.PageRank.ranks(ins.head,

@@ -5,10 +5,12 @@ import graft.vectorize.{FastRP, Multimodal}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{BinaryType, StringType}
 
-/** Pipeline-operator query entries that are NOT SQL-expressible and so get
-  * rows-only driver checks (`oracle = None`); their numeric correctness is
-  * asserted by closed-form ScalaTest specs instead (FastRPSpec,
-  * MultimodalSpec — SURVEY.md §5.2).
+/** Graph/multimodal pipeline query entries. q_fastrp_embed and
+  * q_multimodal_embed are NOT SQL-expressible and get rows-only driver
+  * checks (`oracle = None`) with closed-form ScalaTest specs instead
+  * (FastRPSpec, MultimodalSpec — SURVEY.md §5.2); q_pagerank IS
+  * oracle-checked since round 10 (integer-picos recursion replayed as a
+  * fixed-depth recursive CTE).
   */
 object Pipelines {
 
@@ -68,10 +70,20 @@ object Pipelines {
 
   /** PageRank centrality over the same customer↔nation bipartite graph
     * as [[q_fastrp_embed]] — the "importance" signal a curation pass
-    * weights sources by (domain authority at web scale). No oracle: the
-    * per-round double sums are partition-order dependent; PageRankSpec
-    * pins the math against a dense driver-side power iteration and the
-    * rank-mass invariant (Σ rank = 1). Output rounded to 9 dp, hub
+    * weights sources by (domain authority at web scale). HASH-CHECKED:
+    * [[graft.graph.PageRank]] runs in integer picos (per-edge
+    * contributions rounded to BIGINT each round — the lm_cross_entropy
+    * integer-micros discipline applied per iteration), so the DuckDB
+    * oracle replays the identical recursion as a fixed-depth recursive
+    * CTE. Oracle-side mechanics: `nodes` dedups via an explicit
+    * DISTINCT-over-UNION-ALL (a plain UNION inside a WITH RECURSIVE list
+    * is mis-bound), and zero-weight SELF-LOOP edges keep every node in
+    * the working table so the recursive member references `pr` exactly
+    * once — they contribute round(r·0.0) = 0, changing nothing. The
+    * graph is symmetrized → sink-free, so the dangling term is
+    * structurally absent on both sides. PageRankSpec still pins the math
+    * against a dense driver-side power iteration, the mass invariant,
+    * and bounded checkpoint storage. Output rounded to 9 dp, hub
     * (nation) nodes first. */
   val q_pagerank = Q(
     "q_pagerank",
@@ -80,7 +92,39 @@ object Pipelines {
         .select(col("node"), round(col("rank"), 9).as("rank"))
         .orderBy(desc("rank"), col("node"))
     },
-    None)
+    Some("""
+      |WITH RECURSIVE
+      |edges AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS src,
+      |         CAST(c_nationkey AS BIGINT) + 10000 AS dst, 1.0 AS weight
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT CAST(c_nationkey AS BIGINT) + 10000, CAST(c_custkey AS BIGINT), 1.0
+      |  FROM customer),
+      |outw AS (SELECT src, sum(weight) AS outw FROM edges GROUP BY src),
+      |nodes AS (SELECT DISTINCT node FROM (
+      |  SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+      |nn AS (SELECT count(*) AS n FROM nodes),
+      |trans2 AS (
+      |  SELECT e.src, e.dst, e.weight / o.outw AS p
+      |  FROM edges e JOIN outw o USING (src)
+      |  UNION ALL
+      |  SELECT node, node, 0.0 FROM nodes),
+      |pr AS (
+      |  SELECT 0 AS it, node,
+      |    CAST(round(1000000000000.0 / n, 0) AS BIGINT) AS r FROM nodes, nn
+      |  UNION ALL
+      |  SELECT pr.it + 1, t.dst AS node,
+      |    CAST(round((1.0 - 0.85) * 1000000000000.0 / max(nn.n)
+      |      + 0.85 * (CAST(sum(CAST(round(CAST(pr.r AS DOUBLE) * t.p, 0)
+      |          AS BIGINT)) AS DOUBLE) + 0.0), 0) AS BIGINT)
+      |  FROM pr JOIN trans2 t ON pr.node = t.src, nn
+      |  WHERE pr.it < 8
+      |  GROUP BY pr.it, t.dst)
+      |SELECT node, round(CAST(r AS DOUBLE) / 1000000000000.0, 9) AS rank
+      |FROM pr WHERE it = 8
+      |ORDER BY rank DESC, node
+      |""".stripMargin))
 
   val all: Seq[Q] = Seq(q_fastrp_embed, q_multimodal_embed, q_pagerank)
 }

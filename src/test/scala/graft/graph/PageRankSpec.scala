@@ -70,6 +70,22 @@ class PageRankSpec extends AnyFunSuite {
     assert(sparkRanks() == sparkRanks())
   }
 
+  test("superseded round checkpoints are released: storage stays bounded") {
+    // 12 rounds × localCheckpoint must NOT pin 12 rank RDDs: round N−1 is
+    // released when round N materializes (Caches.releaseMaterialized —
+    // plain unpersist cannot reach localCheckpoint blocks). Allowance of
+    // 2: the final rank checkpoint (caller-owned) plus one async
+    // unpersist still in flight.
+    import spark.implicits._
+    val df = edges.toDF("src", "dst", "weight")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val r = PageRank.ranks(df, iters = 12, damping = damping)
+    r.collect()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 2, s"pinned RDDs grew $before -> $after")
+    graft.core.Caches.releaseMaterialized(r)
+  }
+
   test("q_pagerank entry runs: nation hubs outrank customers") {
     val rows = graft.queries.Pipelines.q_pagerank
       .run(spark, TestSpark.sf0001).collect()
