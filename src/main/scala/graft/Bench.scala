@@ -53,7 +53,8 @@ object Bench {
     // correctness-only entries whose cost is temp-dir staging IO (format
     // roundtrips write + re-read a csv/json copy), not engine compute —
     // they stay in Verify's oracle gate but would only add IO noise here
-    val benchExclude = Set("q_csv_roundtrip", "q_json_roundtrip", "q_orc_roundtrip")
+    val benchExclude = Set("q_csv_roundtrip", "q_json_roundtrip",
+      "q_orc_roundtrip", "q_quarantine_roundtrip")
     val benched = SparkEntry.queries.view.filterKeys(!benchExclude(_)).toMap
     def pass(): Map[String, Double] = benched.map { case (name, fn) =>
       val t0 = System.nanoTime()

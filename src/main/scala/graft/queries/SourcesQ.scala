@@ -95,5 +95,56 @@ object SourcesQ {
     },
     Some(oracleAgg))
 
-  val all: Seq[Q] = Seq(q_csv_roundtrip, q_json_roundtrip, q_orc_roundtrip)
+  /** Quarantine routing under the oracle (the ingest contract,
+    * radient/tasks/sources/ingest.py:7-18): stage the corpus as JSON
+    * lines with PLANTED corruption — every doc_id ≡ 0 (mod 97) is
+    * written as the unparseable line `CORRUPT|<doc_id>` instead of its
+    * JSON — then read back through [[graft.sources.Sources.readWithQuarantine]]
+    * and emit (a) the per-language aggregate of the CLEAN frame and (b)
+    * one `_quarantine` row whose stats come from ids recovered out of
+    * the quarantined raw lines. The DuckDB oracle replays the same
+    * planting rule arithmetically over the original parquet, so a hash
+    * match proves both routes: no clean row was damaged or dropped, and
+    * every planted-bad line landed — whole and replayable — in
+    * quarantine. (Same staging-IO caveat as the other roundtrips →
+    * bench-excluded.) */
+  val q_quarantine_roundtrip = Q(
+    "q_quarantine_roundtrip",
+    (s, dir) => {
+      val tmp = tempDir("graft_quar")
+      Tables(s, dir, "documents")
+        .select(when(col("doc_id") % 97 === 0,
+            concat(lit("CORRUPT|"), col("doc_id")))
+          .otherwise(to_json(struct(col("doc_id"), col("text"), col("lang"),
+            col("source"), col("n_chars")))).as("value"))
+        .write.mode("overwrite").text(tmp)
+      val (clean, quarantine) =
+        graft.sources.Sources.readWithQuarantine(s, "json", tmp, docSchema)
+      val cleanAgg = clean.groupBy(col("lang").as("grp"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("s"),
+          min(col("doc_id")).as("lo"),
+          max(col("doc_id")).as("hi"))
+      val quarAgg = quarantine
+        .select(split(col("raw_record"), "\\|").getItem(1)
+          .cast("long").as("qid"))
+        .agg(count(lit(1)).as("n"), sum(col("qid")).as("s"),
+          min(col("qid")).as("lo"), max(col("qid")).as("hi"))
+        .select(lit("_quarantine").as("grp"), col("n"), col("s"),
+          col("lo"), col("hi"))
+      cleanAgg.unionByName(quarAgg).orderBy(col("grp"))
+    },
+    Some("""
+      |SELECT lang AS grp, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS s,
+      |  min(doc_id) AS lo, max(doc_id) AS hi
+      |FROM documents WHERE doc_id % 97 <> 0 GROUP BY lang
+      |UNION ALL
+      |SELECT '_quarantine', count(*), CAST(sum(doc_id) AS BIGINT),
+      |  min(doc_id), max(doc_id)
+      |FROM documents WHERE doc_id % 97 = 0
+      |ORDER BY grp
+      |""".stripMargin))
+
+  val all: Seq[Q] = Seq(q_csv_roundtrip, q_json_roundtrip, q_orc_roundtrip,
+    q_quarantine_roundtrip)
 }

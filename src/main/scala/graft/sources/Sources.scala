@@ -65,6 +65,11 @@ object Sources {
     require(format == "json" || format == "csv",
       s"quarantine routing supports json/csv, got $format")
     val corruptCol = "_corrupt_record"
+    // a caller schema already claiming the corrupt column would produce
+    // a confusing duplicate-column failure deep in the reader — fail
+    // loud at the API boundary instead
+    require(!schema.fieldNames.contains(corruptCol),
+      s"schema must not contain $corruptCol — readWithQuarantine adds it")
     val withCorrupt = schema.add(corruptCol,
       org.apache.spark.sql.types.StringType, nullable = true)
     val base = (format match {

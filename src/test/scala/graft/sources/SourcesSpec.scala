@@ -73,6 +73,12 @@ class SourcesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Sources.readWithQuarantine(spark, "parquet", dir.toString, schema)
     }
+    // a caller schema already claiming _corrupt_record fails loud at the
+    // API boundary, not as a duplicate-column error deep in the reader
+    intercept[IllegalArgumentException] {
+      Sources.readWithQuarantine(spark, "json", dir.toString,
+        schema.add("_corrupt_record", StringType))
+    }
     ()
   }
 }
