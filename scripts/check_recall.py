@@ -17,7 +17,10 @@ import json
 import sys
 from pathlib import Path
 
-path = Path(sys.argv[1] if len(sys.argv) > 1 else "target/recall_full.json")
+# default resolves relative to the repo root (this script's parent dir),
+# not the cwd — the gate must work when invoked from anywhere
+path = Path(sys.argv[1]) if len(sys.argv) > 1 else (
+    Path(__file__).resolve().parent.parent / "target/recall_full.json")
 if not path.exists():
     print(f"FAIL: {path} missing — run graft.Bench or graft.Recall first")
     sys.exit(2)

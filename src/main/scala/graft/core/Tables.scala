@@ -63,14 +63,20 @@ object Tables {
             org.apache.spark.sql.execution.datasources.HadoopFsRelation]
           .location.inputFiles.length
     }
+    val byteEstimate = {
+      val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      val maxSplit = org.apache.spark.network.util.JavaUtils
+        .byteStringAsBytes(
+          spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+      (bytes / BigInt(math.max(maxSplit, 1L))).toLong + 1
+    }
+    // max of both signals: a many-files table is ≥fileCount-way parallel
+    // whatever its size, and a SINGLE large multi-row-group file still
+    // splits by byte range — taking fileCount alone would buy that case
+    // a redundant full-table repartition
     val estSplits = fileCount match {
-      case Some(n) => n.toLong
-      case None => // derived/cached frame: fall back to the byte estimate
-        val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-        val maxSplit = org.apache.spark.network.util.JavaUtils
-          .byteStringAsBytes(
-            spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
-        (bytes / BigInt(math.max(maxSplit, 1L))).toLong + 1
+      case Some(n) => math.max(n.toLong, byteEstimate)
+      case None => byteEstimate // derived/cached frame
     }
     if (estSplits >= p) df else df.repartition(p)
   }

@@ -123,23 +123,32 @@ object Streams {
     val q = df.writeStream.outputMode(mode)
       .option("checkpointLocation", ck.toString)
       .format("memory").queryName(name).start()
+    var completed = false
     try {
       q.processAllAvailable()
       Option(q.lastProgress).foreach(p =>
         executedBatches.put(name, p.batchId + 1))
+      completed = true
     } finally {
       q.stop()
-      // the run is complete and the sink is in memory — the checkpoint
-      // has no further use; delete it now rather than letting finished
-      // runs accumulate in tmpfs
-      try {
-        import scala.jdk.CollectionConverters._
-        val walk = java.nio.file.Files.walk(ck)
-        try walk.iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-        finally walk.close() // Files.walk holds open directory handles
-      } catch { case _: java.io.IOException => () }
+      if (completed) {
+        // the run is complete and the sink is in memory — the checkpoint
+        // has no further use; delete it now rather than letting finished
+        // runs accumulate in tmpfs
+        try {
+          import scala.jdk.CollectionConverters._
+          val walk = java.nio.file.Files.walk(ck)
+          try walk.iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+          finally walk.close() // Files.walk holds open directory handles
+        } catch { case _: java.io.IOException => () }
+      } else {
+        // FAILED run: the offset/commit/state logs are exactly the
+        // debugging evidence — keep them and say where they are
+        System.err.println(
+          s"[graft] streaming query '$name' failed; checkpoint kept at $ck")
+      }
     }
     df.sparkSession.table(name)
   }
