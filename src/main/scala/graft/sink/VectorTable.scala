@@ -28,6 +28,34 @@ object VectorTable {
   def load(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Persist as a BUCKETED catalog table — the at-rest layout the
+    * corpus-delta / dedup scaladocs assume: both crawls bucketed by the
+    * id column into the SAME bucket count, so every id-equi-join
+    * between them (snapshot delta, incremental batch-vs-corpus dedup,
+    * decontamination probes) reads co-located buckets and the
+    * corpus-sized Exchange disappears from the join plan entirely —
+    * at 100 TB that is the difference between a metadata-sized read and
+    * re-shuffling both crawls (BucketedLayoutSpec pins the no-Exchange
+    * plan and result equality vs the shuffled path). Catalog-backed
+    * because bucket metadata lives in the table catalog — Spark
+    * refuses `bucketBy` on a bare path write; pass `path` to keep the
+    * files external at a chosen location. `vecCol` stamps `norm_sq`
+    * like [[write]]; None for plain document corpora — the layout
+    * serves the dedup family as much as the vector sink. `sortBy` the
+    * same id keeps bucket files locally sorted, so the downstream
+    * sort-merge join sorts file-sized runs, never shuffles.
+    * Reference: the sink owns collection layout the same way
+    * (radient/tasks/sinks/milvus.py:60-65). */
+  def writeBucketed(df: DataFrame, table: String, idCol: String,
+      vecCol: Option[String] = None, buckets: Int = 8,
+      path: Option[String] = None): Unit = {
+    val out = vecCol.fold(df)(v =>
+      df.withColumn("norm_sq", VectorF.normSq(col(v))))
+    val w = out.write.mode("overwrite")
+      .bucketBy(buckets, idCol).sortBy(idCol).format("parquet")
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
+
   /** Filtered exact top-k search — `search` parity
     * (milvus.py:122-127: query vector + limit + boolean filter expr).
     * Distance: "l2" or "cosine". The filter is a real Column predicate so
