@@ -2,15 +2,18 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev tool: print the formatted physical plan and wall time of one query.
-  * Usage: runMain graft.Explain <queryName> [sfDir] [--time-only] [--warm]
-  * `--warm` runs the entry twice and times the second pass — steady-state
+/** Dev tool: print the formatted physical plan and wall time of queries.
+  * Usage: runMain graft.Explain <name>[,<name>...] [sfDir] [--time-only] [--warm]
+  * `--warm` runs each entry twice and times the second pass — steady-state
   * like Bench's min-of-two (codegen compiled, memoized index/postings
   * caches hot); default is the cold single invocation including builds.
+  * A comma-separated list runs IN SEQUENCE in one session — the tool for
+  * reproducing in-suite cache interactions between entries (the bench
+  * runs all entries through one session too).
   */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    val names = args(0).split(",").toSeq
     val sfDir = args.lift(1).filterNot(_.startsWith("--"))
       .getOrElse("/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -30,14 +33,16 @@ object Explain {
     // second construction would rebuild indexes warm against the first
     // run's caches and understate the time.
     val timeOnly = args.contains("--time-only")
-    if (args.contains("--warm"))
-      SparkEntry.queries(name)(spark, sfDir).count()
-    val t0 = System.nanoTime()
-    val df = SparkEntry.queries(name)(spark, sfDir)
-    if (!timeOnly) df.explain("formatted")
-    val n = df.count()
-    val label = if (timeOnly) "" else " (incl. explain)"
-    println(f"[explain] $name rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2f s$label")
+    val warm = args.contains("--warm")
+    names.foreach { name =>
+      if (warm) SparkEntry.queries(name)(spark, sfDir).count()
+      val t0 = System.nanoTime()
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      if (!timeOnly) df.explain("formatted")
+      val n = df.count()
+      val label = if (timeOnly) "" else " (incl. explain)"
+      println(f"[explain] $name rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2f s$label")
+    }
     spark.stop()
   }
 }
