@@ -14,9 +14,14 @@ import org.apache.spark.sql.functions._
   * correlated scalar subqueries (SQL renders the correlated form, the
   * DataFrame side is its hand-decorrelated rewrite), DISTINCT
   * projections, total-order ORDER BY + LIMIT,
-  * UNION ALL / INTERSECT / EXCEPT, IS [NOT] NULL and BETWEEN predicate
-  * leaves, conditional counts (sum CASE WHEN), and
-  * row_number/running-sum windows —
+  * UNION ALL / INTERSECT [ALL] / EXCEPT [ALL] (set AND bag semantics),
+  * IS [NOT] NULL and BETWEEN predicate leaves, conditional counts
+  * (sum CASE WHEN), decimal product-sums (DECIMAL×DECIMAL through the
+  * widened exact product type), LATERAL correlated aggregate subqueries
+  * in FROM (SQL renders the lateral form, the DataFrame side its
+  * decorrelated group+left-join rewrite), row_number/running-sum
+  * windows, and tie-preserving rank() windows over non-unique orderings
+  * (also over joined inputs) —
   * as an AST rendered BOTH as a DataFrame-API plan and as ANSI
   * SQL — the two executions must agree row-for-row. FuzzRelationalSpec
   * runs ≥1000 generated plans DataFrame-vs-`spark.sql`; five fixed
@@ -200,6 +205,28 @@ object Fuzz {
     def sql = s"CAST(sum(CASE WHEN ${p.sql} THEN 1 ELSE 0 END) AS BIGINT) AS $alias"
     def df = sum(when(p.df, 1).otherwise(0)).cast("long").as(alias)
   }
+  /** Decimal product-sum (the q01 revenue pattern as a fuzz surface):
+    * DECIMAL(18,2) × DECIMAL(18,2) stays exact through the widened
+    * product type on both engines (Spark 37,4 / DuckDB 36,4 — both
+    * inside the 38-digit ceiling). The sum is rounded to DECIMAL(38,0)
+    * BEFORE the double cast — a measured cross-engine edge found by this
+    * very aggregate: casting a scale-4 decimal whose scaled magnitude
+    * exceeds 2⁵³ to DOUBLE double-rounds in DuckDB (int128→double, then
+    * ÷10⁴) but single-rounds in Spark (BigDecimal.doubleValue), so the
+    * two engines can disagree by an ulp at ~10¹³ sums. The integer-
+    * rounded value stays below 2⁵³ for every catalog range, where the
+    * int→double conversion is exact on both sides. The rounding itself
+    * must be an explicit `round(x, 0)` — a second measured edge: the
+    * decimal→DECIMAL(38,0) CAST truncates in DuckDB but HALF_UP-rounds
+    * in Spark; round() is half-away-from-zero in both. */
+  private final case class SumProd(a: FCol, b: FCol) extends Agg {
+    val alias = s"prod_${a.name}_${b.name}"
+    def sql = s"CAST(CAST(round(sum(CAST(${a.name} AS DECIMAL(18,2)) * " +
+      s"CAST(${b.name} AS DECIMAL(18,2))), 0) AS DECIMAL(38,0)) AS DOUBLE) AS $alias"
+    def df = round(sum(col(a.name).cast("decimal(18,2)") *
+      col(b.name).cast("decimal(18,2)")), 0).cast("decimal(38,0)")
+      .cast("double").as(alias)
+  }
 
   /** A generated plan: both renderings plus a human-readable signature. */
   final case class Plan(seed: Long, sql: String,
@@ -210,10 +237,14 @@ object Fuzz {
   private def pick[A](rnd: scala.util.Random, xs: Seq[A]): A =
     xs(rnd.nextInt(xs.size))
 
-  /** .0/.5 halves inside [lo, hi] — exact in both SQL parsers. */
+  /** .0/.25/.5/.75 quarters inside [lo, hi] — exact binary fractions, so
+    * both SQL parsers produce the identical double (the round-10
+    * literal-edge widening; .1-style literals would round differently
+    * through decimal-vs-binary parse paths and are deliberately never
+    * generated). */
   private def halfLit(rnd: scala.util.Random, c: FCol): Double = {
-    val steps = math.max(1, ((c.hi - c.lo) * 2).toInt)
-    c.lo + rnd.nextInt(steps) / 2.0
+    val steps = math.max(1, ((c.hi - c.lo) * 4).toInt)
+    c.lo + rnd.nextInt(steps) / 4.0
   }
 
   private def genPred(rnd: scala.util.Random, cols: Seq[FCol]): Pred = {
@@ -240,7 +271,7 @@ object Fuzz {
   }
 
   private def genAggs(rnd: scala.util.Random, cols: Seq[FCol]): Seq[Agg] = {
-    def one(): Agg = rnd.nextInt(6) match {
+    def one(): Agg = rnd.nextInt(7) match {
       case 0 => CountStar
       case 1 => val c = pick(rnd, cols); MinMax(c, isMin = rnd.nextBoolean())
       case 2 =>
@@ -249,6 +280,13 @@ object Fuzz {
         val dbls = cols.filter(_.kind == DblK)
         if (dbls.isEmpty) CountStar else SumDec(pick(rnd, dbls))
       case 4 => CondCount(genPred(rnd, cols))
+      case 5 =>
+        val nums = cols.filter(c => c.kind == DblK || c.kind == IntK)
+        if (nums.size < 2) CountStar
+        else {
+          val a = pick(rnd, nums); val b = pick(rnd, nums.filterNot(_ == a))
+          SumProd(a, b)
+        }
       case _ => CountCol(pick(rnd, cols))
     }
     val aggs = Seq.fill(1 + rnd.nextInt(3))(one())
@@ -362,13 +400,20 @@ object Fuzz {
     // (string group cells stay object-dtype under NULL subtotals on both
     // engines, where a nulled int64 group column would coerce to
     // engine-dependent dtypes), and correlated-subquery aggregates.
+    // 9 = LATERAL correlated aggregate subquery in FROM (round 10): the
+    // SQL renders Spark/DuckDB's shared `, LATERAL (SELECT agg ...)`
+    // form, the DataFrame side its decorrelated group+left-join rewrite;
+    // the aggregate subquery always yields one row (NULL on no match),
+    // so the lateral column NULL-extends like an outer join — kept out
+    // of forceAgg for the same dtype-coercion reason as shapes 4/5.
     val strGroupable = groupable.filter(_.kind.isInstanceOf[StrK])
     val gaCols = if (forceAgg) strGroupable else groupable
     val shape0 =
-      if (forceAgg) Seq(0, 0, 7, 8)(rnd.nextInt(4)) else rnd.nextInt(9)
+      if (forceAgg) Seq(0, 0, 7, 8)(rnd.nextInt(4)) else rnd.nextInt(10)
     val shape = shape0 match {
       case 7 if gaCols.isEmpty => 0
       case 8 if joinable.isEmpty => 0
+      case 9 if joinable.isEmpty => 0
       case s => s
     }
 
@@ -507,7 +552,10 @@ object Fuzz {
       val p1 = genPred(rnd, base.cols)
       val p2 = genPred(rnd, base.cols)
       val proj = rnd.shuffle(base.cols).take(2 + rnd.nextInt(2)).map(_.name).sorted
-      val opSql = pick(rnd, Seq("UNION ALL", "INTERSECT", "EXCEPT"))
+      // the ALL variants (round 10) exercise bag-semantics set ops —
+      // multiplicity arithmetic instead of set-distinct
+      val opSql = pick(rnd, Seq("UNION ALL", "INTERSECT", "EXCEPT",
+        "INTERSECT ALL", "EXCEPT ALL"))
       val sql =
         s"SELECT ${proj.mkString(", ")} FROM ${base.name} WHERE ${p1.sql} " +
           s"$opSql SELECT ${proj.mkString(", ")} FROM ${base.name} WHERE ${p2.sql}"
@@ -518,8 +566,34 @@ object Fuzz {
         opSql match {
           case "UNION ALL" => l.union(r)
           case "INTERSECT" => l.intersect(r)
+          case "INTERSECT ALL" => l.intersectAll(r)
+          case "EXCEPT ALL" => l.exceptAll(r)
           case _ => l.except(r)
         }
+      })
+    } else if (shape == 5 && base.uniqueKey.nonEmpty && groupable.nonEmpty
+        && rnd.nextInt(3) == 1) {
+      // rank-window variant (round 10): rank() ordered by a NON-unique
+      // numeric column — ties share a rank, and the rank<=j cut keeps
+      // every tied row, so the emitted SET is deterministic without a
+      // tiebreak (row_number there would be nondeterministic; rank is
+      // the shape that exercises tie arithmetic in both engines)
+      val g = pick(rnd, groupable).name
+      val nums = base.cols.filter(c =>
+        (c.kind == IntK || c.kind == DblK) && !c.lowCard && c.name != g)
+      val oc = pick(rnd, if (nums.isEmpty) base.cols.filterNot(_.name == g) else nums).name
+      val topJ = 1 + rnd.nextInt(5)
+      val sql =
+        s"SELECT $g, $oc, rk FROM (" +
+          s"SELECT $g, $oc, CAST(rank() OVER (PARTITION BY $g ORDER BY $oc) " +
+          s"AS BIGINT) AS rk FROM $fromSql${whereSql(pred)}) AS w WHERE rk <= $topJ"
+      Plan(seed, sql, (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col(g)).orderBy(col(oc))
+        src(s, dir, pred)
+          .withColumn("rk", rank().over(w).cast("long"))
+          .filter(col("rk") <= topJ)
+          .select(col(g), col(oc), col("rk"))
       })
     } else if (shape == 5 && base.uniqueKey.nonEmpty && groupable.nonEmpty) {
       // window shape: row_number (+ optional running int sum) per group,
@@ -555,6 +629,36 @@ object Fuzz {
         }
         withSum.filter(col("rn") <= topJ).select(outCols.map(col): _*)
       })
+    } else if (shape == 9) {
+      // LATERAL shape: a correlated aggregate subquery in FROM — the
+      // subquery is a global aggregate, so it yields exactly ONE row per
+      // base row (NULL value when the filtered dim has no match: the
+      // lateral column NULL-extends like an outer join). SQL is the
+      // shared `, LATERAL (...)` form; the DataFrame side is the
+      // decorrelated per-key aggregate + left join Catalyst itself
+      // produces for it.
+      val j = pick(rnd, joinable)
+      val x = pick(rnd, j.dim.cols.filter(c => c.kind == IntK || c.kind == DblK))
+      val isMin = rnd.nextBoolean()
+      val subPred = if (rnd.nextInt(3) > 0) Some(genPred(rnd, j.dim.cols)) else None
+      val basePred = if (rnd.nextBoolean()) Some(genPred(rnd, base.cols)) else None
+      val proj = rnd.shuffle(base.cols).take(2 + rnd.nextInt(2)).map(_.name).sorted
+      val fn = if (isMin) "min" else "max"
+      val sql = s"SELECT ${proj.mkString(", ")}, lval FROM ${base.name}, LATERAL (" +
+        s"SELECT $fn(${x.name}) AS lval FROM ${j.dim.name} WHERE " +
+        s"${j.dim.name}.${j.rightKey} = ${base.name}.${j.leftKey}" +
+        subPred.map(p => s" AND (${p.sql})").getOrElse("") + ") AS lsub" +
+        basePred.map(p => s" WHERE ${p.sql}").getOrElse("")
+      Plan(seed, sql, (s, dir) => {
+        val d0 = Tables(s, dir, j.dim.name)
+        val d = subPred.map(p => d0.filter(p.df)).getOrElse(d0)
+        val sub = d.groupBy(col(j.rightKey)).agg(
+          (if (isMin) min(col(x.name)) else max(col(x.name))).as("lval"))
+        val b0 = Tables(s, dir, base.name)
+        val b = basePred.map(p => b0.filter(p.df)).getOrElse(b0)
+        b.join(sub, col(j.leftKey) === col(j.rightKey), "left")
+          .select((proj :+ "lval").map(col): _*)
+      })
     } else {
       // projection shape: a few concrete columns, always filtered;
       // optional DISTINCT; optional total-order ORDER BY + LIMIT
@@ -586,15 +690,16 @@ object Fuzz {
     * generator FuzzRelationalSpec exercises Spark-vs-Spark.
     *
     * Seeds chosen (FuzzSeedScan at sf0.001) for non-trivial rows and
-    * feature diversity across the round-9 widened grammar:
-    * 5 = correlated scalar subquery (lineitem vs part min) + grouped
-    * aggregate, 14 = HAVING + DECIMAL sum, 23 = EXISTS semi join +
-    * ROLLUP + conditional count, 32 = inner lineitem⋈orders join +
-    * CUBE + DECIMAL sum, 33 = correlated scalar subquery + two-key
-    * grouped aggregate, 86 = NOT EXISTS anti join + ROLLUP +
-    * conditional count, 92 = inner join + GROUPING SETS + conditional
-    * count. */
-  val driverSeeds = Seq(5L, 14L, 23L, 32L, 33L, 86L, 92L)
+    * feature diversity across the round-10 widened grammar (quarter
+    * literals + decimal product-sums re-roll every seed's plan):
+    * 5 = correlated scalar subquery + grouped aggregate, 9 = inner
+    * join + ROLLUP + decimal product-sum, 14 = HAVING + grouped
+    * aggregate, 23 = EXISTS semi join + GROUPING SETS, 25 = correlated
+    * scalar subquery + decimal product-sum, 32 = inner join +
+    * GROUPING SETS, 33 = correlated scalar subquery + two-key grouped
+    * aggregate, 57 = ROLLUP + decimal product-sum, 86 = NOT EXISTS
+    * anti join + CUBE, 92 = inner join + ROLLUP. */
+  val driverSeeds = Seq(5L, 9L, 14L, 23L, 25L, 32L, 33L, 57L, 86L, 92L)
 
   val all: Seq[Q] = driverSeeds.map { s =>
     val p = plan(s, forceAgg = true)
