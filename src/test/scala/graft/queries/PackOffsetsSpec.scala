@@ -60,6 +60,12 @@ class PackOffsetsSpec extends AnyFunSuite {
   test("q_pack_sequences at sf0.001: >1 window group per language and exchange reuse") {
     val s = spark
     s.conf.set("graft.pack.blockDocs", "64")
+    // hermetic cache context: if another suite cached the raw documents
+    // table, the scans arrive as TableCacheQueryStage and AQE does not
+    // reuse exchanges across cache-stage boundaries — the production
+    // sessions (Verify/Bench) never cache the raw table, so the reuse
+    // property is pinned against that shape, not the polluted one
+    graft.core.Tables(s, TestSpark.sf0001, "documents").unpersist(blocking = true)
     try {
       val df = graft.SparkEntry.queries("q_pack_sequences")(s, TestSpark.sf0001)
       val rows = df.collect()
