@@ -152,8 +152,13 @@ object RecallReport {
   }
 
   /** Distributed FastRP vs the dense closed form on a fixed 5-node
-    * graph (the FastRPSpec oracle, compacted). */
+    * graph (the FastRPSpec oracle, compacted) — with the SAME
+    * integer-micros quantization as the engine (round 10), so the
+    * comparison is exact equality instead of a float tolerance. */
   private def fastRpMatches(spark: SparkSession): Boolean = {
+    def rnd0(x: Double): Double =
+      BigDecimal(java.math.BigDecimal.valueOf(x))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble
     import spark.implicits._
     val dim = 4; val seed = 42L; val weights = Seq(0.1, 0.2, 1.0, 3.0)
     val edges = Seq((0L, 1L, 1.0), (1L, 2L, 1.0), (2L, 0L, 1.0),
@@ -176,28 +181,29 @@ object RecallReport {
         val u = (h32(s"rp$seed#$node#$k") % 1000000L).toDouble / 1000000.0
         if (u < density / 2) scale else if (u < density) -scale else 0.0
       }.toArray
-    val lr = nodes.map(nd => rRow(nd).map(_ * (0.5 / n)))
+    val lr = nodes.map(nd => rRow(nd).map(v => rnd0(v * (0.5 / n) * 1e6)))
     def matmul(x: Seq[Array[Double]]): Seq[Array[Double]] =
       nodes.indices.map { i =>
         val out = new Array[Double](dim)
         nodes.indices.foreach { j =>
-          if (a(i)(j) != 0.0) (0 until dim).foreach(k => out(k) += a(i)(j) * x(j)(k))
+          if (a(i)(j) != 0.0)
+            (0 until dim).foreach(k => out(k) += rnd0(x(j)(k) * a(i)(j)))
         }
         out
       }
     var nk = matmul(lr)
-    val want = nk.map(_.map(_ * weights.head)).toArray
+    val want = nk.map(_.map(v => rnd0(v * weights.head))).toArray
     weights.tail.foreach { w =>
       nk = matmul(nk)
       nodes.indices.foreach(i =>
-        (0 until dim).foreach(k => want(i)(k) += w * nk(i)(k)))
+        (0 until dim).foreach(k => want(i)(k) += rnd0(nk(i)(k) * w)))
     }
     val got = graft.vectorize.FastRP.embed(
         edges.toDF("src", "dst", "weight"), dim, weights, beta = 0.0, seed = seed)
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
     nodes.indices.forall { i =>
       got.get(nodes(i)).exists { g =>
-        (0 until dim).forall(k => math.abs(g(k) - want(i)(k)) < 1e-9)
+        (0 until dim).forall(k => g(k) == want(i)(k) / 1e6)
       }
     }
   }

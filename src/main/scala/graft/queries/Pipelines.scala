@@ -14,12 +14,6 @@ import org.apache.spark.sql.types.{BinaryType, StringType}
   */
 object Pipelines {
 
-  /** FastRP node embeddings over the customer↔nation bipartite graph
-    * derived from the `customer` table (nation nodes offset by 10_000 to
-    * share the long id space), symmetrized as the reference does for
-    * undirected input (radient/tasks/vectorizers/graph/fastrp.py:32-53).
-    * No oracle: the iterative A·X float sums are partition-order
-    * dependent; FastRPSpec pins the math against a local dense oracle. */
   /** The customer↔nation bipartite graph both graph entries run on
     * (nation nodes offset by 10 000 to share the long id space),
     * symmetrized for undirected propagation — one builder so the "same
@@ -34,6 +28,21 @@ object Pipelines {
       cust.select(col("dst").as("src"), col("src").as("dst"), col("weight")))
   }
 
+  /** FastRP node embeddings over the customer↔nation bipartite graph
+    * derived from the `customer` table (nation nodes offset by 10_000 to
+    * share the long id space), symmetrized as the reference does for
+    * undirected input (radient/tasks/vectorizers/graph/fastrp.py:32-53).
+    * HASH-CHECKED since round 10: [[graft.vectorize.FastRP]] carries its
+    * vector state in integer micros (init row, per-edge contributions
+    * and weighted terms all rounded to whole micros; sums therefore
+    * exact on any partitioning), so the DuckDB oracle replays the same
+    * four propagation stages as chained CTEs over the exploded
+    * (node, pos, value) form — every float expression below mirrors the
+    * Spark side op-for-op, including the md5-derived sparse projection
+    * row (`TextF.h32` ≡ the '0x'+substr(md5) BIGINT parse). FastRPSpec
+    * additionally pins the distributed path against a dense local
+    * implementation with the IDENTICAL quantization — exact equality,
+    * no tolerance. */
   val q_fastrp_embed = Q(
     "q_fastrp_embed",
     (s, dir) => {
@@ -42,7 +51,50 @@ object Pipelines {
         .select(col("node"), col("pos"), round(col("vraw"), 6).as("v"))
         .orderBy(col("node"), col("pos"))
     },
-    None)
+    Some("""
+      |WITH edges AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS src,
+      |         CAST(c_nationkey AS BIGINT) + 10000 AS dst, 1.0 AS weight
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT CAST(c_nationkey AS BIGINT) + 10000, CAST(c_custkey AS BIGINT), 1.0
+      |  FROM customer),
+      |nodes AS (SELECT DISTINCT node FROM (
+      |  SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+      |nn AS (SELECT count(*) AS n FROM nodes),
+      |outw AS (SELECT src, sum(weight) AS outw FROM edges GROUP BY src),
+      |dims AS (SELECT unnest(range(0, 8)) AS pos),
+      |n0 AS (
+      |  SELECT node, pos,
+      |    round((CASE WHEN u < d / 2 THEN s WHEN u < d THEN -s ELSE 0.0 END)
+      |      * (0.5 * pow(coalesce(outw, 0.0), 0.0) / n) * 1000000.0, 0) AS v
+      |  FROM (
+      |    SELECT nodes.node, dims.pos, outw.outw, nn.n,
+      |      (CAST(('0x' || substr(md5('rp42#' || CAST(nodes.node AS VARCHAR)
+      |        || '#' || CAST(dims.pos AS VARCHAR)), 1, 8)) AS BIGINT)
+      |        % 1000000) / 1000000.0 AS u,
+      |      1.0 / sqrt(8.0) AS d,
+      |      sqrt(1.0 / (1.0 / sqrt(8.0))) / sqrt(8.0) AS s
+      |    FROM nodes CROSS JOIN dims CROSS JOIN nn
+      |    LEFT JOIN outw ON outw.src = nodes.node)),
+      |n1 AS (SELECT e.src AS node, x.pos, sum(round(x.v * e.weight, 0)) AS v
+      |       FROM edges e JOIN n0 x ON e.dst = x.node GROUP BY e.src, x.pos),
+      |n2 AS (SELECT e.src AS node, x.pos, sum(round(x.v * e.weight, 0)) AS v
+      |       FROM edges e JOIN n1 x ON e.dst = x.node GROUP BY e.src, x.pos),
+      |n3 AS (SELECT e.src AS node, x.pos, sum(round(x.v * e.weight, 0)) AS v
+      |       FROM edges e JOIN n2 x ON e.dst = x.node GROUP BY e.src, x.pos),
+      |n4 AS (SELECT e.src AS node, x.pos, sum(round(x.v * e.weight, 0)) AS v
+      |       FROM edges e JOIN n3 x ON e.dst = x.node GROUP BY e.src, x.pos),
+      |terms AS (
+      |  SELECT node, pos, round(v * 0.1, 0) AS t FROM n1
+      |  UNION ALL SELECT node, pos, round(v * 0.2, 0) FROM n2
+      |  UNION ALL SELECT node, pos, round(v * 1.0, 0) FROM n3
+      |  UNION ALL SELECT node, pos, round(v * 3.0, 0) FROM n4),
+      |o AS (SELECT node, pos, sum(t) AS mu FROM terms GROUP BY node, pos)
+      |SELECT node, CAST(pos AS INT) AS pos,
+      |  round(mu / 1000000.0, 6) AS v
+      |FROM o ORDER BY node, pos
+      |""".stripMargin))
 
   /** Multimodal featurization: documents' text bytes treated as opaque
     * binary payloads, routed image/audio/video/text by id and featurized

@@ -1,8 +1,6 @@
 package graft.vectorize
 
 import graft.functions.TextF
-import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
-import org.apache.spark.ml.stat.Summarizer
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -21,6 +19,19 @@ import org.apache.spark.sql.functions._
   * is a deterministic function of (node, component, seed) via TextF.h32,
   * mirroring sklearn's SparseRandomProjection density 1/√d with values
   * ±√(1/density)/√d (fastrp.py:31 defaults).
+  *
+  * Vector state is INTEGER micros carried in doubles (round 10, the
+  * PageRank discipline): the init row and every per-edge contribution
+  * are rounded to whole micros, so every Summarizer sum adds
+  * integer-valued doubles far below 2⁵³ — exact in ANY partition order —
+  * and the final division by 10⁶ is the only non-integer step. That is
+  * what moves `q_fastrp_embed` from rows-only to HASH-CHECKED against a
+  * DuckDB oracle that replays the same four propagation stages as
+  * chained CTEs over the exploded (node, pos, value) form. Quantization
+  * is ≤0.5 micro per edge per stage (the reference's float path and
+  * this one agree to ~1e-6 per stage — far inside embedding-quality
+  * noise); FastRPSpec's dense oracle applies the identical rounding and
+  * asserts EXACT equality.
   */
 object FastRP {
 
@@ -37,14 +48,34 @@ object FastRP {
     })
   }
 
-  /** A·X: propagate `vec` from dst to src along weighted edges and sum. */
-  private def propagate(edges: DataFrame, x: DataFrame): DataFrame = {
-    edges.join(x, edges("dst") === x("node"))
-      .select(edges("src"),
-        array_to_vector(transform(col("vec"), v => v * col("weight"))).as("m"))
-      .groupBy(col("src").as("node"))
-      .agg(vector_to_array(Summarizer.sum(col("m"))).as("vec"))
+  /** Exact elementwise vector sum per key: one per-dimension `sum`
+    * column per component, reassembled into an array — ONE shuffle,
+    * plain codegen HashAggregate over fixed-width doubles. The inputs
+    * are integer-valued micros, and a plain double sum of integers
+    * below 2⁵³ is exact in ANY order — unlike MLlib `Summarizer.sum`,
+    * which tracks an incremental MEAN and returns mean·count (measured
+    * 2e-10-level drift, enough to break the hash-exact oracle). */
+  private def vecSum(df: DataFrame, key: Column, arr: Column,
+      dim: Int): DataFrame = {
+    val pre = df.select(key.as("node"), arr.as("_a"))
+    val sums = (0 until dim).map(k => sum(col("_a").getItem(k)).as(s"_s$k"))
+    pre.groupBy(col("node"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("node"),
+        array((0 until dim).map(k => col(s"_s$k")): _*).as("vec"))
   }
+
+  /** A·X: propagate `vec` from dst to src along weighted edges and sum.
+    * Per-edge contributions round to whole micros BEFORE the sum (the
+    * cross-engine exactness step — mirrored op-for-op in the oracle's
+    * `round(v * weight, 0)`), so the vector sum adds integer-valued
+    * doubles: exact on any partitioning. */
+  private def propagate(edges: DataFrame, x: DataFrame, dim: Int): DataFrame =
+    vecSum(
+      edges.join(x, edges("dst") === x("node")),
+      edges("src"),
+      transform(col("vec"), v => round(v * col("weight"), 0)),
+      dim)
 
   /** Node embeddings for a weighted edge list (src, dst, weight).
     * Directed propagation like the reference's A @ X; pass a symmetrized
@@ -65,7 +96,8 @@ object FastRP {
     val lr = nodes.join(deg, Seq("node"), "left")
       .select(col("node"),
         transform(projectionRow(col("node"), dim, seed),
-          v => v * (lit(0.5) * pow(coalesce(col("deg"), lit(0.0)).cast("double"), beta) / n))
+          v => round(v * (lit(0.5) * pow(coalesce(col("deg"), lit(0.0)).cast("double"), beta) / n)
+            * lit(1e6), 0))
           .as("vec"))
     // Every N_k is cached and NOT unpersisted until the result is done:
     // each N_k's plan appears both inside N_{k+1} and inside the running
@@ -73,7 +105,7 @@ object FastRP {
     // N_1 once per remaining iteration (quadratic recompute). The caches
     // populate lazily during the single final action — no per-iteration
     // count() barrier (k extra jobs) is needed for the reuse to kick in.
-    var nk = propagate(edges, lr).cache() // N_1 = A·L·R
+    var nk = propagate(edges, lr, dim).cache() // N_1 = A·L·R
     val intermediates = scala.collection.mutable.Buffer(edges, nodes, nk)
     // the weighted combine Σ_k w_k·N_k is ONE union + vector-sum shuffle
     // over the cached N_k frames, not a chain of per-iteration full-outer
@@ -82,21 +114,22 @@ object FastRP {
     // (Nodes absent from an N_k simply contribute no term, which is what
     // the old null-handling axpy computed.)
     val terms = scala.collection.mutable.Buffer(
-      nk.select(col("node"), transform(col("vec"), v => v * weights.head).as("wv")))
+      nk.select(col("node"),
+        transform(col("vec"), v => round(v * weights.head, 0)).as("wv")))
     for (w <- weights.tail) {
-      nk = propagate(edges, nk).cache()
+      nk = propagate(edges, nk, dim).cache()
       intermediates += nk
-      terms += nk.select(col("node"), transform(col("vec"), v => v * w).as("wv"))
+      terms += nk.select(col("node"),
+        transform(col("vec"), v => round(v * w, 0)).as("wv"))
     }
-    val result = terms.reduce(_ union _)
-      .select(col("node"), array_to_vector(col("wv")).as("m"))
-      .groupBy("node")
-      .agg(vector_to_array(Summarizer.sum(col("m"))).as("vec"))
+    // still integer-valued micros through the weighted sum; the single
+    // ÷10⁶ below is the only non-integer step in the whole pipeline
+    val result = vecSum(terms.reduce(_ union _), col("node"), col("wv"), dim)
     // nodes that received no messages get the zero vector
     val out = graft.core.Caches.cached(
       nodes.join(result, Seq("node"), "left")
         .select(col("node"),
-          coalesce(col("vec"),
+          coalesce(transform(col("vec"), v => v / lit(1e6)),
             transform(sequence(lit(0), lit(dim - 1)), _ => lit(0.0))).as("vec")))
     // materialize the result, then release every intermediate cache — an
     // embed() in a long-lived session must not pin k+2 frames forever

@@ -4,7 +4,12 @@ import graft.TestSpark
 import org.scalatest.funsuite.AnyFunSuite
 
 /** FastRP correctness vs a local dense implementation of the exact same
-  * formula (R from the same seeded hash, N_1 = A·L·R, out = Σ w_k·N_k). */
+  * formula (R from the same seeded hash, N_1 = A·L·R, out = Σ w_k·N_k),
+  * INCLUDING the integer-micros quantization (round 10): the dense
+  * oracle rounds the init row, every per-edge contribution, and every
+  * weighted term to whole micros exactly like the distributed path, so
+  * the comparison is EXACT equality, not a tolerance — any partition-
+  * order sensitivity or rounding divergence fails outright. */
 class FastRPSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
@@ -23,6 +28,12 @@ class FastRPSpec extends AnyFunSuite {
     java.lang.Long.parseLong(hex, 16)
   }
 
+  // Spark's Round(double) goes through BigDecimal.valueOf (shortest
+  // decimal repr) + HALF_UP — replicate exactly
+  private def rnd0(x: Double): Double =
+    BigDecimal(java.math.BigDecimal.valueOf(x))
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   private def localFastRP(): Map[Long, Array[Double]] = {
     val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
     val n = nodes.size
@@ -37,25 +48,30 @@ class FastRPSpec extends AnyFunSuite {
         if (u < density / 2) scale else if (u < density) -scale else 0.0
       }.toArray
     val deg = nodes.map(nd => a(idx(nd)).sum)
-    val lr = nodes.map(nd => rRow(nd).map(_ * (0.5 * math.pow(deg(idx(nd)), 0.0) / n)))
+    // init in integer micros, same op order as the distributed expression
+    val lr = nodes.map(nd => rRow(nd).map(v =>
+      rnd0(v * (0.5 * math.pow(deg(idx(nd)), 0.0) / n) * 1e6)))
+    // per-edge contributions round to whole micros before summation
     def matmul(x: Seq[Array[Double]]): Seq[Array[Double]] =
       nodes.indices.map { i =>
         val out = new Array[Double](dim)
         nodes.indices.foreach { j =>
-          if (a(i)(j) != 0.0) (0 until dim).foreach(k => out(k) += a(i)(j) * x(j)(k))
+          if (a(i)(j) != 0.0)
+            (0 until dim).foreach(k => out(k) += rnd0(x(j)(k) * a(i)(j)))
         }
         out
       }
     var nk = matmul(lr)
-    val result = nk.map(_.map(_ * weights.head))
+    val result = nk.map(_.map(v => rnd0(v * weights.head)))
     weights.tail.foreach { w =>
       nk = matmul(nk)
-      nodes.indices.foreach(i => (0 until dim).foreach(k => result(i)(k) += w * nk(i)(k)))
+      nodes.indices.foreach(i =>
+        (0 until dim).foreach(k => result(i)(k) += rnd0(nk(i)(k) * w)))
     }
-    nodes.map(nd => nd -> result(idx(nd))).toMap
+    nodes.map(nd => nd -> result(idx(nd)).map(_ / 1e6)).toMap
   }
 
-  test("distributed FastRP matches the local dense oracle") {
+  test("distributed FastRP matches the quantized dense oracle EXACTLY") {
     import spark.implicits._
     val edgeDf = edges.toDF("src", "dst", "weight")
     val got = FastRP.embed(edgeDf, dim, weights, beta = 0.0, seed = seed)
@@ -63,7 +79,7 @@ class FastRPSpec extends AnyFunSuite {
     val want = localFastRP()
     assert(got.keySet == want.keySet)
     for ((node, w) <- want; k <- 0 until dim)
-      assert(math.abs(got(node)(k) - w(k)) < 1e-9,
+      assert(got(node)(k) == w(k),
         s"node $node comp $k: got ${got(node)(k)} want ${w(k)}")
   }
 
