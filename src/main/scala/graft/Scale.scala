@@ -41,7 +41,12 @@ object Scale {
     "q_dedup_components", "q_hybrid_rrf", "q_lm_cross_entropy",
     // round-9 corpus-maintenance ops (documents-only inputs):
     // sketch-guarded frequent grams, fingerprint snapshot delta
-    "q_heavy_hitters", "q_corpus_delta")
+    "q_heavy_hitters", "q_corpus_delta",
+    // round-10 two-phase forms (documents-only inputs): the packing
+    // pair's distributed prefix offsets and the percentile filter's
+    // histogram+tie-shard exact rank — the entries that replaced the
+    // engine's last single-task-per-group windows
+    "q_pack_sequences", "q_pack_chunks", "q_quality_percentile_filter")
 
   private def buildScaled(spark: SparkSession, base: String, out: String,
       factor: Int): Unit = {
