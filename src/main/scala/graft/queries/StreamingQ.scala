@@ -299,6 +299,83 @@ object StreamingQ {
       |ORDER BY doc_id
       |""".stripMargin))
 
+  /** Watermark LATENESS under the oracle — the entry where late rows are
+    * genuinely DROPPED and the oracle agrees row-for-row. The staging
+    * replays ARRIVAL order, not event order: every 17th event arrives
+    * 12 days late (a crawler back-fill), so event time runs backwards
+    * across micro-batch boundaries and the advancing watermark
+    * classifies real rows as late (19 drops at sf0.001, 169 at sf0.01 —
+    * watermarks only advance between batches AND the late filter lags a
+    * further batch, so the delay must cross TWO ~week-wide chunk
+    * boundaries to bite); the windowed aggregate runs in APPEND
+    * mode, so only watermark-finalized windows are emitted. Both
+    * effects are DETERMINISTIC given the staged chunking (ntile over
+    * the identical arrival key in both engines), so the DuckDB oracle
+    * replays Spark's exact semantics arithmetically — including the
+    * TWO-watermark split (measured here with a MemoryStream repro, the
+    * SPARK-24634 lineage): the late-events filter lags one batch behind
+    * eviction, so batch k drops a row only when its WINDOW END ≤
+    * (⌊max event-time micros over batches ≤ k−2 / 1000⌋ − delay_ms)·1000
+    * (the ms truncation is Spark's EventTimeStats granularity; the lag
+    * is also what makes re-emission of an already-evicted window
+    * impossible, keeping append output duplicate-free), and a window is
+    * emitted iff its end ≤ the post-replay eviction watermark (the
+    * final no-data micro-batch's pass, max over ALL batches). Exact
+    * DECIMAL value sums → hash-checked. [[q_stream_windowed]] is the
+    * no-loss twin (chronological replay, Complete mode); this one pins
+    * the LOSSY half of the watermark contract. */
+  val q_stream_late = Q(
+    "q_stream_late",
+    (s, dir) => {
+      val landing = stagedMemo.computeIfAbsent(s"$dir#late#4",
+        _ => stageFrameChunks(graft.core.Tables(s, dir, "events"),
+          Seq(col("ts") + expr("CASE WHEN event_id % 17 = 0 " +
+              "THEN INTERVAL 12 DAYS ELSE INTERVAL 0 SECONDS END"),
+            col("event_id")), "late", 4))
+      val stream = s.readStream.schema(Streams.eventSchema)
+        .option("maxFilesPerTrigger", "1").parquet(landing.toString)
+      val agg = stream
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("sum_value"))
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try Streams.runToMemory(agg, "q_stream_late_sink", OutputMode.Append())
+        .orderBy(col("window_start"), col("event_type"))
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    },
+    Some(s"""
+      |WITH e AS (
+      |  SELECT ts, event_type, value,
+      |    ntile(4) OVER (ORDER BY ts + CASE WHEN event_id % 17 = 0
+      |      THEN INTERVAL '12 days' ELSE INTERVAL '0 seconds' END,
+      |      event_id) AS chunk
+      |  FROM events),
+      |cm AS (SELECT chunk, max(epoch_us(ts)) AS mx FROM e GROUP BY chunk),
+      |wm AS (SELECT chunk,
+      |         (max(mx) OVER (ORDER BY chunk ROWS BETWEEN UNBOUNDED PRECEDING
+      |            AND 2 PRECEDING) // 1000 - 1800000) * 1000 AS w
+      |       FROM cm),
+      |fwm AS (SELECT (max(epoch_us(ts)) // 1000 - 1800000) * 1000 AS w FROM e),
+      |kept AS (
+      |  SELECT e.ts, e.event_type, e.value
+      |  FROM e JOIN wm USING (chunk)
+      |  WHERE wm.w IS NULL
+      |     OR epoch_us(time_bucket(INTERVAL '10 minutes', e.ts)
+      |          + INTERVAL '10 minutes') > wm.w)
+      |SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start, event_type,
+      |  count(*) AS n, ${Sql.dsum("value")} AS sum_value
+      |FROM kept, fwm
+      |WHERE epoch_us(time_bucket(INTERVAL '10 minutes', ts)
+      |        + INTERVAL '10 minutes') <= fwm.w
+      |GROUP BY window_start, event_type
+      |ORDER BY window_start, event_type
+      |""".stripMargin))
+
   val all: Seq[Q] =
-    Seq(q_stream_windowed, q_stream_dedup, q_stream_join, q_stream_curate)
+    Seq(q_stream_windowed, q_stream_dedup, q_stream_join, q_stream_curate,
+      q_stream_late)
 }
