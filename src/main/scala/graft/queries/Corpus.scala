@@ -504,13 +504,69 @@ object Corpus {
       |ORDER BY lang, doc_id
       |""".stripMargin))
 
+  /** The DuckDB twin of one BPE training round, chained `numMerges`
+    * times (HASH-CHECKED since round 10 — fixed iteration count means
+    * NO recursion is needed, just generated CTE stages, the
+    * q_fastrp_embed pattern applied to an argmax loop): per stage,
+    * adjacent-pair counts over the exploded symbol lists (lead() per
+    * word — every positional occurrence counts, like the engine's
+    * per-position pairs), the arg-max pair by (count DESC, a, b) —
+    * byte-identical to the engine's ``-joined ordering because
+    * NUL sorts below every UTF-8 byte — and Sennrich's GREEDY
+    * leftmost-first merge as pure window algebra: match flags via
+    * lead(), maximal runs of consecutive matches via the
+    * gaps-and-islands row_number trick (runs longer than 1 only occur
+    * for a=b symbols), select even offsets within each run (≡ the
+    * engine's `i += 2` scan), then drop right-halves of selected pairs
+    * and rebuild the list with `list(... ORDER BY i)`. `string_split`
+    * splits per codepoint like Scala's per-char map (the corpus is
+    * BMP-only; astral symbols would split differently — documented
+    * limit). */
+  private def bpeOracleSql(numMerges: Int): String = {
+    val stages = (1 to numMerges).map { k =>
+      val prev = if (k == 1) "s0" else s"s${k - 1}"
+      s"""e$k AS (SELECT w, n, unnest(syms) AS s, generate_subscripts(syms, 1) AS i FROM $prev),
+         |p$k AS (SELECT a, b, sum(n) AS cnt FROM (
+         |    SELECT w, n, s AS a, lead(s) OVER (PARTITION BY w ORDER BY i) AS b FROM e$k)
+         |  WHERE b IS NOT NULL GROUP BY a, b),
+         |b$k AS (SELECT a, b FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
+         |f$k AS (SELECT e.w, e.n, e.i, e.s,
+         |    coalesce(e.s = b$k.a AND lead(e.s) OVER (PARTITION BY e.w ORDER BY e.i) = b$k.b, false) AS m
+         |  FROM e$k e CROSS JOIN b$k),
+         |r$k AS (SELECT *, CASE WHEN m THEN i - row_number() OVER (PARTITION BY w, m ORDER BY i) END AS rid FROM f$k),
+         |g$k AS (SELECT *, m AND (i - min(i) OVER (PARTITION BY w, rid)) % 2 = 0 AS sel FROM r$k),
+         |h$k AS (SELECT w, n, i, s, sel,
+         |    coalesce(lag(sel) OVER (PARTITION BY w ORDER BY i), false) AS psel,
+         |    lead(s) OVER (PARTITION BY w ORDER BY i) AS ns
+         |  FROM g$k),
+         |s$k AS (SELECT w, any_value(n) AS n,
+         |    list(CASE WHEN sel THEN s || ns ELSE s END ORDER BY i) AS syms
+         |  FROM h$k WHERE NOT psel GROUP BY w)""".stripMargin
+    }
+    val finalSel = (1 to numMerges)
+      .map(k => s"SELECT CAST($k AS BIGINT) AS rank, a AS left_sym, b AS right_sym FROM b$k")
+      .mkString("\n UNION ALL ")
+    s"""
+       |WITH
+       |v AS (SELECT w, count(*) AS n FROM (SELECT unnest(${Sql.toks()}) AS w FROM documents) GROUP BY w),
+       |s0 AS (SELECT w, n, string_split(w, '') AS syms FROM v),
+       |${stages.mkString(",\n")}
+       |SELECT * FROM (
+       |$finalSel
+       |) ORDER BY rank
+       |""".stripMargin
+  }
+
   /** BPE merge training over the corpus (graft.vectorize.BpeTrain):
-    * 10 learned merges with their rank. Iterative training → no SQL
-    * oracle (rows-only; the distributed-equals-sequential equivalence
-    * is pinned in BpeTrainSpec); deterministic, so the row count and
-    * values are stable. Scale: the corpus collapses to the weighted
-    * word vocabulary in one shuffle; each round aggregates only that
-    * cached vocabulary-sized table. */
+    * 10 learned merges with their rank. HASH-CHECKED since round 10:
+    * the fixed-depth argmax loop is replayed in DuckDB as generated
+    * chained CTE stages ([[bpeOracleSql]]) — integer pair counts and a
+    * byte-identical tie-break make every round engine-exact, so the
+    * iterative entry leaves the rows-only list (the
+    * distributed-equals-sequential equivalence stays pinned in
+    * BpeTrainSpec). Scale: the corpus collapses to the weighted word
+    * vocabulary in one shuffle; each round aggregates only that cached
+    * vocabulary-sized table. */
   val q_bpe_merges = Q(
     "q_bpe_merges",
     (s, dir) => {
@@ -523,7 +579,7 @@ object Corpus {
         .toDF("rank", "left_sym", "right_sym")
         .orderBy(col("rank"))
     },
-    None)
+    Some(bpeOracleSql(10)))
 
   /** Temperature-scaled language mixture weights (the multilingual
     * rebalancing step of large-scale pretraining corpora — upweight tail
