@@ -100,14 +100,25 @@ object Caches {
     * job). Reliable `checkpoint()` FILES are untouched: they are the
     * recovery surface and their lifecycle belongs to the checkpoint-dir
     * owner, but their in-memory replica blocks are released the same
-    * way. Callers: the PageRank power loop and index compaction. */
+    * way.
+    *
+    * OWNERSHIP GUARD: checkpoint blocks are released only when the
+    * frame's analyzed plan has exactly ONE LogicalRDD leaf — the
+    * "this frame IS my materialization (possibly projected)" shape the
+    * PageRank loop hands in. A multi-leaf plan (a compaction union, a
+    * join) may embed CALLER-owned checkpoints in its lineage, and a
+    * localCheckpoint has no recompute path — blanket traversal there
+    * would destroy another owner's only copy (the round-10 review
+    * finding). Multi-leaf owners that created specific checkpoints
+    * release them by id instead (see graft.index.Compact's owned-id
+    * registry). */
   def releaseMaterialized(df: DataFrame): Unit = {
     df.unpersist(blocking = false)
-    df.queryExecution.analyzed.foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ => ()
+    val leaves = df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr
     }
+    if (leaves.size == 1) leaves.head.rdd.unpersist(blocking = false)
+    ()
   }
 
   /** Release every tracked cache and run every eviction hook for this

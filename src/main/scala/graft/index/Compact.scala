@@ -34,6 +34,19 @@ object Compact {
     * checkpoint passes stay ~1/N of inserts. */
   val DefaultEvery = 16
 
+  /** RDD ids of checkpoints THIS object created (per JVM): the ownership
+    * registry that lets compaction release its own superseded
+    * checkpoint chain without destroying caller-owned checkpointed
+    * batches embedded in the same union lineage. */
+  private val ownedCheckpoints =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
+  private def logicalRddLeaves(df: DataFrame)
+      : Seq[org.apache.spark.sql.execution.LogicalRDD] =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr
+    }
+
   /** `old` must be the model's current (cached or checkpointed) state;
     * `appends` the model's insert count so far. Returns the new state.
     *
@@ -63,13 +76,21 @@ object Compact {
       val next =
         if (useReliable) unioned.checkpoint(eager = true)
         else unioned.localCheckpoint(eager = true)
-      // `next` is lineage-truncated, so NOTHING references the superseded
-      // chain anymore: release old's cache AND the checkpoint RDD at the
-      // bottom of its union lineage (releaseMaterialized traverses the
-      // analyzed plan, so it reaches the LogicalRDD nested under the
-      // cached unions — bare unpersist cannot, and leaked one
-      // index-sized RDD per compaction cycle)
-      graft.core.Caches.releaseMaterialized(old)
+      // record the new checkpoint's RDD as COMPACT-OWNED, then release
+      // old's cache plus any Compact-owned checkpoint nested in its
+      // union lineage (the one created at the previous compaction —
+      // bare unpersist cannot reach it and leaked one index-sized RDD
+      // per cycle). Only OWNED ids are touched: caller-provided
+      // checkpointed batches in the same lineage (e.g. one batch
+      // inserted into two index models) are someone else's only copy
+      // and must survive.
+      logicalRddLeaves(next).foreach(lr => ownedCheckpoints.add(lr.rdd.id))
+      old.unpersist(blocking = false)
+      logicalRddLeaves(old).foreach { lr =>
+        if (ownedCheckpoints.remove(lr.rdd.id)) {
+          lr.rdd.unpersist(blocking = false); ()
+        }
+      }
       next
     } else {
       val c = graft.core.Caches.cached(unioned)

@@ -390,7 +390,11 @@ object Corpus {
     * `video_demux/default.py:37-59` / `pymupdf.py:41-47` to the corpus-
     * wide packing step. Input must carry (doc_id, lang, n_tok ≥ 0);
     * output adds `off` = sum of n_tok over same-lang docs with smaller
-    * doc_id. */
+    * doc_id. NULL-keyed rows (null doc_id or lang) are EXCLUDED — a
+    * contract change vs the pre-round-10 window form, which emitted a
+    * NULL-lang partition; null keys here are malformed input that
+    * belongs in quarantine upstream, and the entry oracles state the
+    * same filter so both engines agree on nullable input. */
   private[queries] def packOffsets(d: org.apache.spark.sql.DataFrame,
                                    blockDocs: Long): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -420,8 +424,11 @@ object Corpus {
       .drop("_shard", "_cum", "_base")
   }
 
-  /** The `graft.pack.blockDocs` knob (see [[packOffsets]]). */
-  private def packBlockDocs(s: org.apache.spark.sql.SparkSession): Long =
+  /** The `graft.pack.blockDocs` knob (see [[packOffsets]]) — the ONE
+    * definition of its name and default; the percentile filter's tie
+    * shards read it here too, so both families always shard at the same
+    * block size. */
+  private[queries] def packBlockDocs(s: org.apache.spark.sql.SparkSession): Long =
     s.conf.get("graft.pack.blockDocs", "128").toLong
 
   /** Concatenate-then-chunk span mapping — the OTHER packing regime
@@ -456,7 +463,8 @@ object Corpus {
     },
     Some(s"""
       |WITH d AS (SELECT doc_id, lang, CAST(len(${Sql.toks()}) AS BIGINT) AS n_tok
-      |           FROM documents),
+      |           FROM documents
+      |           WHERE doc_id IS NOT NULL AND lang IS NOT NULL),
       |o AS (SELECT doc_id, lang, n_tok,
       |        CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
@@ -500,7 +508,8 @@ object Corpus {
       |  CAST(floor((sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) / 512) AS BIGINT) AS bin
       |FROM (SELECT doc_id, lang, CAST(len(${Sql.toks()}) AS BIGINT) AS n_tok
-      |      FROM documents)
+      |      FROM documents
+      |      WHERE doc_id IS NOT NULL AND lang IS NOT NULL)
       |ORDER BY lang, doc_id
       |""".stripMargin))
 

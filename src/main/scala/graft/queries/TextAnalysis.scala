@@ -503,7 +503,7 @@ object TextAnalysis {
   val q_quality_percentile_filter = Q(
     "q_quality_percentile_filter",
     (s, dir) => {
-      val b = s.conf.get("graft.pack.blockDocs", "128").toLong
+      val b = Corpus.packBlockDocs(s)
       val scored = Tables(s, dir, "documents")
         .withColumn("t", tokens(col("text")))
         .select(col("doc_id"), col("lang"),
@@ -553,7 +553,8 @@ object TextAnalysis {
       |  SELECT doc_id, lang,
       |    CAST(len(list_filter(t, x -> x IN $stopwordsSql)) AS DOUBLE)
       |      / greatest(len(t), 1) AS score
-      |  FROM (SELECT doc_id, lang, ${Sql.toks()} AS t FROM documents)),
+      |  FROM (SELECT doc_id, lang, ${Sql.toks()} AS t FROM documents
+      |        WHERE doc_id IS NOT NULL AND lang IS NOT NULL)),
       |ranked AS (
       |  SELECT doc_id, lang, score,
       |    row_number() OVER (PARTITION BY lang
