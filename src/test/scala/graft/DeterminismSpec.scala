@@ -34,7 +34,11 @@ class DeterminismSpec extends AnyFunSuite {
     "q_corpus_delta",      // full-outer fingerprint classification (r9)
     "q_events_outliers",   // exact median/MAD rank selection (r9)
     "q_sample_exact_k",    // salted-hash rank windows (r9)
-    "q_pack_chunks")       // window cumsum + chunk-range explode (r9)
+    "q_pack_chunks",       // two-phase prefix offsets + chunk explode
+    "q_pack_sequences",    // two-phase prefix offsets + bin assign (r10)
+    "q_pagerank",          // integer-picos power iteration (r10)
+    "q_fastrp_embed",      // integer-micros A·X message passing (r10)
+    "q_bpe_merges")        // per-round integer argmax merges (r10)
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, dir)
