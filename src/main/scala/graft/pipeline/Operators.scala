@@ -363,6 +363,30 @@ object Operators {
       graft.queries.CorpusOps.snapshotDelta(ins(0), ins(1),
         p(params, "idCol", "doc_id"), p(params, "textCol", "text"))
     },
+    // sequence packing: the q_pack_sequences engine form as a pipeline
+    // verb — two-phase distributed prefix offsets (Corpus.packOffsets:
+    // bounded (lang, doc-block) local cumsums + broadcast shard bases,
+    // never a per-language window) and fixed-token-budget bin
+    // assignment; the LAST step of a training build, so curation chains
+    // can end in trainable bins without leaving the registry
+    "pack_sequences" -> { (s, cp) => (ins, rp) =>
+      val params = cp ++ rp
+      val idCol = p(params, "idCol", "doc_id")
+      val langCol = p(params, "langCol", "lang")
+      val textCol = p(params, "textCol", "text")
+      val budget = p(params, "budget", "512").toInt
+      val blockDocs = params.get("blockDocs").map(_.toLong)
+        .getOrElse(graft.queries.Corpus.packBlockDocs(s))
+      graft.queries.Corpus.packOffsets(
+          ins.head.select(col(idCol).cast("long").as("doc_id"),
+            col(langCol).as("lang"),
+            size(graft.functions.TextF.tokens(col(textCol)))
+              .cast("long").as("n_tok")),
+          blockDocs)
+        .withColumn("bin", floor(col("off") / budget).cast("long"))
+        .select(col("doc_id").as(idCol), col("lang").as(langCol),
+          col("n_tok"), col("off"), col("bin"))
+    },
     // PageRank centrality over an edge-list input (src, dst, weight) —
     // the source-authority weighting signal (hash-checked q_pagerank;
     // PageRankSpec pins the math). SINGLE-THREADED-SESSION assumption:

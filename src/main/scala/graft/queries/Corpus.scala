@@ -395,8 +395,8 @@ object Corpus {
     * NULL-lang partition; null keys here are malformed input that
     * belongs in quarantine upstream, and the entry oracles state the
     * same filter so both engines agree on nullable input. */
-  private[queries] def packOffsets(d: org.apache.spark.sql.DataFrame,
-                                   blockDocs: Long): org.apache.spark.sql.DataFrame = {
+  private[graft] def packOffsets(d: org.apache.spark.sql.DataFrame,
+                                 blockDocs: Long): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // the explicit null-filters mirror the constraints the inner join
     // below would otherwise infer on its probe side only — keeping them
@@ -428,7 +428,7 @@ object Corpus {
     * definition of its name and default; the percentile filter's tie
     * shards read it here too, so both families always shard at the same
     * block size. */
-  private[queries] def packBlockDocs(s: org.apache.spark.sql.SparkSession): Long =
+  private[graft] def packBlockDocs(s: org.apache.spark.sql.SparkSession): Long =
     s.conf.get("graft.pack.blockDocs", "128").toLong
 
   /** Concatenate-then-chunk span mapping — the OTHER packing regime

@@ -380,6 +380,49 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!out.values.exists(_.contains("bob@example.com")))
   }
 
+  test("end-to-end crawl batch reaches training form: survivors pack into contiguous bins") {
+    // the ingest story continued to the LAST training-build step: the
+    // curated survivors packed into fixed token budgets through the
+    // registry's pack_sequences verb (two-phase prefix offsets)
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_e2e_pack")
+    dir.toFile.deleteOnExit()
+    val good = "the quick brown fox jumps over a lazy dog while it runs to town and beyond"
+    val lines = (1 to 8).map(i =>
+      s"""{"doc_id": $i, "text": "$good copy number $i", "lang": "${if (i % 2 == 0) "en" else "de"}"}""") :+
+      """{"doc_id": 9 BROKEN"""
+    val f = dir.resolve("crawl.jsonl")
+    java.nio.file.Files.write(f, lines.mkString("\n").getBytes("UTF-8"))
+    f.toFile.deleteOnExit()
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("lang", StringType)))
+    val (clean, quarantine) = graft.sources.Sources
+      .readWithQuarantine(spark, "json", dir.toString, schema)
+    assert(quarantine.count() == 1)
+    val packed = new Workflow()
+      .source("crawl", clean)
+      .addWithParams("quality",
+        Operators.make(spark, "transform", "quality_filter"))
+      .addWithParams("pack",
+        Operators.make(spark, "transform", "pack_sequences",
+          Map("budget" -> "32", "blockDocs" -> "2")))
+      .execute()
+      .collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(packed.nonEmpty)
+    // per language, offsets are the exact running sum of token counts in
+    // doc_id order (the two-phase form must equal the naive cumsum), and
+    // bins follow the 32-token budget
+    packed.groupBy(_._1).foreach { case (_, rows) =>
+      var run = 0L
+      rows.sortBy(_._2).foreach { case (_, _, nTok, off, bin) =>
+        assert(off == run, s"offset gap: $rows")
+        assert(bin == off / 32)
+        run += nTok
+      }
+    }
+  }
+
   test("pagerank operator runs over an edge-list input") {
     import spark.implicits._
     val edges = Seq((1L, 2L, 1.0), (2L, 1L, 1.0), (3L, 1L, 1.0))
