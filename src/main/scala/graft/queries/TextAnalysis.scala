@@ -518,19 +518,23 @@ object TextAnalysis {
       val local = scored.withColumn("_lrn", row_number().over(
         Window.partitionBy(col("lang"), col("si"), col("_shard"))
           .orderBy(col("doc_id"))).cast("long"))
-      // tie-shard bases: per-group counts (reuses the window's exchange —
-      // grouping keys equal the partitioning keys), exclusive cumsum over
-      // block order inside each tie
-      val tieBase = local.groupBy(col("lang"), col("si"), col("_shard"))
+      // per-(lang, score, block) counts — reuses the window's exchange
+      // (grouping keys equal the partitioning keys), and BOTH aggregate
+      // branches below derive from it, so the corpus (and its
+      // tokenization) is scanned exactly once
+      val shardCounts = local.groupBy(col("lang"), col("si"), col("_shard"))
         .agg(max(col("_lrn")).as("_cnt"))
+      // tie-shard bases: exclusive cumsum over block order inside each tie
+      val tieBase = shardCounts
         .withColumn("_tbase", coalesce(sum(col("_cnt")).over(
           Window.partitionBy(col("lang"), col("si")).orderBy(col("_shard"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
         .select(col("lang"), col("si"), col("_shard"), col("_tbase"))
-      // score histogram: ≤10⁶+1 rows per language; exclusive cumsum over
-      // score order + the language total, both over the aggregate only
-      val scoreBase = scored.groupBy(col("lang"), col("si"))
-        .agg(count(lit(1)).as("_c"))
+      // score histogram: ≤10⁶+1 rows per language, aggregated from the
+      // shard counts (not the corpus); exclusive cumsum over score order
+      // + the language total, both over the aggregate only
+      val scoreBase = shardCounts.groupBy(col("lang"), col("si"))
+        .agg(sum(col("_cnt")).as("_c"))
         .withColumn("_sbase", coalesce(sum(col("_c")).over(
           Window.partitionBy(col("lang")).orderBy(col("si"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
