@@ -239,6 +239,53 @@ object Dedup {
       |ORDER BY doc_a, doc_b
       |""".stripMargin))
 
+  /** CONTAINMENT dedup (round 10) — the asymmetric relation Jaccard
+    * misses: doc a is contained in doc b when ≥80% of a's distinct
+    * 3-shingles appear in b (|A∩B| / |A| ≥ 0.8), the quote-inclusion /
+    * boilerplate-wrapper case (a short doc fully quoted inside a longer
+    * one scores low Jaccard — the union is dominated by b — but
+    * containment 1.0; RefinedWeb-style pipelines check both). Same
+    * inverted-index shape as [[q_dedup_ngram_jaccard]]: postings
+    * equi-join on (lang, shingle) off the SHARED cached shingle table,
+    * only (a, b) count pairs shuffle, no same-lang cross product, and
+    * the threshold is an integer cross-multiplication (c·10 ≥ |A|·8) so
+    * no float boundary can disagree between engines. Docs under 5
+    * shingles are excluded — a 1-shingle doc is "contained" everywhere
+    * and the relation degenerates. Ordered pairs: mutual containment
+    * emits both directions (that is the point of the asymmetry).
+    * Scale: identical posting-join argument as the Jaccard entry;
+    * the containment filter needs only |A|, so the b-side posting
+    * carries no length — one long narrower in the shuffle. */
+  val q_dedup_containment = Q(
+    "q_dedup_containment",
+    (s, dir) => {
+      val d = shingleDf(s, dir).filter(col("nsh") >= 5)
+      val pa = d.select(col("doc_id").as("a"), col("lang"),
+        explode(col("sh")).as("tok"), col("nsh").as("na"))
+      val pb = d.select(col("doc_id").as("b"), col("lang"),
+        explode(col("sh")).as("tok"))
+      pa.join(pb, Seq("lang", "tok"))
+        .filter(col("a") =!= col("b"))
+        .groupBy(col("a"), col("b"), col("na"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") * 10 >= col("na") * 8)
+        .select(col("a"), col("b"), col("n_shared"),
+          col("na").cast("long").as("na"))
+        .orderBy(col("a"), col("b"))
+    },
+    Some(s"""
+      |WITH sh AS ($shingleSql),
+      |f AS (SELECT doc_id, lang, sh FROM sh WHERE len(sh) >= 5)
+      |SELECT a.doc_id AS a, b.doc_id AS b,
+      |  CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS BIGINT)
+      |    AS n_shared,
+      |  CAST(len(a.sh) AS BIGINT) AS na
+      |FROM f a JOIN f b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+      |WHERE len(list_filter(a.sh, x -> list_contains(b.sh, x))) * 10
+      |      >= len(a.sh) * 8
+      |ORDER BY a, b
+      |""".stripMargin))
+
   /** MinHash signatures (k=9) — integer-exact oracle check of the
     * signature computation itself. */
   val q_minhash_signatures = Q(
@@ -729,7 +776,8 @@ object Dedup {
   // registered — spec-only, see its scaladoc
   val all: Seq[Q] = Seq(
     q_dedup_incremental, q_dedup_spans,
-    q_dedup_exact, q_dedup_ngram_jaccard, q_minhash_signatures,
+    q_dedup_exact, q_dedup_ngram_jaccard, q_dedup_containment,
+    q_minhash_signatures,
     q_dedup_minhash_lsh, q_dedup_embedding_tight,
     q_dedup_semantic,
     q_dedup_simhash,

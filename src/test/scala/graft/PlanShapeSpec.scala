@@ -27,7 +27,8 @@ class PlanShapeSpec extends AnyFunSuite {
   // crosses plan as BroadcastNestedLoopJoin over a single-row side and
   // are fine — only true cartesian products are banned.)
   private val noCartesian = Seq(
-    "q_dedup_exact", "q_dedup_ngram_jaccard", "q_dedup_minhash_lsh",
+    "q_dedup_exact", "q_dedup_ngram_jaccard", "q_dedup_containment",
+    "q_dedup_minhash_lsh",
     "q_dedup_simhash", "q_dedup_spans",
     "q_dedup_embedding_tight", "q_dedup_semantic",
     "q_dedup_incremental", "q_dedup_components", "q_dedup_cluster_sizes",
