@@ -253,24 +253,24 @@ object Dedup {
     * shingles are excluded — a 1-shingle doc is "contained" everywhere
     * and the relation degenerates. Ordered pairs: mutual containment
     * emits both directions (that is the point of the asymmetry).
-    * Scale: identical posting-join argument as the Jaccard entry;
-    * the containment filter needs only |A|, so the b-side posting
-    * carries no length — one long narrower in the shuffle. */
+    * Scale (round 11): candidates come from
+    * [[graft.dedup.SetSimJoin.containmentJoin]]'s ONE-SIDED prefix
+    * filter — the a side posts only its ⌊(1−τ)·|A|⌋+1 rarest-by-df
+    * shingles, so a shingle shared by m docs contributes O(m) join rows
+    * instead of the m² a raw posting self-join pays; exactly the
+    * boilerplate-heavy corpora containment targets are the ones with
+    * hot shingles. Survivors verify with an exact distinct-intersection
+    * + integer cross-multiply, so the result (and oracle hash) is
+    * identical to the raw join — SetSimJoinSpec pins the equivalence in
+    * both directions of a mutual-containment fixture. */
   val q_dedup_containment = Q(
     "q_dedup_containment",
     (s, dir) => {
       val d = shingleDf(s, dir).filter(col("nsh") >= 5)
-      val pa = d.select(col("doc_id").as("a"), col("lang"),
-        explode(col("sh")).as("tok"), col("nsh").as("na"))
-      val pb = d.select(col("doc_id").as("b"), col("lang"),
-        explode(col("sh")).as("tok"))
-      pa.join(pb, Seq("lang", "tok"))
-        .filter(col("a") =!= col("b"))
-        .groupBy(col("a"), col("b"), col("na"))
-        .agg(count(lit(1)).as("n_shared"))
-        .filter(col("n_shared") * 10 >= col("na") * 8)
-        .select(col("a"), col("b"), col("n_shared"),
-          col("na").cast("long").as("na"))
+      graft.dedup.SetSimJoin
+        .containmentJoin(d, "doc_id", "lang", "sh", "nsh", 8, 10)
+        .select(col("id_a").as("a"), col("id_b").as("b"),
+          col("n_shared"), col("na"))
         .orderBy(col("a"), col("b"))
     },
     Some(s"""

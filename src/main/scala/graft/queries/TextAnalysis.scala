@@ -441,22 +441,35 @@ object TextAnalysis {
     * engines compute the identical position (a fractional-percentile
     * form hits the DECIMAL-vs-DOUBLE literal split: DuckDB parses 0.1
     * as DECIMAL and Spark as double, and ceil(0.1·500) then differs at
-    * the ulp). Plan: one window over lang (bounded per-group sort) + a
-    * 6-element explode; at 100 TB the same question is answered by
-    * approx_percentile over the scan — this exact form is the oracle
-    * that validates it. */
+    * the ulp).
+    *
+    * Plan (round 11 — histogram-rank, the [[q_quality_percentile_filter]]
+    * decomposition): the value at any rank is a function of the
+    * (lang, n_chars) HISTOGRAM alone — ties share one value, so the
+    * within-tie doc_id order the rank formula nominally references can
+    * never change which n_chars is selected. One map-side-combined
+    * groupBy(lang, n_chars) shuffle over the corpus, then cumulative
+    * counts + the rank probe run entirely over the aggregate (≤ distinct
+    * n_chars values per language — bounded by max document length, NOT
+    * by corpus size). The quantile value is the unique histogram row
+    * with cum−c < ⌈p·n/100⌉ ≤ cum. No per-language corpus sort window
+    * remains (the pre-r11 form sorted every language's rows in one
+    * window group — a single-task straggler at 10¹² docs);
+    * PlanShapeSpec pins the absence of doc-ordered windows here. */
   val q_profile_quantiles = Q(
     "q_profile_quantiles",
     (s, dir) => {
-      val w = Window.partitionBy(col("lang"))
-        .orderBy(col("n_chars"), col("doc_id"))
-      Tables(s, dir, "documents")
-        .select(col("lang"), col("n_chars"), col("doc_id"))
-        .withColumn("rn", row_number().over(w))
-        .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("lang"))))
-        .select(col("lang"), col("n_chars"), col("rn"), col("cnt"),
+      val hist = Tables(s, dir, "documents")
+        .groupBy(col("lang"), col("n_chars"))
+        .agg(count(lit(1)).as("c"))
+      hist
+        .withColumn("cum", sum(col("c")).over(
+          Window.partitionBy(col("lang")).orderBy(col("n_chars"))))
+        .withColumn("cnt", sum(col("c")).over(Window.partitionBy(col("lang"))))
+        .select(col("lang"), col("n_chars"), col("c"), col("cum"), col("cnt"),
           explode(typedLit(Seq(10, 25, 50, 75, 90, 99))).as("p"))
-        .filter(col("rn") === expr("(p * cnt + 99) div 100"))
+        .withColumn("r", expr("(p * cnt + 99) div 100"))
+        .filter(col("cum") - col("c") < col("r") && col("r") <= col("cum"))
         .select(col("lang"), col("p"), col("n_chars").as("q_chars"))
         .orderBy(col("lang"), col("p"))
     },

@@ -82,6 +82,37 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q_profile_quantiles: no corpus-ordered window — ranks resolve " +
+      "against the (lang, n_chars) histogram") {
+    // the pre-r11 plan sorted each language's corpus rows in ONE window
+    // group (orderBy n_chars, doc_id). The histogram-rank form's windows
+    // run over the aggregate only, so no window spec may reference
+    // doc_id at all.
+    val p = plan("q_profile_quantiles")
+    val docWindows = p.linesIterator.filter(l =>
+      l.contains("windowspecdefinition") && l.contains("doc_id")).toSeq
+    assert(docWindows.isEmpty,
+      s"corpus-ordered window reintroduced:\n${docWindows.mkString("\n")}")
+    // and the corpus aggregation is partial (map-side combine) before
+    // its exchange: HashAggregate appears below the shuffle
+    assert(p.contains("HashAggregate"), "histogram aggregation missing")
+  }
+
+  test("q_dedup_containment: the prefix-filtered strategy is in the plan, " +
+      "the raw posting self-join is not reachable") {
+    // the one-sided prefix lemma shows up as a per-doc row_number window
+    // over the df-ranked postings; the raw strategy has NO window at all.
+    // A plan without it means someone re-inlined the hot-shingle n² join.
+    val p = plan("q_dedup_containment")
+    val prefixWindows = p.linesIterator.filter(l =>
+      l.contains("windowspecdefinition") && l.contains("doc_id")).toSeq
+    assert(prefixWindows.nonEmpty,
+      s"containment entry lost its prefix-ranking window:\n$p")
+    // and the exact verify is present: array_intersect over the full sets
+    assert(p.contains("array_intersect"),
+      "containment entry lost its exact verification step")
+  }
+
   test("q01: shipdate predicate is pushed into the parquet scan") {
     val p = plan("q01_pricing_summary")
     assert(p.linesIterator.exists(l =>

@@ -48,4 +48,71 @@ class SetSimJoinSpec extends AnyFunSuite {
     assert(cj == pf)
     assert(cj.map(p => (p._1, p._2)) == Set((1L, 2L)))
   }
+
+  /** Reference implementation for containment: raw posting self-join +
+    * count — the pre-round-11 entry body. containmentJoin must return
+    * exactly the same ordered pairs. */
+  private def rawContainment(df: org.apache.spark.sql.DataFrame,
+      tauNum: Int, tauDen: Int) = {
+    val pa = df.select(col("doc_id").as("id_a"), col("lang"),
+      explode(col("sh")).as("tok"), col("nsh").as("na"))
+    val pb = df.select(col("doc_id").as("id_b"), col("lang"),
+      explode(col("sh")).as("tok"))
+    pa.join(pb, Seq("lang", "tok"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("na"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") * tauDen >= col("na") * tauNum)
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        col("na").cast("long").as("na"))
+  }
+
+  private def cPairs(df: org.apache.spark.sql.DataFrame) =
+    df.select("id_a", "id_b", "n_shared", "na").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+  test("containmentJoin equals the raw posting join on the documents fixture") {
+    val d = shingles.filter(col("nsh") >= 5)
+    for ((num, den) <- Seq((8, 10), (1, 2))) {
+      val raw = cPairs(rawContainment(d, num, den))
+      val pf = cPairs(SetSimJoin.containmentJoin(
+        d, "doc_id", "lang", "sh", "nsh", num, den))
+      assert(raw == pf, s"containment strategies diverge at tau=$num/$den")
+      assert(raw.nonEmpty, s"fixture yields no pairs at tau=$num/$den — vacuous")
+    }
+  }
+
+  test("containment: mutual inclusion emits both ordered directions; " +
+      "hot shingle stays out of the prefix") {
+    import spark.implicits._
+    // 1 ⊂ 2 (all 5 of 1's shingles in 2; 2 has 10 → only (1,2) direction);
+    // 3 and 4 are identical → mutual, BOTH (3,4) and (4,3);
+    // every doc shares the hot boilerplate shingle "zz zz zz".
+    val two = (1 to 9).map(i => s"w$i w${i + 1} w${i + 2}") :+ "zz zz zz"
+    val one = two.take(4) :+ "zz zz zz"
+    val three = Seq("p q r", "q r s", "r s t", "s t u", "zz zz zz")
+    val df = Seq(
+      (1L, one), (2L, two), (3L, three), (4L, three),
+      (5L, Seq("a b c", "b c d", "c d e", "d e f", "zz zz zz"))
+    ).toDF("doc_id", "sh")
+      .withColumn("lang", lit("en")).withColumn("nsh", size(col("sh")))
+    val got = cPairs(SetSimJoin.containmentJoin(
+      df, "doc_id", "lang", "sh", "nsh", 8, 10))
+    assert(got.map(p => (p._1, p._2)) == Set((1L, 2L), (3L, 4L), (4L, 3L)))
+    assert(got == cPairs(rawContainment(df, 8, 10)))
+    // the hot shingle is shared by all 5 docs but must not appear in any
+    // a-side prefix (prefix = 2 rarest of 5/10 at tau=0.8, df("zz zz zz")=5
+    // is the max) — pin the prefix actually prunes it
+    val posting = df.select(col("doc_id"), col("nsh"),
+      explode(col("sh")).as("s"))
+    val freq = posting.groupBy("s").agg(count(lit(1)).as("df"))
+    val prefix = posting.join(freq, Seq("s"))
+      .withColumn("pos", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
+      .filter(col("pos") <=
+        col("nsh") - floor((col("nsh") * 8 + 9) / 10) + 1)
+    assert(prefix.filter(col("s") === "zz zz zz").count() == 0)
+  }
 }
