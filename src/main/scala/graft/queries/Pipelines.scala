@@ -5,12 +5,14 @@ import graft.vectorize.{FastRP, Multimodal}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{BinaryType, StringType}
 
-/** Graph/multimodal pipeline query entries. q_fastrp_embed and
-  * q_multimodal_embed are NOT SQL-expressible and get rows-only driver
-  * checks (`oracle = None`) with closed-form ScalaTest specs instead
-  * (FastRPSpec, MultimodalSpec — SURVEY.md §5.2); q_pagerank IS
-  * oracle-checked since round 10 (integer-picos recursion replayed as a
-  * fixed-depth recursive CTE).
+/** Graph/multimodal pipeline query entries — ALL oracle-checked since
+  * round 11: q_pagerank replays its integer-picos recursion as a
+  * fixed-depth recursive CTE (round 10), q_fastrp_embed its
+  * integer-micros iteration as chained CTEs (round 10), and
+  * q_multimodal_embed emulates the stub decoders' byte math (including
+  * exact float32 fold emulation) in DuckDB with an integer-micros
+  * output (round 11). FastRPSpec / MultimodalSpec keep the in-process
+  * closed-form checks.
   */
 object Pipelines {
 
@@ -99,9 +101,23 @@ object Pipelines {
   /** Multimodal featurization: documents' text bytes treated as opaque
     * binary payloads, routed image/audio/video/text by id and featurized
     * through the per-partition stub decoders (Multimodal.featurize —
-    * real Spark plumbing, stub decode; SURVEY.md §7.0). No oracle: the
-    * mapPartitions decoders are not SQL-expressible; MultimodalSpec pins
-    * the per-modality feature math. */
+    * real Spark plumbing, stub decode; SURVEY.md §7.0).
+    *
+    * HASH-CHECKED (round 11): every stub decoder is deterministic byte
+    * math over the UTF-8 payload (the corpus is ASCII, so DuckDB's
+    * `ascii(substr(...))` reads the exact byte), and the float32
+    * accumulation the audio stub performs is emulated exactly in SQL by
+    * re-rounding each fold step through REAL — double precision (53
+    * bits) ≥ 2·24+2, so round-to-double-then-to-float equals direct
+    * float rounding for +/·(Figueroa's double-rounding theorem), making
+    * `CAST(a + v AS REAL)` a bit-exact float add. The unit-normalize is
+    * the same sequential double fold as VectorF.dot on both sides. The
+    * residual cross-engine gap is only the two engines' round(x, 6)
+    * picking different nearest-doubles of the SAME 6-dp decimal, so the
+    * output is lifted to exact integer micros
+    * (the [[graft.queries.TextAnalysis]] integer-micros discipline) —
+    * bit-equal BIGINT on both engines. MultimodalSpec still pins the
+    * per-modality feature math in-process. */
   val q_multimodal_embed = Q(
     "q_multimodal_embed",
     (s, dir) => {
@@ -115,10 +131,72 @@ object Pipelines {
         .select(col("id"), col("modality"),
           posexplode(col("embedding")).as(Seq("pos", "vraw")))
         .select(col("id"), col("modality"), col("pos"),
-          round(col("vraw"), 6).as("v"))
+          expr("CAST(round(round(vraw, 6) * 1000000, 0) AS BIGINT)").as("v_mu"))
         .orderBy(col("id"), col("pos"))
     },
-    None)
+    Some(s"""
+      |WITH pos16 AS (SELECT CAST(unnest(range(0, 16)) AS INT) AS pos),
+      |d AS (
+      |  SELECT doc_id AS id,
+      |    (['text','image','audio','video'])[CAST(doc_id % 4 + 1 AS INT)]
+      |      AS modality,
+      |    text, CAST(length(text) AS BIGINT) AS len
+      |  FROM documents),
+      |b AS (
+      |  SELECT id, CAST(t.i AS BIGINT) AS i,
+      |    ascii(substr(text, CAST(t.i + 1 AS INT), 1)) AS code
+      |  FROM d, unnest(range(0, len)) AS t(i)
+      |  WHERE modality <> 'text'),
+      |img AS (
+      |  SELECT d.id, p.pos, CAST(coalesce(c.cnt, 0) AS DOUBLE) AS x
+      |  FROM d CROSS JOIN pos16 p
+      |  LEFT JOIN (SELECT id, code % 16 AS pos, count(*) AS cnt
+      |             FROM b GROUP BY 1, 2) c ON c.id = d.id AND c.pos = p.pos
+      |  WHERE d.modality = 'image'),
+      |aud AS (
+      |  SELECT d.id, p.pos, coalesce(a.s, CAST(0.0 AS DOUBLE)) AS x
+      |  FROM d CROSS JOIN pos16 p
+      |  LEFT JOIN (
+      |    SELECT id, CAST(i % 16 AS INT) AS pos,
+      |      CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |          list(CAST(CAST(code / 128.0 AS REAL) * CAST(code / 128.0 AS REAL)
+      |               AS DOUBLE) ORDER BY i)),
+      |        (acc, v) -> CAST(CAST(acc + v AS REAL) AS DOUBLE)) AS DOUBLE) AS s
+      |    FROM b GROUP BY 1, 2) a ON a.id = d.id AND a.pos = p.pos
+      |  WHERE d.modality = 'audio'),
+      |vid AS (
+      |  SELECT d.id, p.pos, CAST(coalesce(c.cnt, 0) AS DOUBLE) AS x
+      |  FROM d CROSS JOIN pos16 p
+      |  LEFT JOIN (
+      |    SELECT b.id, b.code % 16 AS pos, count(*) AS cnt
+      |    FROM b JOIN d d2 ON d2.id = b.id
+      |    WHERE b.i % greatest(1, d2.len // 16) = 0
+      |    GROUP BY 1, 2) c ON c.id = d.id AND c.pos = p.pos
+      |  WHERE d.modality = 'video'),
+      |tok AS (
+      |  SELECT id, unnest(${Sql.toks()}) AS tok FROM d WHERE modality = 'text'),
+      |txt AS (
+      |  SELECT d.id, p.pos, CAST(coalesce(s.v, 0) AS DOUBLE) AS x
+      |  FROM d CROSS JOIN pos16 p
+      |  LEFT JOIN (
+      |    SELECT id, CAST(${Sql.h32("tok")} % 16 AS INT) AS pos,
+      |      sum(2 * (${Sql.h32("'s#' || tok")} % 2) - 1) AS v
+      |    FROM tok GROUP BY 1, 2) s ON s.id = d.id AND s.pos = p.pos
+      |  WHERE d.modality = 'text'),
+      |feats AS (
+      |  SELECT * FROM img UNION ALL SELECT * FROM aud
+      |  UNION ALL SELECT * FROM vid UNION ALL SELECT * FROM txt),
+      |nrm AS (
+      |  SELECT id, sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list(x ORDER BY pos)), (acc, v) -> acc + v * v)) AS n
+      |  FROM feats GROUP BY id)
+      |SELECT f.id, d.modality, f.pos,
+      |  CAST(round(round(CAST(CAST(
+      |      CASE WHEN nrm.n = 0.0 THEN 0.0 ELSE f.x / nrm.n END
+      |    AS REAL) AS DOUBLE), 6) * 1000000, 0) AS BIGINT) AS v_mu
+      |FROM feats f JOIN nrm USING (id) JOIN d USING (id)
+      |ORDER BY f.id, f.pos
+      |""".stripMargin))
 
   /** PageRank centrality over the same customer↔nation bipartite graph
     * as [[q_fastrp_embed]] — the "importance" signal a curation pass
