@@ -186,5 +186,94 @@ object CorpusOps {
       |ORDER BY doc_id
       |""".stripMargin))
 
-  val all: Seq[Q] = Seq(q_heavy_hitters, q_corpus_delta)
+  private val bucketedMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** Write the two snapshot fingerprints as doc_id-bucketed catalog
+    * tables (same bucket count both sides) — memoized per app+dataset so
+    * bench/verify loops pay the write once. The 24-byte (doc_id, md5)
+    * rows are exactly what [[snapshotDelta]]'s scaladoc says should live
+    * at rest; the table name carries a dataset tag so sf dirs never
+    * collide in one session. */
+  private def bucketedSnapshots(s: org.apache.spark.sql.SparkSession,
+      dir: String): (String, String) =
+    graft.core.Caches.memoized(s, dir, bucketedMemo) {
+      val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val curT = s"graft_delta_cur_$tag"
+      val prevT = s"graft_delta_prev_$tag"
+      // a previous JVM may have left the managed location on disk while
+      // this session's in-memory catalog has no such table — drop both
+      // the catalog entry and any orphaned location before writing
+      Seq(curT, prevT).foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), t)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+      }
+      def fp(c: org.apache.spark.sql.Column) =
+        coalesce(md5(c), lit("<null>"))
+      val docs = Tables(s, dir, "documents")
+      val cur = docs.select(col("doc_id"), fp(col("text")).as("h"))
+      val prev = docs.filter(col("doc_id") % 7 =!= 1)
+        .select(col("doc_id"),
+          fp(when(col("doc_id") % 7 === 2,
+              concat(col("text"), lit(" (stale)")))
+            .otherwise(col("text"))).as("h"))
+        .union(docs.filter(col("doc_id") % 13 === 0)
+          .select((-col("doc_id") - 1L).as("doc_id"), fp(col("text")).as("h")))
+      graft.sink.VectorTable.writeBucketed(cur, curT, "doc_id", buckets = 8)
+      graft.sink.VectorTable.writeBucketed(prev, prevT, "doc_id", buckets = 8)
+      (curT, prevT)
+    }
+
+  /** [[q_corpus_delta]] consumed from the BUCKETED at-rest layout —
+    * the production read path of `VectorTable.writeBucketed`: both
+    * crawls' fingerprint tables are bucketed by doc_id into the same
+    * bucket count, so the full-outer delta join reads co-located
+    * buckets and the plan carries NO hash-partitioning Exchange (the
+    * presentation orderBy's range exchange is the only shuffle left;
+    * PlanShapeSpec pins it). At 100 TB this is the difference between
+    * a metadata-sized merge read and re-shuffling both crawls. Same
+    * oracle as q_corpus_delta — the layout changes the plan, never the
+    * answer. */
+  val q_corpus_delta_bucketed = Q(
+    "q_corpus_delta_bucketed",
+    (s, dir) => {
+      val (curT, prevT) = bucketedSnapshots(s, dir)
+      val c = s.table(curT).select(col("doc_id"), col("h").as("hc"))
+      val p = s.table(prevT).select(col("doc_id"), col("h").as("hp"))
+      c.join(p, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("hp").isNull, "added")
+            .when(col("hc").isNull, "removed")
+            .when(col("hc") =!= col("hp"), "changed")
+            .otherwise("unchanged").as("status"))
+        .filter(col("status") =!= "unchanged")
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      |WITH cur AS (
+      |  SELECT doc_id, coalesce(md5(text), '<null>') AS hc FROM documents),
+      |prev AS (
+      |  SELECT doc_id,
+      |         coalesce(md5(CASE WHEN doc_id % 7 = 2 THEN text || ' (stale)'
+      |                  ELSE text END), '<null>') AS hp
+      |  FROM documents WHERE doc_id % 7 <> 1
+      |  UNION ALL
+      |  SELECT -doc_id - 1, coalesce(md5(text), '<null>') FROM documents
+      |  WHERE doc_id % 13 = 0)
+      |SELECT doc_id, status FROM (
+      |  SELECT coalesce(cur.doc_id, prev.doc_id) AS doc_id,
+      |         CASE WHEN hp IS NULL THEN 'added'
+      |              WHEN hc IS NULL THEN 'removed'
+      |              WHEN hc <> hp THEN 'changed'
+      |              ELSE 'unchanged' END AS status
+      |  FROM cur FULL OUTER JOIN prev ON cur.doc_id = prev.doc_id)
+      |WHERE status <> 'unchanged'
+      |ORDER BY doc_id
+      |""".stripMargin))
+
+  val all: Seq[Q] =
+    Seq(q_heavy_hitters, q_corpus_delta, q_corpus_delta_bucketed)
 }

@@ -82,6 +82,17 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q_corpus_delta_bucketed: the delta join consumes the bucket " +
+      "layout — no hash-partitioning Exchange") {
+    val p = plan("q_corpus_delta_bucketed")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed delta join still shuffles:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"expected a co-located merge join:\n$p")
+    assert(p.contains("SelectedBucketsCount"),
+      s"scan did not report bucket selection:\n$p")
+  }
+
   test("q_profile_quantiles: no corpus-ordered window — ranks resolve " +
       "against the (lang, n_chars) histogram") {
     // the pre-r11 plan sorted each language's corpus rows in ONE window
