@@ -218,13 +218,19 @@ object RecallReport {
     * ~0.04-0.10 under the measured sf0.1 steady state (recall is
     * deterministic per SF — hash-seeded fits, no RNG — so any breach is
     * a code change, not noise). The BQ-family floors reflect the tuned
-    * 40×k shortlist defaults (see the RecallCurve sweep in SCALE.md). */
+    * 40×k shortlist defaults (see the RecallCurve sweep in SCALE.md).
+    *
+    * Round 11 ratchet: floors raised to measured−0.02 (r10 steady state:
+    * ivf/ivfsq 0.849, gann 0.891, pq 0.845, ivfpq 0.840, bq 0.898,
+    * ivfbq 0.856, sq 1.000, lsh 0.990, hll err 0.0047) so a 4-9 point
+    * silent regression can no longer pass the old 0.8 line. Determinism
+    * makes the tight margin safe: any breach is a code change. */
   private[graft] val recallFloors: Map[String, Double] = Map(
-    "q_ann_ivf" -> 0.80, "q_ann_gann" -> 0.80, "q_ann_pq" -> 0.80,
-    "q_ann_ivfpq" -> 0.80, "q_ann_bq" -> 0.80, "q_ann_ivfbq" -> 0.80,
-    "q_ann_sq" -> 0.95, "q_ann_ivfsq" -> 0.80)
-  private[graft] val lshPairRecallFloor: Double = 0.95
-  private[graft] val hllMaxRelErrCeil: Double = 0.05
+    "q_ann_ivf" -> 0.83, "q_ann_gann" -> 0.87, "q_ann_pq" -> 0.82,
+    "q_ann_ivfpq" -> 0.82, "q_ann_bq" -> 0.87, "q_ann_ivfbq" -> 0.83,
+    "q_ann_sq" -> 0.98, "q_ann_ivfsq" -> 0.83)
+  private[graft] val lshPairRecallFloor: Double = 0.97
+  private[graft] val hllMaxRelErrCeil: Double = 0.01
 
   /** The artifact plus the list of floor breaches (empty = healthy). */
   final case class Report(json: String, failures: Seq[String])
