@@ -97,10 +97,12 @@ object Caches {
     * the frame's LogicalRDD leaf, not to the cache manager — so an
     * iterative loop that only unpersists leaks one state-sized RDD per
     * round (at 10⁹ nodes, ~10× node-state pinned for the life of the
-    * job). Reliable `checkpoint()` FILES are untouched: they are the
-    * recovery surface and their lifecycle belongs to the checkpoint-dir
-    * owner, but their in-memory replica blocks are released the same
-    * way.
+    * job). Reliable `checkpoint()` state is untouched entirely: its
+    * files belong to the checkpoint-dir owner, and a reliable
+    * checkpoint keeps nothing block-manager-resident for this helper to
+    * free (`Dataset.checkpoint` does not persist its internal RDD), so
+    * the `rdd.unpersist` below is a harmless no-op on that path — this
+    * helper only frees localCheckpoint/cache storage.
     *
     * OWNERSHIP GUARD: checkpoint blocks are released only when the
     * frame's analyzed plan has exactly ONE LogicalRDD leaf — the

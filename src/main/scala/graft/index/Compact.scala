@@ -50,6 +50,17 @@ object Compact {
   /** `old` must be the model's current (cached or checkpointed) state;
     * `appends` the model's insert count so far. Returns the new state.
     *
+    * SINGLE-CONSUMER CONTRACT on the returned state: ownership is
+    * tracked per RDD id with no consumer count, so a Compact-produced
+    * checkpointed state may feed exactly ONE ongoing append chain. If
+    * the same returned state is forked as `old` into two index models,
+    * the first model's next compaction releases the shared checkpoint
+    * blocks the sibling still depends on — and a localCheckpoint has no
+    * recompute path, so the sibling's next materialization fails with
+    * missing blocks. To fork a state, call [[disown]] on it first: the
+    * checkpoint becomes caller-owned (never auto-released; the caller
+    * frees it via Caches.releaseMaterialized when every fork is done).
+    *
     * Durability (auto-detected): lineage truncation goes through the
     * RELIABLE `checkpoint()` whenever the session has a checkpoint dir
     * configured (`sparkContext.setCheckpointDir` to durable storage) —
@@ -103,4 +114,15 @@ object Compact {
       c
     }
   }
+
+  /** Transfer ownership of `state`'s Compact-created checkpoints to the
+    * caller: after this, no future compaction will release them, so the
+    * state can safely seed MULTIPLE append chains (see the
+    * single-consumer contract on [[append]]). The caller becomes
+    * responsible for freeing the checkpoint storage once every fork is
+    * done with it (graft.core.Caches.releaseMaterialized). */
+  def disown(state: DataFrame): Unit =
+    logicalRddLeaves(state).foreach { lr =>
+      ownedCheckpoints.remove(lr.rdd.id); ()
+    }
 }

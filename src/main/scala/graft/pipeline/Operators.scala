@@ -368,19 +368,28 @@ object Operators {
     // bounded (lang, doc-block) local cumsums + broadcast shard bases,
     // never a per-language window) and fixed-token-budget bin
     // assignment; the LAST step of a training build, so curation chains
-    // can end in trainable bins without leaving the registry
+    // can end in trainable bins without leaving the registry.
+    // Null handling (the verb takes arbitrary pipeline frames, not just
+    // `documents`): a null text tokenizes to size() = -1 under Spark's
+    // legacy sizeOfNull — clamped to 0 below, because packOffsets
+    // REQUIRES n_tok >= 0 (a negative count would break its
+    // max(cum)=shard-total identity and silently shift every later
+    // shard's base offset in that language); rows with a null id or
+    // null lang are dropped by packOffsets itself (its keys are
+    // non-null by contract) — they cannot be packed into a keyed bin
     "pack_sequences" -> { (s, cp) => (ins, rp) =>
       val params = cp ++ rp
       val idCol = p(params, "idCol", "doc_id")
       val langCol = p(params, "langCol", "lang")
       val textCol = p(params, "textCol", "text")
       val budget = p(params, "budget", "512").toInt
+      require(budget > 0, s"pack_sequences budget must be > 0, got $budget")
       val blockDocs = params.get("blockDocs").map(_.toLong)
         .getOrElse(graft.queries.Corpus.packBlockDocs(s))
       graft.queries.Corpus.packOffsets(
           ins.head.select(col(idCol).cast("long").as("doc_id"),
             col(langCol).as("lang"),
-            size(graft.functions.TextF.tokens(col(textCol)))
+            greatest(size(graft.functions.TextF.tokens(col(textCol))), lit(0))
               .cast("long").as("n_tok")),
           blockDocs)
         .withColumn("bin", floor(col("off") / budget).cast("long"))

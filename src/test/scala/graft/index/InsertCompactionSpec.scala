@@ -59,4 +59,30 @@ class InsertCompactionSpec extends AnyFunSuite {
     assert(m.codes.collect().map(_.toSeq).toSet ==
       oneShot.codes.collect().map(_.toSeq).toSet)
   }
+
+  test("disown lets one compacted state seed two append chains (single-consumer contract)") {
+    import spark.implicits._
+    def leafRdds(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }
+    val s0 = Seq((1L, "a")).toDF("id", "v").cache()
+    // compactEvery = 1 → this append compacts: `state` is a
+    // Compact-OWNED localCheckpoint
+    val state = Compact.append(s0, Seq((2L, "b")).toDF("id", "v"),
+      appends = 0, compactEvery = 1)
+    assert(state.count() == 2)
+    // transfer ownership to the caller, then fork into two chains
+    Compact.disown(state)
+    val a = Compact.append(state, Seq((3L, "c")).toDF("id", "v"), 1, 1)
+    assert(a.count() == 3) // fork A compacted — would have released an owned parent
+    // the shared parent's checkpoint blocks must have survived fork A's
+    // compaction: its leaf RDD is still persisted and still readable
+    leafRdds(state).foreach(r =>
+      assert(r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE,
+        "disowned parent checkpoint was released by a fork's compaction"))
+    val b = Compact.append(state, Seq((4L, "d")).toDF("id", "v"), 1, 1)
+    assert(b.count() == 3)
+    assert(b.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 4L))
+  }
 }

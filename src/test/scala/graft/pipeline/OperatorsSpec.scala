@@ -423,6 +423,36 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("pack_sequences: null text clamps to n_tok 0 (never -1), null keys drop, " +
+      "budget must be positive") {
+    import spark.implicits._
+    // arbitrary pipeline frame, NOT the documents table: null text,
+    // null lang, null id all present
+    val df = Seq(
+      (Some(1L), Some("en"), Some("one two three")),
+      (Some(2L), Some("en"), None), // null text -> size() = -1 raw
+      (Some(3L), Some("en"), Some("four five")),
+      (Some(4L), None, Some("dropped lang")),
+      (None: Option[Long], Some("en"), Some("dropped id"))
+    ).toDF("doc_id", "lang", "text")
+    val out = Operators.make(spark, "transform", "pack_sequences",
+        Map("budget" -> "4", "blockDocs" -> "2"))(Seq(df), Map.empty)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // null-key rows are dropped, not packed
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    // the null-text doc packs as a zero-length sequence, and the
+    // downstream offsets stay the exact cumsum (doc 3 starts at 3, not
+    // at 2 — a -1 clamp failure would shift every later offset)
+    assert(out.toSeq == Seq((1L, 3L, 0L), (2L, 0L, 3L), (3L, 2L, 3L)))
+    val err = intercept[IllegalArgumentException] {
+      Operators.make(spark, "transform", "pack_sequences",
+        Map("budget" -> "0"))(Seq(df), Map.empty)
+    }
+    assert(err.getMessage.contains("budget"))
+  }
+
   test("pagerank operator runs over an edge-list input") {
     import spark.implicits._
     val edges = Seq((1L, 2L, 1.0), (2L, 1L, 1.0), (3L, 1L, 1.0))
