@@ -46,7 +46,10 @@ object Scale {
     // pair's distributed prefix offsets and the percentile filter's
     // histogram+tie-shard exact rank — the entries that replaced the
     // engine's last single-task-per-group windows
-    "q_pack_sequences", "q_pack_chunks", "q_quality_percentile_filter")
+    "q_pack_sequences", "q_pack_chunks", "q_quality_percentile_filter",
+    // round-11 reworks: prefix-filtered containment and the
+    // histogram-rank quantiles (no per-language corpus sort)
+    "q_dedup_containment", "q_profile_quantiles")
 
   private def buildScaled(spark: SparkSession, base: String, out: String,
       factor: Int): Unit = {
@@ -144,13 +147,68 @@ object Scale {
         f"""\"pairs_fixed\":$nF,\"pairs_wide\":$nW}"""
     }
 
+    // Planted-hot-shingle containment fixture: every doc shares one
+    // boilerplate shingle (the corpora containment targets), n/50 real
+    // containment pairs planted. The raw posting self-join generates
+    // ~n² candidate pairs through the hot shingle; the one-sided prefix
+    // filter keeps the hot shingle out of every a-side prefix, so its
+    // candidates grow ~linearly. Candidate counts are deterministic —
+    // no timing noise in the headline numbers.
+    val containment = {
+      import org.apache.spark.sql.DataFrame
+      def fixture(n: Long): DataFrame =
+        spark.range(n).select(
+          col("id").as("doc_id"), lit("en").as("lang"),
+          when(col("id") % 50 === 0, expr(
+            "array_union(array('hot hot hot'), " +
+              "transform(sequence(1,4), j -> concat('c', id, '_', j)))"))
+          .when(col("id") % 50 === 1, expr(
+            "array_union(array('hot hot hot'), array_union(" +
+              "transform(sequence(1,4), j -> concat('c', id-1, '_', j)), " +
+              "transform(sequence(1,5), j -> concat('h', id, '_', j))))"))
+          .otherwise(expr(
+            "array_union(array('hot hot hot'), " +
+              "transform(sequence(1,8), j -> concat('u', id, '_', j)))"))
+          .as("sh"))
+        .withColumn("nsh", size(col("sh")))
+      def rawPairs(f: DataFrame): Long = {
+        val post = f.select(col("doc_id"), explode(col("sh")).as("tok"))
+        post.select(col("doc_id").as("a"), col("tok"))
+          .join(post.select(col("doc_id").as("b"), col("tok")), Seq("tok"))
+          .filter(col("a") =!= col("b")).count()
+      }
+      def prefixPairs(f: DataFrame): Long =
+        graft.dedup.SetSimJoin.containmentCandidates(
+          f, "doc_id", "lang", "sh", "nsh", 8, 10).count()
+      def timeJoin(f: DataFrame): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val c = graft.dedup.SetSimJoin.containmentJoin(
+          f, "doc_id", "lang", "sh", "nsh", 8, 10).count()
+        ((System.nanoTime() - t0) / 1e9, c)
+      }
+      val n1 = 500L
+      val f1 = fixture(n1).cache(); f1.count()
+      val fN = fixture(n1 * factor).cache(); fN.count()
+      val (raw1, rawN) = (rawPairs(f1), rawPairs(fN))
+      val (pre1, preN) = (prefixPairs(f1), prefixPairs(fN))
+      val ((tj1, c1), (tjN, cN)) = (timeJoin(f1), timeJoin(fN))
+      f1.unpersist(); fN.unpersist()
+      assert(c1 == n1 / 50 && cN == n1 * factor / 50,
+        s"planted containment pairs wrong: $c1/$cN")
+      s""""containment_hot_shingle":{"n1":$n1,"factor":$factor,""" +
+        s""""raw_pairs_1":$raw1,"raw_pairs_N":$rawN,""" +
+        s""""prefix_pairs_1":$pre1,"prefix_pairs_N":$preN,""" +
+        f""""t_prefix_1":$tj1%.2f,"t_prefix_N":$tjN%.2f,""" +
+        s""""result_pairs_1":$c1,"result_pairs_N":$cN}"""
+    }
+
     val rows = t1.zip(tN).map { case ((q, a), (_, b)) => (q, a, b, b / a) }
     val md = rows.map { case (q, a, b, r) =>
       f"| $q | $a%.1f | $b%.1f | ${r}%.1f× |"
     }
     val json = (rows.map { case (q, a, b, r) =>
       f"""\"$q\":{\"t1\":$a%.2f,\"t$factor\":$b%.2f,\"ratio\":$r%.2f}"""
-    } :+ knob).mkString("{", ",", s""","factor":$factor}""")
+    } :+ knob :+ containment).mkString("{", ",", s""","factor":$factor}""")
     try {
       val dir = java.nio.file.Paths.get("target")
       java.nio.file.Files.createDirectories(dir)

@@ -74,6 +74,26 @@ object SetSimJoin {
     * symmetric sibling is [[countJoin]]/[[prefixFiltered]]. */
   def containmentJoin(df: DataFrame, idCol: String, blockCol: String,
       setCol: String, nCol: String, tauNum: Int, tauDen: Int): DataFrame = {
+    val pairs =
+      containmentCandidates(df, idCol, blockCol, setCol, nCol, tauNum, tauDen)
+    val sa = df.select(col(idCol).as("id_a"), col(setCol).as("set_a"),
+      col(nCol).as("na"))
+    val sb = df.select(col(idCol).as("id_b"), col(setCol).as("set_b"))
+    pairs.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+      .withColumn("n_shared",
+        size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+      .filter(col("n_shared") * tauDen >= col("na").cast("long") * tauNum)
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        col("na").cast("long").as("na"))
+  }
+
+  /** [[containmentJoin]]'s candidate-generation stage, exposed so the
+    * scale harness (graft.Scale) can count candidate pairs directly —
+    * the number that stays ~linear under a planted hot shingle where a
+    * raw posting self-join goes quadratic. */
+  private[graft] def containmentCandidates(df: DataFrame, idCol: String,
+      blockCol: String, setCol: String, nCol: String,
+      tauNum: Int, tauDen: Int): DataFrame = {
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
       s"containment threshold must be a rational in (0, 1]: $tauNum/$tauDen")
     val posting = df.select(col(idCol), col(blockCol), col(nCol),
@@ -87,19 +107,10 @@ object SetSimJoin {
       .filter(col("pos") <= col(nCol) - ceilTauN + 1)
       .select(col(idCol).as("id_a"), col(blockCol), col("s"))
     val b = posting.select(col(idCol).as("id_b"), col(blockCol), col("s"))
-    val pairs = aPrefix.join(b, Seq(blockCol, "s"))
+    aPrefix.join(b, Seq(blockCol, "s"))
       .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    val sa = df.select(col(idCol).as("id_a"), col(setCol).as("set_a"),
-      col(nCol).as("na"))
-    val sb = df.select(col(idCol).as("id_b"), col(setCol).as("set_b"))
-    pairs.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
-      .withColumn("n_shared",
-        size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
-      .filter(col("n_shared") * tauDen >= col("na").cast("long") * tauNum)
-      .select(col("id_a"), col("id_b"), col("n_shared"),
-        col("na").cast("long").as("na"))
   }
 
   def prefixFiltered(df: DataFrame, idCol: String, blockCol: String,
