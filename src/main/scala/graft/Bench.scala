@@ -56,11 +56,25 @@ object Bench {
     val benchExclude = Set("q_csv_roundtrip", "q_json_roundtrip",
       "q_orc_roundtrip", "q_quarantine_roundtrip")
     val benched = SparkEntry.queries.view.filterKeys(!benchExclude(_)).toMap
-    def pass(): Map[String, Double] = benched.map { case (name, fn) =>
+    // measurement knob (round-11 LM suite-ordering experiment): with
+    // SPARK_GRAFT_BENCH_ORDER=lmfirst the LM entry runs FIRST in each
+    // pass (near-empty sf0.1 block manager) instead of at its hash-order
+    // position after ~60 cache-building queries — one bench run each way
+    // attributes the LM entry's standalone-vs-in-suite gap to suite
+    // cache pressure (or rules it out). Default order is unchanged.
+    val ordered: Seq[(String, (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)] = {
+      val base = benched.toSeq
+      if (sys.env.get("SPARK_GRAFT_BENCH_ORDER").contains("lmfirst")) {
+        val (lm, rest) = base.partition(_._1 == "q_lm_cross_entropy")
+        lm ++ rest
+      } else base
+    }
+    def pass(): Map[String, Double] = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    }.toMap
     val p1 = pass(); val p2 = pass()
     val results = p1.map { case (name, t) => name -> math.min(t, p2(name)) }
     // Short-line guard: the driver keeps only a ~2000-char stdout tail and

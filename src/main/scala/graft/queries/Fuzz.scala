@@ -416,6 +416,10 @@ object Fuzz {
       case 9 if joinable.isEmpty => 0
       case s => s
     }
+    // window-shape sub-variant, drawn once inside the first shape-5
+    // guard (keeps the draw stream identical to the pre-r11 generator,
+    // where the same single draw chose rank-vs-row_number)
+    var windowVariant = -1
 
     if (shape <= 2) {
       // aggregate shape (grouped or global, optional HAVING)
@@ -464,7 +468,13 @@ object Fuzz {
       val sets: Seq[Seq[String]] =
         if (mode == 2) {
           val others = rnd.shuffle(subsets.filterNot(_ == gcols))
-          gcols +: others.take(rnd.nextInt(others.size + 1))
+          val base = gcols +: others.take(rnd.nextInt(others.size + 1))
+          // duplicate-set edge (round 11, keyed off a seed bit so the
+          // draw stream is unchanged): the SQL standard says GROUPING
+          // SETS ((a), (a)) emits the group TWICE — both engines honor
+          // the multiplicity, and the sorted-multiset compare would
+          // catch either engine deduplicating
+          if ((seed & 4L) != 0L) base :+ base.last else base
         } else Seq.empty
       val gSql = mode match {
         case 0 => s" GROUP BY ROLLUP(${gcols.mkString(", ")})"
@@ -572,7 +582,7 @@ object Fuzz {
         }
       })
     } else if (shape == 5 && base.uniqueKey.nonEmpty && groupable.nonEmpty
-        && rnd.nextInt(3) == 1) {
+        && { windowVariant = rnd.nextInt(3); windowVariant == 1 }) {
       // rank-window variant (round 10): rank() ordered by a NON-unique
       // numeric column — ties share a rank, and the rank<=j cut keeps
       // every tied row, so the emitted SET is deterministic without a
@@ -594,6 +604,36 @@ object Fuzz {
           .withColumn("rk", rank().over(w).cast("long"))
           .filter(col("rk") <= topJ)
           .select(col(g), col(oc), col("rk"))
+      })
+    } else if (shape == 5 && base.uniqueKey.nonEmpty && groupable.nonEmpty
+        && windowVariant == 2) {
+      // RANGE-frame variant (round 11): a running integer sum over
+      // RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW ordered by a
+      // NON-unique column — the frame includes ALL peers of the current
+      // row, so tied rows share one sum and the output multiset is
+      // deterministic without a tiebreak (a ROWS frame there would be
+      // order-nondeterministic; RANGE is the shape that exercises peer
+      // arithmetic in both engines). Integer sums only → exact.
+      val g = pick(rnd, groupable).name
+      val ints = base.cols.filter(c =>
+        c.kind == IntK && !c.lowCard && c.name != g)
+      val oc = pick(rnd,
+        if (ints.isEmpty) base.cols.filter(c => c.kind == IntK && c.name != g)
+        else ints).name
+      val scPool = base.cols.filter(c => c.kind == IntK && c.name != oc)
+      val sc = pick(rnd, if (scPool.isEmpty) Seq(base.cols.find(_.kind == IntK).get)
+        else scPool).name
+      val sql =
+        s"SELECT $g, $oc, CAST(sum($sc) OVER (PARTITION BY $g ORDER BY $oc " +
+          s"RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) " +
+          s"AS rsum FROM $fromSql${whereSql(pred)}"
+      Plan(seed, sql, (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col(g)).orderBy(col(oc))
+          .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        src(s, dir, pred)
+          .withColumn("rsum", sum(col(sc)).over(w).cast("long"))
+          .select(col(g), col(oc), col("rsum"))
       })
     } else if (shape == 5 && base.uniqueKey.nonEmpty && groupable.nonEmpty) {
       // window shape: row_number (+ optional running int sum) per group,
@@ -668,8 +708,15 @@ object Fuzz {
       val limitN =
         if (rnd.nextInt(3) == 0) Some(1 + rnd.nextInt(50)) else None
       val distSql = if (distinct) "DISTINCT " else ""
+      // NULLS FIRST/LAST edge (round 11): keyed off a seed bit, NOT an
+      // rnd draw, so the generator's draw stream is unchanged. Both
+      // engines default differently (Spark ASC = NULLS FIRST, DuckDB
+      // ASC = NULLS LAST), so the placement is always EXPLICIT on both
+      // renderings — this exercises the non-default path in each.
+      val nullsLast = (seed & 2L) != 0L
+      val np = if (nullsLast) "NULLS LAST" else "NULLS FIRST"
       val orderSql = limitN.map(n =>
-        s" ORDER BY ${proj.map(c => s"$c NULLS FIRST").mkString(", ")} LIMIT $n")
+        s" ORDER BY ${proj.map(c => s"$c $np").mkString(", ")} LIMIT $n")
         .getOrElse("")
       val sql =
         s"SELECT $distSql${proj.mkString(", ")} FROM $fromSql${whereSql(Some(p))}$orderSql"
@@ -677,7 +724,9 @@ object Fuzz {
         val base0 = src(s, dir, Some(p)).select(proj.map(col): _*)
         val d = if (distinct) base0.distinct() else base0
         limitN match {
-          case Some(n) => d.orderBy(proj.map(c => col(c).asc_nulls_first): _*).limit(n)
+          case Some(n) => d.orderBy(proj.map(c =>
+            if (nullsLast) col(c).asc_nulls_last else col(c).asc_nulls_first): _*)
+            .limit(n)
           case None => d
         }
       })

@@ -1,0 +1,106 @@
+package graft.streaming
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming-vs-batch equivalence FUZZ (round 11): random
+  * (window, watermark-delay, lateness-pattern, chunk-count) configs
+  * replayed BOTH ways — a multi-micro-batch append-mode windowed count
+  * against a pure-Scala batch model of Spark's documented watermark
+  * semantics:
+  *
+  *  - the late-row filter in batch b uses the watermark computed from
+  *    event times through batch b−2 (it LAGS eviction by one batch —
+  *    the round-10 empirical pin from q_stream_late's oracle);
+  *  - the watermark is the max observed event time truncated to
+  *    milliseconds minus the delay;
+  *  - append mode emits exactly the windows whose end ≤ the final
+  *    watermark (the post-data no-data trigger advances it over the
+  *    last chunk).
+  *
+  * Each seed perturbs every knob at once, so one green sweep pins the
+  * semantics across window/delay/lateness combinations nobody
+  * hand-wrote — the streaming counterpart of FuzzRelationalSpec.
+  * Lateness is planted the q_stream_late way: chunks are ordered by a
+  * SHIFTED arrival time while rows keep their original event time, so
+  * late-mod rows arrive chunks later than their event time says.
+  */
+class FuzzStreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private final case class Ev(id: Long, us: Long, adjUs: Long, tp: String)
+
+  test("random watermark/window/lateness configs: streaming append equals the batch watermark model") {
+    val events = graft.core.Tables(spark, TestSpark.sf0001, "events")
+      .select(col("event_id"), col("ts"), col("event_type"))
+      .cache()
+    for (seed <- 0 until 6) {
+      val rnd = new scala.util.Random(seed)
+      val windowMin = Seq(5, 10, 20)(rnd.nextInt(3))
+      val delayMin = Seq(10, 30, 60)(rnd.nextInt(3))
+      val lateMod = Seq(7, 13, 17)(rnd.nextInt(3))
+      val lateHours = Seq(2, 24, 288)(rnd.nextInt(3))
+      val numFiles = 3 + rnd.nextInt(3)
+      val cfg = s"seed=$seed window=${windowMin}m delay=${delayMin}m " +
+        s"lateMod=$lateMod lateH=$lateHours files=$numFiles"
+
+      val adjExpr = col("ts") + expr(s"CASE WHEN event_id % $lateMod = 0 " +
+        s"THEN INTERVAL $lateHours HOURS ELSE INTERVAL 0 SECONDS END")
+      val landing = graft.queries.StreamingQ.stageFrameChunks(
+        events, Seq(adjExpr, col("event_id")), s"fuzzcfg$seed", numFiles)
+
+      // streaming side: one chunk per micro-batch, append-mode windowed
+      // count under the config's watermark
+      val st = spark.readStream
+        .schema(spark.read.parquet(landing.toString).schema)
+        .option("maxFilesPerTrigger", "1").parquet(landing.toString)
+      val agg = st.withWatermark("ts", s"$delayMin minutes")
+        .groupBy(window(col("ts"), s"$windowMin minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_micros(col("window.start")).as("ws"),
+          col("event_type"), col("n"))
+      val got = Streams.runToMemory(agg, s"fuzz_stream_cfg$seed",
+          OutputMode.Append())
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSet
+
+      // batch model (pure Scala over the same rows)
+      val data = events.select(col("event_id"), expr("unix_micros(ts)"),
+          col("event_type")).collect()
+        .map { r =>
+          val id = r.getLong(0); val us = r.getLong(1)
+          val adj = us +
+            (if (id % lateMod == 0) lateHours * 3600L * 1000000L else 0L)
+          Ev(id, us, adj, r.getString(2))
+        }
+      val sorted = data.sortBy(e => (e.adjUs, e.id))
+      val total = sorted.length
+      val qsz = total / numFiles; val rem = total % numFiles
+      val chunks = (0 until numFiles).map { i =>
+        val start = i * qsz + math.min(i, rem)
+        sorted.slice(start, start + qsz + (if (i < rem) 1 else 0))
+      }
+      val winUs = windowMin * 60L * 1000000L
+      val delayMs = delayMin * 60000L
+      def wEnd(us: Long) = Math.floorDiv(us, winUs) * winUs + winUs
+      val chunkMax = chunks.map(_.map(_.us).max)
+      def filterWm(i: Int): Option[Long] =
+        if (i < 2) None
+        else Some((chunkMax.slice(0, i - 1).max / 1000 - delayMs) * 1000)
+      val kept = chunks.zipWithIndex.flatMap { case (ch, i) =>
+        ch.filter(e => filterWm(i).forall(wm => wEnd(e.us) > wm))
+      }
+      val finalWm = (chunkMax.max / 1000 - delayMs) * 1000
+      val want = kept.filter(e => wEnd(e.us) <= finalWm)
+        .groupBy(e => (wEnd(e.us) - winUs, e.tp))
+        .map { case ((ws, tp), es) => (ws, tp, es.size.toLong) }
+        .toSet
+      assert(want.nonEmpty, s"vacuous config (no emitted windows): $cfg")
+      assert(got == want,
+        s"streaming/batch divergence at $cfg\nonly-streaming=${got -- want}" +
+          s"\nonly-model=${want -- got}")
+    }
+  }
+}
