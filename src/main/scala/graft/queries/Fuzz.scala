@@ -20,8 +20,13 @@ import org.apache.spark.sql.functions._
   * widened exact product type), LATERAL correlated aggregate subqueries
   * in FROM (SQL renders the lateral form, the DataFrame side its
   * decorrelated group+left-join rewrite), row_number/running-sum
-  * windows, and tie-preserving rank() windows over non-unique orderings
-  * (also over joined inputs) —
+  * windows, tie-preserving rank() windows over non-unique orderings
+  * (also over joined inputs), RANGE-frame running sums over non-unique
+  * orderings (peer-inclusive frames — round 11), explicit NULLS
+  * FIRST/LAST ordering on both renderings (the engines' ASC defaults
+  * differ, so each seed exercises one engine's non-default path —
+  * round 11), and GROUPING SETS with DUPLICATED sets (the SQL-standard
+  * multiplicity edge both engines must honor — round 11) —
   * as an AST rendered BOTH as a DataFrame-API plan and as ANSI
   * SQL — the two executions must agree row-for-row. FuzzRelationalSpec
   * runs ≥1000 generated plans DataFrame-vs-`spark.sql`; five fixed
@@ -743,12 +748,17 @@ object Fuzz {
     * literals + decimal product-sums re-roll every seed's plan):
     * 5 = correlated scalar subquery + grouped aggregate, 9 = inner
     * join + ROLLUP + decimal product-sum, 14 = HAVING + grouped
-    * aggregate, 23 = EXISTS semi join + GROUPING SETS, 25 = correlated
-    * scalar subquery + decimal product-sum, 32 = inner join +
-    * GROUPING SETS, 33 = correlated scalar subquery + two-key grouped
-    * aggregate, 57 = ROLLUP + decimal product-sum, 86 = NOT EXISTS
-    * anti join + CUBE, 92 = inner join + ROLLUP. */
-  val driverSeeds = Seq(5L, 9L, 14L, 23L, 25L, 32L, 33L, 57L, 86L, 92L)
+    * aggregate, 23 = EXISTS semi join + GROUPING SETS (+ round-11
+    * duplicate set — seed bit 4), 25 = correlated scalar subquery +
+    * decimal product-sum, 32 = inner join + GROUPING SETS, 33 =
+    * correlated scalar subquery + two-key grouped aggregate, 57 =
+    * ROLLUP + decimal product-sum, 86 = NOT EXISTS anti join + CUBE,
+    * 92 = inner join + ROLLUP; round-11 promotions: 76 = inner join +
+    * GROUPING SETS with a DUPLICATED set (the multiplicity edge, 120
+    * rows), 132 = inner join + two-key GROUPING SETS with a duplicated
+    * set. */
+  val driverSeeds =
+    Seq(5L, 9L, 14L, 23L, 25L, 32L, 33L, 57L, 76L, 86L, 92L, 132L)
 
   val all: Seq[Q] = driverSeeds.map { s =>
     val p = plan(s, forceAgg = true)
