@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
   * multiplicity edge both engines must honor — round 11) —
   * as an AST rendered BOTH as a DataFrame-API plan and as ANSI
   * SQL — the two executions must agree row-for-row. FuzzRelationalSpec
-  * runs ≥1000 generated plans DataFrame-vs-`spark.sql`; five fixed
+  * runs ≥1000 generated plans DataFrame-vs-`spark.sql`; twelve fixed
   * seeds are exported as `q_fuzz_*` query entries whose SQL rendering IS
   * the DuckDB oracle, so the driver cross-checks the same generator
   * against a second engine every round. This is the cheapest route to

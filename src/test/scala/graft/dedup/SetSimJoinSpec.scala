@@ -115,4 +115,22 @@ class SetSimJoinSpec extends AnyFunSuite {
         col("nsh") - floor((col("nsh") * 8 + 9) / 10) + 1)
     assert(prefix.filter(col("s") === "zz zz zz").count() == 0)
   }
+
+  test("containment at tau = 1 is exact subset inclusion (prefix length 1)") {
+    import spark.implicits._
+    // at tau = den/den the prefix lemma degenerates to length
+    // n − ⌈n⌉ + 1 = 1: each doc posts ONLY its single rarest shingle,
+    // and survivors must share EVERY shingle (n_shared = na)
+    val df = Seq(
+      (1L, Seq("a b c", "b c d", "c d e", "d e f", "e f g")),     // ⊆ 2
+      (2L, Seq("a b c", "b c d", "c d e", "d e f", "e f g", "x y z")),
+      (3L, Seq("a b c", "b c d", "c d e", "d e f", "q q q"))      // 4/5 only
+    ).toDF("doc_id", "sh")
+      .withColumn("lang", lit("en")).withColumn("nsh", size(col("sh")))
+    val got = cPairs(SetSimJoin.containmentJoin(
+      df, "doc_id", "lang", "sh", "nsh", 1, 1))
+    assert(got == Set((1L, 2L, 5L, 5L)),
+      s"tau=1 must admit exact subset inclusion only: $got")
+    assert(got == cPairs(rawContainment(df, 1, 1)))
+  }
 }

@@ -27,10 +27,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * SHIFTED arrival time while rows keep their original event time, so
   * late-mod rows arrive chunks later than their event time says.
   */
-class FuzzStreamingSpec extends AnyFunSuite {
-  lazy val spark = TestSpark.spark
-
+object FuzzStreamingSpec {
   private final case class Ev(id: Long, us: Long, adjUs: Long, tp: String)
+}
+
+class FuzzStreamingSpec extends AnyFunSuite {
+  import FuzzStreamingSpec.Ev
+  lazy val spark = TestSpark.spark
 
   test("random watermark/window/lateness configs: streaming append equals the batch watermark model") {
     val events = graft.core.Tables(spark, TestSpark.sf0001, "events")
