@@ -531,7 +531,12 @@ object Corpus {
     * splits per codepoint like Scala's per-char map (the corpus is
     * BMP-only; astral symbols would split differently — documented
     * limit). */
-  private def bpeOracleSql(numMerges: Int): String = {
+  /** The WITH-clause body replaying BPE training in DuckDB: vocabulary,
+    * char-split s0, and per-round stages e/p/b/f/r/g/h/s — `b$k` holds
+    * round k's winning pair, `s$k` every vocab word's symbol list AFTER
+    * k merges (so `s$numMerges` IS the trained tokenizer applied to the
+    * vocabulary — [[q_bpe_encode]] consumes it directly). */
+  private def bpeStagesSql(numMerges: Int): String = {
     val stages = (1 to numMerges).map { k =>
       val prev = if (k == 1) "s0" else s"s${k - 1}"
       s"""e$k AS (SELECT w, n, unnest(syms) AS s, generate_subscripts(syms, 1) AS i FROM $prev),
@@ -552,14 +557,18 @@ object Corpus {
          |    list(CASE WHEN sel THEN s || ns ELSE s END ORDER BY i) AS syms
          |  FROM h$k WHERE NOT psel GROUP BY w)""".stripMargin
     }
+    s"""v AS (SELECT w, count(*) AS n FROM (SELECT unnest(${Sql.toks()}) AS w FROM documents) GROUP BY w),
+       |s0 AS (SELECT w, n, string_split(w, '') AS syms FROM v),
+       |${stages.mkString(",\n")}""".stripMargin
+  }
+
+  private def bpeOracleSql(numMerges: Int): String = {
     val finalSel = (1 to numMerges)
       .map(k => s"SELECT CAST($k AS BIGINT) AS rank, a AS left_sym, b AS right_sym FROM b$k")
       .mkString("\n UNION ALL ")
     s"""
        |WITH
-       |v AS (SELECT w, count(*) AS n FROM (SELECT unnest(${Sql.toks()}) AS w FROM documents) GROUP BY w),
-       |s0 AS (SELECT w, n, string_split(w, '') AS syms FROM v),
-       |${stages.mkString(",\n")}
+       |${bpeStagesSql(numMerges)}
        |SELECT * FROM (
        |$finalSel
        |) ORDER BY rank
@@ -576,19 +585,67 @@ object Corpus {
     * BpeTrainSpec). Scale: the corpus collapses to the weighted word
     * vocabulary in one shuffle; each round aggregates only that cached
     * vocabulary-sized table. */
+  private val bpeMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (org.apache.spark.sql.DataFrame, Seq[(String, String)])]()
+
+  /** The cached word vocabulary + 10 learned merges, memoized per
+    * app+dataset — q_bpe_merges and q_bpe_encode share one training
+    * run (and the vocab cache) instead of re-learning per entry. */
+  private def bpeTrained(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, Seq[(String, String)]) =
+    graft.core.Caches.memoized(s, dir, bpeMemo) {
+      val v = graft.vectorize.BpeTrain.vocab(Tables(s, dir, "documents"), "text")
+      (v, graft.vectorize.BpeTrain.learn(v, numMerges = 10))
+    }
+
   val q_bpe_merges = Q(
     "q_bpe_merges",
     (s, dir) => {
       import s.implicits._
-      val docs = Tables(s, dir, "documents")
-      val merges = graft.vectorize.BpeTrain.learn(
-        graft.vectorize.BpeTrain.vocab(docs, "text"), numMerges = 10)
-      merges.zipWithIndex
+      bpeTrained(s, dir)._2.zipWithIndex
         .map { case ((a, b), i) => (i + 1L, a, b) }
         .toDF("rank", "left_sym", "right_sym")
         .orderBy(col("rank"))
     },
     Some(bpeOracleSql(10)))
+
+  /** BPE tokenizer APPLICATION — the step every trained tokenizer
+    * exists for: encode the corpus with the 10 learned merges and emit
+    * each document's piece count next to its whitespace word count (the
+    * fertility/compression profile a tokenizer owner reads before
+    * committing to a vocab). Scale shape: per-word piece counts are
+    * computed ONCE on the cached vocabulary (vocabulary-sized, Zipf ≪
+    * corpus — the same table training aggregated), then the corpus
+    * explodes to (doc, word) and equi-joins that narrow table; one
+    * per-doc integer-sum shuffle, no per-corpus-row merge loops, and
+    * document payloads never shuffle. Oracle: the generated training
+    * CTEs already carry every vocab word's symbol list after round k —
+    * `s10` IS the applied tokenizer, so encoding is a join against it.
+    * Exact integer counts on both engines. */
+  val q_bpe_encode = Q(
+    "q_bpe_encode",
+    (s, dir) => {
+      val (vocabDf, merges) = bpeTrained(s, dir)
+      val bc = s.sparkContext.broadcast(merges)
+      val pieceLen = udf { (w: String) =>
+        graft.vectorize.BpeTrain.applyMerges(w, bc.value).length.toLong }
+      val wp = vocabDf.select(col("w"), pieceLen(col("w")).as("k"))
+      Tables.spread(Tables(s, dir, "documents"))
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .join(wp, Seq("w"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("k")).as("n_pieces"), count(lit(1)).as("n_words"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      |WITH
+      |${bpeStagesSql(10)},
+      |d AS (SELECT doc_id, unnest(${Sql.toks()}) AS w FROM documents),
+      |enc AS (SELECT d.doc_id, len(s10.syms) AS k FROM d JOIN s10 USING (w))
+      |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_pieces,
+      |  count(*) AS n_words
+      |FROM enc GROUP BY doc_id ORDER BY doc_id
+      |""".stripMargin))
 
   /** Temperature-scaled language mixture weights (the multilingual
     * rebalancing step of large-scale pretraining corpora — upweight tail
@@ -1026,6 +1083,7 @@ object Corpus {
     q_decontaminate, q_decontaminate_bloom, q_pipeline_curate,
     q_pipeline_curate2, q_pipeline_curate3, q_ngram_topk,
     q_rare_tokens, q_zipf, q_pack_sequences, q_pack_chunks, q_bpe_merges,
+    q_bpe_encode,
     q_mixture_weights,
     q_lm_cross_entropy, q_scrub_pii, q_dsir_weights)
 }

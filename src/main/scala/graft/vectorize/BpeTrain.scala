@@ -25,7 +25,7 @@ object BpeTrain {
 
   /** Standard greedy BPE segmentation of one word under an ordered merge
     * list: start from characters, apply each merge in learned order. */
-  private[vectorize] def applyMerges(word: String,
+  private[graft] def applyMerges(word: String,
       merges: Seq[(String, String)]): Seq[String] = {
     var syms = word.map(_.toString)
     merges.foreach { case (a, b) =>

@@ -39,6 +39,7 @@ class DeterminismSpec extends AnyFunSuite {
     "q_pagerank",          // integer-picos power iteration (r10)
     "q_fastrp_embed",      // integer-micros A·X message passing (r10)
     "q_bpe_merges",        // per-round integer argmax merges (r10)
+    "q_bpe_encode",        // vocab-join piece counts under trained merges (r11)
     "q_dedup_containment", // df-ranked prefix + exact verify (r11)
     "q_profile_quantiles", // histogram-rank quantile selection (r11)
     "q_multimodal_embed")  // float folds + integer-micros lift (r11)
