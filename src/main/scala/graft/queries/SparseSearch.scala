@@ -115,5 +115,94 @@ object SparseSearch {
       |""".stripMargin
     })
 
-  val all: Seq[Q] = Seq(q_sparse_search)
+  /** Okapi BM25 top-10 for the same query string — the ranking function
+    * real sparse retrieval runs (Lucene/Elasticsearch default, and the
+    * sparse half of every BM25+dense hybrid stack), complementing the
+    * tf-idf cosine entry above: BM25 adds document-length normalization
+    * (b = 0.75) and term-frequency saturation (k1 = 1.2), so a doc can't
+    * win by repeating one query term or by simply being long.
+    *
+    * Exactness: idf's `ln` is the one non-bit-reproducible step, so the
+    * whole per-(doc, term) contribution follows the integer-micros fold
+    * discipline ([[Sql.lmFold]] precedent): every +,−,×,÷ in the term is
+    * written in the IDENTICAL operation order on both engines over
+    * integer tf/df/dl and double constants (bit-identical), the single
+    * ln-bearing product rounds to 6 dp and lifts to BIGINT micros, and
+    * the per-doc score is an order-independent INTEGER sum weighted by
+    * integer query-term multiplicity. Output is score_mu (micros) —
+    * never divided back, so no final-rounding hazard.
+    *
+    * Scale shape: rides the memoized [[Postings]] tf/dfreq caches (no
+    * refit per search); dl is one per-doc integer aggregate; avgdl and
+    * the query terms broadcast as 1-row / 4-row frames into the postings
+    * join, which the `tok IN (query)` semi-filter prunes BEFORE the dl
+    * join — only postings of query terms (a few hundred rows regardless
+    * of corpus size) reach the join/fold; the global top-10 is
+    * orderBy+limit → TakeOrderedAndProject, ≤10 rows per partition to
+    * the driver merge. */
+  val q_bm25_search = Q(
+    "q_bm25_search",
+    (s, dir) => {
+      import s.implicits._
+      val p = Postings(s, dir)
+      // per-doc length in tokens, and the corpus mean length (1-row)
+      val dl = p.tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val avgdl = dl.agg(sum(col("dl")).as("tot")).crossJoin(broadcast(p.n))
+        .select((col("tot").cast("double") / col("n")).as("avgdl"))
+      val qdf = queryTf.toDF("tok", "qtf")
+      // Lucene-style BM25: idf = ln((N - df + 0.5)/(df + 0.5) + 1),
+      // tf saturation k1 = 1.2, length normalization b = 0.75. Every
+      // sub-expression mirrors the oracle's operation order exactly.
+      val idf = log((col("n") - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5)) + lit(1.0))
+      val denom = col("tf") + lit(1.2) *
+        (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl"))
+      val termMu = round(round(idf * (col("tf") * lit(2.2)) / denom, 6)
+        * lit(1e6)).cast("long")
+      // broadcast the 4-term query into the postings: only query-term
+      // postings survive into the dl join and the integer fold
+      val scores = p.tf.join(broadcast(qdf), Seq("tok"))
+        .join(dl, Seq("doc_id"))
+        .join(broadcast(p.dfreq), Seq("tok"))
+        .crossJoin(broadcast(p.n)).crossJoin(broadcast(avgdl))
+        .select(col("doc_id"), (col("qtf") * termMu).as("mu"))
+        .groupBy(col("doc_id")).agg(sum(col("mu")).as("score_mu"))
+      val rankOrder = Seq(desc("score_mu"), col("doc_id").asc)
+      val top = scores.orderBy(rankOrder: _*).limit(10)
+      top.withColumn("rnk",
+          row_number().over(Window.orderBy(rankOrder: _*)).cast("long"))
+        .select(col("doc_id"), col("score_mu"), col("rnk"))
+        .orderBy(col("rnk"))
+    },
+    Some {
+      val qVals = queryTf.map { case (t, c) => s"('$t', $c)" }.mkString(", ")
+      s"""
+      |WITH t AS (SELECT doc_id, unnest(${Sql.toks()}) AS tok FROM documents),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY doc_id, tok),
+      |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+      |ad AS (SELECT CAST(sum(dl) AS DOUBLE) / n AS avgdl FROM dl CROSS JOIN n GROUP BY n),
+      |q(tok, qtf) AS (VALUES $qVals),
+      |terms AS (
+      |  SELECT doc_id, qtf * CAST(round(round(
+      |      ln((n - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE) + 1.0::DOUBLE)
+      |        * (tf * 2.2::DOUBLE)
+      |        / (tf + 1.2::DOUBLE *
+      |           (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE * dl / avgdl)),
+      |      6) * 1000000, 0) AS BIGINT) AS mu
+      |  FROM tf JOIN q USING (tok) JOIN dfreq USING (tok) JOIN dl USING (doc_id)
+      |  CROSS JOIN n CROSS JOIN ad),
+      |scores AS (SELECT doc_id, CAST(sum(mu) AS BIGINT) AS score_mu
+      |           FROM terms GROUP BY doc_id)
+      |SELECT doc_id, score_mu, rnk FROM (
+      |  SELECT doc_id, score_mu,
+      |    row_number() OVER (ORDER BY score_mu DESC, doc_id) AS rnk
+      |  FROM scores)
+      |WHERE rnk <= 10
+      |ORDER BY rnk
+      |""".stripMargin
+    })
+
+  val all: Seq[Q] = Seq(q_sparse_search, q_bm25_search)
 }

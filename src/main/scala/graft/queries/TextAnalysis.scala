@@ -620,10 +620,107 @@ object TextAnalysis {
       |ORDER BY doc_id
       |""".stripMargin))
 
+  /** Per-document n-gram novelty — for each doc, how many of its DISTINCT
+    * 3-shingles appear for the FIRST time in the corpus' doc_id order
+    * (global first-occurrence owner = min doc_id per shingle). The crawl
+    * curation signal behind "is this page adding anything new?": a
+    * deduplicated crawl snapshot shows novelty decaying as boilerplate
+    * saturates, and docs with n_novel = 0 are pure recombinations of
+    * already-seen phrasing. Exact integers — no float anywhere.
+    *
+    * Scale shape: one explode → distinct-shingle postings, ONE shuffle on
+    * the shingle for the min-doc_id owner table, one shuffle back on
+    * doc_id for the per-doc counts; the left join restoring zero-shingle
+    * docs is doc_id-keyed. No windows, no driver state — the same
+    * posting discipline as the dedup family. */
+  val q_ngram_novelty = Q(
+    "q_ngram_novelty",
+    (s, dir) => {
+      val docs = Tables.spread(Tables(s, dir, "documents"))
+      val sh = docs.select(col("doc_id"),
+        explode(TextF.shingleSet(TextF.tokens(col("text")), 3)).as("s"))
+      val firsts = sh.groupBy(col("s")).agg(min(col("doc_id")).as("first_doc"))
+      val stats = sh.join(firsts, Seq("s"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_distinct"),
+          sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
+            .as("n_novel"))
+      docs.select(col("doc_id"))
+        .join(stats, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      |WITH t AS (SELECT doc_id, ${Sql.toks()} AS t FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(${Sql.shingles3("t")})) AS s FROM t),
+      |f AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s),
+      |st AS (
+      |  SELECT doc_id, count(*) AS n_distinct,
+      |    CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_novel
+      |  FROM sh JOIN f USING (s) GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  coalesce(n_distinct, 0) AS n_distinct,
+      |  coalesce(n_novel, 0) AS n_novel
+      |FROM documents d LEFT JOIN st USING (doc_id)
+      |ORDER BY doc_id
+      |""".stripMargin))
+
+  /** Per-document unigram Shannon entropy (nats) — the smooth
+    * repetitiveness signal next to q_repetition_ratio's hard top-gram
+    * fraction: H = −Σ p·ln p over the doc's token distribution, low for
+    * keyword-stuffed / template junk, high for diverse prose. Gopher-class
+    * pipelines threshold both.
+    *
+    * Exactness: the [[Sql.lmFold]] integer-micros discipline — H =
+    * −(1/dl)·Σ tf·ln(tf/dl), so the one ln per DISTINCT (doc, token)
+    * rounds to 6 dp, lifts to BIGINT micros, weights by integer tf, sums
+    * order-independently, and divides back with the identical final
+    * operation order on both engines ([[Sql.lmEntropy]] shape).
+    *
+    * Scale shape: rides the memoized Postings tf cache — one doc_id
+    * aggregate for dl, one doc_id-keyed join + integer HashAggregate
+    * fold; vocabulary-bounded per-doc distinct terms, no windows. */
+  val q_unigram_entropy = Q(
+    "q_unigram_entropy",
+    (s, dir) => {
+      val p = Postings(s, dir)
+      val dl = p.tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      p.tf.join(dl, Seq("doc_id"))
+        .select(col("doc_id"), col("dl"),
+          (col("tf") * round(round(log(col("tf").cast("double") / col("dl")), 6)
+            * lit(1e6)).cast("long")).as("mu"))
+        .groupBy(col("doc_id"))
+        .agg(first(col("dl")).as("n_tokens"), sum(col("mu")).as("h_mu"))
+        .select(col("doc_id"), col("n_tokens"),
+          round((-col("h_mu")).cast("double") / lit(1e6) / col("n_tokens"), 6)
+            .as("entropy"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      |WITH t AS (SELECT doc_id, unnest(${Sql.toks()}) AS tok FROM documents),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY doc_id, tok),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+      |terms AS (
+      |  SELECT doc_id, dl,
+      |    tf * CAST(round(round(ln(tf::DOUBLE / dl), 6) * 1000000, 0) AS BIGINT)
+      |      AS mu
+      |  FROM tf JOIN dl USING (doc_id)),
+      |folded AS (
+      |  SELECT doc_id, any_value(dl) AS n_tokens,
+      |    CAST(sum(mu) AS BIGINT) AS h_mu
+      |  FROM terms GROUP BY doc_id)
+      |SELECT doc_id, n_tokens,
+      |  round(-h_mu::DOUBLE / 1000000.0 / n_tokens, 6) AS entropy
+      |FROM folded ORDER BY doc_id
+      |""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q_token_count, q_text_quality, q_gopher_rules, q_lang_id,
     q_doc_fingerprint, q_embed_hash,
     q_tfidf_top_terms, q_doc_chunks, q_doc_pages, q_repetition_ratio,
-    q_pmi_bigrams, q_profile_quantiles,
+    q_pmi_bigrams, q_profile_quantiles, q_ngram_novelty, q_unigram_entropy,
     q_quality_percentile_filter, q_strip_markup)
 }

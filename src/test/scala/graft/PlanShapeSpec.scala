@@ -38,7 +38,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_ann_ivfbq", "q_ann_sq", "q_ann_ivfsq", "q_knn_join", "q_pmi_bigrams",
     "q_zorder_key", "q_pack_sequences", "q_pack_chunks",
     "q_quality_percentile_filter", "q_tfidf_top_terms",
-    "q_sparse_search", "q_hybrid_rrf", "q_knn_grouped",
+    "q_sparse_search", "q_bm25_search", "q_ngram_novelty",
+    "q_unigram_entropy", "q_hybrid_rrf", "q_knn_grouped",
     "q_corpus_delta")
 
   // The round-10 rule that retired the engine's last single-task-per-
@@ -123,6 +124,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("array_intersect"),
       "containment entry lost its exact verification step")
   }
+
+  for (name <- Seq("q_sparse_search", "q_bm25_search"))
+    test(s"$name: the global top-10 is a TakeOrderedAndProject, not a full sort") {
+      // orderBy+limit must plan as TakeOrderedAndProject so each partition
+      // forwards at most 10 scored rows to the driver-side merge — a full
+      // Sort exchange here would move every scored doc at 100 TB
+      assert(plan(name).contains("TakeOrderedAndProject"),
+        "top-k lost its partial-limit shape")
+    }
 
   test("q01: shipdate predicate is pushed into the parquet scan") {
     val p = plan("q01_pricing_summary")
