@@ -1078,13 +1078,81 @@ object Corpus {
       |ORDER BY lang, rk
       |""".stripMargin))
 
+  /** Token-budget data selection — keep the highest-scoring documents of
+    * each language whose tokens fit a per-language budget (2/5 of that
+    * language's tokens), with THRESHOLD semantics: the kept set is
+    * {score_mu ≥ t_l} for the largest t_l whose whole score groups fit,
+    * the selection rule fasttext/DSIR-style pipelines apply when told
+    * "give me the best N tokens per language". Score here is the
+    * required-stopword density of q_text_quality (a pure rational —
+    * sw/max(nt,1) — so the micros lift is float-exact with no
+    * transcendental), and the budget is exact integer math (tot·2 div 5).
+    *
+    * Scale shape: the corpus collapses to a (lang, score_mu) token
+    * histogram in ONE map-side-combined shuffle; the running cumsum and
+    * the threshold argmin run over that aggregate (≤10⁶+1 score values
+    * per language, corpus-size-independent); thresholds broadcast back
+    * into a lang-keyed filter join. No corpus-ordered window anywhere —
+    * the same decomposition as the percentile filter, with a token-sum
+    * cut instead of a rank cut. */
+  val q_budget_select = Q(
+    "q_budget_select",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.spread(Tables(s, dir, "documents"))
+      val scored = docs
+        .withColumn("t", tokens(col("text")))
+        .select(col("doc_id"), col("lang"),
+          size(col("t")).cast("long").as("n_tok"),
+          hitCount(col("t"), stopwords).as("sw"), size(col("t")).as("nt"))
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+          round(round(col("sw").cast("double") / greatest(col("nt"), lit(1)), 6)
+            * lit(1e6)).cast("long").as("score_mu"))
+      val budget = scored.groupBy(col("lang"))
+        .agg(expr("(sum(n_tok) * 2) div 5").as("budget"))
+      val hist = scored.groupBy(col("lang"), col("score_mu"))
+        .agg(sum(col("n_tok")).as("tok"))
+      val cum = hist.withColumn("cum",
+        sum(col("tok")).over(
+          Window.partitionBy(col("lang")).orderBy(desc("score_mu"))))
+      val thr = cum.join(budget, Seq("lang"))
+        .filter(col("cum") <= col("budget"))
+        .groupBy(col("lang")).agg(min(col("score_mu")).as("t"))
+      scored.join(broadcast(thr), Seq("lang"))
+        .filter(col("score_mu") >= col("t"))
+        .select(col("doc_id"), col("lang"), col("n_tok"), col("score_mu"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      |WITH sc AS (
+      |  SELECT doc_id, lang, CAST(len(t) AS BIGINT) AS n_tok,
+      |    CAST(round(round(CAST(len(list_filter(t, x -> x IN
+      |        (${TextF.stopwords.map(x => s"'$x'").mkString(", ")})))
+      |      AS DOUBLE) / greatest(len(t), 1), 6) * 1000000, 0) AS BIGINT)
+      |      AS score_mu
+      |  FROM (SELECT doc_id, lang, ${Sql.toks()} AS t FROM documents)),
+      |b AS (SELECT lang, (CAST(sum(n_tok) AS BIGINT) * 2) // 5 AS budget
+      |      FROM sc GROUP BY lang),
+      |h AS (SELECT lang, score_mu, CAST(sum(n_tok) AS BIGINT) AS tok
+      |      FROM sc GROUP BY lang, score_mu),
+      |c AS (SELECT lang, score_mu,
+      |        sum(tok) OVER (PARTITION BY lang ORDER BY score_mu DESC) AS cum
+      |      FROM h),
+      |thr AS (SELECT lang, min(score_mu) AS t
+      |        FROM c JOIN b USING (lang) WHERE cum <= budget GROUP BY lang)
+      |SELECT doc_id, lang, n_tok, score_mu
+      |FROM sc JOIN thr USING (lang)
+      |WHERE score_mu >= t
+      |ORDER BY doc_id
+      |""".stripMargin))
+
   val all: Seq[Q] = Seq(q_token_bpe, q_corpus_filter, q_sample_stratified,
     q_sample_exact_k,
     q_decontaminate, q_decontaminate_bloom, q_pipeline_curate,
     q_pipeline_curate2, q_pipeline_curate3, q_ngram_topk,
     q_rare_tokens, q_zipf, q_pack_sequences, q_pack_chunks, q_bpe_merges,
     q_bpe_encode,
-    q_mixture_weights,
+    q_mixture_weights, q_budget_select,
     q_lm_cross_entropy, q_scrub_pii, q_dsir_weights)
 }
 

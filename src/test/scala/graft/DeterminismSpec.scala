@@ -43,6 +43,7 @@ class DeterminismSpec extends AnyFunSuite {
     "q_bm25_search",       // integer-micros BM25 fold + top-10 (r11)
     "q_ngram_novelty",     // min-doc_id first-occurrence attribution (r11)
     "q_unigram_entropy",   // integer-micros entropy fold (r11)
+    "q_budget_select",     // histogram-cumsum token-budget threshold (r11)
     "q_dedup_containment", // df-ranked prefix + exact verify (r11)
     "q_profile_quantiles", // histogram-rank quantile selection (r11)
     "q_multimodal_embed")  // float folds + integer-micros lift (r11)

@@ -39,8 +39,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_zorder_key", "q_pack_sequences", "q_pack_chunks",
     "q_quality_percentile_filter", "q_tfidf_top_terms",
     "q_sparse_search", "q_bm25_search", "q_ngram_novelty",
-    "q_unigram_entropy", "q_hybrid_rrf", "q_knn_grouped",
-    "q_corpus_delta")
+    "q_unigram_entropy", "q_budget_select", "q_hybrid_rrf",
+    "q_knn_grouped", "q_corpus_delta")
 
   // The round-10 rule that retired the engine's last single-task-per-
   // group shapes: any window that orders corpus rows (doc_id in its
@@ -123,6 +123,15 @@ class PlanShapeSpec extends AnyFunSuite {
     // and the exact verify is present: array_intersect over the full sets
     assert(p.contains("array_intersect"),
       "containment entry lost its exact verification step")
+  }
+
+  test("q_budget_select: no corpus-ordered window — the cumsum runs over " +
+      "the (lang, score_mu) histogram") {
+    val p = plan("q_budget_select")
+    val docWindows = p.linesIterator.filter(l =>
+      l.contains("windowspecdefinition") && l.contains("doc_id")).toSeq
+    assert(docWindows.isEmpty,
+      s"corpus-ordered window in budget selection:\n${docWindows.mkString("\n")}")
   }
 
   for (name <- Seq("q_sparse_search", "q_bm25_search"))
