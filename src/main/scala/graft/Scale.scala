@@ -90,10 +90,19 @@ object Scale {
       .parquet(s"$out/embeddings.parquet")
   }
 
+  /** min over SPARK_GRAFT_SCALE_REPS runs (default 1 — the historical
+    * single-shot). Reps share the caches rep 1 builds, so the min is the
+    * steady-state latency — the quantity the ratio column claims scales
+    * linearly; single-run rows carry a ±30% host-noise band (round-11
+    * verdict on the containment 4.5× outlier). */
   private def timeOne(spark: SparkSession, dir: String, name: String): Double = {
-    val t0 = System.nanoTime()
-    SparkEntry.queries(name)(spark, dir).count()
-    (System.nanoTime() - t0) / 1e9
+    val reps = sys.env.get("SPARK_GRAFT_SCALE_REPS")
+      .flatMap(_.toIntOption).getOrElse(1).max(1)
+    (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }.min
   }
 
   def main(args: Array[String]): Unit = {

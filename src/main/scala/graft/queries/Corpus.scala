@@ -1094,7 +1094,16 @@ object Corpus {
     * per language, corpus-size-independent); thresholds broadcast back
     * into a lang-keyed filter join. No corpus-ordered window anywhere —
     * the same decomposition as the percentile filter, with a token-sum
-    * cut instead of a rank cut. */
+    * cut instead of a rank cut.
+    *
+    * Edge (round-12 ADVICE): if a language's single HIGHEST score group
+    * already exceeds the budget, no whole group fits — threshold
+    * semantics taken literally would silently drop the whole language
+    * ("keep the best 2/5 of tokens" returning nothing). The threshold
+    * falls back to that top score group (coalesce over the argmin), so
+    * a non-empty language always keeps its best group — the minimal
+    * overshoot consistent with whole-group semantics. Both engines
+    * compute the same coalesce, so the oracle pins the edge. */
   val q_budget_select = Q(
     "q_budget_select",
     (s, dir) => {
@@ -1116,8 +1125,9 @@ object Corpus {
         sum(col("tok")).over(
           Window.partitionBy(col("lang")).orderBy(desc("score_mu"))))
       val thr = cum.join(budget, Seq("lang"))
-        .filter(col("cum") <= col("budget"))
-        .groupBy(col("lang")).agg(min(col("score_mu")).as("t"))
+        .groupBy(col("lang")).agg(
+          coalesce(min(when(col("cum") <= col("budget"), col("score_mu"))),
+            max(col("score_mu"))).as("t"))
       scored.join(broadcast(thr), Seq("lang"))
         .filter(col("score_mu") >= col("t"))
         .select(col("doc_id"), col("lang"), col("n_tok"), col("score_mu"))
@@ -1138,8 +1148,107 @@ object Corpus {
       |c AS (SELECT lang, score_mu,
       |        sum(tok) OVER (PARTITION BY lang ORDER BY score_mu DESC) AS cum
       |      FROM h),
-      |thr AS (SELECT lang, min(score_mu) AS t
-      |        FROM c JOIN b USING (lang) WHERE cum <= budget GROUP BY lang)
+      |thr AS (SELECT lang,
+      |          coalesce(min(CASE WHEN cum <= budget THEN score_mu END),
+      |                   max(score_mu)) AS t
+      |        FROM c JOIN b USING (lang) GROUP BY lang)
+      |SELECT doc_id, lang, n_tok, score_mu
+      |FROM sc JOIN thr USING (lang)
+      |WHERE score_mu >= t
+      |ORDER BY doc_id
+      |""".stripMargin))
+
+  /** Global token-budget selection under a language MIXTURE (round 12 —
+    * the "give me the best N tokens at this mixture" query every data
+    * team runs): one GLOBAL budget (2/5 of all corpus tokens) is split
+    * across languages by temperature-scaled mixture weights
+    * q_l ∝ (token share)^0.5 (the mBERT/XLM-R α=0.5 rebalancing of
+    * [[q_mixture_weights]], here over TOKENS since the budget is in
+    * tokens), then each language keeps its highest-scoring whole score
+    * groups that fit its slice — [[q_budget_select]]'s threshold
+    * semantics, including the top-group fallback when even the best
+    * group overflows.
+    *
+    * Scale shape — the composition costs no extra corpus pass: the one
+    * (lang, score_mu) token histogram serves BOTH the mixture weights
+    * (per-language token totals are a second aggregate OF THE HISTOGRAM)
+    * and the threshold cumsum; all mixture arithmetic runs on the
+    * languages-sized table with two 1-row broadcast totals, and the
+    * final keep is a broadcast threshold join. No corpus-ordered window.
+    *
+    * Numeric discipline: the only doubles are pow(share, 0.5) and the
+    * w/z normalization (identical operation order both engines —
+    * q_mixture_weights' proven pattern); q_l lifts to integer micros
+    * immediately, and the per-language budget B·q_mu/10⁶ is decomposed
+    * as (B div 10⁶)·q_mu + ((B mod 10⁶)·q_mu) div 10⁶ — exactly
+    * floor(B·q_mu/10⁶) without ever forming B·q_mu, which at a 100 TB
+    * corpus (~10¹³ tokens) would overflow a long. */
+  val q_budget_mixture = Q(
+    "q_budget_mixture",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.spread(Tables(s, dir, "documents"))
+      val scored = docs
+        .withColumn("t", tokens(col("text")))
+        .select(col("doc_id"), col("lang"),
+          size(col("t")).cast("long").as("n_tok"),
+          hitCount(col("t"), stopwords).as("sw"), size(col("t")).as("nt"))
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+          round(round(col("sw").cast("double") / greatest(col("nt"), lit(1)), 6)
+            * lit(1e6)).cast("long").as("score_mu"))
+      val hist = scored.groupBy(col("lang"), col("score_mu"))
+        .agg(sum(col("n_tok")).as("tok"))
+      val byLang = hist.groupBy(col("lang")).agg(sum(col("tok")).as("ntok"))
+      val tot = broadcast(byLang.agg(sum(col("ntok")).as("tot")))
+      val wts = byLang.crossJoin(tot)
+        .withColumn("w", pow(col("ntok").cast("double") / col("tot"), lit(0.5)))
+      val z = broadcast(wts.agg(sum(col("w")).as("z")))
+      val budget = wts.crossJoin(z)
+        .withColumn("q_mu", round(col("w") / col("z") * lit(1e6)).cast("long"))
+        .withColumn("gb", expr("(tot * 2) div 5"))
+        .select(col("lang"),
+          (expr("gb div 1000000") * col("q_mu") +
+            expr("((gb % 1000000) * q_mu) div 1000000")).as("budget"))
+      val cum = hist.withColumn("cum",
+        sum(col("tok")).over(
+          Window.partitionBy(col("lang")).orderBy(desc("score_mu"))))
+      val thr = cum.join(budget, Seq("lang"))
+        .groupBy(col("lang")).agg(
+          coalesce(min(when(col("cum") <= col("budget"), col("score_mu"))),
+            max(col("score_mu"))).as("t"))
+      scored.join(broadcast(thr), Seq("lang"))
+        .filter(col("score_mu") >= col("t"))
+        .select(col("doc_id"), col("lang"), col("n_tok"), col("score_mu"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      |WITH sc AS (
+      |  SELECT doc_id, lang, CAST(len(t) AS BIGINT) AS n_tok,
+      |    CAST(round(round(CAST(len(list_filter(t, x -> x IN
+      |        (${TextF.stopwords.map(x => s"'$x'").mkString(", ")})))
+      |      AS DOUBLE) / greatest(len(t), 1), 6) * 1000000, 0) AS BIGINT)
+      |      AS score_mu
+      |  FROM (SELECT doc_id, lang, ${Sql.toks()} AS t FROM documents)),
+      |h AS (SELECT lang, score_mu, CAST(sum(n_tok) AS BIGINT) AS tok
+      |      FROM sc GROUP BY lang, score_mu),
+      |l AS (SELECT lang, CAST(sum(tok) AS BIGINT) AS ntok FROM h GROUP BY lang),
+      |t AS (SELECT CAST(sum(ntok) AS BIGINT) AS tot FROM l),
+      |w AS (SELECT lang, pow(ntok::DOUBLE / tot, 0.5) AS w, tot FROM l, t),
+      |z AS (SELECT sum(w) AS z FROM w),
+      |b AS (SELECT lang,
+      |        ((tot * 2) // 5 // 1000000)
+      |          * CAST(round(w / z * 1000000, 0) AS BIGINT)
+      |        + (((tot * 2) // 5 % 1000000)
+      |          * CAST(round(w / z * 1000000, 0) AS BIGINT)) // 1000000
+      |          AS budget
+      |      FROM w, z),
+      |c AS (SELECT lang, score_mu,
+      |        sum(tok) OVER (PARTITION BY lang ORDER BY score_mu DESC) AS cum
+      |      FROM h),
+      |thr AS (SELECT lang,
+      |          coalesce(min(CASE WHEN cum <= budget THEN score_mu END),
+      |                   max(score_mu)) AS t
+      |        FROM c JOIN b USING (lang) GROUP BY lang)
       |SELECT doc_id, lang, n_tok, score_mu
       |FROM sc JOIN thr USING (lang)
       |WHERE score_mu >= t
@@ -1152,7 +1261,7 @@ object Corpus {
     q_pipeline_curate2, q_pipeline_curate3, q_ngram_topk,
     q_rare_tokens, q_zipf, q_pack_sequences, q_pack_chunks, q_bpe_merges,
     q_bpe_encode,
-    q_mixture_weights, q_budget_select,
+    q_mixture_weights, q_budget_select, q_budget_mixture,
     q_lm_cross_entropy, q_scrub_pii, q_dsir_weights)
 }
 

@@ -198,19 +198,14 @@ object CorpusOps {
   private def bucketedSnapshots(s: org.apache.spark.sql.SparkSession,
       dir: String): (String, String) =
     graft.core.Caches.memoized(s, dir, bucketedMemo) {
-      val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      // 60-bit md5 dir tag + orphaned-location cleanup (round-12 ADVICE:
+      // the previous 32-bit String.hashCode tag could collide between
+      // two dataset dirs in one session and silently serve wrong deltas)
+      val tag = graft.sink.VectorTable.dirTag(dir)
       val curT = s"graft_delta_cur_$tag"
       val prevT = s"graft_delta_prev_$tag"
-      // a previous JVM may have left the managed location on disk while
-      // this session's in-memory catalog has no such table — drop both
-      // the catalog entry and any orphaned location before writing
-      Seq(curT, prevT).foreach { t =>
-        s.sql(s"DROP TABLE IF EXISTS $t")
-        val loc = new org.apache.hadoop.fs.Path(
-          s.conf.get("spark.sql.warehouse.dir"), t)
-        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (fs.exists(loc)) fs.delete(loc, true)
-      }
+      Seq(curT, prevT)
+        .foreach(graft.sink.VectorTable.dropWithLocation(s, _))
       def fp(c: org.apache.spark.sql.Column) =
         coalesce(md5(c), lit("<null>"))
       val docs = Tables(s, dir, "documents")

@@ -134,6 +134,90 @@ object Dedup {
       |ORDER BY doc_id
       |""".stripMargin))
 
+  private val incrMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** Write the batch and corpus text fingerprints as h-bucketed catalog
+    * tables (same bucket count both sides) — memoized per app+dataset so
+    * bench/verify loops pay the write once; the dir tag + orphan cleanup
+    * follow [[graft.sink.VectorTable.dirTag]]/`dropWithLocation`. */
+  private def bucketedFingerprints(s: SparkSession,
+      dir: String): (String, String) =
+    graft.core.Caches.memoized(s, dir, incrMemo) {
+      val tag = graft.sink.VectorTable.dirTag(dir)
+      val batchT = s"graft_incr_batch_$tag"
+      val corpT = s"graft_incr_corpus_$tag"
+      Seq(batchT, corpT)
+        .foreach(graft.sink.VectorTable.dropWithLocation(s, _))
+      val hashes = Tables(s, dir, "documents")
+        .select(col("doc_id"), md5(lower(trim(col("text")))).as("h"))
+      graft.sink.VectorTable.writeBucketed(
+        hashes.filter(col("doc_id") % 4 === 0), batchT, "h")
+      graft.sink.VectorTable.writeBucketed(
+        hashes.filter(col("doc_id") % 4 =!= 0), corpT, "h")
+      (batchT, corpT)
+    }
+
+  /** [[q_dedup_incremental]] consumed from the BUCKETED at-rest layout
+    * (round 12 — the second production consumer of
+    * `VectorTable.writeBucketed`, after q_corpus_delta_bucketed): both
+    * fingerprint tables are bucketed by the text hash `h` into the same
+    * bucket count, so the batch-vs-corpus exact-hash ANTI-join reads
+    * co-located buckets and carries NO Exchange keyed on h — at 100 TB
+    * the corpus fingerprint table is petabyte-scale and never
+    * re-shuffles for a day's batch (PlanShapeSpec pins no
+    * hashpartitioning(h) in the plan). The anti-join also drops the
+    * shuffled variant's distinct on the corpus side — anti semantics
+    * ignore right-side duplicates, so the aggregate was only ever
+    * paying for the Exchange it came with. The near-dup half (postings
+    * on (lang, shingle)) is unchanged — its keys are not the bucket id.
+    * Same oracle as q_dedup_incremental — layout changes the plan,
+    * never the answer. */
+  val q_dedup_incremental_bucketed = Q(
+    "q_dedup_incremental_bucketed",
+    (s, dir) => {
+      val (batchT, corpT) = bucketedFingerprints(s, dir)
+      val exactOk = s.table(batchT)
+        .join(s.table(corpT), Seq("h"), "left_anti")
+        .select(col("doc_id"))
+      val d = shingleDf(s, dir)
+      val pa = d.filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id").as("a"), col("lang"),
+          explode(col("sh")).as("tok"), col("nsh").as("na"))
+      val pb = d.filter(col("doc_id") % 4 =!= 0)
+        .select(col("doc_id").as("b"), col("lang"),
+          explode(col("sh")).as("tok"), col("nsh").as("nb"))
+      val near = pa.join(pb, Seq("lang", "tok"))
+        .groupBy(col("a"), col("b"), col("na"), col("nb"))
+        .agg(count(lit(1)).as("c"))
+        .filter(col("c").cast("double") /
+          (col("na") + col("nb") - col("c")) >= JACCARD_T)
+        .select(col("a").as("doc_id")).distinct()
+      exactOk.join(near, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      |WITH sh AS ($shingleSql),
+      |hx AS (SELECT doc_id, md5(lower(trim(text))) AS h FROM documents),
+      |exact_ok AS (
+      |  SELECT doc_id FROM hx WHERE doc_id % 4 = 0
+      |  AND h NOT IN (SELECT h FROM hx WHERE doc_id % 4 <> 0)),
+      |pa AS (SELECT doc_id AS a, lang, unnest(sh) AS tok, len(sh) AS na
+      |       FROM sh WHERE doc_id % 4 = 0),
+      |pb AS (SELECT doc_id AS b, lang, unnest(sh) AS tok, len(sh) AS nb
+      |       FROM sh WHERE doc_id % 4 <> 0),
+      |near AS (
+      |  SELECT DISTINCT a FROM (
+      |    SELECT a, b, na, nb, count(*) AS c
+      |    FROM pa JOIN pb USING (lang, tok)
+      |    GROUP BY a, b, na, nb)
+      |  WHERE c::DOUBLE / (na + nb - c) >= $JACCARD_T)
+      |SELECT doc_id FROM exact_ok
+      |WHERE doc_id NOT IN (SELECT a FROM near)
+      |ORDER BY doc_id
+      |""".stripMargin))
+
   /** Span-level exact-substring dedup (the "Deduplicating Training Data
     * Makes Language Models Better" primitive, Lee et al. 2022, done with
     * postings instead of a suffix array): positions whose 5-gram occurs
@@ -253,16 +337,19 @@ object Dedup {
     * shingles are excluded — a 1-shingle doc is "contained" everywhere
     * and the relation degenerates. Ordered pairs: mutual containment
     * emits both directions (that is the point of the asymmetry).
-    * Scale (round 11): candidates come from
-    * [[graft.dedup.SetSimJoin.containmentJoin]]'s ONE-SIDED prefix
-    * filter — the a side posts only its ⌊(1−τ)·|A|⌋+1 rarest-by-df
-    * shingles, so a shingle shared by m docs contributes O(m) join rows
-    * instead of the m² a raw posting self-join pays; exactly the
-    * boilerplate-heavy corpora containment targets are the ones with
-    * hot shingles. Survivors verify with an exact distinct-intersection
-    * + integer cross-multiply, so the result (and oracle hash) is
-    * identical to the raw join — SetSimJoinSpec pins the equivalence in
-    * both directions of a mutual-containment fixture. */
+    * Scale (round 11, cost-based round 12): the entry delegates to
+    * [[graft.dedup.SetSimJoin.containmentJoin]] with Strategy.Auto — one
+    * posting aggregate reads the exact raw-join row count and selects
+    * the raw posting join when it is provably ≤16 rows/posting (this
+    * corpus: 0.3–2.5, so raw runs and the round-11 2× prefix premium is
+    * recovered), or the ONE-SIDED df-ranked prefix filter when a hot
+    * shingle would make raw quadratic — the a side then posts only its
+    * ⌊(1−τ)·|A|⌋+1 rarest-by-df shingles, so a shingle shared by m docs
+    * contributes O(m) join rows instead of m². Both strategies end in
+    * the same integer cross-multiply, so the result (and oracle hash)
+    * is strategy-independent — SetSimJoinSpec pins the equivalence in
+    * both directions of a mutual-containment fixture and on a planted
+    * hot shingle; PlanShapeSpec pins both sanctioned plans. */
   val q_dedup_containment = Q(
     "q_dedup_containment",
     (s, dir) => {
@@ -775,7 +862,7 @@ object Dedup {
   // q_dedup_embedding (the τ=0.45 dense regime) is deliberately NOT
   // registered — spec-only, see its scaladoc
   val all: Seq[Q] = Seq(
-    q_dedup_incremental, q_dedup_spans,
+    q_dedup_incremental, q_dedup_incremental_bucketed, q_dedup_spans,
     q_dedup_exact, q_dedup_ngram_jaccard, q_dedup_containment,
     q_minhash_signatures,
     q_dedup_minhash_lsh, q_dedup_embedding_tight,

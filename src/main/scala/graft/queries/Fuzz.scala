@@ -600,11 +600,17 @@ object Fuzz {
       val topJ = 1 + rnd.nextInt(5)
       val sql =
         s"SELECT $g, $oc, rk FROM (" +
-          s"SELECT $g, $oc, CAST(rank() OVER (PARTITION BY $g ORDER BY $oc) " +
+          s"SELECT $g, $oc, CAST(rank() OVER (PARTITION BY $g ORDER BY $oc " +
+          s"NULLS FIRST) " +
           s"AS BIGINT) AS rk FROM $fromSql${whereSql(pred)}) AS w WHERE rk <= $topJ"
+      // NULLS FIRST is explicit on BOTH sides: oc can be NULL-extended
+      // under the generator's FULL OUTER join, Spark's ASC default is
+      // nulls-first but DuckDB's is nulls-LAST — implicit ordering would
+      // silently diverge if a window seed were ever promoted to a
+      // cross-engine oracle (round-12 ADVICE).
       Plan(seed, sql, (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col(g)).orderBy(col(oc))
+        val w = Window.partitionBy(col(g)).orderBy(col(oc).asc_nulls_first)
         src(s, dir, pred)
           .withColumn("rk", rank().over(w).cast("long"))
           .filter(col("rk") <= topJ)
@@ -630,11 +636,14 @@ object Fuzz {
         else scPool).name
       val sql =
         s"SELECT $g, $oc, CAST(sum($sc) OVER (PARTITION BY $g ORDER BY $oc " +
+          s"NULLS FIRST " +
           s"RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) " +
           s"AS rsum FROM $fromSql${whereSql(pred)}"
+      // explicit NULLS FIRST both sides — same cross-engine ASC-default
+      // split as the rank variant above (round-12 ADVICE)
       Plan(seed, sql, (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col(g)).orderBy(col(oc))
+        val w = Window.partitionBy(col(g)).orderBy(col(oc).asc_nulls_first)
           .rangeBetween(Window.unboundedPreceding, Window.currentRow)
         src(s, dir, pred)
           .withColumn("rsum", sum(col(sc)).over(w).cast("long"))

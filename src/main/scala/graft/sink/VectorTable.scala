@@ -56,6 +56,29 @@ object VectorTable {
     path.fold(w)(p => w.option("path", p)).saveAsTable(table)
   }
 
+  /** 60-bit md5 tag of a dataset dir for catalog table names — the
+    * TextF.h60 discipline on the driver side. A 32-bit String.hashCode
+    * collision between two dirs in one session would make the second
+    * build overwrite the first's tables while the first memo kept
+    * serving stale names (wrong results, no error); 15 hex chars puts a
+    * same-session collision out of reach. */
+  def dirTag(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(15)
+
+  /** Drop a managed table's catalog entry AND any orphaned managed
+    * location a previous JVM left on disk — `saveAsTable` refuses to
+    * overwrite a location the in-memory catalog doesn't know about, so
+    * every memoized [[writeBucketed]] owner clears both before writing. */
+  def dropWithLocation(s: SparkSession, table: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), table)
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) { fs.delete(loc, true); () }
+  }
+
   /** Filtered exact top-k search — `search` parity
     * (milvus.py:122-127: query vector + limit + boolean filter expr).
     * Distance: "l2" or "cosine". The filter is a real Column predicate so

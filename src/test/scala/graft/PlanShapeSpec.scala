@@ -31,7 +31,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_dedup_minhash_lsh",
     "q_dedup_simhash", "q_dedup_spans",
     "q_dedup_embedding_tight", "q_dedup_semantic",
-    "q_dedup_incremental", "q_dedup_components", "q_dedup_cluster_sizes",
+    "q_dedup_incremental", "q_dedup_incremental_bucketed",
+    "q_dedup_components", "q_dedup_cluster_sizes",
     "q_dedup_keep_best",
     "q_decontaminate", "q_decontaminate_bloom",
     "q_ann_ivf", "q_ann_gann", "q_ann_pq", "q_ann_ivfpq", "q_ann_bq",
@@ -110,29 +111,68 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), "histogram aggregation missing")
   }
 
-  test("q_dedup_containment: the prefix-filtered strategy is in the plan, " +
-      "the raw posting self-join is not reachable") {
-    // the one-sided prefix lemma shows up as a per-doc row_number window
-    // over the df-ranked postings; the raw strategy has NO window at all.
-    // A plan without it means someone re-inlined the hot-shingle n² join.
+  test("q_dedup_containment: Auto selects the raw posting join on this " +
+      "hot-shingle-free corpus — no prefix window, no array payload ships") {
+    // round 12 cost-based selection: on the real documents corpus the
+    // exact raw-join row count is ≤16 rows/posting, so the sanctioned
+    // plan is the bare posting join + pair-count aggregate. A window or
+    // an array_intersect here means the entry is paying the prefix
+    // insurance premium on a corpus that provably doesn't need it.
     val p = plan("q_dedup_containment")
-    val prefixWindows = p.linesIterator.filter(l =>
-      l.contains("windowspecdefinition") && l.contains("doc_id")).toSeq
-    assert(prefixWindows.nonEmpty,
-      s"containment entry lost its prefix-ranking window:\n$p")
-    // and the exact verify is present: array_intersect over the full sets
-    assert(p.contains("array_intersect"),
-      "containment entry lost its exact verification step")
+    assert(!p.linesIterator.exists(_.contains("windowspecdefinition")),
+      s"raw containment plan gained a window:\n$p")
+    assert(!p.contains("array_intersect"),
+      "raw containment plan ships array payloads — count-based verify lost")
+    assert(p.contains("HashAggregate"), "pair-count aggregate missing")
   }
 
-  test("q_budget_select: no corpus-ordered window — the cumsum runs over " +
-      "the (lang, score_mu) histogram") {
-    val p = plan("q_budget_select")
-    val docWindows = p.linesIterator.filter(l =>
-      l.contains("windowspecdefinition") && l.contains("doc_id")).toSeq
-    assert(docWindows.isEmpty,
-      s"corpus-ordered window in budget selection:\n${docWindows.mkString("\n")}")
+  test("containmentJoin: the two sanctioned plans — Raw is window-free " +
+      "with count verify; Prefix keeps the df-rank window + exact verify") {
+    // forced strategies on a tiny frame: pins BOTH physical shapes the
+    // Auto selector may emit, so a refactor can't silently merge them.
+    import org.apache.spark.sql.functions._
+    import graft.dedup.SetSimJoin
+    val df = spark.range(8).select(col("id").as("doc_id"),
+      lit("en").as("lang"),
+      expr("transform(sequence(1, 6), j -> concat('s', id, '_', j))").as("sh"))
+      .withColumn("nsh", size(col("sh")))
+    def shape(st: SetSimJoin.Strategy): String =
+      SetSimJoin.containmentJoin(df, "doc_id", "lang", "sh", "nsh", 8, 10, st)
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val raw = shape(SetSimJoin.Strategy.Raw)
+    assert(!raw.contains("windowspecdefinition") &&
+      !raw.contains("array_intersect") && !raw.contains("CartesianProduct"),
+      s"raw containment shape changed:\n$raw")
+    val pre = shape(SetSimJoin.Strategy.Prefix)
+    assert(pre.linesIterator.exists(l =>
+      l.contains("windowspecdefinition") && l.contains("doc_id")),
+      s"prefix containment lost its df-ranking window:\n$pre")
+    assert(pre.contains("array_intersect"),
+      "prefix containment lost its exact verification step")
+    assert(!pre.contains("CartesianProduct"))
   }
+
+  test("q_dedup_incremental_bucketed: the batch-vs-corpus fingerprint " +
+      "anti-join reads co-bucketed tables — no Exchange partitions on h") {
+    // both fingerprint tables are bucketed by the text hash, so the
+    // exact-hash anti-join must carry NO hashpartitioning(h...) Exchange;
+    // the near-dup half's (lang, tok) exchanges are its own keys and the
+    // presentation orderBy is a range exchange — both allowed.
+    val p = plan("q_dedup_incremental_bucketed")
+    val hx = p.linesIterator.filter(_.contains("hashpartitioning(h#")).toSeq
+    assert(hx.isEmpty,
+      s"fingerprint anti-join re-shuffles on h:\n${hx.mkString("\n")}")
+  }
+
+  for (name <- Seq("q_budget_select", "q_budget_mixture"))
+    test(s"$name: no corpus-ordered window — the cumsum runs over " +
+        "the (lang, score_mu) histogram") {
+      val p = plan(name)
+      val docWindows = p.linesIterator.filter(l =>
+        l.contains("windowspecdefinition") && l.contains("doc_id")).toSeq
+      assert(docWindows.isEmpty,
+        s"corpus-ordered window in budget selection:\n${docWindows.mkString("\n")}")
+    }
 
   for (name <- Seq("q_sparse_search", "q_bm25_search"))
     test(s"$name: the global top-10 is a TakeOrderedAndProject, not a full sort") {

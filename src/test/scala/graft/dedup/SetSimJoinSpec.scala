@@ -72,15 +72,42 @@ class SetSimJoinSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSet
 
-  test("containmentJoin equals the raw posting join on the documents fixture") {
+  test("containmentJoin: Raw, Prefix, and Auto all equal the reference " +
+      "raw posting join on the documents fixture") {
     val d = shingles.filter(col("nsh") >= 5)
     for ((num, den) <- Seq((8, 10), (1, 2))) {
-      val raw = cPairs(rawContainment(d, num, den))
-      val pf = cPairs(SetSimJoin.containmentJoin(
-        d, "doc_id", "lang", "sh", "nsh", num, den))
-      assert(raw == pf, s"containment strategies diverge at tau=$num/$den")
-      assert(raw.nonEmpty, s"fixture yields no pairs at tau=$num/$den — vacuous")
+      val ref = cPairs(rawContainment(d, num, den))
+      for (st <- Seq(SetSimJoin.Strategy.Raw, SetSimJoin.Strategy.Prefix,
+          SetSimJoin.Strategy.Auto)) {
+        val got = cPairs(SetSimJoin.containmentJoin(
+          d, "doc_id", "lang", "sh", "nsh", num, den, st))
+        assert(ref == got, s"containment $st diverges at tau=$num/$den")
+      }
+      assert(ref.nonEmpty, s"fixture yields no pairs at tau=$num/$den — vacuous")
     }
+  }
+
+  test("containment Auto: raw on the hot-shingle-free documents corpus, " +
+      "prefix under a planted hot shingle; strategies agree either way") {
+    import spark.implicits._
+    // real corpus: measured 0.3-2.5 raw rows/posting, far under the bound
+    assert(SetSimJoin.chooseContainmentStrategy(
+      shingles.filter(col("nsh") >= 5), "doc_id", "lang", "sh")
+      == SetSimJoin.Strategy.Raw)
+    // planted: 100 docs all share one boilerplate shingle → the raw join
+    // emits 100·99 rows through it alone, 9 900 > 16·500 postings
+    val hot = (0L until 100L).map(i =>
+      (i, Seq("zz zz zz") ++ (1 to 4).map(j => s"u${i}_$j"))).toDF("doc_id", "sh")
+      .withColumn("lang", lit("en")).withColumn("nsh", size(col("sh")))
+    assert(SetSimJoin.chooseContainmentStrategy(hot, "doc_id", "lang", "sh")
+      == SetSimJoin.Strategy.Prefix)
+    // and the hot fixture still returns identical (empty-of-false-positive)
+    // results on every strategy — the switch is purely physical
+    val ref = cPairs(rawContainment(hot, 8, 10))
+    for (st <- Seq(SetSimJoin.Strategy.Raw, SetSimJoin.Strategy.Prefix,
+        SetSimJoin.Strategy.Auto))
+      assert(ref == cPairs(SetSimJoin.containmentJoin(
+        hot, "doc_id", "lang", "sh", "nsh", 8, 10, st)), s"$st diverges")
   }
 
   test("containment: mutual inclusion emits both ordered directions; " +
@@ -97,10 +124,14 @@ class SetSimJoinSpec extends AnyFunSuite {
       (5L, Seq("a b c", "b c d", "c d e", "d e f", "zz zz zz"))
     ).toDF("doc_id", "sh")
       .withColumn("lang", lit("en")).withColumn("nsh", size(col("sh")))
-    val got = cPairs(SetSimJoin.containmentJoin(
-      df, "doc_id", "lang", "sh", "nsh", 8, 10))
-    assert(got.map(p => (p._1, p._2)) == Set((1L, 2L), (3L, 4L), (4L, 3L)))
-    assert(got == cPairs(rawContainment(df, 8, 10)))
+    for (st <- Seq(SetSimJoin.Strategy.Raw, SetSimJoin.Strategy.Prefix,
+        SetSimJoin.Strategy.Auto)) {
+      val got = cPairs(SetSimJoin.containmentJoin(
+        df, "doc_id", "lang", "sh", "nsh", 8, 10, st))
+      assert(got.map(p => (p._1, p._2)) == Set((1L, 2L), (3L, 4L), (4L, 3L)),
+        s"strategy $st")
+      assert(got == cPairs(rawContainment(df, 8, 10)), s"strategy $st")
+    }
     // the hot shingle is shared by all 5 docs but must not appear in any
     // a-side prefix (prefix = 2 rarest of 5/10 at tau=0.8, df("zz zz zz")=5
     // is the max) — pin the prefix actually prunes it
@@ -127,10 +158,13 @@ class SetSimJoinSpec extends AnyFunSuite {
       (3L, Seq("a b c", "b c d", "c d e", "d e f", "q q q"))      // 4/5 only
     ).toDF("doc_id", "sh")
       .withColumn("lang", lit("en")).withColumn("nsh", size(col("sh")))
-    val got = cPairs(SetSimJoin.containmentJoin(
-      df, "doc_id", "lang", "sh", "nsh", 1, 1))
-    assert(got == Set((1L, 2L, 5L, 5L)),
-      s"tau=1 must admit exact subset inclusion only: $got")
-    assert(got == cPairs(rawContainment(df, 1, 1)))
+    for (st <- Seq(SetSimJoin.Strategy.Raw, SetSimJoin.Strategy.Prefix,
+        SetSimJoin.Strategy.Auto)) {
+      val got = cPairs(SetSimJoin.containmentJoin(
+        df, "doc_id", "lang", "sh", "nsh", 1, 1, st))
+      assert(got == Set((1L, 2L, 5L, 5L)),
+        s"tau=1 must admit exact subset inclusion only ($st): $got")
+      assert(got == cPairs(rawContainment(df, 1, 1)), s"strategy $st")
+    }
   }
 }
