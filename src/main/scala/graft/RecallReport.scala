@@ -220,15 +220,22 @@ object RecallReport {
     * a code change, not noise). The BQ-family floors reflect the tuned
     * 40×k shortlist defaults (see the RecallCurve sweep in SCALE.md).
     *
-    * Round 11 ratchet: floors raised to measured−0.02 (r10 steady state:
-    * ivf/ivfsq 0.849, gann 0.891, pq 0.845, ivfpq 0.840, bq 0.898,
-    * ivfbq 0.856, sq 1.000, lsh 0.990, hll err 0.0047) so a 4-9 point
+    * Round 11 ratchet: floors raised to measured−0.02 so a 4-9 point
     * silent regression can no longer pass the old 0.8 line. Determinism
-    * makes the tight margin safe: any breach is a code change. */
+    * makes the tight margin safe: any breach is a code change.
+    *
+    * Round 12 ratchet (the recall-headroom round): the IVF/PQ family's
+    * serving knobs went up one rung each — ivf/ivfsq nprobe 5→6, ivfpq
+    * nprobe 6→7 + shortlist 100→200, pq shortlist 100→200 — lifting the
+    * measured sf0.1 steady state to ivf 0.926, ivfsq 0.926, pq 0.942,
+    * ivfpq 0.941 at FLAT entry times (each re-timed at or below its
+    * r11 level; the deeper shortlists ride the same broadcast-rerank
+    * join). Floors follow at measured−0.02. gann 0.891, bq 0.898,
+    * ivfbq 0.856, sq 1.000, lsh 0.990, hll err 0.0047 are unchanged. */
   private[graft] val recallFloors: Map[String, Double] = Map(
-    "q_ann_ivf" -> 0.83, "q_ann_gann" -> 0.87, "q_ann_pq" -> 0.82,
-    "q_ann_ivfpq" -> 0.82, "q_ann_bq" -> 0.87, "q_ann_ivfbq" -> 0.83,
-    "q_ann_sq" -> 0.98, "q_ann_ivfsq" -> 0.83)
+    "q_ann_ivf" -> 0.90, "q_ann_gann" -> 0.87, "q_ann_pq" -> 0.92,
+    "q_ann_ivfpq" -> 0.92, "q_ann_bq" -> 0.87, "q_ann_ivfbq" -> 0.83,
+    "q_ann_sq" -> 0.98, "q_ann_ivfsq" -> 0.90)
   private[graft] val lshPairRecallFloor: Double = 0.97
   private[graft] val hllMaxRelErrCeil: Double = 0.01
 

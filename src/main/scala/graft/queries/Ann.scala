@@ -51,11 +51,12 @@ object Ann {
         IvfIndex.build(e, "vec_id", "embedding", k = 8))
       val queries = e.filter(col("vec_id") < 100)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      // nprobe=5 of 8: the measured nprobe curve (SCALE.md;
-      // graft.RecallCurve) is 0.67/0.78/0.85/0.93 at nprobe 3/4/5/6 —
-      // 5 is the first rung over the 0.8 line, at 5/8 of the posting
-      // lists per probe
-      model.search(queries, "qid", "qv", k = 10, nprobe = 5)
+      // nprobe=6 of 8 (round 12 recall-headroom ratchet): the measured
+      // nprobe curve (SCALE.md; graft.RecallCurve) is 0.67/0.78/0.85/0.93
+      // at nprobe 3/4/5/6 — r11 served at 5 (first rung over 0.8); the
+      // sixth posting list buys 0.85 → 0.93 recall@10 for ~20% more
+      // probed codes, well inside the 1.5x entry-time budget
+      model.search(queries, "qid", "qv", k = 10, nprobe = 6)
         .select(col("qid"), col("vec_id"), round(col("dist"), 6).as("dist"), col("rnk"))
         .orderBy(col("qid"), col("rnk"))
     },
@@ -96,19 +97,20 @@ object Ann {
       val queries = e.filter(col("vec_id") < 100)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       model.searchRerank(queries, "qid", "qv", k = 10,
-          shortlist = 100, vectors = e, vecCol = "embedding")
+          shortlist = 200, vectors = e, vecCol = "embedding")
         .select(col("qid"), col("vec_id"), round(col("dist"), 6).as("dist"), col("rnk"))
         .orderBy(col("qid"), col("rnk"))
     },
     None)
 
   /** IVF-PQ (the canonical 100 TB layout: coarse clusters + PQ-coded
-    * residuals): probe 6 of 8 clusters, ADC over the probed posting
+    * residuals): probe 7 of 8 clusters, ADC over the probed posting
     * lists, exact rerank of the shortlist. Recall/monotonicity/roundtrip
-    * pinned in IvfPqSpec. nprobe=6: ADC ranking error compounds the
-    * cluster-miss loss, so IVF-PQ needs one probe rung more than the
-    * exact-rank IVF to clear 0.8 — measured 0.70/0.76/0.82/0.85 at
-    * nprobe 4/5/6/7 with shortlist 100 (SCALE.md; graft.RecallCurve). */
+    * pinned in IvfPqSpec. nprobe=7 + shortlist=200 (round 12 ratchet):
+    * ADC ranking error compounds the cluster-miss loss — measured
+    * 0.70/0.76/0.82/0.85 at nprobe 4/5/6/7 with shortlist 100 (SCALE.md;
+    * graft.RecallCurve); the deeper exact-reranked shortlist recovers
+    * the ADC misrankings probe widening alone cannot. */
   val q_ann_ivfpq = Q(
     "q_ann_ivfpq",
     (s, dir) => {
@@ -118,7 +120,7 @@ object Ann {
       val queries = e.filter(col("vec_id") < 100)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       model.searchRerank(queries, "qid", "qv", k = 10,
-          nprobe = 6, shortlist = 100, vectors = e, vecCol = "embedding")
+          nprobe = 7, shortlist = 200, vectors = e, vecCol = "embedding")
         .select(col("qid"), col("vec_id"), round(col("dist"), 6).as("dist"), col("rnk"))
         .orderBy(col("qid"), col("rnk"))
     },
@@ -196,9 +198,10 @@ object Ann {
     * FAISS IVFx,SQ8 production config): probe 5 of 8 clusters, codegen
     * asymmetric SqDistance over the probed posting lists, exact rerank
     * (recall/monotonicity/roundtrip/insert pinned in IvfSqSpec).
-    * nprobe=5: SQ8 ranks are near-exact (flat SQ recall 1.0), so the
-    * curve tracks plain IVF — 0.78/0.85/0.93 at nprobe 4/5/6 (SCALE.md;
-    * graft.RecallCurve) — and 5 is the first rung over 0.8. */
+    * nprobe=6 (round 12 ratchet): SQ8 ranks are near-exact (flat SQ
+    * recall 1.0), so the curve tracks plain IVF — 0.78/0.85/0.93 at
+    * nprobe 4/5/6 (SCALE.md; graft.RecallCurve); the sixth posting list
+    * buys 0.85 → 0.93 for ~20% more probed codes. */
   val q_ann_ivfsq = Q(
     "q_ann_ivfsq",
     (s, dir) => {
@@ -208,7 +211,7 @@ object Ann {
       val queries = e.filter(col("vec_id") < 100)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       model.searchRerank(queries, "qid", "qv", k = 10,
-          nprobe = 5, shortlist = 50, vectors = e, vecCol = "embedding")
+          nprobe = 6, shortlist = 50, vectors = e, vecCol = "embedding")
         .select(col("qid"), col("vec_id"), round(col("dist"), 6).as("dist"), col("rnk"))
         .orderBy(col("qid"), col("rnk"))
     },
