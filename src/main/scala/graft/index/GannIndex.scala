@@ -246,6 +246,44 @@ object GannIndex {
     encodeWith(model, df).write.mode("append")
       .partitionBy("tree", "leaf").parquet(s"$path/assign")
 
+  /** IDEMPOTENT streaming block append (round 12): encode like
+    * [[appendToSaved]], but land the block under a batch-keyed
+    * subdirectory with OVERWRITE semantics. Structured Streaming's
+    * foreachBatch contract is at-least-once — after a restart the first
+    * micro-batch may replay — but its batchId is stable across restarts
+    * (it comes from the checkpointed offset log), so a replay REPLACES
+    * its own directory instead of appending duplicate vectors: the
+    * composition is exactly-once end to end. Still O(batch): existing
+    * blocks (base assign and other batches) are never read or
+    * rewritten. */
+  def appendStreamBlock(model: Model, path: String, df: DataFrame,
+      batchId: Long): Unit =
+    encodeWith(model, df).write.mode("overwrite")
+      .partitionBy("tree", "leaf")
+      .parquet(s"$path/assign_stream/batch=$batchId")
+
+  /** Load the SERVING view of a stream-maintained index: the saved base
+    * assignment plus every [[appendStreamBlock]] batch directory, unioned
+    * at rest (leaf set recomputed over the union so probes reach inserted
+    * leaves the base never populated). With no stream blocks this is
+    * exactly [[load]]. */
+  def loadServing(spark: SparkSession, path: String, idCol: String,
+      vecCol: String): Model = {
+    val base = load(spark, path, idCol, vecCol)
+    val streamRoot = new org.apache.hadoop.fs.Path(s"$path/assign_stream")
+    val fs = streamRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(streamRoot)) base
+    else {
+      import spark.implicits._
+      val extra = spark.read.parquet(streamRoot.toString).drop("batch")
+        .select(base.assign.columns.map(col).toIndexedSeq: _*)
+      val assign = base.assign.unionByName(extra)
+      val leaves = assign.select("tree", "leaf").distinct()
+        .as[(Int, Int)].collect().toSeq.sorted
+      base.copy(assign = assign, leaves = leaves)
+    }
+  }
+
   def save(model: Model, path: String): Unit = {
     val spark = model.assign.sparkSession
     import spark.implicits._

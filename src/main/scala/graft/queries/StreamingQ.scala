@@ -375,7 +375,82 @@ object StreamingQ {
       |ORDER BY window_start, event_type
       |""".stripMargin))
 
+  private val idxMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Run the index-maintenance stream once per (app, dataset): build the
+    * initial GANN forest on the RESIDENT 3/4 of the embeddings (same
+    * build knobs as q_ann_gann), save it, then replay the ARRIVING 1/4
+    * as 4 chronological micro-batches through
+    * [[graft.streaming.IndexMaintain.maintainGann]] — each batch one
+    * O(batch) idempotent block append. Returns the persisted index path;
+    * serving loads base + appended blocks at rest. */
+  private def maintainedIndexPath(s: SparkSession, dir: String): String =
+    graft.core.Caches.memoized(s, dir, idxMemo) {
+      import graft.index.GannIndex
+      val e = graft.core.Tables.spread(
+        graft.core.Tables(s, dir, "embeddings"))
+      val model = GannIndex.build(e.filter(col("vec_id") % 4 =!= 0),
+        "vec_id", "embedding", leafSize = 200, spill = 0.15, nTrees = 3)
+      val path = java.nio.file.Files.createTempDirectory("graft_stream_idx")
+      path.toFile.deleteOnExit()
+      GannIndex.save(model, path.toString)
+      val landing = stageFrameChunks(
+        e.filter(col("vec_id") % 4 === 0)
+          .select(col("vec_id"), col("embedding")),
+        Seq(col("vec_id")), "idx", numFiles = 4)
+      val stream = s.readStream
+        .schema(s.read.parquet(landing.toString).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing.toString)
+      val ck = java.nio.file.Files.createTempDirectory("graft_stream_idx_ck")
+      ck.toFile.deleteOnExit()
+      val q = graft.streaming.IndexMaintain.maintainGann(
+        stream, model, path.toString, ck.toString)
+      try q.processAllAvailable() finally q.stop()
+      path.toString
+    }
+
+  /** Streaming index maintenance end to end (round 12 — the reference's
+    * persistent-workflow TODO, orchestrate/workflow.py:55-56, meeting
+    * its insert lifecycle, gann.py:216-232): vectors ARRIVE as
+    * micro-batches, each appends an O(batch) block to the persisted
+    * GANN index through the frozen forest, and the search serves the
+    * base ∪ appended union — initial corpus and streamed rows rank
+    * together in one probe. Approximate (GANN) → rows-only entry;
+    * quality is gated like the rest of the ANN tier: a recall@10 floor
+    * vs the exact brute-force path in `target/recall_full.json`
+    * (RecallReport), and StreamingIndexInsertSpec pins restart-resume
+    * with exactly-once block appends. */
+  private val servingMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.index.GannIndex.Model]()
+
+  val q_stream_index_insert = Q(
+    "q_stream_index_insert",
+    (s, dir) => {
+      import graft.index.GannIndex
+      // the serving view is held open like every other memoized index
+      // model (an index is open-once / search-many): repeated
+      // invocations measure the steady-state union search, not a
+      // re-open — the at-rest read path itself is what loadServing does
+      // and StreamingIndexInsertSpec re-opens cold
+      val serving = graft.core.Caches.memoized(s, dir, servingMemo) {
+        val c = GannIndex.loadServing(
+          s, maintainedIndexPath(s, dir), "vec_id", "embedding")
+        c.copy(assign = graft.core.Caches.cached(c.assign))
+      }
+      val e = graft.core.Tables.spread(
+        graft.core.Tables(s, dir, "embeddings"))
+      val queries = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      serving.search(queries, "qid", "qv", k = 10)
+        .select(col("qid"), col("vec_id"),
+          round(col("dist"), 6).as("dist"), col("rnk"))
+        .orderBy(col("qid"), col("rnk"))
+    },
+    None)
+
   val all: Seq[Q] =
     Seq(q_stream_windowed, q_stream_dedup, q_stream_join, q_stream_curate,
-      q_stream_late)
+      q_stream_late, q_stream_index_insert)
 }

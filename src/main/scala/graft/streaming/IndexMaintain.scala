@@ -1,0 +1,43 @@
+package graft.streaming
+
+import graft.index.GannIndex
+import org.apache.spark.sql.{DataFrame, Row, Dataset}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming index maintenance — the reference's persistent-workflow TODO
+  * (radient/orchestrate/workflow.py:55-56, "run workflows ... on a
+  * schedule / as data arrives") composed with its insert → index
+  * lifecycle (radient/tasks/sinks/local/gann.py:216-232): a vector
+  * stream keeps a PERSISTED index current, one O(batch) block append per
+  * micro-batch, while searches serve the base + appended union at any
+  * point ([[GannIndex.loadServing]]).
+  *
+  * Exactly-once: foreachBatch is at-least-once, but
+  * [[GannIndex.appendStreamBlock]] lands each micro-batch under a
+  * batch-keyed directory with overwrite semantics, and batchId is stable
+  * across restarts (checkpointed offset log) — a replayed batch replaces
+  * its own block instead of duplicating vectors.
+  * StreamingIndexInsertSpec pins restart-resume + the exactly-once union
+  * against the one-shot [[GannIndex.appendToSaved]] twin.
+  *
+  * At 100 TB this is the shape a live embedding store runs: quantizer /
+  * forest frozen (retrain is an offline decision, exactly like the
+  * reference's frozen GANN trees on insert), per-batch work proportional
+  * to the batch, index files append-only, serving reads at rest.
+  */
+object IndexMaintain {
+
+  /** Attach a frozen GANN model to a vector stream: every micro-batch
+    * routes through the forest (build-identical spill routing) and lands
+    * as an idempotent batch block under `path`. The returned query is
+    * live; callers own its lifecycle (processAllAvailable/stop for a
+    * bounded replay, awaitTermination for a real feed). */
+  def maintainGann(vectors: DataFrame, model: GannIndex.Model,
+      path: String, checkpoint: String): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        GannIndex.appendStreamBlock(model, path, batch.toDF(), batchId)
+      }
+      .start()
+}
