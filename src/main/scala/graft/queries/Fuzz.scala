@@ -25,11 +25,17 @@ import org.apache.spark.sql.functions._
   * orderings (peer-inclusive frames — round 11), explicit NULLS
   * FIRST/LAST ordering on both renderings (the engines' ASC defaults
   * differ, so each seed exercises one engine's non-default path —
-  * round 11), and GROUPING SETS with DUPLICATED sets (the SQL-standard
-  * multiplicity edge both engines must honor — round 11) —
+  * round 11), GROUPING SETS with DUPLICATED sets (the SQL-standard
+  * multiplicity edge both engines must honor — round 11), correlated
+  * EXISTS/IN *inside OR* (disjunctive decorrelation — the DataFrame
+  * side splits the disjunction into bag-disjoint pred-IS-TRUE ∪
+  * pred-NOT-TRUE ∧ semi branches; round 12, seed bit 3), and ROWS and
+  * RANGE frames MIXED in one plan (two window specs, different frame
+  * types — round 12, seed bit 4 on the RANGE variant) —
   * as an AST rendered BOTH as a DataFrame-API plan and as ANSI
   * SQL — the two executions must agree row-for-row. FuzzRelationalSpec
-  * runs ≥1000 generated plans DataFrame-vs-`spark.sql`; twelve fixed
+  * runs ≥1000 generated plans DataFrame-vs-`spark.sql` (soak knob
+  * SPARK_GRAFT_FUZZ_PLANS; round-12 soak: 5000 green); fourteen fixed
   * seeds are exported as `q_fuzz_*` query entries whose SQL rendering IS
   * the DuckDB oracle, so the driver cross-checks the same generator
   * against a second engine every round. This is the cheapest route to
@@ -367,13 +373,36 @@ object Fuzz {
           s"${j.dim.name}.${j.rightKey} = ${base.name}.${j.leftKey}$extra)")
       }
     }
+    // disjunctive-EXISTS edge (round 12, keyed off seed bit 3 so the
+    // draw stream is unchanged): WHERE (pred) OR EXISTS(...) — the
+    // decorrelation a plain semi join CANNOT express (it would drop
+    // pred-true rows without a dim match). The DataFrame side splits
+    // the disjunction into two bag-disjoint branches: pred IS TRUE,
+    // plus (pred NOT TRUE) ∧ semi — disjoint because a row's pred is
+    // exactly one of TRUE / FALSE / NULL, so the union never
+    // duplicates. Covers both the EXISTS and the even-seed IN
+    // renderings of the subquery.
+    val orExists = joinKind == 2 && pred.isDefined && existsSql.isDefined &&
+      (seed & 8L) != 0L
+
     def whereSql(extraPred: Option[Pred]): String = {
+      if (orExists && extraPred.isDefined)
+        return s" WHERE (${extraPred.get.sql}) OR (${existsSql.get})"
       val terms = extraPred.map(p => s"(${p.sql})").toSeq ++ existsSql
       if (terms.isEmpty) "" else terms.mkString(" WHERE ", " AND ", "")
     }
 
     def src(s: SparkSession, dir: String, extraPred: Option[Pred]): DataFrame = {
       val b = Tables(s, dir, base.name)
+      if (orExists && extraPred.isDefined) {
+        val j = join.get
+        val d0 = Tables(s, dir, j.dim.name)
+        val d = dimPred.map(p => d0.filter(p.df)).getOrElse(d0)
+        val p = extraPred.get.df
+        return b.filter(p).union(
+          b.join(d, col(j.leftKey) === col(j.rightKey), "left_semi")
+            .filter(!coalesce(p, lit(false))))
+      }
       val joined = join match {
         case Some(j) if joinKind == 1 =>
           b.join(Tables(s, dir, j.dim.name), col(j.leftKey) === col(j.rightKey))
@@ -634,20 +663,40 @@ object Fuzz {
       val scPool = base.cols.filter(c => c.kind == IntK && c.name != oc)
       val sc = pick(rnd, if (scPool.isEmpty) Seq(base.cols.find(_.kind == IntK).get)
         else scPool).name
+      // mixed-frame edge (round 12, keyed off seed bit 4 so the draw
+      // stream is unchanged): the SAME plan also carries a ROWS-frame
+      // running sum ordered by the primary key — two window specs with
+      // DIFFERENT frame types must coexist (separate Window nodes in
+      // Spark, one pass in DuckDB); deterministic because the ROWS
+      // order is the unique key
+      val uk = base.uniqueKey.get
+      val mixed = (seed & 16L) != 0L
+      val csumSql = if (mixed)
+        s", CAST(sum($sc) OVER (PARTITION BY $g ORDER BY $uk " +
+          s"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) " +
+          s"AS csum"
+      else ""
       val sql =
         s"SELECT $g, $oc, CAST(sum($sc) OVER (PARTITION BY $g ORDER BY $oc " +
           s"NULLS FIRST " +
           s"RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) " +
-          s"AS rsum FROM $fromSql${whereSql(pred)}"
+          s"AS rsum$csumSql FROM $fromSql${whereSql(pred)}"
       // explicit NULLS FIRST both sides — same cross-engine ASC-default
       // split as the rank variant above (round-12 ADVICE)
       Plan(seed, sql, (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy(col(g)).orderBy(col(oc).asc_nulls_first)
           .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-        src(s, dir, pred)
+        val withR = src(s, dir, pred)
           .withColumn("rsum", sum(col(sc)).over(w).cast("long"))
-          .select(col(g), col(oc), col("rsum"))
+        val out =
+          if (mixed) withR.withColumn("csum", sum(col(sc)).over(
+            Window.partitionBy(col(g)).orderBy(col(uk))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"))
+          else withR
+        out.select((Seq(g, oc, "rsum") ++
+          (if (mixed) Seq("csum") else Nil)).map(col): _*)
       })
     } else if (shape == 5 && base.uniqueKey.nonEmpty && groupable.nonEmpty) {
       // window shape: row_number (+ optional running int sum) per group,
@@ -765,9 +814,14 @@ object Fuzz {
     * 92 = inner join + ROLLUP; round-11 promotions: 76 = inner join +
     * GROUPING SETS with a DUPLICATED set (the multiplicity edge, 120
     * rows), 132 = inner join + two-key GROUPING SETS with a duplicated
-    * set. */
+    * set; round-12 promotions (the disjunctive-EXISTS edge, seed
+    * bit 3): 139 = (pred) OR EXISTS(...) semi over supplier→nation
+    * with a grouped min, 408 = (pred) OR key IN (SELECT ...) — the IN
+    * rendering of the same disjunction — over nation→region with a
+    * filtered subquery. */
   val driverSeeds =
-    Seq(5L, 9L, 14L, 23L, 25L, 32L, 33L, 57L, 76L, 86L, 92L, 132L)
+    Seq(5L, 9L, 14L, 23L, 25L, 32L, 33L, 57L, 76L, 86L, 92L, 132L,
+      139L, 408L)
 
   val all: Seq[Q] = driverSeeds.map { s =>
     val p = plan(s, forceAgg = true)

@@ -51,8 +51,12 @@ class FuzzRelationalSpec extends AnyFunSuite
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
+    // SPARK_GRAFT_FUZZ_PLANS widens the sweep for per-round soaks
+    // (e.g. 5000) without making every CI run pay for it
+    val n = sys.env.get("SPARK_GRAFT_FUZZ_PLANS")
+      .flatMap(_.toLongOption).getOrElse(1000L)
     val failures = Await.result(
-      Future.sequence((0L until 1000L).map(s => Future(check(s)))),
+      Future.sequence((0L until n).map(s => Future(check(s)))),
       Duration.Inf).flatten
     assert(failures.isEmpty,
       s"${failures.size} divergences, first: ${failures.take(3)}")

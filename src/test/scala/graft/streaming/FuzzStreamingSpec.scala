@@ -106,4 +106,131 @@ class FuzzStreamingSpec extends AnyFunSuite {
           s"\nonly-model=${want -- got}")
     }
   }
+
+  test("restart mid-replay at a random chunk boundary: the resumed " +
+      "stream still equals the batch watermark model, exactly once") {
+    // round 12: same random configs, but the query STOPS after a random
+    // number of chunks and RESUMES from its checkpoint once the rest
+    // land, and the file sink's metadata log must keep replayed batches
+    // exactly-once (the model is a plain set+size compare over the
+    // sink, so a duplicated window row fails the size check).
+    //
+    // Restart SEMANTIC pinned here (measured, then modeled): a restart
+    // TIGHTENS the late-row filter for exactly the first resumed
+    // chunk. processAllAvailable's post-data no-data trigger at
+    // shutdown advances the committed watermark over the final
+    // processed chunk (that is how final windows get emitted), so the
+    // resumed query's first data batch filters with the watermark
+    // through chunk restartAt−1 — one chunk FRESHER than the
+    // uninterrupted lag-by-one (through restartAt−2). Later chunks are
+    // back on the normal lag (the no-data batch carries no event-time
+    // stats of its own). A late row landing in the restart chunk whose
+    // window closed between those two watermarks is dropped where an
+    // uninterrupted run would still have counted it — correct per the
+    // watermark contract (a watermark only promises an upper bound on
+    // admitted lateness), and the model below encodes it exactly.
+    import scala.jdk.CollectionConverters._
+    val events = graft.core.Tables(spark, TestSpark.sf0001, "events")
+      .select(col("event_id"), col("ts"), col("event_type"))
+      .cache()
+    def tmp(tag: String): java.nio.file.Path = {
+      val d = java.nio.file.Files.createTempDirectory(s"graft_fuzzrr_$tag")
+      d.toFile.deleteOnExit()
+      d
+    }
+    for (seed <- 6 until 10) {
+      val rnd = new scala.util.Random(seed)
+      val windowMin = Seq(5, 10, 20)(rnd.nextInt(3))
+      val delayMin = Seq(10, 30, 60)(rnd.nextInt(3))
+      val lateMod = Seq(7, 13, 17)(rnd.nextInt(3))
+      val lateHours = Seq(2, 24, 288)(rnd.nextInt(3))
+      val numFiles = 3 + rnd.nextInt(3)
+      val restartAt = 1 + rnd.nextInt(numFiles - 1)
+      val cfg = s"seed=$seed window=${windowMin}m delay=${delayMin}m " +
+        s"lateMod=$lateMod lateH=$lateHours files=$numFiles restart@$restartAt"
+
+      val adjExpr = col("ts") + expr(s"CASE WHEN event_id % $lateMod = 0 " +
+        s"THEN INTERVAL $lateHours HOURS ELSE INTERVAL 0 SECONDS END")
+      val staged = graft.queries.StreamingQ.stageFrameChunks(
+        events, Seq(adjExpr, col("event_id")), s"fuzzrr$seed", numFiles)
+      val chunkFiles = java.nio.file.Files.list(staged).iterator().asScala
+        .toSeq.filter(_.getFileName.toString.endsWith(".parquet"))
+        .sortBy(_.getFileName.toString)
+      val landing = tmp(s"land$seed"); val ck = tmp(s"ck$seed")
+      val out = tmp(s"out$seed")
+      def land(i: Int): Unit = {
+        val dst = landing.resolve(chunkFiles(i).getFileName.toString)
+        java.nio.file.Files.copy(chunkFiles(i), dst)
+        dst.toFile.setLastModified(chunkFiles(i).toFile.lastModified())
+        ()
+      }
+      def start() = {
+        val st = spark.readStream
+          .schema(spark.read.parquet(staged.toString).schema)
+          .option("maxFilesPerTrigger", "1").parquet(landing.toString)
+        st.withWatermark("ts", s"$delayMin minutes")
+          .groupBy(window(col("ts"), s"$windowMin minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(unix_micros(col("window.start")).as("ws"),
+            col("event_type"), col("n"))
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ck.toString)
+          .format("parquet").option("path", out.toString).start()
+      }
+      (0 until restartAt).foreach(land)
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop()
+      (restartAt until numFiles).foreach(land)
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+
+      val rows = spark.read.parquet(out.toString).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      val got = rows.toSet
+      assert(rows.length == got.size, s"duplicate emissions after restart: $cfg")
+
+      // the same pure-Scala model as the uninterrupted test
+      val data = events.select(col("event_id"), expr("unix_micros(ts)"),
+          col("event_type")).collect()
+        .map { r =>
+          val id = r.getLong(0); val us = r.getLong(1)
+          val adj = us +
+            (if (id % lateMod == 0) lateHours * 3600L * 1000000L else 0L)
+          Ev(id, us, adj, r.getString(2))
+        }
+      val sorted = data.sortBy(e => (e.adjUs, e.id))
+      val total = sorted.length
+      val qsz = total / numFiles; val rem = total % numFiles
+      val chunks = (0 until numFiles).map { i =>
+        val start = i * qsz + math.min(i, rem)
+        sorted.slice(start, start + qsz + (if (i < rem) 1 else 0))
+      }
+      val winUs = windowMin * 60L * 1000000L
+      val delayMs = delayMin * 60000L
+      def wEnd(us: Long) = Math.floorDiv(us, winUs) * winUs + winUs
+      val chunkMax = chunks.map(_.map(_.us).max)
+      // restart-aware lag: chunk i's filter normally sees event times
+      // through chunk i−2; the FIRST resumed chunk (i == restartAt)
+      // sees through restartAt−1 — the shutdown no-data trigger already
+      // advanced the committed watermark over every processed chunk
+      def filterWm(i: Int): Option[Long] = {
+        val hi = if (i >= restartAt) math.max(i - 2, restartAt - 1)
+          else i - 2
+        if (hi < 0) None
+        else Some((chunkMax.slice(0, hi + 1).max / 1000 - delayMs) * 1000)
+      }
+      val kept = chunks.zipWithIndex.flatMap { case (ch, i) =>
+        ch.filter(e => filterWm(i).forall(wm => wEnd(e.us) > wm))
+      }
+      val finalWm = (chunkMax.max / 1000 - delayMs) * 1000
+      val want = kept.filter(e => wEnd(e.us) <= finalWm)
+        .groupBy(e => (wEnd(e.us) - winUs, e.tp))
+        .map { case ((ws, tp), es) => (ws, tp, es.size.toLong) }
+        .toSet
+      assert(want.nonEmpty, s"vacuous config (no emitted windows): $cfg")
+      assert(got == want,
+        s"restart-resume divergence at $cfg\nonly-streaming=${got -- want}" +
+          s"\nonly-model=${want -- got}")
+    }
+  }
 }
