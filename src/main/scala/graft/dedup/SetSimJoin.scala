@@ -121,7 +121,7 @@ object SetSimJoin {
       s"containment threshold must be a rational in (0, 1]: $tauNum/$tauDen")
     val chosen = strategy match {
       case Strategy.Auto =>
-        chooseContainmentStrategy(df, idCol, blockCol, setCol)
+        choosePostingStrategy(df, idCol, blockCol, setCol)
       case s => s
     }
     chosen match {
@@ -156,13 +156,15 @@ object SetSimJoin {
   private val strategyMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Strategy]()
 
-  /** [[Strategy.Auto]]'s decision: one aggregate over the per-(block,
-    * element) posting-list lengths yields the EXACT raw-join row count
-    * Σ df·(df−1) and the posting count Σ df; raw wins iff
-    * rawRows ≤ [[RawRowsPerPosting]]·postings. The aggregate is a
-    * full posting pass — the same pass the prefix branch's global-df
-    * ranking pays anyway, and a cheap insurance premium on raw-favorable
-    * corpora (the entry's shingle table is session-cached upstream).
+  /** [[Strategy.Auto]]'s decision (shared by the containment and the
+    * symmetric Jaccard joins — the decision variable is identical): one
+    * aggregate over the per-(block, element) posting-list lengths
+    * yields the EXACT raw-join row count Σ df·(df−1) and the posting
+    * count Σ df; raw wins iff rawRows ≤ [[RawRowsPerPosting]]·postings.
+    * The aggregate is a full posting pass — the same pass the prefix
+    * branch's global-df ranking pays anyway, and a cheap insurance
+    * premium on raw-favorable corpora (the entry's shingle table is
+    * session-cached upstream).
     *
     * Memoized per (application, canonicalized input plan): repeated
     * joins over the same corpus (a session's dedup passes, the bench's
@@ -170,14 +172,14 @@ object SetSimJoin {
     * HASH because the strategy never affects the result — a collision
     * could only cost performance, not correctness — and [[Caches.clear]]
     * evicts the entry with the session's other memos. */
-  private[graft] def chooseContainmentStrategy(df: DataFrame, idCol: String,
+  private[graft] def choosePostingStrategy(df: DataFrame, idCol: String,
       blockCol: String, setCol: String): Strategy =
     graft.core.Caches.memoized(df.sparkSession,
-      s"containment-strategy#${df.queryExecution.analyzed.semanticHash()}" +
+      s"posting-strategy#${df.queryExecution.analyzed.semanticHash()}" +
         s"#$idCol#$blockCol#$setCol",
-      strategyMemo) { computeContainmentStrategy(df, idCol, blockCol, setCol) }
+      strategyMemo) { computePostingStrategy(df, idCol, blockCol, setCol) }
 
-  private def computeContainmentStrategy(df: DataFrame, idCol: String,
+  private def computePostingStrategy(df: DataFrame, idCol: String,
       blockCol: String, setCol: String): Strategy = {
     val stats = df
       .select(col(idCol), col(blockCol), explode(col(setCol)).as("s"))
@@ -214,6 +216,28 @@ object SetSimJoin {
       .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
+  }
+
+  /** Symmetric Jaccard join with COST-BASED strategy selection
+    * (round 12 — the second consumer of [[choosePostingStrategy]]):
+    * [[countJoin]] when the raw posting self-join is provably
+    * ≤[[RawRowsPerPosting]] rows per posting (the hot-shingle-free
+    * common case — no per-doc ranking, no verify pass),
+    * [[prefixFiltered]] when a hot element would make the raw join
+    * quadratic. Result-identical either way (SetSimJoinSpec pins all
+    * three strategies on flat and skewed fixtures). */
+  def jaccardJoin(df: DataFrame, idCol: String, blockCol: String,
+      setCol: String, nCol: String, tau: Double,
+      strategy: Strategy = Strategy.Auto): DataFrame = {
+    val chosen = strategy match {
+      case Strategy.Auto => choosePostingStrategy(df, idCol, blockCol, setCol)
+      case s => s
+    }
+    chosen match {
+      case Strategy.Prefix =>
+        prefixFiltered(df, idCol, blockCol, setCol, nCol, tau)
+      case _ => countJoin(df, idCol, blockCol, setCol, nCol, tau)
+    }
   }
 
   def prefixFiltered(df: DataFrame, idCol: String, blockCol: String,

@@ -270,17 +270,14 @@ object GannIndex {
   def loadServing(spark: SparkSession, path: String, idCol: String,
       vecCol: String): Model = {
     val base = load(spark, path, idCol, vecCol)
-    val streamRoot = new org.apache.hadoop.fs.Path(s"$path/assign_stream")
-    val fs = streamRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(streamRoot)) base
-    else {
-      import spark.implicits._
-      val extra = spark.read.parquet(streamRoot.toString).drop("batch")
-        .select(base.assign.columns.map(col).toIndexedSeq: _*)
-      val assign = base.assign.unionByName(extra)
-      val leaves = assign.select("tree", "leaf").distinct()
-        .as[(Int, Int)].collect().toSeq.sorted
-      base.copy(assign = assign, leaves = leaves)
+    Blocks.streamBlocks(spark, path, base.assign.columns.toIndexedSeq) match {
+      case None => base
+      case Some(extra) =>
+        import spark.implicits._
+        val assign = base.assign.unionByName(extra)
+        val leaves = assign.select("tree", "leaf").distinct()
+          .as[(Int, Int)].collect().toSeq.sorted
+        base.copy(assign = assign, leaves = leaves)
     }
   }
 

@@ -135,6 +135,28 @@ object IvfIndex {
     encodeWith(model, df).write.mode("append")
       .partitionBy("cluster").parquet(s"$path/assign")
 
+  /** IDEMPOTENT streaming block append — the IVF twin of
+    * [[GannIndex.appendStreamBlock]]: the batch lands under a
+    * batch-keyed directory with overwrite semantics, so foreachBatch's
+    * at-least-once replays replace their own block (batchId is stable
+    * across restarts via the checkpointed offset log). */
+  def appendStreamBlock(model: Model, path: String, df: DataFrame,
+      batchId: Long): Unit =
+    encodeWith(model, df).write.mode("overwrite")
+      .partitionBy("cluster")
+      .parquet(s"$path/assign_stream/batch=$batchId")
+
+  /** Serving view of a stream-maintained IVF index: base posting lists
+    * plus every [[appendStreamBlock]] batch, unioned at rest. */
+  def loadServing(spark: SparkSession, path: String, idCol: String,
+      vecCol: String): Model = {
+    val base = load(spark, path, idCol, vecCol)
+    Blocks.streamBlocks(spark, path, base.assign.columns) match {
+      case Some(extra) => base.copy(assign = base.assign.unionByName(extra))
+      case None => base
+    }
+  }
+
   /** Balance-aware Lloyd on the (driver-side) sample — the deterministic
     * twin of the reference's GKMeans size-decay objective
     * (radient/tasks/sinks/local/_gkmeans.py:165-175: loss =

@@ -302,14 +302,16 @@ object Dedup {
   val q_dedup_ngram_jaccard = Q(
     "q_dedup_ngram_jaccard",
     (s, dir) => {
-      // Inverted-index set-similarity join via SetSimJoin.countJoin:
-      // postings equi-join on (lang, shingle) + common-element count —
-      // no same-lang cross product, no array payloads in the shuffle
-      // (the round-1 pairwise plan took 50 s at sf0.1). The PPJoin-style
-      // prefix-filtered strategy (SetSimJoin.prefixFiltered, identical
-      // results — SetSimJoinSpec) is the swap-in for skewed corpora
-      // where hot shingles blow up posting lists.
-      graft.dedup.SetSimJoin.countJoin(
+      // Inverted-index set-similarity join via SetSimJoin.jaccardJoin
+      // (round 12 — cost-based): postings equi-join on (lang, shingle)
+      // + common-element count, no same-lang cross product, no array
+      // payloads in the shuffle (the round-1 pairwise plan took 50 s at
+      // sf0.1). The Auto selector reads the exact raw-join row count
+      // and runs countJoin here (0.3-2.5 rows/posting, no hot
+      // shingles); the PPJoin prefix-filtered strategy swaps in
+      // AUTOMATICALLY on skewed corpora where hot shingles blow up
+      // posting lists — identical results either way (SetSimJoinSpec).
+      graft.dedup.SetSimJoin.jaccardJoin(
           shingleDf(s, dir), "doc_id", "lang", "sh", "nsh", JACCARD_T)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))

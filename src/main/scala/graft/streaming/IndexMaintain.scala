@@ -40,4 +40,16 @@ object IndexMaintain {
         GannIndex.appendStreamBlock(model, path, batch.toDF(), batchId)
       }
       .start()
+
+  /** The IVF twin of [[maintainGann]]: micro-batches encode against the
+    * frozen coarse quantizer and land as idempotent cluster-partitioned
+    * batch blocks. */
+  def maintainIvf(vectors: DataFrame, model: graft.index.IvfIndex.Model,
+      path: String, checkpoint: String): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        graft.index.IvfIndex.appendStreamBlock(model, path, batch.toDF(), batchId)
+      }
+      .start()
 }

@@ -49,6 +49,33 @@ class SetSimJoinSpec extends AnyFunSuite {
     assert(cj.map(p => (p._1, p._2)) == Set((1L, 2L)))
   }
 
+  test("jaccardJoin: Raw, Prefix and Auto agree on flat and skewed " +
+      "fixtures (round-12 cost-based symmetric join)") {
+    import spark.implicits._
+    val sts = Seq(SetSimJoin.Strategy.Raw, SetSimJoin.Strategy.Prefix,
+      SetSimJoin.Strategy.Auto)
+    for (tau <- Seq(0.5, 0.8)) {
+      val ref = pairs(SetSimJoin.countJoin(
+        shingles, "doc_id", "lang", "sh", "nsh", tau))
+      for (st <- sts)
+        assert(ref == pairs(SetSimJoin.jaccardJoin(
+          shingles, "doc_id", "lang", "sh", "nsh", tau, st)),
+          s"jaccardJoin $st diverges at tau=$tau")
+      assert(ref.nonEmpty)
+    }
+    // skewed: every strategy (incl. Auto, which must pick Prefix here —
+    // the shared chooser is pinned above) returns the same single pair
+    val hot = (0L until 100L).map(i =>
+      (i, Seq("zz zz zz") ++ (1 to 4).map(j =>
+        if (i < 2) s"p_$j" else s"u${i}_$j"))).toDF("doc_id", "sh")
+      .withColumn("lang", lit("en")).withColumn("nsh", size(col("sh")))
+    val ref = pairs(SetSimJoin.countJoin(hot, "doc_id", "lang", "sh", "nsh", 0.9))
+    assert(ref.map(p => (p._1, p._2)) == Set((0L, 1L)))
+    for (st <- sts)
+      assert(ref == pairs(SetSimJoin.jaccardJoin(
+        hot, "doc_id", "lang", "sh", "nsh", 0.9, st)), s"$st diverges")
+  }
+
   /** Reference implementation for containment: raw posting self-join +
     * count — the pre-round-11 entry body. containmentJoin must return
     * exactly the same ordered pairs. */
@@ -91,7 +118,7 @@ class SetSimJoinSpec extends AnyFunSuite {
       "prefix under a planted hot shingle; strategies agree either way") {
     import spark.implicits._
     // real corpus: measured 0.3-2.5 raw rows/posting, far under the bound
-    assert(SetSimJoin.chooseContainmentStrategy(
+    assert(SetSimJoin.choosePostingStrategy(
       shingles.filter(col("nsh") >= 5), "doc_id", "lang", "sh")
       == SetSimJoin.Strategy.Raw)
     // planted: 100 docs all share one boilerplate shingle → the raw join
@@ -99,7 +126,7 @@ class SetSimJoinSpec extends AnyFunSuite {
     val hot = (0L until 100L).map(i =>
       (i, Seq("zz zz zz") ++ (1 to 4).map(j => s"u${i}_$j"))).toDF("doc_id", "sh")
       .withColumn("lang", lit("en")).withColumn("nsh", size(col("sh")))
-    assert(SetSimJoin.chooseContainmentStrategy(hot, "doc_id", "lang", "sh")
+    assert(SetSimJoin.choosePostingStrategy(hot, "doc_id", "lang", "sh")
       == SetSimJoin.Strategy.Prefix)
     // and the hot fixture still returns identical (empty-of-false-positive)
     // results on every strategy — the switch is purely physical

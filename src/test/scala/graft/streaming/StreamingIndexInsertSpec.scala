@@ -100,6 +100,52 @@ class StreamingIndexInsertSpec extends AnyFunSuite {
         s"streamed vector $q unreachable through the served index"))
   }
 
+  test("IVF twin + compaction: stream-maintained serving equals the " +
+      "one-shot twin; compactStreamBlocks folds blocks losslessly") {
+    import graft.index.{Blocks, IvfIndex}
+    def ivfCounts(assign: org.apache.spark.sql.DataFrame) =
+      assign.select(col("cluster"), col("vec_id")).collect()
+        .map(r => (r.getInt(0), r.getLong(1)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+    val initial = vecs(0, 300)
+    val streamed = vecs(300, 400)
+    val model = IvfIndex.build(initial, "vec_id", "embedding", k = 4)
+    val p1 = tmp("ivflive"); val p2 = tmp("ivfone")
+    IvfIndex.save(model, p1.toString)
+    IvfIndex.save(model, p2.toString)
+    IvfIndex.appendToSaved(model, p2.toString, streamed)
+
+    val landing = tmp("ivfland"); val ck = tmp("ivfck")
+    val base = System.currentTimeMillis()
+    def chunk(i: Int): DataFrame = vecs(300 + i * 25L, 300 + (i + 1) * 25L)
+    land(landing, chunk(0), 0, base); land(landing, chunk(1), 1, base)
+    val q1 = IndexMaintain.maintainIvf(
+      stream(landing), model, p1.toString, ck.toString)
+    try q1.processAllAvailable() finally q1.stop()
+    land(landing, chunk(2), 2, base); land(landing, chunk(3), 3, base)
+    val q2 = IndexMaintain.maintainIvf(
+      stream(landing), model, p1.toString, ck.toString)
+    try q2.processAllAvailable() finally q2.stop()
+
+    val served = IvfIndex.loadServing(spark, p1.toString,
+      "vec_id", "embedding")
+    val oneShot = IvfIndex.load(spark, p2.toString, "vec_id", "embedding")
+    val pre = ivfCounts(served.assign)
+    assert(pre == ivfCounts(oneShot.assign),
+      "stream-maintained IVF assignment diverges from the one-shot twin")
+
+    // compaction (maintenance window, stream stopped): fold the batch
+    // blocks into the base partition layout; a PLAIN load must now see
+    // exactly the pre-compaction serving multiset, and a second compact
+    // is a no-op
+    assert(Blocks.compactStreamBlocks(spark, p1.toString, Seq("cluster")))
+    val post = ivfCounts(IvfIndex.load(spark, p1.toString,
+      "vec_id", "embedding").assign)
+    assert(pre == post, "compaction changed the assignment multiset")
+    assert(!Blocks.compactStreamBlocks(spark, p1.toString, Seq("cluster")),
+      "compaction of an already-compacted index must be a no-op")
+  }
+
   test("idempotent block replay: re-appending a batch id replaces, " +
       "never duplicates") {
     val model = GannIndex.build(vecs(0, 200), "vec_id", "embedding",
