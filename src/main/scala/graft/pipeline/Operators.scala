@@ -174,6 +174,26 @@ object Operators {
             graft.queries.Corpus.EMAIL_RE, "<EMAIL>"),
           graft.queries.Corpus.IP_RE, "<IP>"))
     },
+    // global duplicated-span scrub (the C4/RefinedWeb REWRITE stage;
+    // exact fixed form = q_dedup_scrub_spans): every n-gram seen in ≥ 2
+    // documents keeps only its lowest-idCol copy — every other document
+    // drops the covered token positions, and textCol is rebuilt from
+    // the kept tokens (token-normalized: lowercased, single-spaced).
+    // Emits the input rows with textCol rewritten plus n_dropped.
+    // Requires idCol unique per row (the keeper rule is an id argmin).
+    "scrub_spans" -> { (_, cp) => (ins, rp) =>
+      val params = cp ++ rp
+      val idCol = p(params, "idCol", "doc_id")
+      val textCol = p(params, "textCol", "text")
+      val n = p(params, "n", "5").toInt
+      val bound = graft.core.Caches.cached(ins.head
+        .withColumn("t", TextF.tokens(col(textCol))))
+      graft.queries.Dedup.scrubSpans(bound, idCol, n)
+        .withColumn(textCol, concat_ws(" ", col("kept")))
+        .withColumn("n_dropped",
+          (size(col("t")) - size(col("kept"))).cast("long"))
+        .drop("t", "kept")
+    },
     // corpus-fit bigram-LM cross-entropy scoring (CCNet-style perplexity
     // filtering; the oracle-checked fixed form is q_lm_cross_entropy).
     // Emits (idCol, n_bigrams, cross_entropy); optional maxEntropy keeps

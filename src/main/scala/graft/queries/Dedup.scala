@@ -228,17 +228,31 @@ object Dedup {
     * shuffle on gram, the duplicated-gram table is vocabulary-bounded
     * (Zipf ⇒ ≪ corpus, broadcast back), and the span merge is a per-doc
     * window — document payloads never move. Integer-exact → hash-checked. */
+  /** Session-cached (doc_id, token-array) view of `documents` — the
+    * rebuild side of the span scrub and the source of
+    * [[fiveGramPositions]]. */
+  private def docTokens(s: SparkSession, dir: String): DataFrame =
+    graft.core.Caches.cached(
+      Tables.spread(Tables(s, dir, "documents"))
+        .select(col("doc_id"), tokens(col("text")).as("t")))
+
+  /** Session-cached (doc_id, pos, gram) 5-gram position postings —
+    * shared by [[q_dedup_spans]] (the report) and
+    * [[q_dedup_scrub_spans]] (the rewrite), so the posting build is
+    * paid once per session. */
+  private def fiveGramPositions(s: SparkSession, dir: String): DataFrame =
+    graft.core.Caches.cached(
+      docTokens(s, dir)
+        .select(col("doc_id"),
+          posexplode(shingles(col("t"), 5)).as(Seq("pos", "gram")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("gram")))
+
   val q_dedup_spans = Q(
     "q_dedup_spans",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val n = 5
-      val g = graft.core.Caches.cached(
-        Tables.spread(Tables(s, dir, "documents"))
-          .withColumn("t", tokens(col("text")))
-          .select(col("doc_id"),
-            posexplode(shingles(col("t"), n)).as(Seq("pos", "gram")))
-          .select(col("doc_id"), col("pos").cast("long").as("pos"), col("gram")))
+      val g = fiveGramPositions(s, dir)
       val dup = g.select(col("gram"), col("doc_id")).distinct()
         .groupBy(col("gram")).agg(count(lit(1)).as("nd"))
         .filter(col("nd") >= 2).select(col("gram"))
@@ -281,6 +295,99 @@ object Dedup {
       |  count(*) AS n_grams
       |FROM grp GROUP BY doc_id, isl
       |ORDER BY doc_id, span_start
+      |""".stripMargin))
+
+  /** The span-scrub kernel of [[q_dedup_scrub_spans]] (and the
+    * `scrub_spans` registry verb): input = (idCol, t token-array),
+    * output = input plus a `kept` token-array column — the tokens that
+    * survive the global keeper rule. Pass `grams` to reuse an existing
+    * (idCol, pos long, gram) posting frame (the query shares the
+    * session-cached 5-gram postings with [[q_dedup_spans]]); otherwise
+    * the postings derive from `bound` itself. */
+  private[graft] def scrubSpans(bound: DataFrame, idCol: String,
+      n: Int = 5, grams: Option[DataFrame] = None): DataFrame = {
+    val id = col(idCol)
+    val g = grams.getOrElse(
+      bound.select(id, posexplode(shingles(col("t"), n)).as(Seq("pos", "gram")))
+        .select(id, col("pos").cast("long").as("pos"), col("gram")))
+    val keep = g.select(col("gram"), id).distinct()
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("nd"), min(id).as("keep_id"))
+      .filter(col("nd") >= 2)
+      .select(col("gram"), col("keep_id"))
+    val cov = g.join(keep, Seq("gram"))
+      .filter(id =!= col("keep_id"))
+      .select(id,
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("i"))
+      .groupBy(id).agg(collect_set(col("i")).as("cov"))
+    bound.join(cov, Seq(idCol), "left")
+      .withColumn("kept",
+        when(col("cov").isNull, col("t"))
+          .otherwise(filter(col("t"),
+            (_: Column, i: Column) =>
+              !array_contains(col("cov"), i.cast("long")))))
+      .drop("cov")
+  }
+
+  /** GLOBAL span scrub — the REWRITE stage downstream of
+    * [[q_dedup_spans]]'s report (the C4/RefinedWeb curation step: cut the
+    * duplicated span from every copy but one, keep the rest of the doc).
+    * Every 5-gram occurring in ≥ 2 distinct documents designates the
+    * lowest-doc_id document containing it as the keeper; in every OTHER
+    * document the token positions covered by that gram's occurrences are
+    * dropped, and each document is re-emitted as (kept-token hash,
+    * before/dropped counts) — the verifiable fingerprint of the rewritten
+    * corpus. The reference stops at reporting duplicates
+    * (radient/tasks/sinks/local/gann.py stores, never rewrites); the
+    * rewrite is what a training-data pipeline actually ships.
+    *
+    * Scale shape: the gram postings shuffle once on gram (shared,
+    * session-cached with the spans report); the keeper table is
+    * vocabulary-bounded (Zipf ⇒ ≪ corpus); covered positions collapse to
+    * one array per affected doc (collect_set over ≤ |doc| ints, bounded
+    * by document size, not corpus size); and the rewrite itself is a
+    * narrow per-row array filter — document payloads move through exactly
+    * one equi-join on doc_id. Integer/hash-exact → hash-checked. */
+  val q_dedup_scrub_spans = Q(
+    "q_dedup_scrub_spans",
+    (s, dir) => {
+      scrubSpans(docTokens(s, dir), "doc_id",
+        grams = Some(fiveGramPositions(s, dir)))
+        .select(col("doc_id"),
+          size(col("t")).cast("long").as("n_before"),
+          (size(col("t")) - size(col("kept"))).cast("long").as("n_dropped"),
+          h60(concat_ws(" ", col("kept"))).as("clean_h"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      |WITH toksrc AS (SELECT doc_id, ${Sql.toks()} AS t FROM documents),
+      |pos AS (
+      |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+      |    concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]) AS gram
+      |  FROM toksrc, unnest(range(1, greatest(len(t) - 3, 1))) AS u(i)
+      |  WHERE len(t) >= 5),
+      |keepg AS (
+      |  SELECT gram, min(doc_id) AS keep_id
+      |  FROM (SELECT DISTINCT gram, doc_id FROM pos)
+      |  GROUP BY gram HAVING count(*) >= 2),
+      |cov AS (
+      |  SELECT doc_id, list(DISTINCT pos + o) AS cov
+      |  FROM pos JOIN keepg USING (gram), unnest(range(0, 5)) AS ofs(o)
+      |  WHERE doc_id <> keep_id
+      |  GROUP BY doc_id),
+      |clean AS (
+      |  SELECT t.doc_id, t.t,
+      |    CASE WHEN c.cov IS NULL THEN t.t
+      |         ELSE list_transform(
+      |            list_filter(range(1, len(t.t) + 1),
+      |              i -> NOT list_contains(c.cov, CAST(i - 1 AS BIGINT))),
+      |            i -> t.t[i])
+      |    END AS kept
+      |  FROM toksrc t LEFT JOIN cov c USING (doc_id))
+      |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_before,
+      |  CAST(len(t) - len(kept) AS BIGINT) AS n_dropped,
+      |  ${Sql.h60("coalesce(array_to_string(kept, ' '), '')")} AS clean_h
+      |FROM clean ORDER BY doc_id
       |""".stripMargin))
 
   val q_dedup_exact = Q(
@@ -865,6 +972,7 @@ object Dedup {
   // registered — spec-only, see its scaladoc
   val all: Seq[Q] = Seq(
     q_dedup_incremental, q_dedup_incremental_bucketed, q_dedup_spans,
+    q_dedup_scrub_spans,
     q_dedup_exact, q_dedup_ngram_jaccard, q_dedup_containment,
     q_minhash_signatures,
     q_dedup_minhash_lsh, q_dedup_embedding_tight,

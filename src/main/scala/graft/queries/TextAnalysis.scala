@@ -717,10 +717,78 @@ object TextAnalysis {
       |FROM folded ORDER BY doc_id
       |""".stripMargin))
 
+  /** Per-source unigram-distribution drift — KL(p_source ‖ p_corpus) for
+    * every ingestion source, the mixture-health dashboard number a data
+    * team watches to catch a crawl/feed whose token distribution is
+    * sliding away from the corpus (the monitoring twin of
+    * [[Corpus.q_dsir_weights]]'s per-doc selection: DSIR scores documents
+    * against a target, this scores whole SOURCES against the blend).
+    * KL = Σ_w p_s(w)·ln(p_s(w)/p(w)) = (Σ_w c_sw·ln(c_sw·n / (n_s·c_w)))
+    * / n_s, all counts from one token pass. Absent words contribute
+    * exactly 0 (0·ln 0), so the inner join over observed (source, word)
+    * pairs IS the full sum — no smoothing needed.
+    *
+    * Cross-engine exactness: the ln-ratio rides the lmCrossEntropy
+    * integer-micros discipline — the ratio is an exact-integer product
+    * quotient evaluated identically on both engines, ln is rounded to
+    * 6 dp and lifted to BIGINT micros, the per-source fold is an
+    * order-independent integer sum, and the two final divisions run in
+    * the same order. Scale shape: one explode pass; (source, w) and w
+    * partial-aggregate map-side down to vocabulary-bounded tables; the
+    * only shuffle of note keys on w; source totals and the grand total
+    * broadcast. */
+  val q_source_kl = Q(
+    "q_source_kl",
+    (s, dir) => {
+      val tok = graft.core.Caches.cached(
+        Tables.spread(Tables(s, dir, "documents"))
+          .select(col("source"), explode(tokens(col("text"))).as("w")))
+      val sw = tok.groupBy(col("source"), col("w"))
+        .agg(count(lit(1)).as("c_sw"))
+      val stot = tok.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+      val wtot = tok.groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+      val ntot = tok.agg(count(lit(1)).as("n"))
+      sw.join(wtot, Seq("w"))
+        .join(broadcast(stot), Seq("source"))
+        .crossJoin(broadcast(ntot))
+        .select(col("source"), col("n_s"), col("c_sw"),
+          round(round(log((col("c_sw") * col("n")).cast("double") /
+              (col("n_s") * col("c_w")).cast("double")), 6) * lit(1e6))
+            .cast("long").as("lnr_mu"))
+        .groupBy(col("source"))
+        .agg(max(col("n_s")).as("n_tokens"),
+          sum(col("c_sw") * col("lnr_mu")).as("kl_mu"))
+        .select(col("source"), col("n_tokens"),
+          round(col("kl_mu").cast("double") / lit(1e6) / col("n_tokens"), 6)
+            .as("kl"))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      |WITH tok AS (
+      |  SELECT source, unnest(${Sql.toks()}) AS w FROM documents),
+      |sw AS (SELECT source, w, count(*) AS c_sw FROM tok GROUP BY source, w),
+      |stot AS (SELECT source, count(*) AS n_s FROM tok GROUP BY source),
+      |wtot AS (SELECT w, count(*) AS c_w FROM tok GROUP BY w),
+      |ntot AS (SELECT count(*) AS n FROM tok),
+      |terms AS (
+      |  SELECT source, n_s, c_sw,
+      |    CAST(round(round(ln((c_sw * n)::DOUBLE / (n_s * c_w)::DOUBLE), 6)
+      |      * 1000000, 0) AS BIGINT) AS lnr_mu
+      |  FROM sw JOIN wtot USING (w) JOIN stot USING (source) CROSS JOIN ntot),
+      |folded AS (
+      |  SELECT source, max(n_s) AS n_tokens,
+      |    CAST(sum(c_sw * lnr_mu) AS BIGINT) AS kl_mu
+      |  FROM terms GROUP BY source)
+      |SELECT source, n_tokens,
+      |  round(kl_mu::DOUBLE / 1000000.0 / n_tokens, 6) AS kl
+      |FROM folded ORDER BY source
+      |""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q_token_count, q_text_quality, q_gopher_rules, q_lang_id,
     q_doc_fingerprint, q_embed_hash,
     q_tfidf_top_terms, q_doc_chunks, q_doc_pages, q_repetition_ratio,
     q_pmi_bigrams, q_profile_quantiles, q_ngram_novelty, q_unigram_entropy,
+    q_source_kl,
     q_quality_percentile_filter, q_strip_markup)
 }

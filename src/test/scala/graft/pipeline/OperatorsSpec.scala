@@ -182,6 +182,21 @@ class OperatorsSpec extends AnyFunSuite {
       "server <IP> responded", "clean row"))
   }
 
+  test("scrub_spans rewrites the non-keeper copy and passes unique docs " +
+      "through") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c d e x"),
+      (1L, "z a b c d e y"),
+      (2L, "p q r s t u")).toDF("doc_id", "text")
+    val scrub = Operators.make(spark, "transform", "scrub_spans", Map.empty)
+    val out = scrub(Seq(docs), Map.empty).orderBy("doc_id")
+      .select("text", "n_dropped")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // "a b c d e" is shared by docs 0 and 1 → keeper 0; doc 1 keeps [z, y]
+    assert(out == Seq(("a b c d e x", 0L), ("z y", 5L), ("p q r s t u", 0L)))
+  }
+
   test("lm_score ranks fluent text below shuffled text") {
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
     val score = Operators.make(spark, "transform", "lm_score", Map.empty)
