@@ -49,7 +49,12 @@ object Scale {
     "q_pack_sequences", "q_pack_chunks", "q_quality_percentile_filter",
     // round-11 reworks: prefix-filtered containment and the
     // histogram-rank quantiles (no per-language corpus sort)
-    "q_dedup_containment", "q_profile_quantiles")
+    "q_dedup_containment", "q_profile_quantiles",
+    // round-12 additions: the span-scrub rewrite (the N× clone corpus
+    // is the WORST case — every gram duplicated across copies, so all
+    // non-first copies scrub end to end and the coverage arrays hit
+    // full document length) and the per-source KL fold
+    "q_dedup_scrub_spans", "q_source_kl")
 
   private def buildScaled(spark: SparkSession, base: String, out: String,
       factor: Int): Unit = {

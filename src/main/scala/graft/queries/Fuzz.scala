@@ -29,9 +29,12 @@ import org.apache.spark.sql.functions._
   * multiplicity edge both engines must honor — round 11), correlated
   * EXISTS/IN *inside OR* (disjunctive decorrelation — the DataFrame
   * side splits the disjunction into bag-disjoint pred-IS-TRUE ∪
-  * pred-NOT-TRUE ∧ semi branches; round 12, seed bit 3), and ROWS and
+  * pred-NOT-TRUE ∧ semi branches; round 12, seed bit 3), ROWS and
   * RANGE frames MIXED in one plan (two window specs, different frame
-  * types — round 12, seed bit 4 on the RANGE variant) —
+  * types — round 12, seed bit 4 on the RANGE variant), and NOT IN
+  * anti-subqueries on even seeds (Spark's null-aware anti join — a
+  * physically different operator from NOT EXISTS's plain anti join;
+  * round 12) —
   * as an AST rendered BOTH as a DataFrame-API plan and as ANSI
   * SQL — the two executions must agree row-for-row. FuzzRelationalSpec
   * runs ≥1000 generated plans DataFrame-vs-`spark.sql` (soak knob
@@ -364,6 +367,20 @@ object Fuzz {
         // draw stream (and with it every fixed driver seed's structure)
         // is unchanged. Keys are non-null, so IN ≡ EXISTS here.
         Some(s"${base.name}.${j.leftKey} IN (SELECT ${j.rightKey} FROM " +
+          s"${j.dim.name}" +
+          dimPred.map(p => s" WHERE (${p.sql})").getOrElse("") + ")")
+      } else if (joinKind == 3 && (seed & 1) == 0) {
+        // NOT IN rendering of the anti join on even seeds (round 12):
+        // same seed-parity key as the IN edge, so the draw stream is
+        // untouched. NOT IN plans as Spark's null-aware anti join
+        // (BroadcastHashJoin LeftAnti, isNullAwareAntiJoin=true) — a
+        // physically DIFFERENT operator from NOT EXISTS's plain anti
+        // join, with runtime null-probe semantics the differential
+        // would never reach through EXISTS. Keys are non-null FKs, so
+        // NOT IN ≡ NOT EXISTS here and the DataFrame side stays
+        // left_anti; an all-filtered (empty) subquery keeps every row
+        // on both engines.
+        Some(s"${base.name}.${j.leftKey} NOT IN (SELECT ${j.rightKey} FROM " +
           s"${j.dim.name}" +
           dimPred.map(p => s" WHERE (${p.sql})").getOrElse("") + ")")
       } else {

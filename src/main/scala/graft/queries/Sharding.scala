@@ -128,5 +128,55 @@ object Sharding {
       |ORDER BY doc_id
       |""".stripMargin))
 
-  val all: Seq[Q] = Seq(q_split_holdout, q_epoch_mix, q_shuffle_shards)
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES
+    * priority sampling): keep the k = 100 documents with the largest
+    * key u^(1/w) — equivalently the largest ln(u)/w — where w is the
+    * document's weight (n_chars + 1: sample long documents more often,
+    * the "fill the context windows" subsample) and u is a DETERMINISTIC
+    * uniform from the salted 60-bit hash, u = (h60+1)/2^60 ∈ (0, 1].
+    * The hash-driven u makes the draw reproducible under retries and
+    * repartitioning — same property as the holdout split — while still
+    * being a mathematically correct weighted sample over any
+    * non-adversarial id set.
+    *
+    * Cross-engine exactness: ln(u) is the only libm call — rounded to
+    * 6 dp and lifted to BIGINT micros (the lmFold discipline); the
+    * ranking key u_mu/w is then ONE IEEE division of exact integers,
+    * bit-identical on both engines (no libm), and ties break on doc_id.
+    * Scale shape: pure projection + global top-k — plans as
+    * TakeOrderedAndProject (≤k rows per partition into the final
+    * merge), no shuffle of the corpus, no window. */
+  val q_sample_weighted = Q(
+    "q_sample_weighted",
+    (s, dir) => {
+      val k = 100
+      Tables.spread(Tables(s, dir, "documents"))
+        .select(col("doc_id"), col("n_chars"))
+        .withColumn("u_mu",
+          round(round(log(
+            (h60(concat(lit("aes#"), col("doc_id"))) + 1).cast("double") /
+              lit(1152921504606846976d)), 6) * lit(1e6)).cast("long"))
+        .withColumn("key",
+          col("u_mu").cast("double") / (col("n_chars") + 1).cast("double"))
+        .orderBy(col("key").desc, col("doc_id"))
+        .limit(k)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      |WITH keyed AS (
+      |  SELECT doc_id, n_chars,
+      |    CAST(round(round(ln((${Sql.h60("'aes#' || doc_id")} + 1)::DOUBLE
+      |        / 1152921504606846976.0), 6) * 1000000, 0) AS BIGINT) AS u_mu
+      |  FROM documents),
+      |picked AS (
+      |  SELECT doc_id, n_chars
+      |  FROM keyed
+      |  ORDER BY u_mu::DOUBLE / (n_chars + 1)::DOUBLE DESC, doc_id
+      |  LIMIT 100)
+      |SELECT doc_id, n_chars FROM picked ORDER BY doc_id
+      |""".stripMargin))
+
+  val all: Seq[Q] = Seq(q_split_holdout, q_epoch_mix, q_shuffle_shards,
+    q_sample_weighted)
 }

@@ -46,7 +46,10 @@ class DeterminismSpec extends AnyFunSuite {
     "q_budget_select",     // histogram-cumsum token-budget threshold (r11)
     "q_dedup_containment", // df-ranked prefix + exact verify (r11)
     "q_profile_quantiles", // histogram-rank quantile selection (r11)
-    "q_multimodal_embed")  // float folds + integer-micros lift (r11)
+    "q_multimodal_embed",  // float folds + integer-micros lift (r11)
+    "q_dedup_scrub_spans", // keeper argmin + collect_set coverage (r12)
+    "q_source_kl",         // integer-micros KL fold per source (r12)
+    "q_sample_weighted")   // hash-u A-ES top-k priority sample (r12)
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, dir)

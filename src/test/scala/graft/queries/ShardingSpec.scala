@@ -97,4 +97,18 @@ class ShardingSpec extends AnyFunSuite {
     val localSorts = "\\], false, 0".r.findAllIn(p).length
     assert(localSorts >= 1, s"window must sort within shard partitions:\n$p")
   }
+
+  test("weighted sample tilts toward heavy docs and stays exactly k") {
+    import org.apache.spark.sql.functions.{avg, col}
+    val out = Sharding.q_sample_weighted.run(spark, sf).cache()
+    assert(out.count() == 100L)
+    val sampleMean = out.agg(avg(col("n_chars"))).head().getDouble(0)
+    val corpusMean = graft.core.Tables(spark, sf, "documents")
+      .agg(avg(col("n_chars"))).head().getDouble(0)
+    // w = n_chars + 1, so the length-weighted draw must pull the sample
+    // mean above the corpus mean (A-ES inclusion ∝ weight; at 100 of
+    // 500 docs the tilt is far outside hash noise)
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean ≤ corpus mean $corpusMean")
+  }
 }
