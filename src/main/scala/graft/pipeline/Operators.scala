@@ -361,6 +361,29 @@ object Operators {
             col(idCol).cast("string"))), lit(1000)))
         .filter(col("bucket") < quotaCol)
     },
+    // weighted sampling without replacement (A-ES priority sampling;
+    // the oracle-checked fixed form is q_sample_weighted): keep the k
+    // rows with the largest ln(u)/w, u = salted-h60 deterministic
+    // uniform, w = weightCol + 1 (clamped non-negative). Reproducible
+    // under retries and repartitioning; plans as TakeOrderedAndProject
+    "weighted_sample" -> { (_, cp) => (ins, rp) =>
+      val params = cp ++ rp
+      val idCol = p(params, "idCol", "doc_id")
+      val weightCol = p(params, "weightCol", "n_chars")
+      val k = p(params, "k", "100").toInt
+      require(k > 0, s"k must be positive: $k")
+      ins.head
+        .withColumn("_umu",
+          round(round(log(
+            (TextF.h60(concat(lit("aes#"), col(idCol).cast("string"))) + 1)
+              .cast("double") / lit(1152921504606846976d)), 6) * lit(1e6))
+            .cast("long"))
+        .withColumn("_key", col("_umu").cast("double") /
+          (greatest(col(weightCol).cast("long"), lit(0L)) + 1).cast("double"))
+        .orderBy(col("_key").desc, col(idCol))
+        .limit(k)
+        .drop("_umu", "_key")
+    },
     // sketch-guarded frequent n-grams (exact counts of grams occurring
     // >= minCount; the oracle-checked fixed form is q_heavy_hitters) —
     // the boilerplate/contamination-phrase detector over a vocabulary

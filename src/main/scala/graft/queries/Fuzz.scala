@@ -835,10 +835,14 @@ object Fuzz {
     * bit 3): 139 = (pred) OR EXISTS(...) semi over supplier→nation
     * with a grouped min, 408 = (pred) OR key IN (SELECT ...) — the IN
     * rendering of the same disjunction — over nation→region with a
-    * filtered subquery. */
+    * filtered subquery; round-12 promotions (the NOT IN anti-subquery
+    * edge — null-aware anti join on even seeds; 86 picked it up in
+    * place): 146 = orders NOT IN filtered customer keys under a
+    * conditional-count aggregate + HAVING, 242 = supplier NOT IN
+    * filtered nation keys with a plain grouped count. */
   val driverSeeds =
     Seq(5L, 9L, 14L, 23L, 25L, 32L, 33L, 57L, 76L, 86L, 92L, 132L,
-      139L, 408L)
+      139L, 146L, 242L, 408L)
 
   val all: Seq[Q] = driverSeeds.map { s =>
     val p = plan(s, forceAgg = true)

@@ -29,7 +29,8 @@ class PlanShapeSpec extends AnyFunSuite {
   private val noCartesian = Seq(
     "q_dedup_exact", "q_dedup_ngram_jaccard", "q_dedup_containment",
     "q_dedup_minhash_lsh",
-    "q_dedup_simhash", "q_dedup_spans",
+    "q_dedup_simhash", "q_dedup_spans", "q_dedup_scrub_spans",
+    "q_source_kl",
     "q_dedup_embedding_tight", "q_dedup_semantic",
     "q_dedup_incremental", "q_dedup_incremental_bucketed",
     "q_dedup_components", "q_dedup_cluster_sizes",
@@ -173,6 +174,14 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(docWindows.isEmpty,
         s"corpus-ordered window in budget selection:\n${docWindows.mkString("\n")}")
     }
+
+  test("q_sample_weighted: the k-of-corpus draw is a " +
+      "TakeOrderedAndProject, not a full sort") {
+    // the A-ES top-k must forward ≤k keyed rows per partition — a Sort
+    // exchange here would shuffle the whole corpus for a 100-row sample
+    assert(plan("q_sample_weighted").contains("TakeOrderedAndProject"),
+      "weighted sample lost its partial-limit shape")
+  }
 
   for (name <- Seq("q_sparse_search", "q_bm25_search"))
     test(s"$name: the global top-10 is a TakeOrderedAndProject, not a full sort") {

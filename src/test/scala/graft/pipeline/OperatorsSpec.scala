@@ -182,6 +182,22 @@ class OperatorsSpec extends AnyFunSuite {
       "server <IP> responded", "clean row"))
   }
 
+  test("weighted_sample keeps exactly k rows and matches the oracle " +
+      "entry's pick on the same weights") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val samp = Operators.make(spark, "transform", "weighted_sample",
+      Map("k" -> "50"))
+    val out = samp(Seq(docs), Map.empty).cache()
+    assert(out.count() == 50L)
+    assert(out.columns.toSet == docs.columns.toSet) // helper cols dropped
+    // same machinery as q_sample_weighted → its 100-pick must CONTAIN
+    // every id the k=50 draw keeps (A-ES prefixes nest as k grows)
+    val top100 = graft.queries.Sharding.q_sample_weighted
+      .run(spark, TestSpark.sf0001).collect().map(_.getLong(0)).toSet
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(top100), "k=50 draw is not a prefix of the k=100 draw")
+  }
+
   test("scrub_spans rewrites the non-keeper copy and passes unique docs " +
       "through") {
     import spark.implicits._

@@ -21,7 +21,8 @@ object FuzzSeedScan {
         catch { case e: Throwable => println(s"SEED $seed ERROR $e"); -1L }
       val sql = p.sql.replaceAll("\\s+", " ")
       val feats = Seq(
-        if (sql.contains("NOT EXISTS")) "ANTI"
+        if (sql.contains("NOT IN (SELECT")) "NOTIN"
+        else if (sql.contains("NOT EXISTS")) "ANTI"
         else if (sql.contains("EXISTS")) "SEMI"
         else if (sql.contains("JOIN")) "JOIN" else "",
         if (sql.contains("HAVING")) "HAVING" else "",
