@@ -146,6 +146,26 @@ class StreamingIndexInsertSpec extends AnyFunSuite {
       "compaction of an already-compacted index must be a no-op")
   }
 
+  test("GANN compaction folds stream blocks into the (tree, leaf) " +
+      "layout losslessly") {
+    import graft.index.Blocks
+    val model = GannIndex.build(vecs(0, 300), "vec_id", "embedding",
+      leafSize = 50, spill = 0.15, nTrees = 2)
+    val path = tmp("ganncompact").toString
+    GannIndex.save(model, path)
+    GannIndex.appendStreamBlock(model, path, vecs(300, 350), batchId = 0L)
+    GannIndex.appendStreamBlock(model, path, vecs(350, 400), batchId = 1L)
+    val pre = assignCounts(
+      GannIndex.loadServing(spark, path, "vec_id", "embedding").assign)
+    assert(Blocks.compactStreamBlocks(spark, path, Seq("tree", "leaf")))
+    // a PLAIN load (no stream-block union) must now see the full multiset
+    val post = assignCounts(
+      GannIndex.load(spark, path, "vec_id", "embedding").assign)
+    assert(pre == post, "compaction changed the (tree, leaf) assignment")
+    assert(!Blocks.compactStreamBlocks(spark, path, Seq("tree", "leaf")),
+      "second compaction must be a no-op")
+  }
+
   test("idempotent block replay: re-appending a batch id replaces, " +
       "never duplicates") {
     val model = GannIndex.build(vecs(0, 200), "vec_id", "embedding",
