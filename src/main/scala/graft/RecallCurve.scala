@@ -82,6 +82,17 @@ object RecallCurve {
       rows += (("ivfsq", np, 50, r))
     }
 
+    // GANN beam curve (leaves probed per tree at search time — the
+    // within-tree sibling of the reference's n_trees knob, gann.py:201):
+    // beam=1 is the natural spill probe the entry served through r11
+    val gann = graft.index.GannIndex.build(e, "vec_id", "embedding",
+      leafSize = 200, spill = 0.15, nTrees = 3)
+    Seq(1, 2, 3, 4, 6).foreach { bm =>
+      val r = RecallReport.recallOfDf(
+        gann.search(queries, "qid", "qv", k, beam = bm), exact)
+      rows += (("gann", bm, 0, r))
+    }
+
     def fmt(v: Double) = "%.4f".formatLocal(java.util.Locale.ROOT, v)
     println("| index | nprobe | shortlist | recall@10 |")
     println("| --- | --- | --- | --- |")

@@ -75,6 +75,51 @@ object GannIndex {
       routeLeaves(t, v).map(l => (ti, l))
     }
 
+  /** Search-time-only widened probe: the natural spill-routed leaves of
+    * one tree plus the next-nearest leaves up to `beam` total, found by a
+    * best-first traversal ordered by path slack (annoy's `search_k`
+    * generalized to the spill band; the reference gets the same recall
+    * lever from extra trees, gann.py:201-202). For a split with band
+    * [loCut, hiCut] the left child is naturally taken iff p <= hiCut and
+    * the right iff p > loCut, so `hiCut - p` / `p - loCut` is the signed
+    * slack of each branch; a leaf's priority is the minimum slack along
+    * its path and leaves pop in least-violation order. Query-side only —
+    * the DATA assignment is untouched, so widening the probe can only
+    * grow the candidate set (recall is monotone in `beam`,
+    * GannBeamSpec). Deterministic: slack ties break on node id. */
+  private[index] def routeLeavesBeam(nodes: Map[Int, Node],
+      v: Array[Double], beam: Int): Seq[Int] = {
+    val natural = routeLeaves(nodes, v)
+    if (beam <= natural.size) return natural
+    val seen = natural.toSet
+    val slackOrd: Ordering[(Double, Int)] =
+      Ordering.by { t: (Double, Int) => (t._1, -t._2) }
+    val pq = scala.collection.mutable.PriorityQueue(
+      (Double.MaxValue, 0))(slackOrd)
+    val extra = scala.collection.mutable.ArrayBuffer.empty[Int]
+    while (pq.nonEmpty && natural.size + extra.size < beam) {
+      val (slack, id) = pq.dequeue()
+      nodes.get(id) match {
+        case None => if (!seen(id)) extra += id
+        case Some(n) if n.left < 0 => if (!seen(n.id)) extra += n.id
+        case Some(n) =>
+          val p = dotd(v, n.w) + n.bias
+          pq.enqueue((math.min(slack, n.hiCut - p), n.left))
+          pq.enqueue((math.min(slack, p - n.loCut), n.right))
+      }
+    }
+    natural ++ extra
+  }
+
+  /** Forest probe with a per-tree leaf beam; beam <= 1 is exactly
+    * [[routeForest]] (the natural spill set). */
+  private[index] def routeForestBeam(trees: IndexedSeq[Map[Int, Node]],
+      v: Array[Double], beam: Int): Seq[(Int, Int)] =
+    if (beam <= 1) routeForest(trees, v)
+    else trees.zipWithIndex.flatMap { case (t, ti) =>
+      routeLeavesBeam(t, v, beam).map(l => (ti, l))
+    }
+
   /** Single-tree (id, vec, leaf) with one row per (row, routed leaf) —
     * constant-size plan regardless of tree depth. Build-time only. */
   private def routed(base: DataFrame, nodes: Map[Int, Node],
@@ -124,13 +169,19 @@ object GannIndex {
       * Contract: `idCol` must be an integral column (it rides through the
       * top-k heap as a long and is cast back to its input type on output);
       * a non-numeric id would cast to null and silently vanish, so it is
-      * rejected here instead. */
+      * rejected here instead.
+      *
+      * `beam` > 1 probes up to that many leaves PER TREE (natural spill
+      * set first, then next-nearest by path slack — routeLeavesBeam);
+      * the data assignment is untouched so the candidate set only
+      * grows. beam = 1 is the natural probe. */
     def search(queries: DataFrame, qid: String, qvec: String, k: Int,
-        excludeSelf: Boolean = true): DataFrame = {
+        excludeSelf: Boolean = true, beam: Int = 1): DataFrame = {
       val idType = requireIntegralId(assign, idCol)
       val spark = queries.sparkSession
       val bc = spark.sparkContext.broadcast(trees)
-      val routeUdf = udf { (v: Seq[Double]) => routeForest(bc.value, v.toArray) }
+      val bm = beam
+      val routeUdf = udf { (v: Seq[Double]) => routeForestBeam(bc.value, v.toArray, bm) }
       val qn = Search.prepVectors(
         queries.select(col(qid), col(qvec).cast("array<double>").as(qvec)),
         qvec, metric)

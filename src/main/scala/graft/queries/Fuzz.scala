@@ -34,7 +34,11 @@ import org.apache.spark.sql.functions._
   * types — round 12, seed bit 4 on the RANGE variant), and NOT IN
   * anti-subqueries on even seeds (Spark's null-aware anti join — a
   * physically different operator from NOT EXISTS's plain anti join;
-  * round 12) —
+  * round 12), the SQL-standard aggregate FILTER clause
+  * (`count(*) FILTER (WHERE p)` vs the DataFrame count-over-
+  * NULL-unless-p twin — round 12, seed bit 5), and DISTINCT aggregates
+  * (`count(DISTINCT c)`, planned through Spark's Expand two-phase
+  * aggregate — round 12, seed bit 6) —
   * as an AST rendered BOTH as a DataFrame-API plan and as ANSI
   * SQL — the two executions must agree row-for-row. FuzzRelationalSpec
   * runs ≥1000 generated plans DataFrame-vs-`spark.sql` (soak knob
@@ -207,17 +211,35 @@ object Fuzz {
     def sql = s"CAST(sum(CAST(${c.name} AS DECIMAL(18,2))) AS DOUBLE) AS $alias"
     def df = sum(col(c.name).cast("decimal(18,2)")).cast("double").as(alias)
   }
-  private final case class CountCol(c: FCol) extends Agg {
+  /** `distinct` (round 12, keyed off seed bit 6): count(DISTINCT c) —
+    * Spark plans it through an Expand + two-phase aggregate, a
+    * physically different operator from plain count, and NULLs are
+    * excluded identically in both engines. */
+  private final case class CountCol(c: FCol, distinct: Boolean = false) extends Agg {
     val alias = s"cnt_${c.name}"
-    def sql = s"count(${c.name}) AS $alias"
-    def df = count(col(c.name)).as(alias)
+    def sql = s"count(${if (distinct) "DISTINCT " else ""}${c.name}) AS $alias"
+    def df = (if (distinct) count_distinct(col(c.name))
+      else count(col(c.name))).as(alias)
   }
   /** Conditional count — sum(CASE WHEN p). DuckDB's integer sum is
-    * HUGEINT, so the explicit BIGINT cast is load-bearing. */
-  private final case class CondCount(p: Pred) extends Agg {
+    * HUGEINT, so the explicit BIGINT cast is load-bearing.
+    *
+    * `filterSyntax` (round 12, keyed off seed bit 5) renders the same
+    * semantics as the SQL-standard aggregate FILTER clause —
+    * `count(*) FILTER (WHERE p)` — which both Spark SQL and DuckDB
+    * support but plan differently from the CASE form (Spark folds the
+    * filter into the aggregate expression, not a CASE projection); the
+    * DataFrame twin is count over a NULL-unless-p literal, since
+    * count() skips NULLs. */
+  private final case class CondCount(p: Pred,
+      filterSyntax: Boolean = false) extends Agg {
     val alias = "cnt_cond"
-    def sql = s"CAST(sum(CASE WHEN ${p.sql} THEN 1 ELSE 0 END) AS BIGINT) AS $alias"
-    def df = sum(when(p.df, 1).otherwise(0)).cast("long").as(alias)
+    def sql =
+      if (filterSyntax) s"count(*) FILTER (WHERE ${p.sql}) AS $alias"
+      else s"CAST(sum(CASE WHEN ${p.sql} THEN 1 ELSE 0 END) AS BIGINT) AS $alias"
+    def df =
+      if (filterSyntax) count(when(p.df, lit(1))).as(alias)
+      else sum(when(p.df, 1).otherwise(0)).cast("long").as(alias)
   }
   /** Decimal product-sum (the q01 revenue pattern as a fuzz surface):
     * DECIMAL(18,2) × DECIMAL(18,2) stays exact through the widened
@@ -284,7 +306,11 @@ object Fuzz {
     }
   }
 
-  private def genAggs(rnd: scala.util.Random, cols: Seq[FCol]): Seq[Agg] = {
+  /** `filterSyntax` / `distinctCount` are render-only edges keyed off
+    * seed bits in plan() — they change NO draw, so every pre-existing
+    * seed keeps its plan and the bit flips only the SQL/DF surface. */
+  private def genAggs(rnd: scala.util.Random, cols: Seq[FCol],
+      filterSyntax: Boolean = false, distinctCount: Boolean = false): Seq[Agg] = {
     def one(): Agg = rnd.nextInt(7) match {
       case 0 => CountStar
       case 1 => val c = pick(rnd, cols); MinMax(c, isMin = rnd.nextBoolean())
@@ -293,7 +319,7 @@ object Fuzz {
       case 3 =>
         val dbls = cols.filter(_.kind == DblK)
         if (dbls.isEmpty) CountStar else SumDec(pick(rnd, dbls))
-      case 4 => CondCount(genPred(rnd, cols))
+      case 4 => CondCount(genPred(rnd, cols), filterSyntax)
       case 5 =>
         val nums = cols.filter(c => c.kind == DblK || c.kind == IntK)
         if (nums.size < 2) CountStar
@@ -301,7 +327,7 @@ object Fuzz {
           val a = pick(rnd, nums); val b = pick(rnd, nums.filterNot(_ == a))
           SumProd(a, b)
         }
-      case _ => CountCol(pick(rnd, cols))
+      case _ => CountCol(pick(rnd, cols), distinctCount)
     }
     val aggs = Seq.fill(1 + rnd.nextInt(3))(one())
     // unique aliases (duplicate aggregates collapse to one)
@@ -479,7 +505,8 @@ object Fuzz {
           rnd.shuffle(groupable).take(1 + rnd.nextInt(math.min(2, groupable.size)))
             .map(_.name).sorted
         else Seq.empty
-      val aggs0 = genAggs(rnd, cols)
+      val aggs0 = genAggs(rnd, cols,
+        filterSyntax = (seed & 32L) != 0L, distinctCount = (seed & 64L) != 0L)
       val havingMin =
         if (gcols.nonEmpty && rnd.nextInt(3) == 0) Some(1 + rnd.nextInt(4)) else None
       // HAVING count(*) needs count(*) in the aggregate list
@@ -509,7 +536,8 @@ object Fuzz {
       // cells identically in both engines, so sorted-row comparison holds
       val gcols = rnd.shuffle(gaCols)
         .take(1 + rnd.nextInt(math.min(2, gaCols.size))).map(_.name).sorted
-      val aggs = genAggs(rnd, cols)
+      val aggs = genAggs(rnd, cols,
+        filterSyntax = (seed & 32L) != 0L, distinctCount = (seed & 64L) != 0L)
       val mode = rnd.nextInt(3)
       val subsets: Seq[Seq[String]] =
         (0 to gcols.size).flatMap(k => gcols.combinations(k)).toSeq
@@ -588,7 +616,8 @@ object Fuzz {
             rnd.shuffle(bg).take(1 + rnd.nextInt(math.min(2, bg.size)))
               .map(_.name).sorted
           else Seq.empty
-        val aggs = genAggs(rnd, base.cols)
+        val aggs = genAggs(rnd, base.cols,
+          filterSyntax = (seed & 32L) != 0L, distinctCount = (seed & 64L) != 0L)
         val selSql = (gcols ++ aggs.map(_.sql)).mkString(", ")
         val gSql = if (gcols.nonEmpty) s" GROUP BY ${gcols.mkString(", ")}" else ""
         val sql = s"SELECT $selSql FROM ${base.name} WHERE $whereCorr$gSql"

@@ -13,8 +13,9 @@ import org.scalatest.funsuite.AnyFunSuite
 class RecallGateSpec extends AnyFunSuite {
 
   test("every q_ann_* index entry carries a recall floor, and nothing else does") {
-    val annIndexEntries = SparkEntry.queries.keySet
-      .filter(_.startsWith("q_ann_")) - "q_ann_lsh_join" // pair-join: own floor
+    val annIndexEntries = (SparkEntry.queries.keySet
+      .filter(_.startsWith("q_ann_")) - "q_ann_lsh_join") + // pair-join: own floor
+      "q_stream_index_insert" // the stream-maintained GANN serves ANN too
     assert(RecallReport.recallFloors.keySet == annIndexEntries,
       s"floors=${RecallReport.recallFloors.keySet} entries=$annIndexEntries")
   }
