@@ -25,10 +25,10 @@ import org.apache.spark.sql.functions._
 object Dedup {
   import TextF._
 
-  private val MINHASH_K = 9
-  private val BANDS = 3 // 3 bands × r=3 rows
+  private[graft] val MINHASH_K = 9
+  private[graft] val BANDS = 3 // 3 bands × r=3 rows
   private val JACCARD_T = 0.8
-  private val MINHASH_VERIFY_T = 0.7
+  private[graft] val MINHASH_VERIFY_T = 0.7
   private val COSINE_T = 0.45
 
   /** L2 radius on the unit sphere equivalent to a cosine threshold, plus
@@ -60,19 +60,41 @@ object Dedup {
           shingleSet(col("toks"), 3).as("sh"))
         .withColumn("nsh", size(col("sh"))))
 
-  private val shingleSql =
+  private[queries] val shingleSql =
     s"""SELECT doc_id, lang,
        |    list_distinct(${Sql.shingles3("t")}) AS sh
        |  FROM (SELECT doc_id, lang, ${Sql.toks()} AS t FROM documents)""".stripMargin
 
+  /** [[shingleDf]] over an ARBITRARY document frame (a streaming
+    * micro-batch) instead of the at-rest table — same token → distinct
+    * 3-shingle pipeline, no cache (a micro-batch is consumed once). */
+  private[graft] def shingleOf(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), shingleSet(col("toks"), 3).as("sh"))
+      .withColumn("nsh", size(col("sh")))
+
+  /** (doc_id, band, bkey) LSH band keys from a (doc_id, sh, ...) frame —
+    * the banding step of [[q_dedup_minhash_lsh]], factored so the
+    * streaming twin computes byte-identical keys. */
+  private[graft] def bandedOf(withSh: DataFrame): DataFrame = {
+    val r = MINHASH_K / BANDS
+    withSh.select(col("doc_id"), minhashK(col("sh"), MINHASH_K).as("sig"))
+      .select(col("doc_id"),
+        posexplode(array((0 until BANDS).map { b =>
+          md5(concat_ws(",",
+            (0 until r).map(i =>
+              element_at(col("sig"), b * r + i + 1).cast("string")): _*))
+        }: _*)).as(Seq("band", "bkey")))
+  }
+
   /** Jaccard over two distinct shingle arrays via intersection count only
     * (|A∪B| = |A|+|B|−|A∩B|) — avoids engine-specific union semantics. */
-  private def jaccard(a: Column, b: Column, na: Column, nb: Column): Column = {
+  private[graft] def jaccard(a: Column, b: Column, na: Column, nb: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
     inter / (na.cast("double") + nb.cast("double") - inter)
   }
 
-  private def jaccardSql(a: String, b: String) =
+  private[queries] def jaccardSql(a: String, b: String) =
     s"(len(list_filter($a, x -> list_contains($b, x)))::DOUBLE / " +
       s"(len($a) + len($b) - len(list_filter($a, x -> list_contains($b, x)))))"
 

@@ -450,7 +450,87 @@ object StreamingQ {
     },
     None)
 
+  /** Streaming MinHash-LSH near-dup admission
+    * ([[graft.streaming.StreamDedup.lshAdmit]] — the incremental twin of
+    * [[Dedup.q_dedup_minhash_lsh]]; see that object's scaladoc for the
+    * admission rule, exactly-once state layout, and scale shape;
+    * StreamLshDedupSpec pins restart-resume): documents ARRIVE in
+    * chronological micro-batches and a document is ADMITTED iff no
+    * document from an EARLIER batch is a verified near-dup (shared LSH
+    * band key + Jaccard ≥ 0.7 over distinct 3-shingle sets).
+    *
+    * Oracle: the admission rule is batch-order-expressible in one SQL
+    * shot — a doc is admitted iff no band-sharing verified pair has an
+    * earlier ntile chunk — so the WHOLE replay (state appends,
+    * partition-pruned reads, batch boundaries) runs under the DuckDB
+    * hash check, admitted batch number included.
+    */
+  val q_stream_dedup_lsh = Q(
+    "q_stream_dedup_lsh",
+    (s, dir) => {
+      val stream = stagedDocStream(s, dir, "lshdedup")
+      // fresh state root per invocation — the replay IS the entry
+      val root = java.nio.file.Files.createTempDirectory("graft_lshdd")
+      root.toFile.deleteOnExit()
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      val ckBase = if (java.nio.file.Files.isDirectory(shm) &&
+          java.nio.file.Files.isWritable(shm)) shm
+        else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+      val ck = java.nio.file.Files.createTempDirectory(ckBase, "graft_lshdd_ck")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = graft.streaming.StreamDedup.lshAdmit(
+        stream, root.toString, ck.toString)
+      try { q.processAllAvailable() } finally {
+        q.stop()
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        // the replay is complete and the result is at rest — drop the
+        // tmpfs checkpoint now (runToMemory's policy)
+        try {
+          val walk = java.nio.file.Files.walk(ck)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          finally walk.close()
+        } catch { case _: java.io.IOException => () }
+      }
+      // admitted output carries the micro-batch it was admitted in; the
+      // partition column `batch` comes back from the dir key as INT, so
+      // cast to the oracle's ntile BIGINT
+      s.read.parquet(graft.streaming.StreamDedup.admittedRoot(root.toString))
+        .select(col("doc_id"), col("batch").cast("long").as("batch"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val r = Dedup.MINHASH_K / Dedup.BANDS
+      val bandSelects = (0 until Dedup.BANDS).map { b =>
+        val parts = (0 until r).map(i => s"sig[${b * r + i + 1}]::VARCHAR")
+        s"SELECT doc_id, sh, $b AS band, md5(${parts.mkString(" || ',' || ")}) AS bkey FROM sig"
+      }
+      val sigList = (0 until Dedup.MINHASH_K)
+        .map(j => Sql.minhash("sh", j)).mkString(", ")
+      s"""
+      |WITH shs AS (${Dedup.shingleSql}),
+      |chunk AS (SELECT doc_id, ntile(4) OVER (ORDER BY doc_id) AS b
+      |          FROM documents),
+      |sig AS (SELECT doc_id, sh, [$sigList] AS sig FROM shs),
+      |banded AS (
+      |  ${bandSelects.mkString("\n  UNION ALL ")}
+      |),
+      |matched AS (
+      |  SELECT DISTINCT nb.doc_id
+      |  FROM banded pa JOIN banded nb
+      |    ON pa.band = nb.band AND pa.bkey = nb.bkey
+      |  JOIN chunk ca ON ca.doc_id = pa.doc_id
+      |  JOIN chunk cb ON cb.doc_id = nb.doc_id
+      |  WHERE ca.b < cb.b
+      |    AND ${Dedup.jaccardSql("pa.sh", "nb.sh")} >= ${Dedup.MINHASH_VERIFY_T})
+      |SELECT c.doc_id, c.b AS batch FROM chunk c
+      |WHERE c.doc_id NOT IN (SELECT doc_id FROM matched)
+      |ORDER BY c.doc_id
+      |""".stripMargin
+    })
+
   val all: Seq[Q] =
     Seq(q_stream_windowed, q_stream_dedup, q_stream_join, q_stream_curate,
-      q_stream_late, q_stream_index_insert)
+      q_stream_late, q_stream_index_insert, q_stream_dedup_lsh)
 }

@@ -1,0 +1,99 @@
+package graft.streaming
+
+import graft.TestSpark
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
+
+/** StreamDedup.lshAdmit: cross-batch near-dup admission with
+  * restart-resume (the checkpointed offset log must replay into the
+  * batch-keyed state dirs exactly once), first-seen state (EVERY doc's
+  * bands land in state, admitted or not), and within-batch neutrality
+  * (duplicates arriving in the SAME batch are both admitted — dedup is
+  * strictly against earlier batches). */
+class StreamLshDedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def tmp(tag: String): java.nio.file.Path = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_sld_$tag")
+    d.toFile.deleteOnExit()
+    d
+  }
+
+  private def docs(rows: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  /** Land rows as ONE parquet chunk with a pinned mod time (the file
+    * source processes oldest-first). */
+  private def land(landing: java.nio.file.Path, df: DataFrame,
+      i: Int, base: Long): Unit = {
+    val staging = tmp(s"stage$i")
+    df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    val part = java.nio.file.Files.list(staging).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+    val dest = landing.resolve(f"chunk$i%03d.parquet")
+    java.nio.file.Files.move(part, dest)
+    dest.toFile.deleteOnExit()
+    dest.toFile.setLastModified(base + i * 2000L)
+    ()
+  }
+
+  private def stream(landing: java.nio.file.Path): DataFrame =
+    spark.readStream.schema(docs(Seq((0L, "x y z"))).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(landing.toString)
+
+  private def admitted(stateRoot: java.nio.file.Path): Map[Long, Int] =
+    spark.read.parquet(StreamDedup.admittedRoot(stateRoot.toString))
+      .select(col("doc_id"), col("batch").cast("int"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+  // four arrival chunks; 20/30 duplicate batch-1 texts, 21 duplicates a
+  // WITHIN-batch sibling only, 40 duplicates a doc that was itself
+  // dropped (first-seen: still a dup)
+  private val chunks: Seq[Seq[(Long, String)]] = Seq(
+    Seq(10L -> "alpha beta gamma delta epsilon zeta",
+      11L -> "one two three four five six"),
+    Seq(20L -> "alpha beta gamma delta epsilon zeta", // dup of 10 -> drop
+      21L -> "seven eight nine ten eleven twelve", // same-batch dup of 22
+      22L -> "seven eight nine ten eleven twelve"), // both admitted
+    Seq(30L -> "one two three four five six", // dup of 11 -> drop
+      31L -> "red green blue cyan magenta yellow"),
+    Seq(40L -> "alpha beta gamma delta epsilon zeta", // dup of dropped 20
+      41L -> "north south east west up down"))
+
+  private val wantAdmitted = Map(
+    10L -> 1, 11L -> 1, 21L -> 2, 22L -> 2, 31L -> 3, 41L -> 4)
+
+  test("full replay admits first-seen only; same-batch duplicates are " +
+      "both admitted; every doc's bands reach state") {
+    val landing = tmp("land"); val state = tmp("state"); val ck = tmp("ck")
+    val base = System.currentTimeMillis()
+    chunks.zipWithIndex.foreach { case (c, i) => land(landing, docs(c), i, base) }
+    val q = StreamDedup.lshAdmit(stream(landing), state.toString, ck.toString)
+    try q.processAllAvailable() finally q.stop()
+    assert(admitted(state) == wantAdmitted)
+    val stateIds = spark.read.parquet(s"$state/bands")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(stateIds == chunks.flatten.map(_._1).toSet,
+      "dropped docs must still land in band state (first-seen wins)")
+  }
+
+  test("restart-resume: stop after two batches, resume from the same " +
+      "checkpoint — admitted set equals the uninterrupted run") {
+    val landing = tmp("rland"); val state = tmp("rstate"); val ck = tmp("rck")
+    val base = System.currentTimeMillis()
+    chunks.take(2).zipWithIndex.foreach { case (c, i) =>
+      land(landing, docs(c), i, base) }
+    val q1 = StreamDedup.lshAdmit(stream(landing), state.toString, ck.toString)
+    try q1.processAllAvailable() finally q1.stop()
+    chunks.drop(2).zipWithIndex.foreach { case (c, i) =>
+      land(landing, docs(c), i + 2, base) }
+    val q2 = StreamDedup.lshAdmit(stream(landing), state.toString, ck.toString)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(admitted(state) == wantAdmitted)
+  }
+}
