@@ -54,7 +54,12 @@ object Scale {
     // is the WORST case — every gram duplicated across copies, so all
     // non-first copies scrub end to end and the coverage arrays hit
     // full document length) and the per-source KL fold
-    "q_dedup_scrub_spans", "q_source_kl")
+    "q_dedup_scrub_spans", "q_source_kl",
+    // round-12 curation/diagnostic additions (documents-only input):
+    // the bounded-heap domain cap — the entry whose ratio PROVES the
+    // no-window claim, since the N× corpus multiplies every source's
+    // row count while the heap still ships ≤k pairs per partition
+    "q_domain_cap")
 
   private def buildScaled(spark: SparkSession, base: String, out: String,
       factor: Int): Unit = {

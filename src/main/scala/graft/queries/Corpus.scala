@@ -1255,13 +1255,65 @@ object Corpus {
       |ORDER BY doc_id
       |""".stripMargin))
 
+  /** Per-source document cap ("domain cap" — the C4/RefinedWeb rule that
+    * no single site dominates the corpus): keep each source's top-3
+    * documents by the same stopword-density quality score the budget
+    * family uses (integer micros, float-exact), ties broken by doc_id.
+    *
+    * Scale shape — this is deliberately NOT a rank window: a corpus-wide
+    * `row_number() OVER (PARTITION BY source ORDER BY score)` sorts every
+    * document of every source, and a hot domain (the reason the cap
+    * exists) makes that partition's sort the straggler. Instead the
+    * bounded-heap [[graft.functions.TopKAgg]] partial-aggregates
+    * map-side, so each input partition ships AT MOST k=3 (score, doc_id)
+    * pairs per source into the shuffle — O(k · partitions) per source
+    * regardless of how many million pages the hottest domain crawled.
+    * The heap's lexicographic (dist, id) order with dist = −score_mu is
+    * exactly the oracle's (score DESC, doc_id ASC) rank, so swapping the
+    * window for the heap cannot change the answer; −score_mu round-trips
+    * the double lane exactly (|score_mu| ≤ 10⁶ ≪ 2⁵³). */
+  val q_domain_cap = Q(
+    "q_domain_cap",
+    (s, dir) => {
+      val docs = Tables.spread(Tables(s, dir, "documents"))
+      val scored = docs
+        .withColumn("t", tokens(col("text")))
+        .select(col("doc_id"), col("source"),
+          hitCount(col("t"), stopwords).as("sw"), size(col("t")).as("nt"))
+        .select(col("doc_id"), col("source"),
+          round(round(col("sw").cast("double") / greatest(col("nt"), lit(1)), 6)
+            * lit(1e6)).cast("long").as("score_mu"))
+      scored.groupBy(col("source"))
+        .agg(graft.functions.TopKAgg.topK(
+          -col("score_mu").cast("double"), col("doc_id"), 3).as("top"))
+        .select(col("source"), explode(col("top")).as("e"))
+        .select(col("source"), col("e.id").as("doc_id"),
+          (-col("e.dist")).cast("long").as("score_mu"))
+        .orderBy(col("source"), col("doc_id"))
+    },
+    Some(s"""
+      |WITH sc AS (
+      |  SELECT doc_id, source,
+      |    CAST(round(round(CAST(len(list_filter(t, x -> x IN
+      |        (${TextF.stopwords.map(x => s"'$x'").mkString(", ")})))
+      |      AS DOUBLE) / greatest(len(t), 1), 6) * 1000000, 0) AS BIGINT)
+      |      AS score_mu
+      |  FROM (SELECT doc_id, source, ${Sql.toks()} AS t FROM documents)),
+      |r AS (SELECT source, doc_id, score_mu,
+      |        row_number() OVER (PARTITION BY source
+      |          ORDER BY score_mu DESC, doc_id) AS rn
+      |      FROM sc)
+      |SELECT source, doc_id, score_mu FROM r WHERE rn <= 3
+      |ORDER BY source, doc_id
+      |""".stripMargin))
+
   val all: Seq[Q] = Seq(q_token_bpe, q_corpus_filter, q_sample_stratified,
     q_sample_exact_k,
     q_decontaminate, q_decontaminate_bloom, q_pipeline_curate,
     q_pipeline_curate2, q_pipeline_curate3, q_ngram_topk,
     q_rare_tokens, q_zipf, q_pack_sequences, q_pack_chunks, q_bpe_merges,
     q_bpe_encode,
-    q_mixture_weights, q_budget_select, q_budget_mixture,
+    q_mixture_weights, q_budget_select, q_budget_mixture, q_domain_cap,
     q_lm_cross_entropy, q_scrub_pii, q_dsir_weights)
 }
 

@@ -36,9 +36,13 @@ import org.apache.spark.sql.functions._
   * physically different operator from NOT EXISTS's plain anti join;
   * round 12), the SQL-standard aggregate FILTER clause
   * (`count(*) FILTER (WHERE p)` vs the DataFrame count-over-
-  * NULL-unless-p twin — round 12, seed bit 5), and DISTINCT aggregates
+  * NULL-unless-p twin — round 12, seed bit 5), DISTINCT aggregates
   * (`count(DISTINCT c)`, planned through Spark's Expand two-phase
-  * aggregate — round 12, seed bit 6) —
+  * aggregate — round 12, seed bit 6), and HAVING on an UNPROJECTED
+  * aggregate (`HAVING count(*) >= m` with no count(*) in the SELECT
+  * list — a different resolution path in both engines; the DataFrame
+  * twin computes a hidden count, filters, and prunes it — round 12,
+  * seed bit 7) —
   * as an AST rendered BOTH as a DataFrame-API plan and as ANSI
   * SQL — the two executions must agree row-for-row. FuzzRelationalSpec
   * runs ≥1000 generated plans DataFrame-vs-`spark.sql` (soak knob
@@ -509,9 +513,21 @@ object Fuzz {
         filterSyntax = (seed & 32L) != 0L, distinctCount = (seed & 64L) != 0L)
       val havingMin =
         if (gcols.nonEmpty && rnd.nextInt(3) == 0) Some(1 + rnd.nextInt(4)) else None
-      // HAVING count(*) needs count(*) in the aggregate list
+      // unprojected-HAVING edge (round 12, keyed off seed bit 7 so the
+      // draw stream is unchanged): HAVING count(*) >= m WITHOUT count(*)
+      // in the SELECT list. SQL resolvers handle this through a
+      // different path than projected aggregates (Spark rewrites the
+      // filter against a hidden aggregate then prunes it; DuckDB binds
+      // the HAVING aggregate independently of the projection) — the
+      // DataFrame twin computes the count under an internal alias,
+      // filters, and drops it. Without the bit the pre-existing
+      // rendering (count(*) appended to the SELECT) is unchanged.
+      val havingHidden =
+        havingMin.isDefined && (seed & 128L) != 0L && !aggs0.contains(CountStar)
+      // HAVING count(*) needs count(*) in the aggregate list (unless the
+      // hidden edge deliberately leaves it unprojected)
       val aggs =
-        if (havingMin.isDefined && !aggs0.contains(CountStar))
+        if (havingMin.isDefined && !havingHidden && !aggs0.contains(CountStar))
           (aggs0 :+ CountStar).sortBy(_.alias)
         else aggs0
       val selSql = (gcols ++ aggs.map(_.sql)).mkString(", ")
@@ -520,14 +536,22 @@ object Fuzz {
       val sql = s"SELECT $selSql FROM $fromSql${whereSql(pred)}$gSql$hSql"
       Plan(seed, sql, (s, dir) => {
         val g = src(s, dir, pred)
+        val aggExprs =
+          if (havingHidden) aggs.map(_.df) :+ count(lit(1)).as("_hcnt")
+          else aggs.map(_.df)
         val agged =
           if (gcols.nonEmpty)
-            g.groupBy(gcols.map(col): _*).agg(aggs.head.df, aggs.tail.map(_.df): _*)
-          else g.agg(aggs.head.df, aggs.tail.map(_.df): _*)
-        val out = agged.select((gcols ++ aggs.map(_.alias)).map(col): _*)
-        havingMin match {
-          case Some(m) => out.filter(col(CountStar.alias) >= m)
-          case None => out
+            g.groupBy(gcols.map(col): _*).agg(aggExprs.head, aggExprs.tail: _*)
+          else g.agg(aggExprs.head, aggExprs.tail: _*)
+        if (havingHidden)
+          agged.filter(col("_hcnt") >= havingMin.get)
+            .select((gcols ++ aggs.map(_.alias)).map(col): _*)
+        else {
+          val out = agged.select((gcols ++ aggs.map(_.alias)).map(col): _*)
+          havingMin match {
+            case Some(m) => out.filter(col(CountStar.alias) >= m)
+            case None => out
+          }
         }
       })
     } else if (shape == 7) {
@@ -867,7 +891,10 @@ object Fuzz {
     * filtered subquery; round-12 promotions (the NOT IN anti-subquery
     * edge — null-aware anti join on even seeds; 86 picked it up in
     * place): 146 = orders NOT IN filtered customer keys under a
-    * conditional-count aggregate + HAVING, 242 = supplier NOT IN
+    * conditional-count aggregate + HAVING (which the round-12
+    * unprojected-HAVING edge, seed bit 7, converts in place: its
+    * HAVING count(*) now filters WITHOUT count(*) in the SELECT),
+    * 242 = supplier NOT IN
     * filtered nation keys with a plain grouped count. */
   val driverSeeds =
     Seq(5L, 9L, 14L, 23L, 25L, 32L, 33L, 57L, 76L, 86L, 92L, 132L,

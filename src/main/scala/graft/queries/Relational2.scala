@@ -704,6 +704,47 @@ object Relational2 {
       |FROM lineitem GROUP BY bucket ORDER BY bucket
       |""".stripMargin))
 
+  /** Join-key skew profiler over lineitem.l_partkey — the diagnostic a
+    * 100 TB pipeline runs BEFORE choosing a join strategy (plain shuffle
+    * vs [[graft.operators.SkewJoin]] salting vs AQE skew split): a
+    * count-of-counts histogram in power-of-two buckets, each bucket's
+    * key count, row mass, worst key, and share of total rows in ppm.
+    * Two aggregates: per-key counts (one map-side-combined shuffle on
+    * the join key — the same shuffle the candidate join would pay, minus
+    * the payload), then a histogram over the KEY-COUNT table (key-
+    * cardinality-sized, corpus-size-independent); the 1-row total
+    * broadcasts into the ppm projection. The bucket id is
+    * length(bin(cnt))−1 — integer bit width, not floor(log2(·)), so
+    * power-of-two boundaries cannot fall to FP rounding in either
+    * engine. */
+  val q_join_skew = Q(
+    "q_join_skew",
+    (s, dir) => {
+      val c = Tables(s, dir, "lineitem")
+        .groupBy(col("l_partkey").as("k")).agg(count(lit(1)).as("cnt"))
+      val tot = broadcast(c.agg(sum(col("cnt")).as("total")))
+      c.groupBy((length(bin(col("cnt"))) - 1).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("bucket_rows"),
+          max(col("cnt")).as("max_cnt"))
+        .crossJoin(tot)
+        .select(col("bucket"), col("n_keys"), col("bucket_rows"),
+          col("max_cnt"),
+          expr("(bucket_rows * 1000000) div total").as("share_ppm"))
+        .orderBy(col("bucket"))
+    },
+    Some("""
+      |WITH c AS (SELECT l_partkey AS k, count(*) AS cnt
+      |           FROM lineitem GROUP BY 1),
+      |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+      |h AS (SELECT CAST(length(bin(cnt)) - 1 AS BIGINT) AS bucket,
+      |        count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS bucket_rows,
+      |        CAST(max(cnt) AS BIGINT) AS max_cnt
+      |      FROM c GROUP BY 1)
+      |SELECT bucket, n_keys, bucket_rows, max_cnt,
+      |  (bucket_rows * 1000000) // total AS share_ppm
+      |FROM h, t ORDER BY bucket
+      |""".stripMargin))
+
   /** Z-order locality key over (hashed user, minute-bucket) — the
     * physical layout step before writing a 100 TB events table so
     * min/max file stats prune scans on BOTH a user equality predicate
@@ -1191,7 +1232,7 @@ object Relational2 {
     q18_large_orders, q19_disjunctive_revenue, q21_late_suppliers,
     q22_idle_customers, q_rollup_revenue, q_events_asof,
     q_events_attribution, q_profile_lineitem, q_profile_corr,
-    q_profile_histogram, q_zorder_key,
+    q_profile_histogram, q_join_skew, q_zorder_key,
     q09_profit_by_nation, q11_important_stock, q20_heavy_shippers,
     q_quantiles, q_events_approx_users, q_events_session_window,
     q_user_activity, q_set_ops, q_pivot_priority)

@@ -42,7 +42,7 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_quality_percentile_filter", "q_tfidf_top_terms",
     "q_sparse_search", "q_bm25_search", "q_ngram_novelty",
     "q_unigram_entropy", "q_budget_select", "q_hybrid_rrf",
-    "q_knn_grouped", "q_corpus_delta")
+    "q_knn_grouped", "q_corpus_delta", "q_domain_cap", "q_join_skew")
 
   // The round-10 rule that retired the engine's last single-task-per-
   // group shapes: any window that orders corpus rows (doc_id in its
@@ -58,6 +58,28 @@ class PlanShapeSpec extends AnyFunSuite {
       docWindows.foreach(l =>
         assert(l.contains("_shard"), s"unbounded corpus window: $l"))
     }
+
+  test("q_domain_cap: the per-source cap is the bounded-heap aggregate, " +
+      "not a corpus rank window") {
+    // A row_number window partitioned by source sorts EVERY document of
+    // every source (the hot domain the cap exists for becomes the
+    // straggler); the TopKAgg form partial-aggregates map-side and ships
+    // at most k pairs per (source, partition). Pin both halves: the heap
+    // aggregate runs in partial mode, and no window remains in the plan.
+    val p = plan("q_domain_cap")
+    assert(p.contains("partial_graft_top_k"),
+      "expected a map-side partial graft_top_k aggregate")
+    assert(!p.toLowerCase.contains("windowspecdefinition"),
+      "q_domain_cap must not fall back to a rank window")
+  }
+
+  test("q_join_skew: both aggregates are map-side combined — partial " +
+      "per-key counts, partial histogram") {
+    val p = plan("q_join_skew")
+    assert(p.linesIterator.count(_.contains("partial_count")) >= 2,
+      "expected partial (map-side) aggregation at both stages")
+    assert(!p.contains("CartesianProduct"))
+  }
 
   test("q_sample_exact_k: the rank filter partial-limits BEFORE the exchange") {
     // map-side WindowGroupLimit caps per-partition state at k rows per
