@@ -1272,26 +1272,37 @@ object Corpus {
     * exactly the oracle's (score DESC, doc_id ASC) rank, so swapping the
     * window for the heap cannot change the answer; −score_mu round-trips
     * the double lane exactly (|score_mu| ≤ 10⁶ ≪ 2⁵³). */
-  val q_domain_cap = Q(
-    "q_domain_cap",
-    (s, dir) => {
-      val docs = Tables.spread(Tables(s, dir, "documents"))
-      val scored = docs
-        .withColumn("t", tokens(col("text")))
-        .select(col("doc_id"), col("source"),
-          hitCount(col("t"), stopwords).as("sw"), size(col("t")).as("nt"))
-        .select(col("doc_id"), col("source"),
-          round(round(col("sw").cast("double") / greatest(col("nt"), lit(1)), 6)
-            * lit(1e6)).cast("long").as("score_mu"))
-      scored.groupBy(col("source"))
-        .agg(graft.functions.TopKAgg.topK(
-          -col("score_mu").cast("double"), col("doc_id"), 3).as("top"))
-        .select(col("source"), explode(col("top")).as("e"))
-        .select(col("source"), col("e.id").as("doc_id"),
-          (-col("e.dist")).cast("long").as("score_mu"))
-        .orderBy(col("source"), col("doc_id"))
-    },
-    Some(s"""
+  /** (doc_id, source, score_mu) projection shared by the batch and
+    * streaming domain caps — pure column arithmetic, so it applies to
+    * streaming frames unchanged. */
+  private[queries] def sourceScored(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .withColumn("t", tokens(col("text")))
+      .select(col("doc_id"), col("source"),
+        hitCount(col("t"), stopwords).as("sw"), size(col("t")).as("nt"))
+      .select(col("doc_id"), col("source"),
+        round(round(col("sw").cast("double") / greatest(col("nt"), lit(1)), 6)
+          * lit(1e6)).cast("long").as("score_mu"))
+
+  /** Per-source bounded-heap top-3 of [[sourceScored]] output, unpacked
+    * to (source, doc_id, score_mu) in presentation order — the shared
+    * tail of the batch and streaming domain caps. */
+  private[queries] def domainCapTop(
+      scored: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    scored.groupBy(col("source"))
+      .agg(graft.functions.TopKAgg.topK(
+        -col("score_mu").cast("double"), col("doc_id"), 3).as("top"))
+
+  private[queries] def domainCapUnpack(
+      top: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    top.select(col("source"), explode(col("top")).as("e"))
+      .select(col("source"), col("e.id").as("doc_id"),
+        (-col("e.dist")).cast("long").as("score_mu"))
+      .orderBy(col("source"), col("doc_id"))
+
+  /** DuckDB oracle shared by the batch and streaming domain caps. */
+  private[queries] val domainCapSql: String = s"""
       |WITH sc AS (
       |  SELECT doc_id, source,
       |    CAST(round(round(CAST(len(list_filter(t, x -> x IN
@@ -1305,7 +1316,14 @@ object Corpus {
       |      FROM sc)
       |SELECT source, doc_id, score_mu FROM r WHERE rn <= 3
       |ORDER BY source, doc_id
-      |""".stripMargin))
+      |""".stripMargin
+
+  val q_domain_cap = Q(
+    "q_domain_cap",
+    (s, dir) =>
+      domainCapUnpack(domainCapTop(
+        sourceScored(Tables.spread(Tables(s, dir, "documents"))))),
+    Some(domainCapSql))
 
   val all: Seq[Q] = Seq(q_token_bpe, q_corpus_filter, q_sample_stratified,
     q_sample_exact_k,

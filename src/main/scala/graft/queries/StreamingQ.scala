@@ -530,7 +530,42 @@ object StreamingQ {
       |""".stripMargin
     })
 
+  /** Streaming domain cap — [[Corpus.q_domain_cap]]'s bounded-heap
+    * per-source top-k run as a streaming aggregate over the multi-batch
+    * document replay, Complete mode: the state-store row per source is
+    * the SERIALIZED k=3 heap buffer (TopKAgg's TypedImperativeAggregate
+    * serialize/merge contract), never the documents — the streaming
+    * form of the batch claim that the cap ships O(k) per group, and the
+    * shape a continuously-crawled corpus needs ("best 3 pages per site
+    * so far" at any moment, state bounded by |sources|·k regardless of
+    * crawl volume). Each micro-batch partial-aggregates its chunk
+    * map-side and merges into the store; heap insertion is
+    * order-independent (lexicographic (dist, id)), so the final
+    * snapshot equals the batch result and the replay runs under the
+    * SAME DuckDB oracle as the batch entry. */
+  val q_stream_domain_cap = Q(
+    "q_stream_domain_cap",
+    (s, dir) => {
+      val stream = stagedDocStream(s, dir, "domcap")
+      val top = Corpus.domainCapTop(Corpus.sourceScored(stream))
+      // state partitions sized to key cardinality; scan-split cap so the
+      // token kernel parallelizes per micro-batch (see q_stream_curate)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val prevSplit = s.conf.get("spark.sql.files.maxPartitionBytes")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      s.conf.set("spark.sql.files.maxPartitionBytes", (64 * 1024).toString)
+      try Corpus.domainCapUnpack(
+        Streams.runToMemory(top, "q_stream_domain_cap_sink",
+          OutputMode.Complete()))
+      finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        s.conf.set("spark.sql.files.maxPartitionBytes", prevSplit)
+      }
+    },
+    Some(Corpus.domainCapSql))
+
   val all: Seq[Q] =
     Seq(q_stream_windowed, q_stream_dedup, q_stream_join, q_stream_curate,
-      q_stream_late, q_stream_index_insert, q_stream_dedup_lsh)
+      q_stream_late, q_stream_index_insert, q_stream_dedup_lsh,
+      q_stream_domain_cap)
 }

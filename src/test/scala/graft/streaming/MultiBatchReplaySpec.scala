@@ -50,6 +50,11 @@ class MultiBatchReplaySpec extends AnyFunSuite {
     assertMultiBatch("q_stream_curate_sink")
   }
 
+  test("q_stream_domain_cap merges per-source heap state across >=4 micro-batches") {
+    StreamingQ.q_stream_domain_cap.run(spark, TestSpark.sf0001).count()
+    assertMultiBatch("q_stream_domain_cap_sink")
+  }
+
   test("staging writes chronological chunks: per-file ts ranges are disjoint and ordered") {
     val landing = StreamingQ
       .stageChunks(spark, TestSpark.sf0001, "chunkcheck", numFiles = 4).toFile
