@@ -134,6 +134,30 @@ object Operators {
         .select(col(idCol))
       d.join(keep, Seq(idCol), "left_semi")
     },
+    // per-group top-k cap (the q_domain_cap engine form as a pipeline
+    // verb — "at most k docs per site/source by score"): bounded-heap
+    // TopKAgg partial-aggregates map-side (≤k pairs per group per input
+    // partition reach the shuffle — never a per-group rank window, whose
+    // hot-group sort is exactly what the cap exists to prevent), then an
+    // id-only left-semi join keeps the FULL surviving rows (ids shuffle,
+    // payloads don't). Ordering is (score DESC, id ASC); rows with a
+    // NULL score or id are dropped by the heap, like every rank they
+    // could not deterministically hold.
+    "domain_cap" -> { (_, cp) => (ins, rp) =>
+      val params = cp ++ rp
+      val groupCol = p(params, "groupCol", "source")
+      val idCol = p(params, "idCol", "doc_id")
+      val scoreCol = p(params, "scoreCol", "score_mu")
+      val k = p(params, "k", "3").toInt
+      require(k > 0, s"domain_cap k must be > 0, got $k")
+      val in = ins.head
+      val kept = in.select(col(groupCol), col(idCol), col(scoreCol))
+        .groupBy(col(groupCol))
+        .agg(graft.functions.TopKAgg.topK(
+          -col(scoreCol).cast("double"), col(idCol).cast("long"), k).as("_top"))
+        .select(explode(col("_top.id")).as(idCol))
+      in.join(kept, Seq(idCol), "left_semi")
+    },
     // embedding near-dup pair table at a production cosine threshold:
     // SignLsh banded candidates (AND-bits/OR-bands hyperplane signs, a
     // bucketed equi-join — the scalable regime, see SCALE.md) + exact

@@ -198,6 +198,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ids.subsetOf(top100), "k=50 draw is not a prefix of the k=100 draw")
   }
 
+  test("domain_cap keeps the window-rank top-k per group with full rows") {
+    import spark.implicits._
+    // one hot group (12 rows), two cold ones; score ties broken by id
+    val rows = (1L to 12L).map(i => (i, "hot", i % 4, s"d$i")) ++
+      Seq((20L, "cold", 9L, "d20"), (21L, "cold", 9L, "d21"), (30L, "solo", 1L, "d30"))
+    val df = rows.toDF("doc_id", "source", "score_mu", "text")
+    val cap = Operators.make(spark, "transform", "domain_cap", Map("k" -> "2"))
+    val out = cap(Seq(df), Map.empty)
+    assert(out.columns.toSet == df.columns.toSet) // full rows survive
+    val got = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    // window twin: row_number over (score DESC, id ASC) <= 2
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("score_mu").desc, col("doc_id"))
+    val want = df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= 2).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == want, s"domain_cap $got != window twin $want")
+    // k larger than every group passes everything through
+    val all = Operators.make(spark, "transform", "domain_cap",
+      Map("k" -> "99"))(Seq(df), Map.empty)
+    assert(all.count() == df.count())
+  }
+
   test("scrub_spans rewrites the non-keeper copy and passes unique docs " +
       "through") {
     import spark.implicits._

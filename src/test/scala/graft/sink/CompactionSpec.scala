@@ -1,0 +1,67 @@
+package graft.sink
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Compaction contract: the rewrite is lossless (row multiset identical),
+  * lands the planned file count, and never inflates an already-compact
+  * dataset. */
+class CompactionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def tmp(prefix: String) =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def dataFiles(dir: String): Int =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+
+  private def multiset(dir: String): Map[String, Int] =
+    spark.read.parquet(dir).collect().map(_.toString)
+      .groupBy(identity).view.mapValues(_.length).toMap
+
+  test("planFiles: ceil division with a floor of one file") {
+    assert(Compaction.planFiles(0L, 100L) == 1)
+    assert(Compaction.planFiles(1L, 100L) == 1)
+    assert(Compaction.planFiles(100L, 100L) == 1)
+    assert(Compaction.planFiles(101L, 100L) == 2)
+    assert(Compaction.planFiles(1000L, 100L) == 10)
+    intercept[IllegalArgumentException] { Compaction.planFiles(10L, 0L) }
+  }
+
+  test("fragmented ingest dir compacts to the planned count, losslessly") {
+    val in = tmp("graft_compact_in")
+    val out = tmp("graft_compact_out")
+    // simulate a per-trigger streaming sink: 16 tiny files
+    spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .repartition(16).write.mode("overwrite").parquet(in)
+    val frag = dataFiles(in)
+    assert(frag >= 8, s"staging should be fragmented, got $frag files")
+    val before = multiset(in)
+    // target a third of the on-disk bytes per file
+    val bytes = Option(new java.io.File(in).listFiles()).get
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.length()).sum
+    val target = math.max(1L, bytes / 3)
+    val (nIn, nOut) = Compaction.compactParquet(spark, in, out, target)
+    assert(nIn == frag)
+    assert(nOut == Compaction.planFiles(bytes, target),
+      s"wrote $nOut files, planned ${Compaction.planFiles(bytes, target)}")
+    assert(nOut < frag, "compaction must reduce the file count here")
+    assert(multiset(out) == before, "compaction changed the row multiset")
+  }
+
+  test("already-compact dataset is not split further") {
+    val in = tmp("graft_compact_one_in")
+    val out = tmp("graft_compact_one_out")
+    spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .coalesce(1).write.mode("overwrite").parquet(in)
+    val before = multiset(in)
+    // a tiny target would PLAN many files, but a 1-split scan can't be
+    // coalesced upward and must pass through unchanged (no shuffle)
+    val (nIn, nOut) = Compaction.compactParquet(spark, in, out, 1024L)
+    assert(nIn == 1)
+    assert(nOut >= 1)
+    assert(multiset(out) == before)
+  }
+}
