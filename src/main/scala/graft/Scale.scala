@@ -117,6 +117,14 @@ object Scale {
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
+    // optional query subset (args after the factor): measure only the
+    // named entries — appending one new row to SCALE.md should not cost
+    // a full-table re-run. A subset run also skips the fixed knob and
+    // containment fixtures (their numbers are already on record).
+    val only = args.drop(1).toSet
+    val measured =
+      if (only.isEmpty) MeasuredQueries else MeasuredQueries.filter(only)
+    require(measured.nonEmpty, s"no MeasuredQueries match $only")
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warm = "/root/testdata/sf0.001"
     val out = s"/tmp/graft_scale/x$factor"
@@ -130,21 +138,21 @@ object Scale {
 
     buildScaled(spark, base, out, factor)
     // codegen/JIT warm-up so the 1× pass doesn't pay compile costs
-    MeasuredQueries.foreach { q =>
+    measured.foreach { q =>
       try { SparkEntry.queries(q)(spark, warm).count(); () }
       catch { case _: Throwable => () }
     }
     graft.core.Caches.clear(spark)
-    val t1 = MeasuredQueries.map(q => q -> timeOne(spark, base, q))
+    val t1 = measured.map(q => q -> timeOne(spark, base, q))
     graft.core.Caches.clear(spark)
-    val tN = MeasuredQueries.map(q => q -> timeOne(spark, out, q))
+    val tN = measured.map(q => q -> timeOne(spark, out, q))
     graft.core.Caches.clear(spark)
 
     // The "bits is the log₂(n) knob" claim, measured: run the SignLsh
     // near-dup transform on the N× corpus at the 1×-tuned bits and at
     // bits + log2(N) — the widened key should hold per-bucket occupancy
     // (and so candidate volume / wall-time) near the 1× level.
-    val knob = {
+    val knob = if (only.nonEmpty) "" else {
       val extra = (math.log(factor) / math.log(2)).round.toInt
       def timeTight(dir: String, bits: Int): (Double, Long) = {
         val nd = graft.pipeline.Operators.make(spark, "transform",
@@ -173,7 +181,7 @@ object Scale {
     // filter keeps the hot shingle out of every a-side prefix, so its
     // candidates grow ~linearly. Candidate counts are deterministic —
     // no timing noise in the headline numbers.
-    val containment = {
+    val containment = if (only.nonEmpty) "" else {
       import org.apache.spark.sql.DataFrame
       def fixture(n: Long): DataFrame =
         spark.range(n).select(
@@ -227,11 +235,13 @@ object Scale {
     }
     val json = (rows.map { case (q, a, b, r) =>
       f"""\"$q\":{\"t1\":$a%.2f,\"t$factor\":$b%.2f,\"ratio\":$r%.2f}"""
-    } :+ knob :+ containment).mkString("{", ",", s""","factor":$factor}""")
+    } ++ Seq(knob, containment).filter(_.nonEmpty))
+      .mkString("{", ",", s""","factor":$factor}""")
     try {
       val dir = java.nio.file.Paths.get("target")
       java.nio.file.Files.createDirectories(dir)
-      java.nio.file.Files.write(dir.resolve("scale.json"),
+      java.nio.file.Files.write(
+        dir.resolve(if (only.isEmpty) "scale.json" else "scale_subset.json"),
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () }
     spark.stop()

@@ -1325,6 +1325,84 @@ object Corpus {
         sourceScored(Tables.spread(Tables(s, dir, "documents"))))),
     Some(domainCapSql))
 
+  /** Curation yield funnel — the per-stage survivor report every
+    * pipeline run publishes ("crawl 60k docs → 41k pass quality → 39k
+    * after dedup → 12k sampled"): document and whitespace-token counts
+    * after each stage of the [[q_pipeline_curate]] chain (ingest →
+    * quality filter → exact-dup keeper → stratified sample), as rows
+    * (stage, n_docs, n_tok). The oracle states the same four stage sets
+    * in SQL, so both the counts AND the stage containment order are
+    * checked.
+    *
+    * Scale shape — document text never enters a shuffle: quality and
+    * sample memberships are per-row flags computed in the scan
+    * projection; the dedup keeper is the chain's own (content-hash →
+    * min doc_id) aggregate, whose shuffle carries 40-byte rows, joined
+    * back onto a TEXT-FREE (doc_id, lang, nt, q) projection; all four
+    * stage totals then partial-aggregate in one global sum (8 longs per
+    * partition reach the final stack). Running the report costs the
+    * pipeline's own keeper aggregate plus two pruned column scans —
+    * never a per-stage corpus pass. */
+  val q_curation_funnel = Q(
+    "q_curation_funnel",
+    (s, dir) => {
+      val base = Tables.spread(Tables(s, dir, "documents"))
+        .select(col("doc_id"), col("lang"), col("text"),
+          size(tokens(col("text"))).cast("long").as("nt"))
+        .withColumn("q", graft.functions.TextQualityStats
+          .keeps(col("text"), 5, 1000, 50, 200))
+      val keepers = base.filter(col("q"))
+        .groupBy(md5(lower(trim(col("text")))).as("_h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"), lit(true).as("k"))
+      val quota = when(col("lang") === "en", 500)
+        .when(col("lang").isin("de", "es", "fr", "zh"), 200)
+        .otherwise(100)
+      val flagged = base.select("doc_id", "lang", "nt", "q")
+        .join(keepers, Seq("doc_id"), "left_outer")
+        .withColumn("k", coalesce(col("k"), lit(false)))
+        .withColumn("smp", col("k") &&
+          pmod(TextF.h32(concat(col("lang"), lit("#"),
+            col("doc_id").cast("string"))), lit(1000)) < quota)
+      flagged.agg(
+          count(lit(1)).as("c0"), sum(col("nt")).as("t0"),
+          sum(when(col("q"), 1L).otherwise(0L)).as("c1"),
+          sum(when(col("q"), col("nt")).otherwise(0L)).as("t1"),
+          sum(when(col("k"), 1L).otherwise(0L)).as("c2"),
+          sum(when(col("k"), col("nt")).otherwise(0L)).as("t2"),
+          sum(when(col("smp"), 1L).otherwise(0L)).as("c3"),
+          sum(when(col("smp"), col("nt")).otherwise(0L)).as("t3"))
+        .selectExpr("stack(4, '0_ingest', c0, t0, '1_quality', c1, t1, " +
+          "'2_dedup', c2, t2, '3_sample', c3, t3) AS (stage, n_docs, n_tok)")
+        .orderBy(col("stage"))
+    },
+    Some(s"""
+      |WITH b AS (
+      |  SELECT doc_id, lang, text, CAST(len(t) AS BIGINT) AS nt,
+      |    len(list_filter(t, x -> x IN ${TextAnalysis.stopwordsSql})) AS sw,
+      |    len(g) AS n3, len(list_distinct(g)) AS nd
+      |  FROM (SELECT doc_id, lang, text, t, ${Sql.shingles3("t")} AS g
+      |        FROM (SELECT doc_id, lang, text, ${Sql.toks()} AS t
+      |              FROM documents))),
+      |f AS (SELECT doc_id, lang, text, nt FROM b
+      |      WHERE nt >= 5 AND nt <= 1000
+      |        AND sw * 1000 >= nt * 50 AND (n3 - nd) * 1000 <= n3 * 200),
+      |k AS (SELECT min(doc_id) AS doc_id FROM f
+      |      GROUP BY md5(lower(trim(text)))),
+      |d AS (SELECT f.doc_id, f.lang, f.nt FROM f JOIN k USING (doc_id)),
+      |smp AS (SELECT doc_id, nt FROM d
+      |        WHERE ${Sql.h32("lang || '#' || doc_id")} % 1000 <
+      |          CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 200
+      |            WHEN 'es' THEN 200 WHEN 'fr' THEN 200 WHEN 'zh' THEN 200
+      |            ELSE 100 END)
+      |SELECT '0_ingest' AS stage, count(*) AS n_docs,
+      |  CAST(sum(nt) AS BIGINT) AS n_tok FROM b
+      |UNION ALL SELECT '1_quality', count(*), CAST(sum(nt) AS BIGINT) FROM f
+      |UNION ALL SELECT '2_dedup', count(*), CAST(sum(nt) AS BIGINT) FROM d
+      |UNION ALL SELECT '3_sample', count(*), CAST(sum(nt) AS BIGINT) FROM smp
+      |ORDER BY stage
+      |""".stripMargin))
+
   val all: Seq[Q] = Seq(q_token_bpe, q_corpus_filter, q_sample_stratified,
     q_sample_exact_k,
     q_decontaminate, q_decontaminate_bloom, q_pipeline_curate,
@@ -1332,6 +1410,7 @@ object Corpus {
     q_rare_tokens, q_zipf, q_pack_sequences, q_pack_chunks, q_bpe_merges,
     q_bpe_encode,
     q_mixture_weights, q_budget_select, q_budget_mixture, q_domain_cap,
+    q_curation_funnel,
     q_lm_cross_entropy, q_scrub_pii, q_dsir_weights)
 }
 

@@ -51,7 +51,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q_source_kl",         // integer-micros KL fold per source (r12)
     "q_sample_weighted",   // hash-u A-ES top-k priority sample (r12)
     "q_domain_cap",        // bounded-heap per-source top-k (r12)
-    "q_join_skew")         // count-of-counts bit-width histogram (r12)
+    "q_join_skew",         // count-of-counts bit-width histogram (r12)
+    "q_curation_funnel")   // per-stage yield sums over flag columns (r12)
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, dir)
