@@ -42,7 +42,10 @@ import org.apache.spark.sql.functions._
   * aggregate (`HAVING count(*) >= m` with no count(*) in the SELECT
   * list — a different resolution path in both engines; the DataFrame
   * twin computes a hidden count, filters, and prunes it — round 12,
-  * seed bit 7) —
+  * seed bit 7), and GROUP BY a computed EXPRESSION (`c % 5` /
+  * `substr(c, 1, 1)` repeated in projection and GROUP BY — expression
+  * group keys bind through a different path than bare columns in both
+  * engines — round 12, seed bit 8) —
   * as an AST rendered BOTH as a DataFrame-API plan and as ANSI
   * SQL — the two executions must agree row-for-row. FuzzRelationalSpec
   * runs ≥1000 generated plans DataFrame-vs-`spark.sql` (soak knob
@@ -530,8 +533,35 @@ object Fuzz {
         if (havingMin.isDefined && !havingHidden && !aggs0.contains(CountStar))
           (aggs0 :+ CountStar).sortBy(_.alias)
         else aggs0
-      val selSql = (gcols ++ aggs.map(_.sql)).mkString(", ")
-      val gSql = if (gcols.nonEmpty) s" GROUP BY ${gcols.mkString(", ")}" else ""
+      // group-by-EXPRESSION edge (round 12, keyed off seed bit 8 so the
+      // draw stream is unchanged): the grouping key becomes a COMPUTED
+      // expression over the first drawn group column — `c % 5` for an
+      // integer key, `substr(c, 1, 1)` for a string key — projected
+      // under an alias and repeated verbatim in GROUP BY. Both engines
+      // bind expression group keys through a different path than bare
+      // columns (Spark must match the projection expression against the
+      // grouping expression; DuckDB binds by recomputation), and NULLs
+      // propagate through the expression into a NULL group identically.
+      val exprGroupKey: Option[(String, Column)] =
+        if (gcols.nonEmpty && (seed & 256L) != 0L)
+          cols.find(_.name == gcols.head).map { c =>
+            c.kind match {
+              case StrK(_) =>
+                (s"substr(${c.name}, 1, 1)", substring(col(c.name), 1, 1))
+              case _ => (s"(${c.name} % 5)", col(c.name) % 5)
+            }
+          }
+        else None
+      val (groupSelSql, groupOutCols) = exprGroupKey match {
+        case Some((kSql, _)) => (Seq(s"$kSql AS gk"), Seq("gk"))
+        case None => (gcols, gcols)
+      }
+      val selSql = (groupSelSql ++ aggs.map(_.sql)).mkString(", ")
+      val gSql = exprGroupKey match {
+        case Some((kSql, _)) => s" GROUP BY $kSql"
+        case None =>
+          if (gcols.nonEmpty) s" GROUP BY ${gcols.mkString(", ")}" else ""
+      }
       val hSql = havingMin.map(m => s" HAVING count(*) >= $m").getOrElse("")
       val sql = s"SELECT $selSql FROM $fromSql${whereSql(pred)}$gSql$hSql"
       Plan(seed, sql, (s, dir) => {
@@ -539,15 +569,18 @@ object Fuzz {
         val aggExprs =
           if (havingHidden) aggs.map(_.df) :+ count(lit(1)).as("_hcnt")
           else aggs.map(_.df)
-        val agged =
-          if (gcols.nonEmpty)
+        val agged = exprGroupKey match {
+          case Some((_, kDf)) =>
+            g.groupBy(kDf.as("gk")).agg(aggExprs.head, aggExprs.tail: _*)
+          case None if gcols.nonEmpty =>
             g.groupBy(gcols.map(col): _*).agg(aggExprs.head, aggExprs.tail: _*)
-          else g.agg(aggExprs.head, aggExprs.tail: _*)
+          case None => g.agg(aggExprs.head, aggExprs.tail: _*)
+        }
         if (havingHidden)
           agged.filter(col("_hcnt") >= havingMin.get)
-            .select((gcols ++ aggs.map(_.alias)).map(col): _*)
+            .select((groupOutCols ++ aggs.map(_.alias)).map(col): _*)
         else {
-          val out = agged.select((gcols ++ aggs.map(_.alias)).map(col): _*)
+          val out = agged.select((groupOutCols ++ aggs.map(_.alias)).map(col): _*)
           havingMin match {
             case Some(m) => out.filter(col(CountStar.alias) >= m)
             case None => out
@@ -888,7 +921,9 @@ object Fuzz {
     * bit 3): 139 = (pred) OR EXISTS(...) semi over supplier→nation
     * with a grouped min, 408 = (pred) OR key IN (SELECT ...) — the IN
     * rendering of the same disjunction — over nation→region with a
-    * filtered subquery; round-12 promotions (the NOT IN anti-subquery
+    * filtered subquery (the round-12 group-by-expression edge, seed
+    * bit 8, converts 408 in place: it now groups by (n_regionkey % 5)
+    * AS gk); round-12 promotions (the NOT IN anti-subquery
     * edge — null-aware anti join on even seeds; 86 picked it up in
     * place): 146 = orders NOT IN filtered customer keys under a
     * conditional-count aggregate + HAVING (which the round-12

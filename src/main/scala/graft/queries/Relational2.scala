@@ -706,7 +706,7 @@ object Relational2 {
 
   /** Join-key skew profiler over lineitem.l_partkey — the diagnostic a
     * 100 TB pipeline runs BEFORE choosing a join strategy (plain shuffle
-    * vs [[graft.operators.SkewJoin]] salting vs AQE skew split): a
+    * vs [[graft.core.SkewJoin]] salting vs AQE skew split): a
     * count-of-counts histogram in power-of-two buckets, each bucket's
     * key count, row mass, worst key, and share of total rows in ppm.
     * Two aggregates: per-key counts (one map-side-combined shuffle on
