@@ -29,12 +29,18 @@ object RecallReport {
 
   /** exact top-K neighbour id-sets per query for the ANN entries' batch
     * (vec_id < 100, self excluded) — one broadcast-queries scan through
-    * the bounded-heap TopKAgg, the same shape as q_knn_brute. */
+    * the bounded-heap TopKAgg, the same shape as q_knn_brute.
+    * `candFilter` restricts the CANDIDATE side only (the filtered-search
+    * baseline: queries stay the full batch, neighbours must satisfy the
+    * filter — the exact twin of `IvfIndex.Model.search(allowedIds)`). */
   private[graft] def exactTopK(spark: SparkSession, sfDir: String,
-      k: Int): Map[Long, Set[Long]] = {
-    val e = Tables.spread(Tables(spark, sfDir, "embeddings"))
-    val queries = e.filter(col("vec_id") < 100)
+      k: Int,
+      candFilter: Option[org.apache.spark.sql.Column] = None)
+      : Map[Long, Set[Long]] = {
+    val e0 = Tables.spread(Tables(spark, sfDir, "embeddings"))
+    val queries = e0.filter(col("vec_id") < 100)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val e = candFilter.fold(e0)(e0.filter)
     e.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
@@ -240,7 +246,12 @@ object RecallReport {
     // appends through the frozen forest): tracks q_ann_gann's level —
     // routing is build-identical, so streamed rows rank like resident
     // ones (measured 0.908 at sf0.1; floor = measured−0.02)
-    "q_stream_index_insert" -> 0.88)
+    "q_stream_index_insert" -> 0.88,
+    // filtered IVF search (round 12): same index/model/nprobe as
+    // q_ann_ivf, allowed set = label < 3 semi-joined pre-distance;
+    // scored vs the exact FILTERED brute force — measured 0.913 at
+    // sf0.1, floor = measured−0.02
+    "q_ann_ivf_filtered" -> 0.89)
   private[graft] val lshPairRecallFloor: Double = 0.97
   private[graft] val hllMaxRelErrCeil: Double = 0.01
 
@@ -255,8 +266,13 @@ object RecallReport {
     val annEntries = Seq("q_ann_ivf", "q_ann_gann", "q_ann_pq",
       "q_ann_ivfpq", "q_ann_bq", "q_ann_ivfbq", "q_ann_sq", "q_ann_ivfsq",
       "q_stream_index_insert")
+    // filtered search scores against the exact FILTERED brute force —
+    // the same allowed set (label < 3) the entry semi-joins
+    val exactFiltered = exactTopK(spark, sfDir, k, Some(col("label") < 3))
     val recalls = annEntries.map(nm =>
-      nm -> recallOf(spark, sfDir, exact, nm))
+      nm -> recallOf(spark, sfDir, exact, nm)) :+
+      ("q_ann_ivf_filtered" ->
+        recallOf(spark, sfDir, exactFiltered, "q_ann_ivf_filtered"))
     val lsh = lshPairRecall(spark, sfDir)
     val hll = hllMaxRelErr(spark, sfDir)
     val fastrp = fastRpMatches(spark)

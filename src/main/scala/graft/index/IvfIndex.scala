@@ -26,9 +26,19 @@ object IvfIndex {
     /** Batch search: probe nprobe clusters per query, exact-rank top-k.
       * `idCol` must be integral (rides the top-k heap as long, cast back
       * on output — see GannIndex.requireIntegralId). `excludeSelf`
-      * follows the id-domain convention in [[Search.selfFilter]]. */
+      * follows the id-domain convention in [[Search.selfFilter]].
+      *
+      * `allowedIds` is the filtered-search contract (the reference's
+      * Milvus `filter=` search kwarg, radient/tasks/sinks/milvus.py:122):
+      * an id frame semi-joined onto the posting lists BEFORE the
+      * distance fold, so the returned k are the true top-k of the
+      * ALLOWED set within the probed clusters — pre-filter semantics,
+      * never the post-filtered (and arbitrarily short) unfiltered
+      * top-k. The semi join shuffles ids only; selectivity prunes the
+      * distance work proportionally. */
     def search(queries: DataFrame, qid: String, qvec: String,
-        k: Int, nprobe: Int, excludeSelf: Boolean = true): DataFrame = {
+        k: Int, nprobe: Int, excludeSelf: Boolean = true,
+        allowedIds: Option[DataFrame] = None): DataFrame = {
       val idType = GannIndex.requireIntegralId(assign, idCol)
       val spark = queries.sparkSession
       val bc = spark.sparkContext.broadcast(centroids)
@@ -43,11 +53,13 @@ object IvfIndex {
         qvec, metric)
       val probed = qn.select(col(qid), col(qvec),
         explode(probeUdf(col(qvec))).as("cluster"))
+      val base = allowedIds.fold(assign)(ids =>
+        assign.join(ids.select(col(idCol)), Seq(idCol), "left_semi"))
       // bounded-heap top-k (TopKAgg): map-side partial aggregation ships
       // ≤k pairs per partition per query — no per-id dedup needed here,
       // every vector lives in exactly one posting list
       Search.topKOut(
-        Search.selfFilter(probed.join(assign, Seq("cluster")), idCol, qid,
+        Search.selfFilter(probed.join(base, Seq("cluster")), idCol, qid,
             excludeSelf)
           .select(col(qid), col(idCol),
             VectorF.l2Dist(col(qvec), col(vecCol)).as("dist")),

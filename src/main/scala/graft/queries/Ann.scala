@@ -62,6 +62,34 @@ object Ann {
     },
     None)
 
+  /** Filtered ANN — the reference's Milvus `filter=` search kwarg
+    * (radient/tasks/sinks/milvus.py:122) composed with the IVF index:
+    * candidates restrict to an allowed-id set (label < 3 here, ~30% of
+    * the corpus) BEFORE the distance fold, so the k returned are the
+    * true top-k of the ALLOWED set within probed clusters — pre-filter
+    * semantics, never a post-filtered (and arbitrarily short)
+    * unfiltered top-k. The allowed set semi-joins the posting lists by
+    * id (id-only shuffle; distance work prunes with the filter's
+    * selectivity); the index model is SHARED with [[q_ann_ivf]] via the
+    * memo — filtering is a search-time verb, never a rebuild. rows-only
+    * + recall-gated against the exact FILTERED brute force
+    * (RecallReport). */
+  val q_ann_ivf_filtered = Q(
+    "q_ann_ivf_filtered",
+    (s, dir) => {
+      val e = Tables.spread(Tables(s, dir, "embeddings"))
+      val model = memoized(s, dir, ivfMemo)(
+        IvfIndex.build(e, "vec_id", "embedding", k = 8))
+      val queries = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val allowed = e.filter(col("label") < 3).select(col("vec_id"))
+      model.search(queries, "qid", "qv", k = 10, nprobe = 6,
+          allowedIds = Some(allowed))
+        .select(col("qid"), col("vec_id"), round(col("dist"), 6).as("dist"), col("rnk"))
+        .orderBy(col("qid"), col("rnk"))
+    },
+    None)
+
   val q_ann_gann = Q(
     "q_ann_gann",
     (s, dir) => {
@@ -238,6 +266,7 @@ object Ann {
     },
     None)
 
-  val all: Seq[Q] = Seq(q_ann_ivf, q_ann_gann, q_ann_pq, q_ann_ivfpq,
+  val all: Seq[Q] = Seq(q_ann_ivf, q_ann_ivf_filtered, q_ann_gann,
+    q_ann_pq, q_ann_ivfpq,
     q_ann_bq, q_ann_ivfbq, q_ann_sq, q_ann_ivfsq, q_ann_lsh_join)
 }

@@ -63,6 +63,34 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(r8 >= 0.999) // probing all clusters == exact
   }
 
+  test("IVF filtered search: results stay in the allowed set; probing " +
+      "all clusters equals the exact FILTERED top-k") {
+    val model = IvfIndex.build(emb, "vec_id", "embedding", k = 8)
+    val allowedDf = emb.filter(col("label") < 3).select(col("vec_id"))
+    val allowed = allowedDf.collect().map(_.getLong(0)).toSet
+    val gotRows = model.search(queries, "qid", "qv", K, nprobe = 8,
+        allowedIds = Some(allowedDf))
+      .select("qid", "vec_id").collect()
+    assert(gotRows.forall(r => allowed(r.getLong(1))),
+      "filtered search returned an id outside the allowed set")
+    // nprobe = k (every cluster probed) → pre-filter semantics make the
+    // result the EXACT filtered top-k, ties resolved (dist, id) as in
+    // the exact window below
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
+    val exactF = emb.filter(col("label") < 3).crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        VectorF.l2Dist(col("embedding"), col("qv")).as("dist"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select("qid", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val gotMap = gotRows.groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(gotMap == exactF,
+      "all-clusters filtered search must equal the exact filtered top-k")
+  }
+
   test("GANN spill tree recall@10 beats 0.5 at spill=0.15") {
     val model = GannIndex.build(emb, "vec_id", "embedding",
       leafSize = 64, spill = 0.15)
