@@ -174,9 +174,17 @@ object GannIndex {
       * `beam` > 1 probes up to that many leaves PER TREE (natural spill
       * set first, then next-nearest by path slack — routeLeavesBeam);
       * the data assignment is untouched so the candidate set only
-      * grows. beam = 1 is the natural probe. */
+      * grows. beam = 1 is the natural probe.
+      *
+      * `allowedIds` is the filtered-search contract (Milvus `filter=`,
+      * radient/tasks/sinks/milvus.py:122), same semantics as
+      * [[IvfIndex.Model.search]]: the id frame semi-joins the leaf
+      * assignments BEFORE the distance fold — pre-filter, so the k
+      * returned are the true top-k of the allowed set within probed
+      * leaves, and the semi join ships ids only. */
     def search(queries: DataFrame, qid: String, qvec: String, k: Int,
-        excludeSelf: Boolean = true, beam: Int = 1): DataFrame = {
+        excludeSelf: Boolean = true, beam: Int = 1,
+        allowedIds: Option[DataFrame] = None): DataFrame = {
       val idType = requireIntegralId(assign, idCol)
       val spark = queries.sparkSession
       val bc = spark.sparkContext.broadcast(trees)
@@ -189,8 +197,10 @@ object GannIndex {
           explode(routeUdf(col(qvec))).as("tl"))
         .select(col(qid), col(qvec),
           col("tl._1").as("tree"), col("tl._2").as("leaf"))
+      val base = allowedIds.fold(assign)(ids =>
+        assign.join(ids.select(col(idCol)), Seq(idCol), "left_semi"))
       Search.topKOut(
-        Search.selfFilter(probed.join(assign.hint("shuffle_hash"),
+        Search.selfFilter(probed.join(base.hint("shuffle_hash"),
             Seq("tree", "leaf")), idCol, qid, excludeSelf)
           .select(col(qid), col(idCol),
             VectorF.l2Dist(col(qvec), col(vecCol)).as("dist"))

@@ -338,13 +338,20 @@ object Operators {
       val qvec = p(params, "qvecCol", "qv")
       val k = p(params, "k", "10").toInt
       val nprobe = p(params, "nprobe", "3").toInt
+      // filtered search (the Milvus filter= kwarg): a SECOND input frame
+      // of allowed ids restricts candidates pre-distance (gann/ivf —
+      // the families carrying the raw-vector posting/leaf tables)
+      val allowedIn = ins.drop(1).headOption
+      require(allowedIn.isEmpty || Set("gann", "ivf").contains(kind),
+        s"ann_search: allowed-id filtering supports gann/ivf, got '$kind'")
+      val allowed = allowedIn.map(_.select(col(idCol)))
       kind match {
         case "gann" =>
           GannIndex.load(spark, path, idCol, vecCol)
-            .search(ins.head, qid, qvec, k)
+            .search(ins.head, qid, qvec, k, allowedIds = allowed)
         case "ivf" =>
           IvfIndex.load(spark, path, idCol, vecCol)
-            .search(ins.head, qid, qvec, k, nprobe)
+            .search(ins.head, qid, qvec, k, nprobe, allowedIds = allowed)
         case "pq" =>
           PqIndex.load(spark, path, idCol).search(ins.head, qid, qvec, k)
         case "ivfpq" =>

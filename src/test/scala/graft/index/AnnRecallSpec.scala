@@ -91,6 +91,31 @@ class AnnRecallSpec extends AnyFunSuite {
       "all-clusters filtered search must equal the exact filtered top-k")
   }
 
+  test("GANN filtered search: results stay allowed and equal the " +
+      "post-filtered full ranking of the same probed leaves") {
+    val model = GannIndex.build(emb, "vec_id", "embedding",
+      leafSize = 200, spill = 0.15, nTrees = 2)
+    val allowedDf = emb.filter(col("label") < 3).select(col("vec_id"))
+    val allowed = allowedDf.collect().map(_.getLong(0)).toSet
+    val filtered = model.search(queries, "qid", "qv", K,
+        allowedIds = Some(allowedDf))
+      .select("qid", "vec_id").collect()
+    assert(filtered.forall(r => allowed(r.getLong(1))),
+      "filtered search returned an id outside the allowed set")
+    // equivalence oracle: rank EVERYTHING in the same probed leaves
+    // (k = corpus size), post-filter to the allowed set, cut to K —
+    // pre-filter semantics must give the identical per-query id sets
+    val n = emb.count().toInt
+    val want = model.search(queries, "qid", "qv", n)
+      .select("qid", "vec_id", "rnk").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getInt(2))
+        .map(_.getLong(1)).filter(allowed).take(K).toSet).toMap
+    val got = filtered.groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(got == want,
+      "filtered GANN search diverged from the post-filtered full ranking")
+  }
+
   test("GANN spill tree recall@10 beats 0.5 at spill=0.15") {
     val model = GannIndex.build(emb, "vec_id", "embedding",
       leafSize = 64, spill = 0.15)

@@ -346,6 +346,28 @@ class OperatorsSpec extends AnyFunSuite {
       .execute()
     assert(hits.count() == 25, "5 queries x k=5")
     assert(hits.columns.toSet == Set("qid", "vec_id", "dist", "rnk"))
+
+    // filtered search: a SECOND input of allowed ids restricts
+    // candidates pre-distance (the Milvus filter= kwarg)
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val allowedDf = emb.filter(col("label") < 3)
+      .select(col("vec_id"))
+    val allowed = allowedDf.collect().map(_.getLong(0)).toSet
+    val fhits = Operators.make(spark, "transform", "ann_search",
+      Map("index" -> "ivf", "path" -> idx, "idCol" -> "vec_id",
+        "vecCol" -> "embedding", "k" -> "5", "nprobe" -> "4"))(
+      Seq(queries, allowedDf), Map.empty)
+    val ids = fhits.select("vec_id").collect().map(_.getLong(0))
+    assert(ids.nonEmpty && ids.forall(allowed),
+      "filtered ann_search returned ids outside the allowed set")
+    val e = intercept[IllegalArgumentException] {
+      Operators.make(spark, "transform", "ann_search",
+        Map("index" -> "pq", "path" -> idx))(
+        Seq(queries, allowedDf), Map.empty)
+    }
+    assert(e.getMessage.contains("allowed-id filtering"))
   }
 
   test("all eight index sinks land state and serve ann_search") {
