@@ -105,6 +105,16 @@ object Streams {
   private[graft] def batchesExecuted(name: String): Option[Long] =
     executedBatches.get(name)
 
+  /** Total state-store rows at the end of the last [[runToMemory]] run
+    * per sink name (sum over stateful operators) — the MEASURED form of
+    * each entry's bounded-state claim (e.g. the streaming domain cap's
+    * "one heap buffer per source": state rows must equal |sources|,
+    * never the document count). */
+  private val stateRowCounts =
+    new scala.collection.concurrent.TrieMap[String, Long]
+  private[graft] def stateRows(name: String): Option[Long] =
+    stateRowCounts.get(name)
+
   /** Run a streaming frame to completion against a memory sink and return
     * the materialized result (test/local harness). The throwaway
     * checkpoint goes to tmpfs when the host has one: the HDFS-backed
@@ -126,8 +136,11 @@ object Streams {
     var completed = false
     try {
       q.processAllAvailable()
-      Option(q.lastProgress).foreach(p =>
-        executedBatches.put(name, p.batchId + 1))
+      Option(q.lastProgress).foreach { p =>
+        executedBatches.put(name, p.batchId + 1)
+        stateRowCounts.put(name,
+          p.stateOperators.map(_.numRowsTotal).sum)
+      }
       completed = true
     } finally {
       q.stop()

@@ -53,6 +53,14 @@ class MultiBatchReplaySpec extends AnyFunSuite {
   test("q_stream_domain_cap merges per-source heap state across >=4 micro-batches") {
     StreamingQ.q_stream_domain_cap.run(spark, TestSpark.sf0001).count()
     assertMultiBatch("q_stream_domain_cap_sink")
+    // the bounded-state claim, MEASURED: one state row (serialized k=3
+    // heap buffer) per source — 20 at this SF — never the corpus size
+    val nSources = spark.read
+      .parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .select("source").distinct().count()
+    assert(Streams.stateRows("q_stream_domain_cap_sink").contains(nSources),
+      s"state rows ${Streams.stateRows("q_stream_domain_cap_sink")} != " +
+        s"$nSources sources — per-source heap state leaked")
   }
 
   test("staging writes chronological chunks: per-file ts ranges are disjoint and ordered") {
