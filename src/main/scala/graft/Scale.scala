@@ -58,8 +58,10 @@ object Scale {
     // round-12 curation/diagnostic additions (documents-only input):
     // the bounded-heap domain cap — the entry whose ratio PROVES the
     // no-window claim, since the N× corpus multiplies every source's
-    // row count while the heap still ships ≤k pairs per partition
-    "q_domain_cap")
+    // row count while the heap still ships ≤k pairs per partition —
+    // and the yield funnel (flag sums + the keeper aggregate: the
+    // report must track the pipeline's own cost, not stages × passes)
+    "q_domain_cap", "q_curation_funnel")
 
   private def buildScaled(spark: SparkSession, base: String, out: String,
       factor: Int): Unit = {
