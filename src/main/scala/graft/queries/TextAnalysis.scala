@@ -233,6 +233,54 @@ object TextAnalysis {
       |ORDER BY doc_id
       |""".stripMargin))
 
+  /** Winnowing fingerprint SET (the MOSS/Schleimer-Wilkerson-Aiken
+    * scheme): per document, hash every word 3-shingle, slide a window of
+    * w=4 positions, keep each window's MINIMUM hash, dedupe — the
+    * position-robust fingerprint set whose guarantee the global-min
+    * fingerprint ([[q_doc_fingerprint]]) can't give: any shared run of
+    * ≥ w+2 tokens between two documents shares at least one selected
+    * fingerprint, so partial overlaps (quotes, boilerplate blocks) are
+    * detectable from fingerprint intersections at ~1/w of the shingle
+    * volume. Documents with fewer than w shingles emit nothing
+    * (identically in both engines).
+    *
+    * Scale shape: the window partitions by doc_id and orders by
+    * position — groups bounded by DOCUMENT length, never corpus size
+    * (the same bound as the containment prefix window) — and the
+    * distinct collapses map-side before the presentation sort. The
+    * downstream join story is the usual posting equi-join on fp. */
+  val q_doc_winnow = Q(
+    "q_doc_winnow",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(0, 3)
+      Tables.spread(Tables(s, dir, "documents"))
+        .withColumn("g", shingles(tokens(col("text")), 3))
+        .select(col("doc_id"), size(col("g")).as("n"),
+          posexplode(col("g")).as(Seq("pos0", "sh")))
+        .select(col("doc_id"), col("n"), (col("pos0") + 1).as("pos"),
+          h32(col("sh")).as("hv"))
+        .withColumn("fp", min(col("hv")).over(w))
+        .filter(col("pos") <= col("n") - 3)
+        .select(col("doc_id"), col("fp")).distinct()
+        .orderBy(col("doc_id"), col("fp"))
+    },
+    Some(s"""
+      |WITH sh AS (
+      |  SELECT doc_id, unnest(g) AS s, generate_subscripts(g, 1) AS pos,
+      |    len(g) AS n
+      |  FROM (SELECT doc_id, ${Sql.shingles3("t")} AS g
+      |        FROM (SELECT doc_id, ${Sql.toks()} AS t FROM documents))),
+      |h AS (SELECT doc_id, pos, n, ${Sql.h32("s")} AS hv FROM sh),
+      |w AS (SELECT doc_id, pos, n,
+      |        min(hv) OVER (PARTITION BY doc_id ORDER BY pos
+      |          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      |      FROM h)
+      |SELECT DISTINCT doc_id, fp FROM w WHERE pos <= n - 3
+      |ORDER BY doc_id, fp
+      |""".stripMargin))
+
   /** Deterministic feature-hash embedding (dim=16): bucket = h32(tok) mod
     * dim, sign = ±1 from a salted hash, value = Σ signs. Integer-exact →
     * oracle hash-matches with no float tolerance. Long format (doc_id,
@@ -786,7 +834,7 @@ object TextAnalysis {
 
   val all: Seq[Q] = Seq(
     q_token_count, q_text_quality, q_gopher_rules, q_lang_id,
-    q_doc_fingerprint, q_embed_hash,
+    q_doc_fingerprint, q_doc_winnow, q_embed_hash,
     q_tfidf_top_terms, q_doc_chunks, q_doc_pages, q_repetition_ratio,
     q_pmi_bigrams, q_profile_quantiles, q_ngram_novelty, q_unigram_entropy,
     q_source_kl,
