@@ -61,7 +61,11 @@ object Scale {
     // row count while the heap still ships ≤k pairs per partition —
     // and the yield funnel (flag sums + the keeper aggregate: the
     // report must track the pipeline's own cost, not stages × passes)
-    "q_domain_cap", "q_curation_funnel")
+    "q_domain_cap", "q_curation_funnel",
+    // winnow overlap join: per-copy token bijection keeps fingerprints
+    // disjoint across copies, so candidate pairs grow linearly — the
+    // df-cap guard is exercised, the quadratic regime is not reachable
+    "q_dedup_winnow")
 
   private def buildScaled(spark: SparkSession, base: String, out: String,
       factor: Int): Unit = {

@@ -992,6 +992,53 @@ object Dedup {
 
   // q_dedup_embedding (the τ=0.45 dense regime) is deliberately NOT
   // registered — spec-only, see its scaladoc
+  /** Partial-overlap candidate pairs from winnowing fingerprints
+    * ([[TextAnalysis.q_doc_winnow]]'s consumer — the MOSS match step):
+    * documents sharing ≥ 2 selected fingerprints, with the shared count
+    * as the match strength. The winnowing guarantee makes this the
+    * detector for QUOTED RUNS (any shared ≥8-token run plants a common
+    * fingerprint), the overlap class between exact dedup (whole text)
+    * and containment (whole shingle set).
+    *
+    * Scale shape: an id-only posting equi-join on fp — the same bucketed
+    * pattern as every dedup join here — behind the standard MOSS "drop
+    * very common fingerprints" cut (df ≤ 50): a boilerplate fingerprint
+    * shared by m documents would otherwise emit m² candidate pairs, the
+    * exact blow-up the containment entry's planted-hot-shingle fixture
+    * measures; the df cap bounds pairs-per-fingerprint at 50² and drops
+    * only fingerprints that have stopped being discriminative. The cut
+    * is applied identically in the oracle, so the hash check covers it. */
+  val q_dedup_winnow = Q(
+    "q_dedup_winnow",
+    (s, dir) => {
+      // cache the fingerprint table: it feeds THREE plan branches (the
+      // df aggregate + both join sides), and recomputing the shingle-md5
+      // pipeline per branch is the dominant cost, not the join (the
+      // same reuse boundary as the minhash signature cache)
+      val fps = graft.core.Caches.cached(TextAnalysis.winnowFps(
+        Tables.spread(Tables(s, dir, "documents"))))
+      val rare = fps.groupBy(col("fp"))
+        .agg(count(lit(1)).as("df")).filter(col("df") <= 50)
+        .select(col("fp"))
+      val kept = fps.join(rare, Seq("fp"), "left_semi")
+      val a = kept.select(col("doc_id").as("a"), col("fp"))
+      val b = kept.select(col("doc_id").as("b"), col("fp"))
+      a.join(b, Seq("fp")).filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .orderBy(col("a"), col("b"))
+    },
+    Some(s"""
+      |WITH ${TextAnalysis.winnowSql},
+      |rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50),
+      |kept AS (SELECT doc_id, fp FROM fps JOIN rare USING (fp))
+      |SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_shared
+      |FROM kept x JOIN kept y ON x.fp = y.fp AND x.doc_id < y.doc_id
+      |GROUP BY x.doc_id, y.doc_id
+      |HAVING count(*) >= 2
+      |ORDER BY a, b
+      |""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q_dedup_incremental, q_dedup_incremental_bucketed, q_dedup_spans,
     q_dedup_scrub_spans,
@@ -999,6 +1046,6 @@ object Dedup {
     q_minhash_signatures,
     q_dedup_minhash_lsh, q_dedup_embedding_tight,
     q_dedup_semantic,
-    q_dedup_simhash,
+    q_dedup_simhash, q_dedup_winnow,
     q_dedup_components, q_dedup_cluster_sizes, q_dedup_keep_best)
 }

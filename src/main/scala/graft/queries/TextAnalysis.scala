@@ -249,35 +249,50 @@ object TextAnalysis {
     * (the same bound as the containment prefix window) — and the
     * distinct collapses map-side before the presentation sort. The
     * downstream join story is the usual posting equi-join on fp. */
-  val q_doc_winnow = Q(
-    "q_doc_winnow",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        .rowsBetween(0, 3)
-      Tables.spread(Tables(s, dir, "documents"))
-        .withColumn("g", shingles(tokens(col("text")), 3))
-        .select(col("doc_id"), size(col("g")).as("n"),
-          posexplode(col("g")).as(Seq("pos0", "sh")))
-        .select(col("doc_id"), col("n"), (col("pos0") + 1).as("pos"),
-          h32(col("sh")).as("hv"))
-        .withColumn("fp", min(col("hv")).over(w))
-        .filter(col("pos") <= col("n") - 3)
-        .select(col("doc_id"), col("fp")).distinct()
-        .orderBy(col("doc_id"), col("fp"))
-    },
-    Some(s"""
-      |WITH sh AS (
+  /** (doc_id, fp) winnowing fingerprint pairs, deduped — shared by
+    * [[q_doc_winnow]] and the overlap join ([[Dedup.q_dedup_winnow]]).
+    *
+    * The window-min runs INSIDE the per-document array (sequence →
+    * slice → array_min higher-order functions, whole-stage codegen):
+    * the first cut of this operator exploded every shingle position and
+    * ran a doc-partitioned running-min WINDOW, which sorts the entire
+    * exploded corpus by (doc_id, pos) — 9.9 s at sf0.1 and 3.7× at 10×
+    * data, all of it sort+shuffle that the per-row form doesn't do.
+    * Here nothing leaves the scan task until the deduped fingerprints
+    * explode (O(selected) rows, ~1/w of shingle volume). */
+  private[queries] def winnowFps(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .withColumn("hs", transform(shingles(tokens(col("text")), 3),
+        s => h32(s)))
+      .filter(size(col("hs")) >= 4)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(0), size(col("hs")) - 4),
+          i => array_min(slice(col("hs"), i + lit(1), lit(4)))))).as("fp"))
+
+  /** The q_doc_winnow winnow CTE, shared with the overlap join's oracle:
+    * yields DISTINCT (doc_id, fp). */
+  private[queries] val winnowSql: String = s"""
+      |sh AS (
       |  SELECT doc_id, unnest(g) AS s, generate_subscripts(g, 1) AS pos,
       |    len(g) AS n
       |  FROM (SELECT doc_id, ${Sql.shingles3("t")} AS g
       |        FROM (SELECT doc_id, ${Sql.toks()} AS t FROM documents))),
       |h AS (SELECT doc_id, pos, n, ${Sql.h32("s")} AS hv FROM sh),
-      |w AS (SELECT doc_id, pos, n,
+      |wn AS (SELECT doc_id, pos, n,
       |        min(hv) OVER (PARTITION BY doc_id ORDER BY pos
       |          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
-      |      FROM h)
-      |SELECT DISTINCT doc_id, fp FROM w WHERE pos <= n - 3
+      |      FROM h),
+      |fps AS (SELECT DISTINCT doc_id, fp FROM wn WHERE pos <= n - 3)""".stripMargin
+
+  val q_doc_winnow = Q(
+    "q_doc_winnow",
+    (s, dir) =>
+      winnowFps(Tables.spread(Tables(s, dir, "documents")))
+        .orderBy(col("doc_id"), col("fp")),
+    Some(s"""
+      |WITH $winnowSql
+      |SELECT doc_id, fp FROM fps
       |ORDER BY doc_id, fp
       |""".stripMargin))
 

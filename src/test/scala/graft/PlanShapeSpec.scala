@@ -42,7 +42,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_quality_percentile_filter", "q_tfidf_top_terms",
     "q_sparse_search", "q_bm25_search", "q_ngram_novelty",
     "q_unigram_entropy", "q_budget_select", "q_hybrid_rrf",
-    "q_knn_grouped", "q_corpus_delta", "q_domain_cap", "q_join_skew")
+    "q_knn_grouped", "q_corpus_delta", "q_domain_cap", "q_join_skew",
+    "q_dedup_winnow")
 
   // The round-10 rule that retired the engine's last single-task-per-
   // group shapes: any window that orders corpus rows (doc_id in its
