@@ -158,6 +158,34 @@ object Operators {
         .select(explode(col("_top.id")).as(idCol))
       in.join(kept, Seq(idCol), "left_semi")
     },
+    // winnowing partial-overlap pairs (the MOSS match step; the fixed
+    // oracle form is q_dedup_winnow): per-doc window-min fingerprints
+    // (codegen array HOFs, cached across branches), df-capped fp
+    // equi-join, pairs sharing >= minShared fingerprints with the
+    // shared count as match strength
+    "winnow_pairs" -> { (_, cp) => (ins, rp) =>
+      val params = cp ++ rp
+      val idCol = p(params, "idCol", "doc_id")
+      val textCol = p(params, "textCol", "text")
+      val maxDf = p(params, "maxDf", "50").toInt
+      val minShared = p(params, "minShared", "2").toInt
+      require(maxDf > 0 && minShared > 0,
+        s"winnow_pairs: maxDf/minShared must be > 0, got $maxDf/$minShared")
+      val fps = graft.core.Caches.cached(
+        graft.queries.TextAnalysis.winnowFps(
+          ins.head.select(col(idCol).as("doc_id"), col(textCol).as("text"))))
+      val rare = fps.groupBy(col("fp"))
+        .agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
+        .select(col("fp"))
+      val kept = fps.join(rare, Seq("fp"), "left_semi")
+      val a = kept.select(col("doc_id").as(s"${idCol}_a"), col("fp"))
+      val b = kept.select(col("doc_id").as(s"${idCol}_b"), col("fp"))
+      a.join(b, Seq("fp"))
+        .filter(col(s"${idCol}_a") < col(s"${idCol}_b"))
+        .groupBy(col(s"${idCol}_a"), col(s"${idCol}_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= minShared)
+    },
     // embedding near-dup pair table at a production cosine threshold:
     // SignLsh banded candidates (AND-bits/OR-bands hyperplane signs, a
     // bucketed equi-join — the scalable regime, see SCALE.md) + exact

@@ -260,7 +260,7 @@ object TextAnalysis {
     * data, all of it sort+shuffle that the per-row form doesn't do.
     * Here nothing leaves the scan task until the deduped fingerprints
     * explode (O(selected) rows, ~1/w of shingle volume). */
-  private[queries] def winnowFps(
+  private[graft] def winnowFps(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     docs
       .withColumn("hs", transform(shingles(tokens(col("text")), 3),

@@ -221,6 +221,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(all.count() == df.count())
   }
 
+  test("winnow_pairs matches the oracle entry's pairs through the registry") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val out = Operators.make(spark, "transform", "winnow_pairs")(
+      Seq(docs), Map.empty)
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = graft.queries.Dedup.q_dedup_winnow
+      .run(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, "registry winnow_pairs diverged from q_dedup_winnow")
+    // a permissive df cap with minShared=1 can only ADD pairs
+    val loose = Operators.make(spark, "transform", "winnow_pairs",
+      Map("maxDf" -> "1000", "minShared" -> "1"))(Seq(docs), Map.empty)
+    assert(loose.count() >= want.size.toLong)
+  }
+
   test("scrub_spans rewrites the non-keeper copy and passes unique docs " +
       "through") {
     import spark.implicits._
