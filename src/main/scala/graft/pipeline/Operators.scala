@@ -570,6 +570,20 @@ object Operators {
         .parquet(path)
       spark.read.parquet(path)
     },
+    // small-file compaction as a sink stage (graft.sink.Compaction):
+    // land the input at `path`, then rewrite it into ~targetBytes files
+    // at `compactTo` with the shuffle-free coalesce — the maintenance
+    // pass a per-trigger streaming sink's output needs before it is
+    // served; returns the compacted dataset
+    "compact" -> { (spark, cp) => (ins, rp) =>
+      val params = cp ++ rp
+      val path = req(params, "path", "sink/compact")
+      val out = req(params, "compactTo", "sink/compact")
+      val target = p(params, "targetBytes", (128L * 1024 * 1024).toString).toLong
+      ins.head.write.mode("overwrite").parquet(path)
+      graft.sink.Compaction.compactParquet(spark, path, out, target)
+      spark.read.parquet(out)
+    },
     // index-tier sinks — the reference's make_operator("sink", "local")
     // → GANN insert/index/search lifecycle (factory.py:29-64 routes to
     // tasks/sinks/local/__init__.py:8, whose real engine is

@@ -34,6 +34,31 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(m.search(qs, "qid", "qv", 5, nprobe = 2).count() == 0)
   }
 
+  test("domain_cap and winnow_pairs propagate empty frames") {
+    import graft.pipeline.Operators
+    val emptyDocs = Seq.empty[(Long, String, Long, String)]
+      .toDF("doc_id", "source", "score_mu", "text")
+    assert(Operators.make(spark, "transform", "domain_cap")(
+      Seq(emptyDocs), Map.empty).count() == 0)
+    assert(Operators.make(spark, "transform", "winnow_pairs")(
+      Seq(emptyDocs), Map.empty).count() == 0)
+    // short texts (< window shingles) also yield no pairs, not an error
+    val shorts = Seq((1L, "s", 0L, "a b"), (2L, "s", 0L, "a b")).toDF(
+      "doc_id", "source", "score_mu", "text")
+    assert(Operators.make(spark, "transform", "winnow_pairs")(
+      Seq(shorts), Map.empty).count() == 0)
+  }
+
+  test("filtered ANN search with an EMPTY allowed set yields zero rows") {
+    val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val model = IvfIndex.build(e, "vec_id", "embedding", k = 4)
+    val qs = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val none = e.filter(lit(false)).select(col("vec_id"))
+    assert(model.search(qs, "qid", "qv", 5, nprobe = 4,
+      allowedIds = Some(none)).count() == 0)
+  }
+
   test("hash embedder on empty text yields the zero vector") {
     val r = Seq("", "   ").toDF("text")
       .select(HashEmbed.embed(col("text"), 8).as("e")).collect()

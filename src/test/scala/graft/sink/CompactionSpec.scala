@@ -51,6 +51,20 @@ class CompactionSpec extends AnyFunSuite {
     assert(multiset(out) == before, "compaction changed the row multiset")
   }
 
+  test("registry sink 'compact' lands and rewrites in one stage") {
+    val land = tmp("graft_compact_sink_in")
+    val out = tmp("graft_compact_sink_out")
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .repartition(12)
+    val compacted = graft.pipeline.Operators.make(spark, "sink", "compact",
+      Map("path" -> land, "compactTo" -> out,
+        "targetBytes" -> (64L * 1024 * 1024).toString))(Seq(docs), Map.empty)
+    assert(compacted.count() == docs.count())
+    assert(dataFiles(out) < dataFiles(land),
+      "sink compact must reduce the file count here")
+    assert(multiset(out) == multiset(land))
+  }
+
   test("already-compact dataset is not split further") {
     val in = tmp("graft_compact_one_in")
     val out = tmp("graft_compact_one_out")
