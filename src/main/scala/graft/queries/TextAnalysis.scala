@@ -296,6 +296,47 @@ object TextAnalysis {
       |ORDER BY doc_id, fp
       |""".stripMargin))
 
+  /** Vocabulary growth curve (Heaps' law, measured): the corpus in 20
+    * equal doc-id slices, with the count of word types whose FIRST
+    * occurrence falls in each slice and the running vocabulary size —
+    * the curve that sizes tokenizer vocabularies and predicts OOV rates
+    * as a corpus grows ([[Corpus.q_ngram_novelty]] is the per-document
+    * attribution twin; this is the corpus-level summary).
+    *
+    * Scale shape: one (token → min doc_id) aggregate — vocabulary-sized,
+    * map-side combined, the same shuffle class as every term-statistics
+    * entry — then bucketing against a broadcast 1-row max and a running
+    * sum over the ≤20-row bucket table (the global window orders 20
+    * rows, never corpus rows). */
+  val q_vocab_growth = Q(
+    "q_vocab_growth",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tk = Tables.spread(Tables(s, dir, "documents"))
+        .select(col("doc_id"),
+          explode(array_distinct(tokens(col("text")))).as("tok"))
+      val first = tk.groupBy(col("tok")).agg(min(col("doc_id")).as("fd"))
+      val maxd = broadcast(first.agg(max(col("fd")).as("maxd")))
+      val buckets = first.crossJoin(maxd)
+        .select(expr("(fd * 20) div (maxd + 1)").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("new_types"))
+      buckets.select(col("bucket"), col("new_types"),
+          sum(col("new_types")).over(Window.orderBy(col("bucket")))
+            .as("cum_types"))
+        .orderBy(col("bucket"))
+    },
+    Some(s"""
+      |WITH tk AS (SELECT doc_id, unnest(list_distinct(t)) AS tok
+      |            FROM (SELECT doc_id, ${Sql.toks()} AS t FROM documents)),
+      |f AS (SELECT tok, min(doc_id) AS fd FROM tk GROUP BY tok),
+      |m AS (SELECT max(fd) AS maxd FROM f),
+      |b AS (SELECT (fd * 20) // (maxd + 1) AS bucket, count(*) AS new_types
+      |      FROM f, m GROUP BY 1)
+      |SELECT bucket, new_types,
+      |  CAST(sum(new_types) OVER (ORDER BY bucket) AS BIGINT) AS cum_types
+      |FROM b ORDER BY bucket
+      |""".stripMargin))
+
   /** Deterministic feature-hash embedding (dim=16): bucket = h32(tok) mod
     * dim, sign = ±1 from a salted hash, value = Σ signs. Integer-exact →
     * oracle hash-matches with no float tolerance. Long format (doc_id,
@@ -849,7 +890,7 @@ object TextAnalysis {
 
   val all: Seq[Q] = Seq(
     q_token_count, q_text_quality, q_gopher_rules, q_lang_id,
-    q_doc_fingerprint, q_doc_winnow, q_embed_hash,
+    q_doc_fingerprint, q_doc_winnow, q_vocab_growth, q_embed_hash,
     q_tfidf_top_terms, q_doc_chunks, q_doc_pages, q_repetition_ratio,
     q_pmi_bigrams, q_profile_quantiles, q_ngram_novelty, q_unigram_entropy,
     q_source_kl,

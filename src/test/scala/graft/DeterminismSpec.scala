@@ -54,7 +54,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q_join_skew",         // count-of-counts bit-width histogram (r12)
     "q_curation_funnel",   // per-stage yield sums over flag columns (r12)
     "q_doc_winnow",        // window-min fingerprint selection (r12)
-    "q_dedup_winnow")      // fp posting join + shared-count filter (r12)
+    "q_dedup_winnow",      // fp posting join + shared-count filter (r12)
+    "q_vocab_growth")      // vocab-sized min-doc aggregate + bucket cumsum (r12)
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, dir)
