@@ -128,6 +128,11 @@ object Scale {
     // a full-table re-run. A subset run also skips the fixed knob and
     // containment fixtures (their numbers are already on record).
     val only = args.drop(1).toSet
+    // EVERY named entry must be known — a typo in one of several names
+    // would otherwise yield a partial run that looks complete
+    val unknown = only.diff(MeasuredQueries.toSet)
+    require(unknown.isEmpty,
+      s"unknown MeasuredQueries: ${unknown.toSeq.sorted.mkString(", ")}")
     val measured =
       if (only.isEmpty) MeasuredQueries else MeasuredQueries.filter(only)
     require(measured.nonEmpty, s"no MeasuredQueries match $only")

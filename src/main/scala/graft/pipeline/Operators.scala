@@ -138,10 +138,13 @@ object Operators {
     // verb — "at most k docs per site/source by score"): bounded-heap
     // TopKAgg partial-aggregates map-side (≤k pairs per group per input
     // partition reach the shuffle — never a per-group rank window, whose
-    // hot-group sort is exactly what the cap exists to prevent), then an
-    // id-only left-semi join keeps the FULL surviving rows (ids shuffle,
-    // payloads don't). Ordering is (score DESC, id ASC); rows with a
-    // NULL score or id are dropped by the heap, like every rank they
+    // hot-group sort is exactly what the cap exists to prevent), then a
+    // (group, id)-keyed left-semi join keeps the FULL surviving rows
+    // (keys shuffle, payloads don't). The group key rides along so an id
+    // reused under two groups keeps only the group(s) whose heap
+    // selected it — an id-only join would keep ALL copies once any
+    // group picked the id. Ordering is (score DESC, id ASC); rows with
+    // a NULL score or id are dropped by the heap, like every rank they
     // could not deterministically hold.
     "domain_cap" -> { (_, cp) => (ins, rp) =>
       val params = cp ++ rp
@@ -155,8 +158,8 @@ object Operators {
         .groupBy(col(groupCol))
         .agg(graft.functions.TopKAgg.topK(
           -col(scoreCol).cast("double"), col(idCol).cast("long"), k).as("_top"))
-        .select(explode(col("_top.id")).as(idCol))
-      in.join(kept, Seq(idCol), "left_semi")
+        .select(col(groupCol), explode(col("_top.id")).as(idCol))
+      in.join(kept, Seq(groupCol, idCol), "left_semi")
     },
     // winnowing partial-overlap pairs (the MOSS match step; the fixed
     // oracle form is q_dedup_winnow): per-doc window-min fingerprints
@@ -579,6 +582,9 @@ object Operators {
       val params = cp ++ rp
       val path = req(params, "path", "sink/compact")
       val out = req(params, "compactTo", "sink/compact")
+      require(path != out, s"compact sink: path and compactTo must " +
+        s"differ (got '$path' for both) — the compaction rewrite is " +
+        "write-then-publish, never in place")
       val target = p(params, "targetBytes", (128L * 1024 * 1024).toString).toLong
       ins.head.write.mode("overwrite").parquet(path)
       graft.sink.Compaction.compactParquet(spark, path, out, target)

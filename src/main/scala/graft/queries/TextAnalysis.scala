@@ -307,20 +307,32 @@ object TextAnalysis {
     * map-side combined, the same shuffle class as every term-statistics
     * entry — then bucketing against a broadcast 1-row max and a running
     * sum over the ≤20-row bucket table (the global window orders 20
-    * rows, never corpus rows). */
+    * rows, never corpus rows). The slice width comes from the CORPUS
+    * max doc_id (round-12 ADVICE: the max FIRST-occurrence id collapses
+    * the trailing slices whenever the last documents introduce no new
+    * types — slices are of the doc-id range, not of where novelty
+    * happens to stop), a 1-row aggregate of the same scan; ALL 20
+    * slices are emitted, zero-count included, because the flat
+    * saturation tail IS the Heaps measurement (a templated corpus
+    * whose vocabulary is exhausted in slice 0 reports exactly that). */
   val q_vocab_growth = Q(
     "q_vocab_growth",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val tk = Tables.spread(Tables(s, dir, "documents"))
+      val docs = Tables.spread(Tables(s, dir, "documents"))
+      val tk = docs
         .select(col("doc_id"),
           explode(array_distinct(tokens(col("text")))).as("tok"))
       val first = tk.groupBy(col("tok")).agg(min(col("doc_id")).as("fd"))
-      val maxd = broadcast(first.agg(max(col("fd")).as("maxd")))
+      val maxd = broadcast(docs.agg(max(col("doc_id")).as("maxd")))
       val buckets = first.crossJoin(maxd)
         .select(expr("(fd * 20) div (maxd + 1)").as("bucket"))
         .groupBy(col("bucket")).agg(count(lit(1)).as("new_types"))
-      buckets.select(col("bucket"), col("new_types"),
+      val grid = s.range(20).select(col("id").as("bucket"))
+      grid.join(buckets, Seq("bucket"), "left")
+        .select(col("bucket"),
+          coalesce(col("new_types"), lit(0L)).as("new_types"))
+        .select(col("bucket"), col("new_types"),
           sum(col("new_types")).over(Window.orderBy(col("bucket")))
             .as("cum_types"))
         .orderBy(col("bucket"))
@@ -329,12 +341,15 @@ object TextAnalysis {
       |WITH tk AS (SELECT doc_id, unnest(list_distinct(t)) AS tok
       |            FROM (SELECT doc_id, ${Sql.toks()} AS t FROM documents)),
       |f AS (SELECT tok, min(doc_id) AS fd FROM tk GROUP BY tok),
-      |m AS (SELECT max(fd) AS maxd FROM f),
+      |m AS (SELECT max(doc_id) AS maxd FROM documents),
       |b AS (SELECT (fd * 20) // (maxd + 1) AS bucket, count(*) AS new_types
-      |      FROM f, m GROUP BY 1)
+      |      FROM f, m GROUP BY 1),
+      |g AS (SELECT range AS bucket FROM range(20)),
+      |bb AS (SELECT g.bucket, coalesce(b.new_types, 0) AS new_types
+      |       FROM g LEFT JOIN b USING (bucket))
       |SELECT bucket, new_types,
       |  CAST(sum(new_types) OVER (ORDER BY bucket) AS BIGINT) AS cum_types
-      |FROM b ORDER BY bucket
+      |FROM bb ORDER BY bucket
       |""".stripMargin))
 
   /** Deterministic feature-hash embedding (dim=16): bucket = h32(tok) mod

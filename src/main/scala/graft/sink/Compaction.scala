@@ -43,6 +43,18 @@ object Compaction {
       targetBytes: Long): (Int, Int) = {
     val inPath = new org.apache.hadoop.fs.Path(inDir)
     val fs = inPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // in-place compaction would destroy the only copy: the overwrite
+    // write deletes outDir BEFORE the lazy scan of inDir runs, so
+    // inDir == outDir turns the non-destructive rewrite into data loss.
+    // Compare fully-qualified, dot-segment-normalized URIs so "x",
+    // "./x", "a/./x" and "file:/.../x" spellings of the same dir are
+    // all caught (Hadoop Path normalizes "//" but keeps "." segments).
+    def canon(p: String) = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(p)).toUri.normalize()
+    require(canon(inDir) != canon(outDir),
+      s"compactParquet: inDir and outDir resolve to the same location " +
+        s"($inDir); compaction is write-then-publish — rewrite into a " +
+        "staging dir and swap after the rewrite commits")
     val parts = fs.listStatus(inPath)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     val bytes = parts.map(_.getLen).sum

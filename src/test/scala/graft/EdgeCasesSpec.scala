@@ -137,4 +137,25 @@ class EdgeCasesSpec extends AnyFunSuite {
       spark, "transform", "cosine_near_dup", Map("bands" -> "4", "bits" -> "4"))
     assert(nd(Seq(emptyVecs), Map.empty).count() == 0)
   }
+
+  test("q_budget_select keeps the top score group when no whole group fits") {
+    // round-12 ADVICE edge: a language whose single HIGHEST score group
+    // already overflows the 2/5 token budget must fall back to keeping
+    // that top group (never silently drop the whole language). Fixture:
+    // docs 1-4 are all stopwords (score_mu 1 000 000, 16 of 20 tokens —
+    // over the budget of 8), docs 5-6 score 0; only the top group stays.
+    val dir = java.nio.file.Files.createTempDirectory("budget_edge").toString
+    Seq(
+      (1L, "the the the the", "xx", "s", 15L),
+      (2L, "the the the the", "xx", "s", 15L),
+      (3L, "the the the the", "xx", "s", 15L),
+      (4L, "the the the the", "xx", "s", 15L),
+      (5L, "zebra apple", "xx", "s", 11L),
+      (6L, "zebra apple", "xx", "s", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val kept = SparkEntry.queries("q_budget_select")(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(1L, 2L, 3L, 4L))
+  }
 }

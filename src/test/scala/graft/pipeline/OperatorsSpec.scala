@@ -221,6 +221,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(all.count() == df.count())
   }
 
+  test("domain_cap drops an id's copy in a group whose heap rejected it") {
+    import spark.implicits._
+    // round-12 ADVICE: doc_id 10 lives under TWO sources — selected by
+    // "a" (its only doc) but ranked 4th of 4 in "b" at k=3. An id-only
+    // re-attach join would keep BOTH copies once "a" picked the id; the
+    // (group, id) join must drop the (b, 10) row.
+    val df = Seq(
+      (10L, "a", 100L, "pa"),
+      (10L, "b", 1L, "pb"), (11L, "b", 50L, "p1"),
+      (12L, "b", 50L, "p2"), (13L, "b", 50L, "p3"))
+      .toDF("doc_id", "source", "score_mu", "text")
+    val out = Operators.make(spark, "transform", "domain_cap",
+      Map("k" -> "3"))(Seq(df), Map.empty)
+    val got = out.select("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("a", 10L), ("b", 11L), ("b", 12L), ("b", 13L)))
+  }
+
   test("winnow_pairs matches the oracle entry's pairs through the registry") {
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
     val out = Operators.make(spark, "transform", "winnow_pairs")(

@@ -65,6 +65,33 @@ class CompactionSpec extends AnyFunSuite {
     assert(multiset(out) == multiset(land))
   }
 
+  test("in-place compaction is refused, under every path spelling") {
+    val in = tmp("graft_compact_same")
+    spark.range(10).write.mode("overwrite").parquet(in)
+    // identical string, a relative respelling, and a qualified URI all
+    // resolve to the same dir — each would let the overwrite delete the
+    // scan source (round-12 ADVICE, medium)
+    intercept[IllegalArgumentException] {
+      Compaction.compactParquet(spark, in, in, 1024L)
+    }
+    intercept[IllegalArgumentException] {
+      Compaction.compactParquet(spark, in, s"file:$in", 1024L)
+    }
+    intercept[IllegalArgumentException] {
+      val parent = new java.io.File(in).getParent
+      val name = new java.io.File(in).getName
+      Compaction.compactParquet(spark, in, s"$parent/./$name", 1024L)
+    }
+    // the registry sink fails fast on the same collision
+    intercept[IllegalArgumentException] {
+      graft.pipeline.Operators.make(spark, "sink", "compact",
+        Map("path" -> in, "compactTo" -> in))(
+        Seq(spark.range(1).toDF()), Map.empty)
+    }
+    // data untouched by the refused calls
+    assert(spark.read.parquet(in).count() == 10)
+  }
+
   test("already-compact dataset is not split further") {
     val in = tmp("graft_compact_one_in")
     val out = tmp("graft_compact_one_out")

@@ -40,6 +40,21 @@ class VectorTableSpec extends AnyFunSuite {
     assert(gotIds.sameElements(brute))
   }
 
+  test("dirTag separates dataset dirs that collide under String.hashCode") {
+    // "Aa" and "BB" are the canonical 32-bit hashCode collision — under
+    // the pre-round-12 String.hashCode tag these two dataset dirs would
+    // have shared catalog tables, the second build silently serving the
+    // first's delta (round-12 ADVICE). The 60-bit md5 tag keeps them
+    // distinct (and stays a valid identifier charset: lowercase hex).
+    val a = "/data/crawl-Aa"
+    val b = "/data/crawl-BB"
+    assert(a.hashCode == b.hashCode) // the collision the old tag had
+    assert(VectorTable.dirTag(a) != VectorTable.dirTag(b))
+    assert(VectorTable.dirTag(a).matches("[0-9a-f]{15}"))
+    // deterministic across calls — memo keys and table names agree
+    assert(VectorTable.dirTag(a) == VectorTable.dirTag(a))
+  }
+
   test("cosine search ranks the query vector itself first") {
     val t = VectorTable.load(spark, tablePath).cache()
     val q = t.filter(col("vec_id") === 9).select("embedding")
