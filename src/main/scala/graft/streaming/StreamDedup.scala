@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.queries.Dedup
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -17,28 +17,109 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   * Exactly-once like [[IndexMaintain]]: all three state/output surfaces
   * land under batch-keyed dirs with overwrite semantics, and the
-  * candidate join reads ONLY partitions with batch < current (partition
-  * pruning on the dir key), so an at-least-once replay of a micro-batch
-  * replaces its own state and can never match against it —
+  * candidate join reads ONLY state with batch < current (partition
+  * pruning on the dir key for live batch dirs; a plain data-column
+  * filter on the compacted base), so an at-least-once replay of a
+  * micro-batch replaces its own state and can never match against it —
   * StreamLshDedupSpec pins restart-resume.
+  *
+  * == The 100 TB state discipline (round-12 verdict) ==
+  *
+  * Per-batch cost must track the BATCH, not the accumulated corpus:
+  *
+  *  - '''Broadcast-pinned joins.''' Every per-batch join explicitly
+  *    `broadcast()`s its bounded batch-derived side — the banded batch
+  *    in the candidate join, the candidate id-pairs in the shingle
+  *    re-attach, the batch shingles in the verify join, the matched ids
+  *    in the output anti join — so the corpus-sized state side is only
+  *    ever SCANNED, never shuffled. Without the pins the optimizer is
+  *    free to sort-merge the full accumulated state each micro-batch: a
+  *    per-batch Exchange linear in corpus size, quadratic over the
+  *    stream's life. StreamLshDedupSpec pins the plan (no Exchange
+  *    anywhere above a raw state scan). The only shuffles left are
+  *    candidate-scale: the id-pair `distinct` and the matched-id
+  *    `distinct`, whose cardinality is driven by the batch's band
+  *    collisions, not by corpus size.
+  *  - '''Compacted at-rest state.''' Live state lands as one dir per
+  *    micro-batch (the idempotence unit), which unbounded would fragment
+  *    scans and file listings. [[compactState]] folds the accumulated
+  *    batch dirs into `bands_base`/`sh_base` at maintenance windows —
+  *    the [[graft.index.Blocks.compactStreamBlocks]] discipline applied
+  *    to dedup state, sized by [[graft.sink.Compaction.planFiles]] so
+  *    the base is ~targetBytes files regardless of how many triggers
+  *    produced it. The fold keeps `batch` as a DATA column, so the
+  *    serving read applies the same `batch < current` pruning to the
+  *    base — a replay of a folded boundary batch re-lands its dir and
+  *    stays blind to its own folded rows (the candidate `distinct`
+  *    absorbs the transient dir∪base double-count of that one batch).
+  *    Bucketing the base would buy nothing here: with the batch side
+  *    broadcast-pinned the state never enters a shuffle for the join to
+  *    elide, so the at-rest lever is file count/size, not bucket
+  *    co-location (contrast `VectorTable.writeBucketed`, whose
+  *    bucket-join consumers shuffle NEITHER side because BOTH are
+  *    corpus-sized — here one side is always a bounded micro-batch).
   *
   * Scale shape: state is (band, bkey, doc_id) triples — id-only; the
   * shingle arrays join in just for band-verified candidates (the
-  * q_dedup_minhash_lsh discipline), and the band join is a bucketed
-  * equi-join per micro-batch (batch × state-bucket, never
-  * batch × corpus).
+  * q_dedup_minhash_lsh discipline).
   */
 object StreamDedup {
+
+  private def bandsRoot(stateRoot: String) = s"$stateRoot/bands"
+  private def shRoot(stateRoot: String) = s"$stateRoot/sh"
+  private def bandsBase(stateRoot: String) = s"$stateRoot/bands_base"
+  private def shBase(stateRoot: String) = s"$stateRoot/sh_base"
+
+  private def exists(sp: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(sp.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Accumulated state strictly BEFORE `batchId`: compacted base (batch
+    * is a data column there) ∪ live batch dirs (batch is the partition
+    * dir key) — None when neither exists yet. `cols` projects both
+    * sides to one layout. */
+  private def readState(sp: SparkSession, stateRoot: String, kind: String,
+      batchId: Long, cols: Seq[String]): Option[DataFrame] = {
+    val live = s"$stateRoot/$kind"
+    val base = s"$stateRoot/${kind}_base"
+    val parts = Seq(live, base).filter(exists(sp, _)).map(d =>
+      sp.read.parquet(d).filter(col("batch") < batchId)
+        .select(cols.map(col): _*))
+    parts.reduceOption(_.unionByName(_))
+  }
+
+  /** The per-batch admission core, exposed for plan-shape pinning:
+    * matched (near-dup-of-earlier) doc ids of the current batch, given
+    * the batch's shingles `d` (doc_id, sh, nsh), its band keys `banded`
+    * (doc_id, band, bkey), and the prior band/shingle state. Both state
+    * frames are corpus-sized; every join broadcasts the bounded side so
+    * state rows are scanned, never shuffled. */
+  private[streaming] def matchedAgainstState(d: DataFrame, banded: DataFrame,
+      pb: DataFrame, psh: DataFrame, verifyT: Double): DataFrame = {
+    val cand = pb
+      .select(col("doc_id").as("prev_id"), col("band"), col("bkey"))
+      .join(broadcast(banded.select(col("doc_id").as("new_id"),
+        col("band"), col("bkey"))), Seq("band", "bkey"))
+      .select(col("prev_id"), col("new_id")).distinct()
+    psh.select(col("doc_id").as("prev_id"),
+        col("sh").as("sh_p"), col("nsh").as("np"))
+      .join(broadcast(cand), Seq("prev_id"))
+      .join(broadcast(d.select(col("doc_id").as("new_id"),
+        col("sh").as("sh_n"), col("nsh").as("nn"))), Seq("new_id"))
+      .filter(Dedup.jaccard(col("sh_p"), col("sh_n"),
+        col("np"), col("nn")) >= verifyT)
+      .select(col("new_id").as("doc_id")).distinct()
+  }
 
   /** Attach the LSH admission loop to a document stream (doc_id, text,
     * ...). Admitted ids land under `stateRoot/admitted/batch=<n>` with
     * n = batchId + 1 (1-based, matching an ntile replay oracle); band
-    * and shingle state under `stateRoot/bands|sh/batch=<batchId>`. The
-    * returned query is live; callers own its lifecycle. */
+    * and shingle state under `stateRoot/bands|sh/batch=<batchId>` (live)
+    * plus `stateRoot/bands_base|sh_base` once [[compactState]] has run.
+    * The returned query is live; callers own its lifecycle. */
   def lshAdmit(docs: DataFrame, stateRoot: String, checkpoint: String,
       verifyT: Double = Dedup.MINHASH_VERIFY_T): StreamingQuery = {
-    val bandsRoot = s"$stateRoot/bands"
-    val shRoot = s"$stateRoot/sh"
     val outRoot = admittedRoot(stateRoot)
     docs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -47,43 +128,84 @@ object StreamDedup {
         val d = Dedup.shingleOf(batch.toDF()).cache()
         val banded = Dedup.bandedOf(d).cache()
         try {
-          val matched =
-            if (batchId == 0L)
-              sp.range(0).select(col("id").as("doc_id"))
-            else {
-              val pb = sp.read.parquet(bandsRoot).filter(col("batch") < batchId)
-              val psh = sp.read.parquet(shRoot).filter(col("batch") < batchId)
-              val cand = pb
-                .select(col("doc_id").as("prev_id"), col("band"), col("bkey"))
-                .join(banded.select(col("doc_id").as("new_id"),
-                  col("band"), col("bkey")), Seq("band", "bkey"))
-                .select(col("prev_id"), col("new_id")).distinct()
-              cand
-                .join(psh.select(col("doc_id").as("prev_id"),
-                  col("sh").as("sh_p"), col("nsh").as("np")), Seq("prev_id"))
-                .join(d.select(col("doc_id").as("new_id"),
-                  col("sh").as("sh_n"), col("nsh").as("nn")), Seq("new_id"))
-                .filter(Dedup.jaccard(col("sh_p"), col("sh_n"),
-                  col("np"), col("nn")) >= verifyT)
-                .select(col("new_id").as("doc_id")).distinct()
-            }
-          // `batch` is NOT a data column — it comes back from the
-          // partition dir key on read (a same-named data column would
-          // collide with partition discovery)
+          val matched = (
+            readState(sp, stateRoot, "bands", batchId,
+              Seq("doc_id", "band", "bkey")),
+            readState(sp, stateRoot, "sh", batchId,
+              Seq("doc_id", "sh", "nsh"))) match {
+            case (Some(pb), Some(psh)) =>
+              matchedAgainstState(d, banded, pb, psh, verifyT)
+            case _ => sp.range(0).select(col("id").as("doc_id"))
+          }
+          // `batch` is NOT a data column in the live dirs — it comes
+          // back from the partition dir key on read (a same-named data
+          // column would collide with partition discovery)
           batch.toDF().select(col("doc_id"))
-            .join(matched, Seq("doc_id"), "left_anti")
+            .join(broadcast(matched), Seq("doc_id"), "left_anti")
             .write.mode("overwrite").parquet(s"$outRoot/batch=${batchId + 1}")
           // state append AFTER the match (an at-least-once replay
           // overwrites these same dirs; the batch< filter above makes
           // the replay blind to them)
           banded.write.mode("overwrite")
-            .parquet(s"$bandsRoot/batch=$batchId")
+            .parquet(s"${bandsRoot(stateRoot)}/batch=$batchId")
           d.select(col("doc_id"), col("sh"), col("nsh"))
-            .write.mode("overwrite").parquet(s"$shRoot/batch=$batchId")
+            .write.mode("overwrite").parquet(s"${shRoot(stateRoot)}/batch=$batchId")
         } finally { d.unpersist(); banded.unpersist() }
         ()
       }
       .start()
+  }
+
+  /** MAINTENANCE-WINDOW state compaction: fold every live
+    * `bands|sh/batch=*` dir (plus any previous base) into
+    * `bands_base`/`sh_base` — ~`targetBytes` parquet files total, batch
+    * preserved as a data column — and drop the live dirs. Returns false
+    * (no-op) when no live state exists.
+    *
+    * Contract (same as [[graft.index.Blocks.compactStreamBlocks]]): run
+    * ONLY while the admission stream is stopped AND its checkpoint fully
+    * committed. The swap is write-to-staging then delete-and-rename
+    * (on a real deployment: a table-format manifest commit); the
+    * staging dir survives a crash for manual recovery. Even if a
+    * resumed stream replays the boundary batch, the base's `batch`
+    * data column keeps the replay blind to its own folded rows — see
+    * the class doc. */
+  def compactState(spark: SparkSession, stateRoot: String,
+      targetBytes: Long = 128L * 1024 * 1024): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def foldOne(kind: String, cols: Seq[String]): Boolean = {
+      val live = new org.apache.hadoop.fs.Path(s"$stateRoot/$kind")
+      val fs = live.getFileSystem(conf)
+      if (!fs.exists(live)) return false
+      val base = new org.apache.hadoop.fs.Path(s"$stateRoot/${kind}_base")
+      val withBatch = cols :+ "batch"
+      val liveDf = spark.read.parquet(live.toString)
+        .withColumn("batch", col("batch").cast("long"))
+        .select(withBatch.map(col): _*)
+      val all =
+        if (fs.exists(base))
+          spark.read.parquet(base.toString).select(withBatch.map(col): _*)
+            .unionByName(liveDf)
+        else liveDf
+      // size the base like any corpus compaction: ⌈bytes/target⌉ files
+      // via a NARROW coalesce (see graft.sink.Compaction) — state scans
+      // then pay O(base files), not O(total triggers ever fired)
+      val bytes =
+        (fs.getContentSummary(live).getLength
+          + (if (fs.exists(base)) fs.getContentSummary(base).getLength else 0L))
+      val n = graft.sink.Compaction.planFiles(bytes, targetBytes)
+      val staging = s"$stateRoot/${kind}_compact"
+      val folded = all
+      (if (folded.rdd.getNumPartitions > n) folded.coalesce(n) else folded)
+        .write.mode("overwrite").parquet(staging)
+      fs.delete(base, true)
+      fs.delete(live, true)
+      fs.rename(new org.apache.hadoop.fs.Path(staging), base)
+      true
+    }
+    val b = foldOne("bands", Seq("doc_id", "band", "bkey"))
+    val s = foldOne("sh", Seq("doc_id", "sh", "nsh"))
+    b || s
   }
 
   /** Where [[lshAdmit]] lands admitted ids (partitioned by `batch`). */

@@ -96,4 +96,92 @@ class StreamLshDedupSpec extends AnyFunSuite {
     try q2.processAllAvailable() finally q2.stop()
     assert(admitted(state) == wantAdmitted)
   }
+
+  test("per-batch plan: corpus state is scanned, never shuffled or " +
+      "broadcast raw — every state-side join broadcasts the batch side") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.{
+      BroadcastExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import graft.queries.Dedup
+    val stateDir = tmp("planstate").toString
+    // state fixtures ON DISK so the state side is a real file scan — the
+    // shape the verdict flagged: nothing used to stop the optimizer from
+    // shuffling these (corpus-sized at 100 TB) frames every micro-batch
+    val corpus = Dedup.shingleOf(docs((1L to 60L).map(i =>
+      i -> s"w$i x$i y$i z$i common tail tokens here")))
+    Dedup.bandedOf(corpus)
+      .write.mode("overwrite").parquet(s"$stateDir/pb")
+    corpus.select(col("doc_id"), col("sh"), col("nsh"))
+      .write.mode("overwrite").parquet(s"$stateDir/psh")
+    val wasAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val d = Dedup.shingleOf(docs(Seq(
+        100L -> "w7 x7 y7 z7 common tail tokens here",
+        101L -> "fresh words only never seen")))
+      val m = StreamDedup.matchedAgainstState(d, Dedup.bandedOf(d),
+        spark.read.parquet(s"$stateDir/pb"),
+        spark.read.parquet(s"$stateDir/psh"), 0.7)
+      val plan = m.queryExecution.executedPlan
+      def isStateScan(p: SparkPlan): Boolean = p match {
+        case f: FileSourceScanExec =>
+          f.relation.location.rootPaths.exists(_.toString.contains("planstate"))
+        case _ => false
+      }
+      // a state scan is "exposed" at a node if raw state rows can reach
+      // it without first passing through a broadcast join (post-join
+      // rows are candidate-scale — bounded by the batch's collisions)
+      def exposed(p: SparkPlan): Boolean = p match {
+        case _: BroadcastHashJoinExec => false
+        case s if isStateScan(s) => true
+        case other => other.children.exists(exposed)
+      }
+      val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+      shuffles.foreach(s => assert(!exposed(s.child),
+        s"raw state rows enter a shuffle:\n${s.treeString}"))
+      val bcasts = plan.collect { case b: BroadcastExchangeExec => b }
+      bcasts.foreach(b => assert(!exposed(b.child),
+        s"raw corpus state is broadcast:\n${b.treeString}"))
+      val joins = plan.collect { case j: BroadcastHashJoinExec => j }
+      assert(joins.size >= 3,
+        s"expected the band/re-attach/verify joins to all be broadcast " +
+          s"hash joins, found ${joins.size}")
+      assert(plan.collect { case s: SparkPlan
+        if s.nodeName.contains("SortMergeJoin") => s }.isEmpty)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", wasAqe)
+  }
+
+  test("compactState folds batch dirs into a sized base; admission " +
+      "decisions across the maintenance window are unchanged") {
+    val landing = tmp("cland"); val state = tmp("cstate"); val ck = tmp("cck")
+    val base = System.currentTimeMillis()
+    chunks.take(2).zipWithIndex.foreach { case (c, i) =>
+      land(landing, docs(c), i, base) }
+    val q1 = StreamDedup.lshAdmit(stream(landing), state.toString, ck.toString)
+    try q1.processAllAvailable() finally q1.stop()
+    // maintenance window: stream stopped, checkpoint committed
+    assert(StreamDedup.compactState(spark, state.toString))
+    assert(!java.nio.file.Files.exists(state.resolve("bands")),
+      "live batch dirs must fold away")
+    assert(java.nio.file.Files.exists(state.resolve("bands_base")))
+    assert(java.nio.file.Files.exists(state.resolve("sh_base")))
+    // a second compaction in the same window is a no-op, not a corruption
+    assert(!StreamDedup.compactState(spark, state.toString))
+    // resume: batches 3-4 must dedup against the COMPACTED state
+    chunks.drop(2).zipWithIndex.foreach { case (c, i) =>
+      land(landing, docs(c), i + 2, base) }
+    val q2 = StreamDedup.lshAdmit(stream(landing), state.toString, ck.toString)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(admitted(state) == wantAdmitted)
+    // every doc's bands still reachable: compacted base ∪ new live dirs
+    val baseIds = spark.read.parquet(s"$state/bands_base")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    val liveIds = spark.read.parquet(s"$state/bands")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(baseIds == chunks.take(2).flatten.map(_._1).toSet)
+    assert((baseIds ++ liveIds) == chunks.flatten.map(_._1).toSet)
+    // the base keeps batch as a data column for the < current pruning
+    assert(spark.read.parquet(s"$state/bands_base").columns.contains("batch"))
+  }
 }
