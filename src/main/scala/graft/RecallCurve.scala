@@ -51,7 +51,7 @@ object RecallCurve {
     }
 
     val ivfbq = IvfBq.build(e, "vec_id", "embedding", kCoarse = 8)
-    Seq(4, 6, 8).foreach { np =>
+    Seq(4, 6, 7, 8).foreach { np =>
       shortlists.foreach { sl =>
         val r = RecallReport.recallOfDf(
           ivfbq.searchRerank(queries, "qid", "qv", k, np, sl, e, "embedding"),

@@ -237,10 +237,14 @@ object RecallReport {
     * ivfpq 0.941 at FLAT entry times (each re-timed at or below its
     * r11 level; the deeper shortlists ride the same broadcast-rerank
     * join). Floors follow at measured−0.02. gann 0.891, bq 0.898,
-    * ivfbq 0.856, sq 1.000, lsh 0.990, hll err 0.0047 are unchanged. */
+    * sq 1.000, lsh 0.990, hll err 0.0047 are unchanged.
+    *
+    * Round 13 ratchet: ivfbq — the tier r12 left at 0.856 — moves
+    * nprobe 6→7 + shortlist 400→800 (the same rerank-widening knob),
+    * measured 0.952 at sf0.1; floor 0.83 → 0.93 = measured−0.02. */
   private[graft] val recallFloors: Map[String, Double] = Map(
     "q_ann_ivf" -> 0.90, "q_ann_gann" -> 0.87, "q_ann_pq" -> 0.92,
-    "q_ann_ivfpq" -> 0.92, "q_ann_bq" -> 0.87, "q_ann_ivfbq" -> 0.83,
+    "q_ann_ivfpq" -> 0.92, "q_ann_bq" -> 0.87, "q_ann_ivfbq" -> 0.93,
     "q_ann_sq" -> 0.98, "q_ann_ivfsq" -> 0.90,
     // stream-maintained GANN (base 3/4 build + 1/4 streamed block
     // appends through the frozen forest): tracks q_ann_gann's level —

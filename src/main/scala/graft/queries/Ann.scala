@@ -178,16 +178,20 @@ object Ann {
     },
     None)
 
-  /** IVF-BQ (cluster-pruned 1-bit residual codes): probe 6 of 8
+  /** IVF-BQ (cluster-pruned 1-bit residual codes): probe 7 of 8
     * clusters, Hamming over the probed posting lists via the codegen
     * HammingWords kernel, exact rerank — the binary sibling of IVF-PQ
     * (recall/monotonicity/roundtrip/insert pinned in IvfBqSpec).
-    * nprobe=6 + shortlist=400: the measured sweep (SCALE.md;
-    * graft.RecallCurve) shows nprobe=4 CEILINGS at 0.77 recall@10 no
-    * matter the shortlist (cluster-miss bound), while nprobe=6 with the
-    * same 40×k tie-band oversampling the flat BQ tier needs reaches
-    * 0.84 — 1-bit codes are cheap enough that probing 6/8 posting lists
-    * still touches 64× less data than the raw vectors. */
+    * nprobe=7 + shortlist=800 (round 13 ratchet — the tier the r12
+    * verdict left behind at 0.856): the measured sweep (SCALE.md;
+    * graft.RecallCurve) shows nprobe=4 CEILINGS at 0.78 recall@10 no
+    * matter the shortlist (cluster-miss bound), and at any nprobe the
+    * 1-bit tie band dominates until the shortlist is ~80×k — 0.856 /
+    * 0.916 at nprobe=6 sl=400/800, 0.952 at nprobe=7 sl=800 vs the
+    * flat-BQ 0.980 at sl=800. The deep shortlist is the same
+    * rerank-widening knob that lifted ivf/pq in round 12, and 1-bit
+    * codes are cheap enough that probing 7/8 posting lists still
+    * touches 64× less data than the raw vectors. */
   val q_ann_ivfbq = Q(
     "q_ann_ivfbq",
     (s, dir) => {
@@ -197,7 +201,7 @@ object Ann {
       val queries = e.filter(col("vec_id") < 100)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       model.searchRerank(queries, "qid", "qv", k = 10,
-          nprobe = 6, shortlist = 400, vectors = e, vecCol = "embedding")
+          nprobe = 7, shortlist = 800, vectors = e, vecCol = "embedding")
         .select(col("qid"), col("vec_id"), round(col("dist"), 6).as("dist"), col("rnk"))
         .orderBy(col("qid"), col("rnk"))
     },

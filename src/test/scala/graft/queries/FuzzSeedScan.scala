@@ -13,9 +13,19 @@ object FuzzSeedScan {
   def main(args: Array[String]): Unit = {
     val spark = TestSpark.spark
     val dir = TestSpark.sf0001
-    val max = args.headOption.map(_.toInt).getOrElse(200)
+    // --window: scan NON-forceAgg plans for window-bearing candidates
+    // (shape 5 rank/RANGE variants never draw under forceAgg); report
+    // the join rendering so promotion can avoid NULL-extending outer
+    // joins (int-with-NULL columns coerce engine-dependently in the
+    // pandas/duckdb compare path — aggregates dodge it, windows must
+    // pick seeds without dimf joins)
+    val window = args.contains("--window")
+    val max = args.filterNot(_.startsWith("--"))
+      .headOption.map(_.toInt).getOrElse(200)
     (1 to max).foreach { seed =>
-      val p = Fuzz.plan(seed.toLong, forceAgg = true)
+      val p = Fuzz.plan(seed.toLong, forceAgg = !window)
+      if (window && !p.sql.contains("OVER (")) ()
+      else {
       val rows =
         try p.run(spark, dir).count()
         catch { case e: Throwable => println(s"SEED $seed ERROR $e"); -1L }
@@ -25,6 +35,10 @@ object FuzzSeedScan {
         else if (sql.contains("NOT EXISTS")) "ANTI"
         else if (sql.contains("EXISTS")) "SEMI"
         else if (sql.contains("JOIN")) "JOIN" else "",
+        if (sql.contains("JOIN (SELECT")) "OUTER" else "",
+        if (sql.contains("rank() OVER")) "RANK" else "",
+        if (sql.contains("RANGE BETWEEN")) "RANGEW" else "",
+        if (sql.contains("ROWS BETWEEN")) "ROWSW" else "",
         if (sql.contains("HAVING")) "HAVING" else "",
         if (sql.contains("ROLLUP")) "ROLLUP" else "",
         if (sql.contains("CUBE")) "CUBE" else "",
@@ -32,7 +46,8 @@ object FuzzSeedScan {
         if (sql.contains("(SELECT min") || sql.contains("(SELECT max")) "CORRSUB" else "",
         if (sql.contains("GROUP BY")) "GRP" else "")
         .filter(_.nonEmpty).mkString("+")
-      println(s"SEED $seed rows=$rows feats=$feats sql=${sql.take(160)}")
+      println(s"SEED $seed rows=$rows feats=$feats sql=${sql.take(200)}")
+      }
     }
     spark.stop()
   }
