@@ -849,17 +849,33 @@ object Fuzz {
       val subPred = if (rnd.nextInt(3) > 0) Some(genPred(rnd, j.dim.cols)) else None
       val basePred = if (rnd.nextBoolean()) Some(genPred(rnd, base.cols)) else None
       val proj = rnd.shuffle(base.cols).take(2 + rnd.nextInt(2)).map(_.name).sorted
+      // LATERAL × aggregate-FILTER edge (round 13, seed bit 9, drawn
+      // LAST so the draw stream of every other seed is unchanged): the
+      // correlated aggregate carries FILTER (WHERE p) — correlation and
+      // the filter clause must compose (DuckDB evaluates the filter
+      // inside the lateral; Spark's decorrelated rewrite must apply it
+      // to the group side BEFORE aggregation, which the conditional
+      // aggregate encodes); an all-filtered group NULLs lval exactly
+      // like an empty lateral match.
+      val aggFilter =
+        if ((seed & 512L) != 0L) Some(genPred(rnd, j.dim.cols)) else None
       val fn = if (isMin) "min" else "max"
+      val filterSql =
+        aggFilter.map(p => s" FILTER (WHERE ${p.sql})").getOrElse("")
       val sql = s"SELECT ${proj.mkString(", ")}, lval FROM ${base.name}, LATERAL (" +
-        s"SELECT $fn(${x.name}) AS lval FROM ${j.dim.name} WHERE " +
+        s"SELECT $fn(${x.name})$filterSql AS lval FROM ${j.dim.name} WHERE " +
         s"${j.dim.name}.${j.rightKey} = ${base.name}.${j.leftKey}" +
         subPred.map(p => s" AND (${p.sql})").getOrElse("") + ") AS lsub" +
         basePred.map(p => s" WHERE ${p.sql}").getOrElse("")
       Plan(seed, sql, (s, dir) => {
         val d0 = Tables(s, dir, j.dim.name)
         val d = subPred.map(p => d0.filter(p.df)).getOrElse(d0)
+        val xv = aggFilter match {
+          case Some(p) => when(p.df, col(x.name))
+          case None => col(x.name)
+        }
         val sub = d.groupBy(col(j.rightKey)).agg(
-          (if (isMin) min(col(x.name)) else max(col(x.name))).as("lval"))
+          (if (isMin) min(xv) else max(xv)).as("lval"))
         val b0 = Tables(s, dir, base.name)
         val b = basePred.map(p => b0.filter(p.df)).getOrElse(b0)
         b.join(sub, col(j.leftKey) === col(j.rightKey), "left")
@@ -935,8 +951,27 @@ object Fuzz {
     Seq(5L, 9L, 14L, 23L, 25L, 32L, 33L, 57L, 76L, 86L, 92L, 132L,
       139L, 146L, 242L, 408L)
 
+  /** Window-bearing driver seeds (round 13 — the family the round-12
+    * NULLS-placement fix unlocked): NON-forceAgg plans whose natural
+    * draw lands the shape-5 window variants, hand-picked (FuzzSeedScan
+    * --window at sf0.001) to avoid outer joins — window plans project
+    * raw columns, and a NULL-extended int column would coerce
+    * engine-dependently in the pandas/duckdb compare path where the
+    * forceAgg aggregates dodge it. With inner/semi joins only, every
+    * projected column is NULL-free and the explicit NULLS FIRST on both
+    * window ORDER BYs is belt-and-braces. 347 = EXISTS semi + rank()
+    * top-j (tie arithmetic through a decorrelated semi join), 397 =
+    * inner dim join + RANGE-frame running sum (peer-inclusive frames
+    * over joined rows), 404 = mixed RANGE + ROWS frames in one plan
+    * (two Window nodes in Spark, one pass in DuckDB — the round-12
+    * mixed-frame edge, now cross-engine-checked). */
+  val windowDriverSeeds = Seq(347L, 397L, 404L)
+
   val all: Seq[Q] = driverSeeds.map { s =>
     val p = plan(s, forceAgg = true)
     Q(s"q_fuzz_$s", p.run, Some(p.sql))
+  } ++ windowDriverSeeds.map { s =>
+    val p = plan(s)
+    Q(s"q_fuzzw_$s", p.run, Some(p.sql))
   }
 }

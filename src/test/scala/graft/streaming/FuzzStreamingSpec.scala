@@ -138,16 +138,27 @@ class FuzzStreamingSpec extends AnyFunSuite {
       d.toFile.deleteOnExit()
       d
     }
-    for (seed <- 6 until 10) {
+    // seeds 6-9: one restart at a random boundary; seeds 10-11
+    // (round 13): TWO restarts at random boundaries — each resume
+    // tightens the late filter for its own first chunk, and the two
+    // tightenings must compose without double-emitting any window
+    for (seed <- 6 until 12) {
       val rnd = new scala.util.Random(seed)
       val windowMin = Seq(5, 10, 20)(rnd.nextInt(3))
       val delayMin = Seq(10, 30, 60)(rnd.nextInt(3))
       val lateMod = Seq(7, 13, 17)(rnd.nextInt(3))
       val lateHours = Seq(2, 24, 288)(rnd.nextInt(3))
       val numFiles = 3 + rnd.nextInt(3)
-      val restartAt = 1 + rnd.nextInt(numFiles - 1)
+      val restarts: Seq[Int] =
+        if (seed < 10) Seq(1 + rnd.nextInt(numFiles - 1))
+        else {
+          val r1 = 1 + rnd.nextInt(numFiles - 2)
+          val r2 = r1 + 1 + rnd.nextInt(numFiles - 1 - r1)
+          Seq(r1, r2)
+        }
       val cfg = s"seed=$seed window=${windowMin}m delay=${delayMin}m " +
-        s"lateMod=$lateMod lateH=$lateHours files=$numFiles restart@$restartAt"
+        s"lateMod=$lateMod lateH=$lateHours files=$numFiles " +
+        s"restart@${restarts.mkString(",")}"
 
       val adjExpr = col("ts") + expr(s"CASE WHEN event_id % $lateMod = 0 " +
         s"THEN INTERVAL $lateHours HOURS ELSE INTERVAL 0 SECONDS END")
@@ -177,12 +188,13 @@ class FuzzStreamingSpec extends AnyFunSuite {
           .option("checkpointLocation", ck.toString)
           .format("parquet").option("path", out.toString).start()
       }
-      (0 until restartAt).foreach(land)
-      val q1 = start()
-      try q1.processAllAvailable() finally q1.stop()
-      (restartAt until numFiles).foreach(land)
-      val q2 = start()
-      try q2.processAllAvailable() finally q2.stop()
+      // land + run in phases split at every restart boundary
+      val phases = (0 +: restarts) .zip(restarts :+ numFiles)
+      phases.foreach { case (from, until) =>
+        (from until until).foreach(land)
+        val q = start()
+        try q.processAllAvailable() finally q.stop()
+      }
 
       val rows = spark.read.parquet(out.toString).collect()
         .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
@@ -210,12 +222,13 @@ class FuzzStreamingSpec extends AnyFunSuite {
       def wEnd(us: Long) = Math.floorDiv(us, winUs) * winUs + winUs
       val chunkMax = chunks.map(_.map(_.us).max)
       // restart-aware lag: chunk i's filter normally sees event times
-      // through chunk i−2; the FIRST resumed chunk (i == restartAt)
-      // sees through restartAt−1 — the shutdown no-data trigger already
-      // advanced the committed watermark over every processed chunk
+      // through chunk i−2; the FIRST chunk resumed after a restart at r
+      // sees through r−1 — the shutdown no-data trigger already
+      // advanced the committed watermark over every processed chunk.
+      // With several restarts, each applies its own floor (max over the
+      // boundaries at or before i; i−2 dominates again from r+1 on).
       def filterWm(i: Int): Option[Long] = {
-        val hi = if (i >= restartAt) math.max(i - 2, restartAt - 1)
-          else i - 2
+        val hi = ((i - 2) +: restarts.filter(_ <= i).map(_ - 1)).max
         if (hi < 0) None
         else Some((chunkMax.slice(0, hi + 1).max / 1000 - delayMs) * 1000)
       }
