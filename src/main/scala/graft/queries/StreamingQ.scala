@@ -530,6 +530,78 @@ object StreamingQ {
       |""".stripMargin
     })
 
+  /** Streaming winnow (partial-overlap) admission
+    * ([[graft.streaming.StreamDedup.winnowAdmit]] — the live form of
+    * "reject crawl pages that heavily quote the corpus", composing
+    * [[TextAnalysis.winnowFps]]'s MOSS fingerprints into the
+    * exactly-once admission loop; the third streaming dedup tier next
+    * to exact-hash and MinHash-LSH, and the batch-order-aware twin of
+    * [[Dedup.q_dedup_winnow]]): documents ARRIVE in chronological
+    * micro-batches and a document is ADMITTED iff no EARLIER-batch
+    * document shares ≥ 2 winnow fingerprints with it through fps whose
+    * prior document frequency is ≤ 50 (the batch twin's boilerplate
+    * cut, computed per batch as one broadcast-semi-joined scan of
+    * state — see winnowMatched's scaladoc for why the df shuffle is
+    * batch-bounded). StreamWinnowAdmitSpec pins restart-resume and the
+    * broadcast-pinned plan.
+    *
+    * Oracle: prior-df is a per-fp window over the ntile chunks
+    * (RANGE ... 1 PRECEDING = strictly earlier batches), so the whole
+    * replay — state appends, df cut, pair threshold, batch
+    * boundaries — runs under the DuckDB hash check, admitted batch
+    * number included. */
+  val q_stream_dedup_winnow = Q(
+    "q_stream_dedup_winnow",
+    (s, dir) => {
+      val stream = stagedDocStream(s, dir, "winnowdedup")
+      val root = java.nio.file.Files.createTempDirectory("graft_wndd")
+      root.toFile.deleteOnExit()
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      val ckBase = if (java.nio.file.Files.isDirectory(shm) &&
+          java.nio.file.Files.isWritable(shm)) shm
+        else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+      val ck = java.nio.file.Files.createTempDirectory(ckBase, "graft_wndd_ck")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = graft.streaming.StreamDedup.winnowAdmit(
+        stream, root.toString, ck.toString)
+      try { q.processAllAvailable() } finally {
+        q.stop()
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        try {
+          val walk = java.nio.file.Files.walk(ck)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          finally walk.close()
+        } catch { case _: java.io.IOException => () }
+      }
+      s.read.parquet(graft.streaming.StreamDedup.admittedRoot(root.toString))
+        .select(col("doc_id"), col("batch").cast("long").as("batch"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      |WITH ${TextAnalysis.winnowSql},
+      |chunk AS (SELECT doc_id, ntile(4) OVER (ORDER BY doc_id) AS b
+      |          FROM documents),
+      |f AS (SELECT fps.doc_id, fps.fp, chunk.b
+      |      FROM fps JOIN chunk ON fps.doc_id = chunk.doc_id),
+      |fdf AS (SELECT doc_id, fp, b,
+      |          count(*) OVER (PARTITION BY fp ORDER BY b
+      |            RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |            AS df_before
+      |        FROM f),
+      |cand AS (
+      |  SELECT p.doc_id AS prev_id, n.doc_id AS new_id
+      |  FROM f p JOIN fdf n ON p.fp = n.fp AND p.b < n.b
+      |  WHERE n.df_before <= 50),
+      |pairs AS (SELECT prev_id, new_id, count(*) AS ns
+      |          FROM cand GROUP BY 1, 2),
+      |matched AS (SELECT DISTINCT new_id AS doc_id FROM pairs WHERE ns >= 2)
+      |SELECT c.doc_id, c.b AS batch FROM chunk c
+      |WHERE c.doc_id NOT IN (SELECT doc_id FROM matched)
+      |ORDER BY c.doc_id
+      |""".stripMargin))
+
   /** Streaming domain cap — [[Corpus.q_domain_cap]]'s bounded-heap
     * per-source top-k run as a streaming aggregate over the multi-batch
     * document replay, Complete mode: the state-store row per source is
@@ -567,5 +639,5 @@ object StreamingQ {
   val all: Seq[Q] =
     Seq(q_stream_windowed, q_stream_dedup, q_stream_join, q_stream_curate,
       q_stream_late, q_stream_index_insert, q_stream_dedup_lsh,
-      q_stream_domain_cap)
+      q_stream_dedup_winnow, q_stream_domain_cap)
 }

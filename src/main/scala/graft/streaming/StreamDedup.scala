@@ -67,8 +67,6 @@ object StreamDedup {
 
   private def bandsRoot(stateRoot: String) = s"$stateRoot/bands"
   private def shRoot(stateRoot: String) = s"$stateRoot/sh"
-  private def bandsBase(stateRoot: String) = s"$stateRoot/bands_base"
-  private def shBase(stateRoot: String) = s"$stateRoot/sh_base"
 
   private def exists(sp: SparkSession, dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -156,11 +154,79 @@ object StreamDedup {
       .start()
   }
 
+  /** The winnow per-batch admission core, exposed for plan-shape
+    * pinning: matched (heavy-overlap-with-earlier) doc ids of the
+    * current batch, given the batch's winnow fingerprints `bfps`
+    * (doc_id, fp) and the accumulated fingerprint state `stateF`.
+    *
+    * The df cut mirrors [[graft.queries.Dedup.q_dedup_winnow]]'s
+    * boilerplate guard, computed batch-order-aware WITHOUT a corpus
+    * aggregate: only fps present in the batch can produce candidates,
+    * so their prior document frequency is one broadcast-semi-joined
+    * scan of state — the partial count combines map-side to at most
+    * |batch fps| rows per partition, so the df shuffle is
+    * batch-bounded, not vocabulary- or corpus-bounded. Saturated fps
+    * (df > maxDf — boilerplate) produce no candidates, exactly the
+    * batch twin's cut. Candidates then require ≥ `minShared` shared
+    * df-ok fingerprints per (prev, new) pair. */
+  private[streaming] def winnowMatched(bfps: DataFrame, stateF: DataFrame,
+      maxDf: Long, minShared: Long): DataFrame = {
+    val batchFps = bfps.select(col("fp")).distinct()
+    val okFps = stateF.join(broadcast(batchFps), Seq("fp"))
+      .groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("fp"))
+    val newSide = bfps.select(col("doc_id").as("new_id"), col("fp"))
+      .join(broadcast(okFps), Seq("fp"), "left_semi")
+    stateF.select(col("doc_id").as("prev_id"), col("fp"))
+      .join(broadcast(newSide), Seq("fp"))
+      .groupBy(col("prev_id"), col("new_id"))
+      .agg(count(lit(1)).as("ns"))
+      .filter(col("ns") >= minShared)
+      .select(col("new_id").as("doc_id")).distinct()
+  }
+
+  /** Streaming winnow (partial-overlap) admission — the live form of
+    * "reject crawl pages that heavily quote the corpus": a document is
+    * ADMITTED iff no document from an EARLIER micro-batch shares
+    * ≥ `minShared` winnowing fingerprints with it through fps whose
+    * PRIOR document frequency is ≤ `maxDf` (the
+    * [[graft.queries.Dedup.q_dedup_winnow]] rule, batch-order-aware —
+    * the third admission tier next to exact-hash and MinHash-LSH).
+    * First-seen wins like [[lshAdmit]]: every doc's fingerprints land
+    * in state regardless of admission; same batch-keyed exactly-once
+    * layout, same broadcast-pinned per-batch joins, same
+    * [[compactState]] maintenance (kind `fps`). Admitted ids land
+    * under `stateRoot/admitted/batch=<n>`, n = batchId + 1. */
+  def winnowAdmit(docs: DataFrame, stateRoot: String, checkpoint: String,
+      maxDf: Long = 50L, minShared: Long = 2L): StreamingQuery = {
+    val outRoot = admittedRoot(stateRoot)
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val sp = batch.sparkSession
+        val bfps = graft.queries.TextAnalysis.winnowFps(batch.toDF()).cache()
+        try {
+          val matched =
+            readState(sp, stateRoot, "fps", batchId, Seq("doc_id", "fp"))
+              .map(winnowMatched(bfps, _, maxDf, minShared))
+              .getOrElse(sp.range(0).select(col("id").as("doc_id")))
+          batch.toDF().select(col("doc_id"))
+            .join(broadcast(matched), Seq("doc_id"), "left_anti")
+            .write.mode("overwrite").parquet(s"$outRoot/batch=${batchId + 1}")
+          bfps.write.mode("overwrite")
+            .parquet(s"$stateRoot/fps/batch=$batchId")
+        } finally { bfps.unpersist(); () }
+        ()
+      }
+      .start()
+  }
+
   /** MAINTENANCE-WINDOW state compaction: fold every live
-    * `bands|sh/batch=*` dir (plus any previous base) into
-    * `bands_base`/`sh_base` — ~`targetBytes` parquet files total, batch
-    * preserved as a data column — and drop the live dirs. Returns false
-    * (no-op) when no live state exists.
+    * `bands|sh|fps/batch=*` dir (plus any previous base) into
+    * `bands_base`/`sh_base`/`fps_base` — ~`targetBytes` parquet files
+    * total, batch preserved as a data column — and drop the live dirs.
+    * Returns false (no-op) when no live state exists.
     *
     * Contract (same as [[graft.index.Blocks.compactStreamBlocks]]): run
     * ONLY while the admission stream is stopped AND its checkpoint fully
@@ -205,7 +271,8 @@ object StreamDedup {
     }
     val b = foldOne("bands", Seq("doc_id", "band", "bkey"))
     val s = foldOne("sh", Seq("doc_id", "sh", "nsh"))
-    b || s
+    val f = foldOne("fps", Seq("doc_id", "fp"))
+    b || s || f
   }
 
   /** Where [[lshAdmit]] lands admitted ids (partitioned by `batch`). */
