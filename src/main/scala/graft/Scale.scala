@@ -67,7 +67,7 @@ object Scale {
     // df-cap guard is exercised, the quadratic regime is not reachable
     "q_dedup_winnow")
 
-  private def buildScaled(spark: SparkSession, base: String, out: String,
+  private[graft] def buildScaled(spark: SparkSession, base: String, out: String,
       factor: Int): Unit = {
     if (new java.io.File(s"$out/embeddings.parquet/_SUCCESS").exists()) return
     val docs = spark.read.parquet(s"$base/documents.parquet")

@@ -316,11 +316,21 @@ object GannIndex {
     * its own directory instead of appending duplicate vectors: the
     * composition is exactly-once end to end. Still O(batch): existing
     * blocks (base assign and other batches) are never read or
-    * rewritten. */
+    * rewritten.
+    *
+    * Blocks land UNPARTITIONED — tree/leaf ride as data columns — where
+    * the base assignment is (tree, leaf)-partitioned (round 13): a
+    * spill-routed batch touches up to |batch|·spillFanout distinct
+    * leaves, and a dynamic-partition write of a small block into
+    * thousands of leaf dirs is pure task/commit overhead growing with
+    * FOREST DEPTH, not batch size — measured 54 s/batch at a 10× base
+    * (fan-out ~18 leaves/vector/tree) vs ~1 s at 1×, same batch.
+    * Serving reads blocks whole (they are batch-sized until
+    * maintenance), and [[Blocks.compactStreamBlocks]] restores the
+    * partition-pruned layout when it folds blocks into the base. */
   def appendStreamBlock(model: Model, path: String, df: DataFrame,
       batchId: Long): Unit =
     encodeWith(model, df).write.mode("overwrite")
-      .partitionBy("tree", "leaf")
       .parquet(s"$path/assign_stream/batch=$batchId")
 
   /** Load the SERVING view of a stream-maintained index: the saved base

@@ -151,11 +151,16 @@ object IvfIndex {
     * [[GannIndex.appendStreamBlock]]: the batch lands under a
     * batch-keyed directory with overwrite semantics, so foreachBatch's
     * at-least-once replays replace their own block (batchId is stable
-    * across restarts via the checkpointed offset log). */
+    * across restarts via the checkpointed offset log). Unpartitioned
+    * like the GANN block (cluster rides as a data column): with a
+    * production √n coarse book a batch touches up to |batch| distinct
+    * clusters, and the dynamic-partition commit of a small block into
+    * that many dirs is overhead compaction exists to avoid — blocks are
+    * batch-sized until [[graft.index.Blocks.compactStreamBlocks]] folds
+    * them into the cluster-partitioned base. */
   def appendStreamBlock(model: Model, path: String, df: DataFrame,
       batchId: Long): Unit =
     encodeWith(model, df).write.mode("overwrite")
-      .partitionBy("cluster")
       .parquet(s"$path/assign_stream/batch=$batchId")
 
   /** Serving view of a stream-maintained IVF index: base posting lists

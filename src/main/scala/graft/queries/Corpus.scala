@@ -1275,7 +1275,7 @@ object Corpus {
   /** (doc_id, source, score_mu) projection shared by the batch and
     * streaming domain caps — pure column arithmetic, so it applies to
     * streaming frames unchanged. */
-  private[queries] def sourceScored(
+  private[graft] def sourceScored(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     docs
       .withColumn("t", tokens(col("text")))
@@ -1288,13 +1288,13 @@ object Corpus {
   /** Per-source bounded-heap top-3 of [[sourceScored]] output, unpacked
     * to (source, doc_id, score_mu) in presentation order — the shared
     * tail of the batch and streaming domain caps. */
-  private[queries] def domainCapTop(
+  private[graft] def domainCapTop(
       scored: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     scored.groupBy(col("source"))
       .agg(graft.functions.TopKAgg.topK(
         -col("score_mu").cast("double"), col("doc_id"), 3).as("top"))
 
-  private[queries] def domainCapUnpack(
+  private[graft] def domainCapUnpack(
       top: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     top.select(col("source"), explode(col("top")).as("e"))
       .select(col("source"), col("e.id").as("doc_id"),
