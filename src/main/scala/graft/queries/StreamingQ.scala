@@ -478,12 +478,19 @@ object StreamingQ {
         else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
       val ck = java.nio.file.Files.createTempDirectory(ckBase, "graft_lshdd_ck")
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val prevSplit = s.conf.get("spark.sql.files.maxPartitionBytes")
       s.conf.set("spark.sql.shuffle.partitions", "4")
+      // scan-split cap so the shingle/minhash kernel parallelizes per
+      // micro-batch (the q_stream_domain_cap discipline: a one-file
+      // chunk is otherwise ONE scan split and the per-doc kernel runs
+      // on a single core)
+      s.conf.set("spark.sql.files.maxPartitionBytes", (64 * 1024).toString)
       val q = graft.streaming.StreamDedup.lshAdmit(
         stream, root.toString, ck.toString)
       try { q.processAllAvailable() } finally {
         q.stop()
         s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        s.conf.set("spark.sql.files.maxPartitionBytes", prevSplit)
         // the replay is complete and the result is at rest — drop the
         // tmpfs checkpoint now (runToMemory's policy)
         try {
@@ -562,12 +569,20 @@ object StreamingQ {
         else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
       val ck = java.nio.file.Files.createTempDirectory(ckBase, "graft_wndd_ck")
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val prevSplit = s.conf.get("spark.sql.files.maxPartitionBytes")
       s.conf.set("spark.sql.shuffle.partitions", "4")
+      // scan-split cap: the per-doc fingerprint kernel (an md5 per
+      // 3-shingle — the oracle-shared hash) dominates this entry, and a
+      // one-file chunk is otherwise ONE scan split running it on a
+      // single core (measured 2.7 s/batch single-split vs ~1 s split —
+      // the q_stream_domain_cap discipline)
+      s.conf.set("spark.sql.files.maxPartitionBytes", (64 * 1024).toString)
       val q = graft.streaming.StreamDedup.winnowAdmit(
         stream, root.toString, ck.toString)
       try { q.processAllAvailable() } finally {
         q.stop()
         s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        s.conf.set("spark.sql.files.maxPartitionBytes", prevSplit)
         try {
           val walk = java.nio.file.Files.walk(ck)
           try walk.sorted(java.util.Comparator.reverseOrder())
