@@ -590,6 +590,41 @@ object Operators {
       graft.sink.Compaction.compactParquet(spark, path, out, target)
       spark.read.parquet(out)
     },
+    // maintenance folds for the streaming tier (round 13), as pipeline
+    // stages — run in a maintenance window (stream stopped, checkpoint
+    // committed: each fold's own contract). compact_stream_state folds
+    // the per-trigger dedup-admission state dirs (bands/sh/fps) into
+    // sized base files (StreamDedup.compactState) and returns a status
+    // frame of what is at rest; compact_index_blocks folds streamed
+    // index blocks back into the partition-pruned base layout
+    // (Blocks.compactStreamBlocks) and returns the re-read assignment.
+    "compact_stream_state" -> { (spark, cp) => (_, rp) =>
+      val params = cp ++ rp
+      val root = req(params, "stateRoot", "sink/compact_stream_state")
+      val target =
+        p(params, "targetBytes", (128L * 1024 * 1024).toString).toLong
+      graft.streaming.StreamDedup.compactState(spark, root, target)
+      import spark.implicits._
+      val conf = spark.sparkContext.hadoopConfiguration
+      Seq("bands", "sh", "fps").flatMap { kind =>
+        val base = new org.apache.hadoop.fs.Path(s"$root/${kind}_base")
+        val fs = base.getFileSystem(conf)
+        if (!fs.exists(base)) None
+        else {
+          val files = fs.listStatus(base).count(s =>
+            s.isFile && s.getPath.getName.endsWith(".parquet")).toLong
+          Some((kind, spark.read.parquet(base.toString).count(), files))
+        }
+      }.toDF("kind", "rows", "files")
+    },
+    "compact_index_blocks" -> { (spark, cp) => (_, rp) =>
+      val params = cp ++ rp
+      val path = req(params, "path", "sink/compact_index_blocks")
+      val partCols = p(params, "partitionBy", "tree,leaf")
+        .split(",").map(_.trim).filter(_.nonEmpty).toIndexedSeq
+      graft.index.Blocks.compactStreamBlocks(spark, path, partCols)
+      spark.read.parquet(s"$path/assign")
+    },
     // index-tier sinks — the reference's make_operator("sink", "local")
     // → GANN insert/index/search lifecycle (factory.py:29-64 routes to
     // tasks/sinks/local/__init__.py:8, whose real engine is

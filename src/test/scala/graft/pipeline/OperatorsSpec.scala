@@ -563,6 +563,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("budget"))
   }
 
+  test("compact_stream_state folds per-trigger dedup state into sized bases") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_ops_css").toString
+    // two triggers' worth of fp state, one dir each (the winnowAdmit
+    // at-rest layout; batch comes back from the dir key)
+    Seq((1L, 11L), (2L, 12L)).toDF("doc_id", "fp")
+      .write.parquet(s"$root/fps/batch=0")
+    Seq((3L, 11L)).toDF("doc_id", "fp")
+      .write.parquet(s"$root/fps/batch=1")
+    val status = Operators.make(spark, "sink", "compact_stream_state",
+      Map("stateRoot" -> root))(Seq.empty, Map.empty)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(status.keySet == Set("fps"))
+    assert(status("fps")._1 == 3L) // all rows at rest in the base
+    assert(!new java.io.File(s"$root/fps").exists, "live dirs folded away")
+    // batch survives as a data column for the < current pruning
+    val base = spark.read.parquet(s"$root/fps_base")
+    assert(base.columns.toSet == Set("doc_id", "fp", "batch"))
+  }
+
+  test("compact_index_blocks folds streamed blocks into the base assign") {
+    import graft.index.GannIndex
+    val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val model = GannIndex.build(e.filter(col("vec_id") < 400),
+      "vec_id", "embedding", leafSize = 64, nTrees = 2)
+    val path = java.nio.file.Files.createTempDirectory("graft_ops_cib").toString
+    GannIndex.save(model, path)
+    GannIndex.appendStreamBlock(model, path,
+      e.filter(col("vec_id") >= 400), batchId = 0L)
+    val baseRows = spark.read.parquet(s"$path/assign").count()
+    val blockRows = spark.read.parquet(s"$path/assign_stream").count()
+    val folded = Operators.make(spark, "sink", "compact_index_blocks",
+      Map("path" -> path))(Seq.empty, Map.empty)
+    assert(folded.count() == baseRows + blockRows)
+    assert(!new java.io.File(s"$path/assign_stream").exists)
+  }
+
   test("pagerank operator runs over an edge-list input") {
     import spark.implicits._
     val edges = Seq((1L, 2L, 1.0), (2L, 1L, 1.0), (3L, 1L, 1.0))
