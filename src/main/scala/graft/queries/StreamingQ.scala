@@ -503,8 +503,7 @@ object StreamingQ {
       // admitted output carries the micro-batch it was admitted in; the
       // partition column `batch` comes back from the dir key as INT, so
       // cast to the oracle's ntile BIGINT
-      s.read.parquet(graft.streaming.StreamDedup.admittedRoot(root.toString))
-        .select(col("doc_id"), col("batch").cast("long").as("batch"))
+      graft.streaming.StreamDedup.readAdmitted(s, root.toString)
         .orderBy(col("doc_id"))
     },
     Some {
@@ -590,8 +589,7 @@ object StreamingQ {
           finally walk.close()
         } catch { case _: java.io.IOException => () }
       }
-      s.read.parquet(graft.streaming.StreamDedup.admittedRoot(root.toString))
-        .select(col("doc_id"), col("batch").cast("long").as("batch"))
+      graft.streaming.StreamDedup.readAdmitted(s, root.toString)
         .orderBy(col("doc_id"))
     },
     Some(s"""

@@ -223,10 +223,18 @@ object StreamDedup {
   }
 
   /** MAINTENANCE-WINDOW state compaction: fold every live
-    * `bands|sh|fps/batch=*` dir (plus any previous base) into
-    * `bands_base`/`sh_base`/`fps_base` — ~`targetBytes` parquet files
-    * total, batch preserved as a data column — and drop the live dirs.
-    * Returns false (no-op) when no live state exists.
+    * `bands|sh|fps|admitted/batch=*` dir (plus any previous base) into
+    * `<kind>_base` — ~`targetBytes` parquet files total, batch
+    * preserved as a data column — and drop the live dirs. Returns
+    * false (no-op) when no live state exists. The admitted OUTPUT is
+    * folded under the same contract as the dedup state and
+    * [[graft.index.Blocks.compactStreamBlocks]]: one dir per trigger
+    * fragments scans without bound, and a stopped-and-committed stream
+    * never replays a folded batch (unlike the state kinds, the output
+    * has no `batch < current` read pruning to make a boundary replay
+    * self-blind — the stopped-stream contract is what makes the fold
+    * safe, exactly as for index blocks). Read the admitted set back
+    * with [[readAdmitted]], which unions base and live.
     *
     * Contract (same as [[graft.index.Blocks.compactStreamBlocks]]): run
     * ONLY while the admission stream is stopped AND its checkpoint fully
@@ -272,9 +280,24 @@ object StreamDedup {
     val b = foldOne("bands", Seq("doc_id", "band", "bkey"))
     val s = foldOne("sh", Seq("doc_id", "sh", "nsh"))
     val f = foldOne("fps", Seq("doc_id", "fp"))
-    b || s || f
+    val a = foldOne("admitted", Seq("doc_id"))
+    b || s || f || a
   }
 
-  /** Where [[lshAdmit]] lands admitted ids (partitioned by `batch`). */
+  /** Where [[lshAdmit]]/[[winnowAdmit]] land admitted ids (partitioned
+    * by `batch`, 1-based). */
   def admittedRoot(stateRoot: String): String = s"$stateRoot/admitted"
+
+  /** The admitted (doc_id, batch) set — live per-trigger dirs unioned
+    * with the compacted `admitted_base` (batch normalized to long; the
+    * live dirs' partition key reads back as int). This is the read
+    * path every consumer of the admission loop should use once
+    * [[compactState]] has ever run. */
+  def readAdmitted(sp: SparkSession, stateRoot: String): DataFrame = {
+    val parts = Seq(admittedRoot(stateRoot), s"$stateRoot/admitted_base")
+      .filter(exists(sp, _)).map(d => sp.read.parquet(d)
+        .select(col("doc_id"), col("batch").cast("long").as("batch")))
+    require(parts.nonEmpty, s"no admitted output under $stateRoot")
+    parts.reduce(_.unionByName(_))
+  }
 }

@@ -47,7 +47,7 @@ class StreamLshDedupSpec extends AnyFunSuite {
       .parquet(landing.toString)
 
   private def admitted(stateRoot: java.nio.file.Path): Map[Long, Int] =
-    spark.read.parquet(StreamDedup.admittedRoot(stateRoot.toString))
+    StreamDedup.readAdmitted(spark, stateRoot.toString)
       .select(col("doc_id"), col("batch").cast("int"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
 
@@ -183,5 +183,13 @@ class StreamLshDedupSpec extends AnyFunSuite {
     assert((baseIds ++ liveIds) == chunks.flatten.map(_._1).toSet)
     // the base keeps batch as a data column for the < current pruning
     assert(spark.read.parquet(s"$state/bands_base").columns.contains("batch"))
+    // the admitted OUTPUT folds too (round 13): batches 1-2 live in
+    // admitted_base, only post-compaction batches in the live dir, and
+    // readAdmitted serves the union (wantAdmitted above came through it)
+    assert(java.nio.file.Files.exists(state.resolve("admitted_base")))
+    val liveAdm = spark.read.parquet(s"$state/admitted")
+      .select("batch").distinct().collect().map(_.getInt(0)).toSet
+    assert(liveAdm == Set(3, 4),
+      s"folded admitted batches must leave the live dir, got $liveAdm")
   }
 }

@@ -44,7 +44,7 @@ class StreamWinnowAdmitSpec extends AnyFunSuite {
       .parquet(landing.toString)
 
   private def admitted(stateRoot: java.nio.file.Path): Map[Long, Int] =
-    spark.read.parquet(StreamDedup.admittedRoot(stateRoot.toString))
+    StreamDedup.readAdmitted(spark, stateRoot.toString)
       .select(col("doc_id"), col("batch").cast("int"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
 
