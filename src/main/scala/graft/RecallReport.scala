@@ -241,10 +241,13 @@ object RecallReport {
     *
     * Round 13 ratchet: ivfbq — the tier r12 left at 0.856 — moves
     * nprobe 6→7 + shortlist 400→800 (the same rerank-widening knob),
-    * measured 0.952 at sf0.1; floor 0.83 → 0.93 = measured−0.02. */
+    * measured 0.952 at sf0.1; floor 0.83 → 0.93 = measured−0.02. Flat
+    * bq follows the same rung (shortlist 400→800: the Hamming pass
+    * reads 100% of codes at any shortlist, only the k-bounded rerank
+    * deepens), measured 0.980; floor 0.87 → 0.96. */
   private[graft] val recallFloors: Map[String, Double] = Map(
     "q_ann_ivf" -> 0.90, "q_ann_gann" -> 0.87, "q_ann_pq" -> 0.92,
-    "q_ann_ivfpq" -> 0.92, "q_ann_bq" -> 0.87, "q_ann_ivfbq" -> 0.93,
+    "q_ann_ivfpq" -> 0.92, "q_ann_bq" -> 0.96, "q_ann_ivfbq" -> 0.93,
     "q_ann_sq" -> 0.98, "q_ann_ivfsq" -> 0.90,
     // stream-maintained GANN (base 3/4 build + 1/4 streamed block
     // appends through the frozen forest): tracks q_ann_gann's level —

@@ -157,12 +157,15 @@ object Ann {
   /** BQ (1-bit binary quantization, 64x compression): Hamming shortlist
     * over the packed sign-bit codes, exact rerank — the cheapest member
     * of the compression tier (recall/monotonicity/roundtrip/insert
-    * pinned in BqSpec). shortlist = 40×k: a dim-d Hamming distance takes
-    * at most d+1 distinct values, so the shortlist boundary sits inside
-    * a heavy tie band and needs deep oversampling before the exact
-    * rerank — the measured curve (SCALE.md; graft.RecallCurve) puts
-    * recall@10 at 0.42/0.60/0.77/0.90/0.98 for shortlist
-    * 50/100/200/400/800 at sf0.1. */
+    * pinned in BqSpec). shortlist = 80×k (round 13 ratchet, 400 → 800):
+    * a dim-d Hamming distance takes at most d+1 distinct values, so the
+    * shortlist boundary sits inside a heavy tie band and needs deep
+    * oversampling before the exact rerank — the measured curve
+    * (SCALE.md; graft.RecallCurve) puts recall@10 at
+    * 0.42/0.60/0.77/0.90/0.98 for shortlist 50/100/200/400/800 at
+    * sf0.1, and the Hamming pass reads the same 100% of codes at any
+    * shortlist: only the k-bounded broadcast rerank deepens, so the
+    * 0.90 → 0.98 rung is nearly free (entry re-timed flat). */
   val q_ann_bq = Q(
     "q_ann_bq",
     (s, dir) => {
@@ -172,7 +175,7 @@ object Ann {
       val queries = e.filter(col("vec_id") < 100)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       model.searchRerank(queries, "qid", "qv", k = 10,
-          shortlist = 400, vectors = e, vecCol = "embedding")
+          shortlist = 800, vectors = e, vecCol = "embedding")
         .select(col("qid"), col("vec_id"), round(col("dist"), 6).as("dist"), col("rnk"))
         .orderBy(col("qid"), col("rnk"))
     },
