@@ -615,6 +615,73 @@ object StreamingQ {
       |ORDER BY c.doc_id
       |""".stripMargin))
 
+  /** Streaming containment admission
+    * ([[graft.streaming.StreamDedup.containAdmit]] — the FOURTH tier of
+    * the live dedup ladder: exact hash → MinHash-LSH → winnow overlap →
+    * shingle containment; the batch-order-aware twin of
+    * [[Dedup.q_dedup_containment]]): documents ARRIVE in chronological
+    * micro-batches and a document is ADMITTED iff no EARLIER-batch
+    * document contains ≥ 0.8 of its distinct 3-shingles — the "reject
+    * crawl pages whose content is mostly already in the corpus" rule.
+    * Candidates go through the EXACT prefix filter (rarest
+    * ⌊(1−t)·|A|⌋+1 shingles by prior df — pruning only, provably
+    * answer-preserving; see containMatched), which the ORACLE does not
+    * need to mirror: it enumerates every shared-shingle pair directly,
+    * so a prefix-filter bug that dropped a true candidate would
+    * hash-mismatch. StreamContainAdmitSpec pins restart-resume and the
+    * broadcast-pinned plan. */
+  val q_stream_dedup_containment = Q(
+    "q_stream_dedup_containment",
+    (s, dir) => {
+      val stream = stagedDocStream(s, dir, "containdedup")
+      val root = java.nio.file.Files.createTempDirectory("graft_ctdd")
+      root.toFile.deleteOnExit()
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      val ckBase = if (java.nio.file.Files.isDirectory(shm) &&
+          java.nio.file.Files.isWritable(shm)) shm
+        else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+      val ck = java.nio.file.Files.createTempDirectory(ckBase, "graft_ctdd_ck")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val prevSplit = s.conf.get("spark.sql.files.maxPartitionBytes")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      // scan-split cap: the per-doc shingle kernel parallelizes per
+      // micro-batch (the q_stream_domain_cap discipline)
+      s.conf.set("spark.sql.files.maxPartitionBytes", (64 * 1024).toString)
+      val q = graft.streaming.StreamDedup.containAdmit(
+        stream, root.toString, ck.toString)
+      try { q.processAllAvailable() } finally {
+        q.stop()
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        s.conf.set("spark.sql.files.maxPartitionBytes", prevSplit)
+        try {
+          val walk = java.nio.file.Files.walk(ck)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          finally walk.close()
+        } catch { case _: java.io.IOException => () }
+      }
+      graft.streaming.StreamDedup.readAdmitted(s, root.toString)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      |WITH shs AS (${Dedup.shingleSql}),
+      |chunk AS (SELECT doc_id, ntile(4) OVER (ORDER BY doc_id) AS b
+      |          FROM documents),
+      |f AS (SELECT shs.doc_id, unnest(sh) AS g, chunk.b
+      |      FROM shs JOIN chunk ON shs.doc_id = chunk.doc_id),
+      |cand AS (SELECT DISTINCT p.doc_id AS prev_id, n.doc_id AS new_id
+      |  FROM f p JOIN f n ON p.g = n.g AND p.b < n.b),
+      |matched AS (SELECT DISTINCT c.new_id AS doc_id
+      |  FROM cand c
+      |  JOIN shs sp ON sp.doc_id = c.prev_id
+      |  JOIN shs sn ON sn.doc_id = c.new_id
+      |  WHERE len(list_filter(sn.sh, x -> list_contains(sp.sh, x)))::DOUBLE
+      |          / len(sn.sh) >= 0.8)
+      |SELECT c.doc_id, c.b AS batch FROM chunk c
+      |WHERE c.doc_id NOT IN (SELECT doc_id FROM matched)
+      |ORDER BY c.doc_id
+      |""".stripMargin))
+
   /** Streaming domain cap — [[Corpus.q_domain_cap]]'s bounded-heap
     * per-source top-k run as a streaming aggregate over the multi-batch
     * document replay, Complete mode: the state-store row per source is
@@ -652,5 +719,6 @@ object StreamingQ {
   val all: Seq[Q] =
     Seq(q_stream_windowed, q_stream_dedup, q_stream_join, q_stream_curate,
       q_stream_late, q_stream_index_insert, q_stream_dedup_lsh,
-      q_stream_dedup_winnow, q_stream_domain_cap)
+      q_stream_dedup_winnow, q_stream_dedup_containment,
+      q_stream_domain_cap)
 }

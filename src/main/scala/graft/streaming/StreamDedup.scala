@@ -110,6 +110,90 @@ object StreamDedup {
       .select(col("new_id").as("doc_id")).distinct()
   }
 
+  /** The containment per-batch admission core, exposed for plan-shape
+    * pinning: matched (mostly-contained-in-an-earlier-doc) ids of the
+    * current batch, given the batch's shingle sets `d` (doc_id, sh,
+    * nsh), the accumulated shingle-posting state `post` (doc_id, g) and
+    * shingle-set state `psh` (doc_id, sh, nsh). A new doc N matches iff
+    * ∃ earlier P with |sh(N) ∩ sh(P)| / |sh(N)| ≥ `t`.
+    *
+    * Candidate generation is the EXACT prefix filter of
+    * [[graft.dedup.SetSimJoin]], batch-order-aware: if containment ≥ t
+    * then an earlier doc misses at most (1−t)·|A| of A's shingles, so
+    * it must share one of ANY ⌊(1−t)·|A|⌋+1 of them — the theorem
+    * holds for every subset of that size, and picking the RAREST (by
+    * PRIOR document frequency, one broadcast-semi-joined scan of the
+    * posting state — batch-bounded like the winnow df pass) just
+    * minimizes candidate fan-out; it cannot change the answer. The
+    * prefix rank is a window over BATCH rows only. Like every tier
+    * here, state is scanned, never shuffled: posting and shingle state
+    * join against broadcast batch-derived frames. */
+  private[streaming] def containMatched(d: DataFrame, post: DataFrame,
+      psh: DataFrame, t: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bg = d.select(col("doc_id"), col("nsh"), explode(col("sh")).as("g"))
+    val dfOf = post.join(broadcast(bg.select(col("g")).distinct()), Seq("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+    // rarest-first rank within each batch doc; df 0 for unseen shingles
+    val ranked = bg.join(broadcast(dfOf), Seq("g"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))))
+    val prefix = ranked
+      .filter(col("rk") <= floor((lit(1.0) - lit(t)) * col("nsh")) + 1)
+      .select(col("doc_id").as("new_id"), col("g"))
+    val cand = post.select(col("doc_id").as("prev_id"), col("g"))
+      .join(broadcast(prefix), Seq("g"))
+      .select(col("prev_id"), col("new_id")).distinct()
+    psh.select(col("doc_id").as("prev_id"), col("sh").as("sh_p"))
+      .join(broadcast(cand), Seq("prev_id"))
+      .join(broadcast(d.select(col("doc_id").as("new_id"),
+        col("sh").as("sh_n"), col("nsh").as("nn"))), Seq("new_id"))
+      .filter(size(array_intersect(col("sh_n"), col("sh_p"))).cast("double")
+        / col("nn").cast("double") >= t)
+      .select(col("new_id").as("doc_id")).distinct()
+  }
+
+  /** Streaming containment admission — the fourth tier of the live
+    * dedup ladder (exact hash → MinHash-LSH → winnow overlap → shingle
+    * containment): a document is ADMITTED iff no EARLIER-batch document
+    * CONTAINS ≥ `t` of its distinct 3-shingles — the "reject crawl
+    * pages whose content is mostly already in the corpus" rule, the
+    * batch-order-aware twin of
+    * [[graft.queries.Dedup.q_dedup_containment]] with the same exact
+    * prefix-filter candidate cut (see [[containMatched]]). First-seen
+    * wins; same batch-keyed exactly-once layout, broadcast-pinned
+    * joins, and [[compactState]] maintenance (kinds `post` + `sh`). */
+  def containAdmit(docs: DataFrame, stateRoot: String, checkpoint: String,
+      t: Double = 0.8): StreamingQuery = {
+    val outRoot = admittedRoot(stateRoot)
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val sp = batch.sparkSession
+        val d = Dedup.shingleOf(batch.toDF()).cache()
+        try {
+          val matched = (
+            readState(sp, stateRoot, "post", batchId, Seq("doc_id", "g")),
+            readState(sp, stateRoot, "sh", batchId,
+              Seq("doc_id", "sh", "nsh"))) match {
+            case (Some(post), Some(psh)) => containMatched(d, post, psh, t)
+            case _ => sp.range(0).select(col("id").as("doc_id"))
+          }
+          batch.toDF().select(col("doc_id"))
+            .join(broadcast(matched), Seq("doc_id"), "left_anti")
+            .write.mode("overwrite").parquet(s"$outRoot/batch=${batchId + 1}")
+          d.select(col("doc_id"), explode(col("sh")).as("g"))
+            .write.mode("overwrite")
+            .parquet(s"$stateRoot/post/batch=$batchId")
+          d.select(col("doc_id"), col("sh"), col("nsh"))
+            .write.mode("overwrite").parquet(s"$stateRoot/sh/batch=$batchId")
+        } finally { d.unpersist(); () }
+        ()
+      }
+      .start()
+  }
+
   /** Attach the LSH admission loop to a document stream (doc_id, text,
     * ...). Admitted ids land under `stateRoot/admitted/batch=<n>` with
     * n = batchId + 1 (1-based, matching an ntile replay oracle); band
@@ -280,8 +364,9 @@ object StreamDedup {
     val b = foldOne("bands", Seq("doc_id", "band", "bkey"))
     val s = foldOne("sh", Seq("doc_id", "sh", "nsh"))
     val f = foldOne("fps", Seq("doc_id", "fp"))
+    val g = foldOne("post", Seq("doc_id", "g"))
     val a = foldOne("admitted", Seq("doc_id"))
-    b || s || f || a
+    b || s || f || g || a
   }
 
   /** Where [[lshAdmit]]/[[winnowAdmit]] land admitted ids (partitioned

@@ -1,0 +1,143 @@
+package graft.streaming
+
+import graft.TestSpark
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
+
+/** StreamDedup.containAdmit: cross-batch containment admission —
+  * restart-resume, first-seen state, within-batch neutrality, mid-window
+  * compaction, and the broadcast-pinned per-batch plan (the
+  * StreamLshDedupSpec contract applied to the containment tier). */
+class StreamContainAdmitSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def tmp(tag: String): java.nio.file.Path = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_sct_$tag")
+    d.toFile.deleteOnExit()
+    d
+  }
+
+  private def docs(rows: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def land(landing: java.nio.file.Path, df: DataFrame,
+      i: Int, base: Long): Unit = {
+    val staging = tmp(s"stage$i")
+    df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    val part = java.nio.file.Files.list(staging).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+    val dest = landing.resolve(f"chunk$i%03d.parquet")
+    java.nio.file.Files.move(part, dest)
+    dest.toFile.deleteOnExit()
+    dest.toFile.setLastModified(base + i * 2000L)
+    ()
+  }
+
+  private def stream(landing: java.nio.file.Path): DataFrame =
+    spark.readStream.schema(docs(Seq((0L, "x y z"))).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(landing.toString)
+
+  private def admitted(stateRoot: java.nio.file.Path): Map[Long, Int] =
+    StreamDedup.readAdmitted(spark, stateRoot.toString)
+      .select(col("doc_id"), col("batch").cast("int"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+  private val tA =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+  // contiguous token run of tA: every one of its shingles is in tA
+  private val subA = "gamma delta epsilon zeta eta theta iota"
+  // shares only the leading "alpha beta gamma" run: 2 of 7 shingles
+  private val halfA = "alpha beta gamma x1 x2 x3 x4 x5 x6"
+  private val chunks: Seq[Seq[(Long, String)]] = Seq(
+    Seq(10L -> tA, 11L -> "one two three four five six seven eight"),
+    Seq(20L -> subA, // fully contained in 10 -> drop
+      21L -> "red green blue cyan magenta yellow",
+      22L -> "red green blue cyan magenta yellow"), // same-batch twins: admitted
+    Seq(30L -> halfA, // 2/7 contained -> admitted
+      31L -> subA), // dup of DROPPED 20 -> still contained in 10 -> drop
+    Seq(40L -> "north south east west up down left right"))
+
+  private val wantAdmitted = Map(
+    10L -> 1, 11L -> 1, 21L -> 2, 22L -> 2, 30L -> 3, 40L -> 4)
+
+  test("full replay: containment drops subsets of earlier docs, " +
+      "first-seen wins, every doc's postings reach state") {
+    val landing = tmp("land"); val state = tmp("state"); val ck = tmp("ck")
+    val base = System.currentTimeMillis()
+    chunks.zipWithIndex.foreach { case (c, i) => land(landing, docs(c), i, base) }
+    val q = StreamDedup.containAdmit(stream(landing), state.toString, ck.toString)
+    try q.processAllAvailable() finally q.stop()
+    assert(admitted(state) == wantAdmitted)
+    val stateIds = spark.read.parquet(s"$state/post")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(stateIds == chunks.flatten.map(_._1).toSet,
+      "dropped docs must still land in posting state (first-seen wins)")
+  }
+
+  test("restart-resume with mid-window compaction: admitted set equals " +
+      "the uninterrupted run") {
+    val landing = tmp("rland"); val state = tmp("rstate"); val ck = tmp("rck")
+    val base = System.currentTimeMillis()
+    chunks.take(2).zipWithIndex.foreach { case (c, i) =>
+      land(landing, docs(c), i, base) }
+    val q1 = StreamDedup.containAdmit(stream(landing), state.toString, ck.toString)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(StreamDedup.compactState(spark, state.toString))
+    assert(!java.nio.file.Files.exists(state.resolve("post")))
+    assert(java.nio.file.Files.exists(state.resolve("post_base")))
+    chunks.drop(2).zipWithIndex.foreach { case (c, i) =>
+      land(landing, docs(c), i + 2, base) }
+    val q2 = StreamDedup.containAdmit(stream(landing), state.toString, ck.toString)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(admitted(state) == wantAdmitted)
+  }
+
+  test("per-batch plan: posting/shingle state is scanned, never shuffled " +
+      "or broadcast raw — df, prefix, and verify broadcast the batch side") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.{
+      BroadcastExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import graft.queries.Dedup
+    val stateDir = tmp("cplanstate").toString
+    val corpus = Dedup.shingleOf(docs((1L to 50L).map(i =>
+      i -> s"w$i x$i y$i z$i shared tail run here now")))
+    corpus.select(col("doc_id"), explode(col("sh")).as("g"))
+      .write.mode("overwrite").parquet(s"$stateDir/post")
+    corpus.select(col("doc_id"), col("sh"), col("nsh"))
+      .write.mode("overwrite").parquet(s"$stateDir/psh")
+    val wasAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val d = Dedup.shingleOf(docs(Seq(
+        100L -> "w9 x9 y9 z9 shared tail run here now",
+        101L -> "completely novel words in this page")))
+      val m = StreamDedup.containMatched(d,
+        spark.read.parquet(s"$stateDir/post"),
+        spark.read.parquet(s"$stateDir/psh"), t = 0.8)
+      val plan = m.queryExecution.executedPlan
+      def isStateScan(p: SparkPlan): Boolean = p match {
+        case f: FileSourceScanExec =>
+          f.relation.location.rootPaths.exists(_.toString.contains("cplanstate"))
+        case _ => false
+      }
+      def exposed(p: SparkPlan): Boolean = p match {
+        case _: BroadcastHashJoinExec => false
+        case s if isStateScan(s) => true
+        case other => other.children.exists(exposed)
+      }
+      plan.collect { case s: ShuffleExchangeExec => s }.foreach(s =>
+        assert(!exposed(s.child),
+          s"raw state rows enter a shuffle:\n${s.treeString}"))
+      plan.collect { case b: BroadcastExchangeExec => b }.foreach(b =>
+        assert(!exposed(b.child),
+          s"raw corpus state is broadcast:\n${b.treeString}"))
+      assert(plan.collect { case j: BroadcastHashJoinExec => j }.size >= 3)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", wasAqe)
+  }
+}
