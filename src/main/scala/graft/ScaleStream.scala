@@ -126,6 +126,19 @@ object ScaleStream {
       rows += (("q_stream_dedup_winnow", scale, wnWalls, wnRows))
       }
 
+      if (want("q_stream_dedup_containment")) {
+      val ctWalls = minOver(reps) {
+        val st = tmpDir("ctstate"); val ck = tmpDir("ctck")
+        replayTimed(spark, staged,
+          s => graft.streaming.StreamDedup.containAdmit(s, st.toString, ck.toString))
+      }
+      val ctSt = tmpDir("ctstrows"); val ctCk = tmpDir("ctckrows")
+      replayTimed(spark, staged, s =>
+        graft.streaming.StreamDedup.containAdmit(s, ctSt.toString, ctCk.toString))
+      val ctRows = spark.read.parquet(s"$ctSt/post").count()
+      rows += (("q_stream_dedup_containment", scale, ctWalls, ctRows))
+      }
+
       if (want("q_stream_domain_cap")) {
       // domain cap: Complete-mode heap aggregate; state rows from the
       // final progress (the |sources|·k claim — one store row per
