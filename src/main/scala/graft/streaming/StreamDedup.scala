@@ -5,15 +5,25 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-/** Streaming MinHash-LSH near-dup admission — the incremental dedup a
-  * live ingestion pipeline runs (batch twin:
-  * `graft.queries.Dedup.q_dedup_minhash_lsh`; exact-hash streaming
-  * dedup: `StreamingQ.q_stream_dedup`). A document is ADMITTED iff no
-  * document from an EARLIER micro-batch is a verified near-dup (shared
-  * LSH band key + Jaccard ≥ `verifyT` over distinct 3-shingle sets).
-  * EVERY batch document's band keys and shingle set are appended to
-  * persisted state regardless of admission — first-seen wins, so a dup
-  * of a dropped dup is still a dup.
+/** Streaming dedup ADMISSION — the incremental dedup a live ingestion
+  * pipeline runs, as a ladder of three tiers over one shared state
+  * discipline (exact-hash streaming dedup, the zeroth tier, lives in
+  * `StreamingQ.q_stream_dedup`):
+  *
+  *  - [[lshAdmit]] — MinHash-LSH near-dup (batch twin
+  *    `Dedup.q_dedup_minhash_lsh`): reject if an EARLIER-batch doc
+  *    shares an LSH band key and verifies at Jaccard ≥ `verifyT`;
+  *  - [[winnowAdmit]] — partial overlap (batch twin `q_dedup_winnow`):
+  *    reject if an earlier doc shares ≥ minShared MOSS winnowing
+  *    fingerprints through fps below the boilerplate df cut;
+  *  - [[containAdmit]] — containment (batch twin
+  *    `q_dedup_containment`): reject if one earlier doc contains ≥ t
+  *    of the new doc's distinct 3-shingles (exact prefix-filter
+  *    candidate cut).
+  *
+  * EVERY batch document's keys/sets are appended to persisted state
+  * regardless of admission — first-seen wins, so a dup of a dropped
+  * dup is still a dup.
   *
   * Exactly-once like [[IndexMaintain]]: all three state/output surfaces
   * land under batch-keyed dirs with overwrite semantics, and the
