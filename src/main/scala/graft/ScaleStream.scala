@@ -44,6 +44,7 @@ object ScaleStream {
       attach: DataFrame => org.apache.spark.sql.streaming.StreamingQuery)
       : Seq[Double] = {
     val landing = tmpDir("land")
+    val staging = tmpDir("landstage") // same tmpfs → Files.move is atomic
     val chunkFiles = java.nio.file.Files.list(staged).iterator().asScala
       .toSeq.filter(_.getFileName.toString.endsWith(".parquet"))
       .sortBy(_.getFileName.toString)
@@ -54,9 +55,15 @@ object ScaleStream {
     val q = attach(stream)
     try {
       chunkFiles.map { f =>
+        // stage OUTSIDE the watched dir, then ATOMIC move into place —
+        // the file-source listing must never see a half-written parquet
+        // (the specs' land() discipline; round-13 advice)
+        val tmp = staging.resolve(f.getFileName.toString)
+        java.nio.file.Files.copy(f, tmp)
+        tmp.toFile.setLastModified(f.toFile.lastModified())
         val dst = landing.resolve(f.getFileName.toString)
-        java.nio.file.Files.copy(f, dst)
-        dst.toFile.setLastModified(f.toFile.lastModified())
+        java.nio.file.Files.move(tmp, dst,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         val t0 = System.nanoTime()
         q.processAllAvailable()
         (System.nanoTime() - t0) / 1e9
@@ -70,8 +77,16 @@ object ScaleStream {
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
     // optional entry subset (args after the factor) — re-measuring one
-    // row must not cost a full re-run
+    // row must not cost a full re-run. Fail FAST on a typo'd name: a
+    // silently-partial run looks complete (the Scale.main require,
+    // applied here per round-13 advice).
     val only = args.drop(1).toSet
+    val known = Set("q_stream_dedup_lsh", "q_stream_dedup_winnow",
+      "q_stream_dedup_containment", "q_stream_dedup_ladder",
+      "q_stream_domain_cap", "q_stream_index_insert")
+    require(only.subsetOf(known),
+      s"unknown ScaleStream entries: ${(only -- known).toSeq.sorted.mkString(", ")}" +
+        s" — known: ${known.toSeq.sorted.mkString(", ")}")
     def want(n: String) = only.isEmpty || only(n)
     val reps = sys.env.get("SPARK_GRAFT_SCALE_REPS")
       .flatMap(_.toIntOption).getOrElse(3).max(1)
@@ -137,6 +152,21 @@ object ScaleStream {
         graft.streaming.StreamDedup.containAdmit(s, ctSt.toString, ctCk.toString))
       val ctRows = spark.read.parquet(s"$ctSt/post").count()
       rows += (("q_stream_dedup_containment", scale, ctWalls, ctRows))
+      }
+
+      if (want("q_stream_dedup_ladder")) {
+      // composed 4-tier ladder over ONE shared state family; rows =
+      // shingle state (stored once — the unification claim)
+      val ldWalls = minOver(reps) {
+        val st = tmpDir("ldstate"); val ck = tmpDir("ldck")
+        replayTimed(spark, staged,
+          s => graft.streaming.StreamDedup.ladderAdmit(s, st.toString, ck.toString))
+      }
+      val ldSt = tmpDir("ldstrows"); val ldCk = tmpDir("ldckrows")
+      replayTimed(spark, staged, s =>
+        graft.streaming.StreamDedup.ladderAdmit(s, ldSt.toString, ldCk.toString))
+      val ldRows = spark.read.parquet(s"$ldSt/sh").count()
+      rows += (("q_stream_dedup_ladder", scale, ldWalls, ldRows))
       }
 
       if (want("q_stream_domain_cap")) {

@@ -606,13 +606,21 @@ object Operators {
       graft.streaming.StreamDedup.compactState(spark, root, target)
       import spark.implicits._
       val conf = spark.sparkContext.hadoopConfiguration
-      Seq("bands", "sh", "fps").flatMap { kind =>
+      // every kind the fold touches, admission output included — a
+      // containment/ladder maintenance window must report the posting
+      // and hash state it just rewrote (round-13 advice)
+      Seq("bands", "sh", "fps", "post", "hashes", "admitted").flatMap { kind =>
         val base = new org.apache.hadoop.fs.Path(s"$root/${kind}_base")
         val fs = base.getFileSystem(conf)
         if (!fs.exists(base)) None
         else {
-          val files = fs.listStatus(base).count(s =>
-            s.isFile && s.getPath.getName.endsWith(".parquet")).toLong
+          // recursive: the posting base nests its files under b= bucket
+          // partition dirs
+          val it = fs.listFiles(base, true)
+          var files = 0L
+          while (it.hasNext) {
+            if (it.next().getPath.getName.endsWith(".parquet")) files += 1
+          }
           Some((kind, spark.read.parquet(base.toString).count(), files))
         }
       }.toDF("kind", "rows", "files")

@@ -621,14 +621,21 @@ object StreamingQ {
     * shingle containment; the batch-order-aware twin of
     * [[Dedup.q_dedup_containment]]): documents ARRIVE in chronological
     * micro-batches and a document is ADMITTED iff no EARLIER-batch
-    * document contains ≥ 0.8 of its distinct 3-shingles — the "reject
-    * crawl pages whose content is mostly already in the corpus" rule.
-    * Candidates go through the EXACT prefix filter (rarest
-    * ⌊(1−t)·|A|⌋+1 shingles by prior df — pruning only, provably
-    * answer-preserving; see containMatched), which the ORACLE does not
-    * need to mirror: it enumerates every shared-shingle pair directly,
-    * so a prefix-filter bug that dropped a true candidate would
-    * hash-mismatch. StreamContainAdmitSpec pins restart-resume and the
+    * document contains ≥ 4/5 of its distinct 3-shingles (an exact
+    * rational — integer cross-multiplication on BOTH engines, no float
+    * boundary) — the "reject crawl pages whose content is mostly
+    * already in the corpus" rule. Candidates go through the EXACT
+    * prefix filter (rarest |A|−⌈τ·|A|⌉+1 shingles by prior df — pruning
+    * only, provably answer-preserving; see containMatched) over
+    * BUCKET-PRUNED posting reads (StreamDedup.postingState: the
+    * compacted posting base is partitioned by b = g mod 256 and each
+    * micro-batch reads only the buckets its own shingles hit — the
+    * per-batch posting scan no longer grows with the corpus), neither
+    * of which the ORACLE needs to mirror: it enumerates every
+    * shared-shingle pair directly, so a prefix- or bucket-filter bug
+    * that dropped a true candidate would hash-mismatch.
+    * StreamContainAdmitSpec pins restart-resume, the boundary-exact
+    * integer prefix bound, the bucket pruning, and the
     * broadcast-pinned plan. */
   val q_stream_dedup_containment = Q(
     "q_stream_dedup_containment",
@@ -675,12 +682,123 @@ object StreamingQ {
       |  FROM cand c
       |  JOIN shs sp ON sp.doc_id = c.prev_id
       |  JOIN shs sn ON sn.doc_id = c.new_id
-      |  WHERE len(list_filter(sn.sh, x -> list_contains(sp.sh, x)))::DOUBLE
-      |          / len(sn.sh) >= 0.8)
+      |  WHERE len(list_filter(sn.sh, x -> list_contains(sp.sh, x))) * 5
+      |          >= len(sn.sh) * 4)
       |SELECT c.doc_id, c.b AS batch FROM chunk c
       |WHERE c.doc_id NOT IN (SELECT doc_id FROM matched)
       |ORDER BY c.doc_id
       |""".stripMargin))
+
+  /** The COMPOSED streaming admission ladder
+    * ([[graft.streaming.StreamDedup.ladderAdmit]]): all four dedup
+    * tiers — exact text hash, MinHash-LSH (Jaccard ≥ 0.7), winnow
+    * overlap (≥ 2 shared fingerprints through prior-df ≤ 50), shingle
+    * containment (≥ 4/5, exact rational) — run in ONE foreachBatch over
+    * ONE shared state family, the production pipeline shape. A doc is
+    * admitted iff NO tier matches it against earlier-batch state;
+    * every doc's keys enter every tier's state regardless (first-seen
+    * wins), so the ladder's admitted set is exactly the INTERSECTION of
+    * the four standalone tiers' — the oracle is their conjunction, and
+    * the whole replay (shared-`sh` reads, bucket-pruned posting scans,
+    * batch boundaries) runs under the DuckDB hash check, admitted batch
+    * number included. StreamLadderAdmitSpec pins restart-resume,
+    * mid-window compaction, and the single-copy shingle state. */
+  val q_stream_dedup_ladder = Q(
+    "q_stream_dedup_ladder",
+    (s, dir) => {
+      val stream = stagedDocStream(s, dir, "ladderdedup")
+      val root = java.nio.file.Files.createTempDirectory("graft_lddd")
+      root.toFile.deleteOnExit()
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      val ckBase = if (java.nio.file.Files.isDirectory(shm) &&
+          java.nio.file.Files.isWritable(shm)) shm
+        else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+      val ck = java.nio.file.Files.createTempDirectory(ckBase, "graft_lddd_ck")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val prevSplit = s.conf.get("spark.sql.files.maxPartitionBytes")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      // scan-split cap: the per-doc shingle/minhash/fingerprint kernels
+      // parallelize per micro-batch (the q_stream_domain_cap discipline)
+      s.conf.set("spark.sql.files.maxPartitionBytes", (64 * 1024).toString)
+      val q = graft.streaming.StreamDedup.ladderAdmit(
+        stream, root.toString, ck.toString)
+      try { q.processAllAvailable() } finally {
+        q.stop()
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        s.conf.set("spark.sql.files.maxPartitionBytes", prevSplit)
+        try {
+          val walk = java.nio.file.Files.walk(ck)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          finally walk.close()
+        } catch { case _: java.io.IOException => () }
+      }
+      graft.streaming.StreamDedup.readAdmitted(s, root.toString)
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val r = Dedup.MINHASH_K / Dedup.BANDS
+      val bandSelects = (0 until Dedup.BANDS).map { b =>
+        val parts = (0 until r).map(i => s"sig[${b * r + i + 1}]::VARCHAR")
+        s"SELECT doc_id, sh, $b AS band, md5(${parts.mkString(" || ',' || ")}) AS bkey FROM sig"
+      }
+      val sigList = (0 until Dedup.MINHASH_K)
+        .map(j => Sql.minhash("sh", j)).mkString(", ")
+      s"""
+      |WITH shs AS (${Dedup.shingleSql}),
+      |chunk AS (SELECT doc_id, ntile(4) OVER (ORDER BY doc_id) AS b
+      |          FROM documents),
+      |em AS (
+      |  SELECT DISTINCT cn.doc_id
+      |  FROM documents p JOIN documents n ON p.text = n.text
+      |  JOIN chunk cp ON cp.doc_id = p.doc_id
+      |  JOIN chunk cn ON cn.doc_id = n.doc_id
+      |  WHERE cp.b < cn.b),
+      |sig AS (SELECT doc_id, sh, [$sigList] AS sig FROM shs),
+      |banded AS (
+      |  ${bandSelects.mkString("\n  UNION ALL ")}
+      |),
+      |lm AS (
+      |  SELECT DISTINCT nb.doc_id
+      |  FROM banded pa JOIN banded nb
+      |    ON pa.band = nb.band AND pa.bkey = nb.bkey
+      |  JOIN chunk ca ON ca.doc_id = pa.doc_id
+      |  JOIN chunk cb ON cb.doc_id = nb.doc_id
+      |  WHERE ca.b < cb.b
+      |    AND ${Dedup.jaccardSql("pa.sh", "nb.sh")} >= ${Dedup.MINHASH_VERIFY_T}),
+      |${TextAnalysis.winnowSql},
+      |wf AS (SELECT fps.doc_id, fps.fp, chunk.b
+      |      FROM fps JOIN chunk ON fps.doc_id = chunk.doc_id),
+      |wdf AS (SELECT doc_id, fp, b,
+      |          count(*) OVER (PARTITION BY fp ORDER BY b
+      |            RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |            AS df_before
+      |        FROM wf),
+      |wcand AS (
+      |  SELECT p.doc_id AS prev_id, n.doc_id AS new_id
+      |  FROM wf p JOIN wdf n ON p.fp = n.fp AND p.b < n.b
+      |  WHERE n.df_before <= 50),
+      |wm AS (SELECT DISTINCT new_id AS doc_id
+      |       FROM (SELECT prev_id, new_id, count(*) AS ns
+      |             FROM wcand GROUP BY 1, 2)
+      |       WHERE ns >= 2),
+      |pg AS (SELECT shs.doc_id, unnest(sh) AS g, chunk.b
+      |      FROM shs JOIN chunk ON shs.doc_id = chunk.doc_id),
+      |ccand AS (SELECT DISTINCT p.doc_id AS prev_id, n.doc_id AS new_id
+      |  FROM pg p JOIN pg n ON p.g = n.g AND p.b < n.b),
+      |cm AS (SELECT DISTINCT c.new_id AS doc_id
+      |  FROM ccand c
+      |  JOIN shs sp ON sp.doc_id = c.prev_id
+      |  JOIN shs sn ON sn.doc_id = c.new_id
+      |  WHERE len(list_filter(sn.sh, x -> list_contains(sp.sh, x))) * 5
+      |          >= len(sn.sh) * 4),
+      |matched AS (SELECT doc_id FROM em UNION SELECT doc_id FROM lm
+      |  UNION SELECT doc_id FROM wm UNION SELECT doc_id FROM cm)
+      |SELECT c.doc_id, c.b AS batch FROM chunk c
+      |WHERE c.doc_id NOT IN (SELECT doc_id FROM matched)
+      |ORDER BY c.doc_id
+      |""".stripMargin
+    })
 
   /** Streaming domain cap — [[Corpus.q_domain_cap]]'s bounded-heap
     * per-source top-k run as a streaming aggregate over the multi-batch
@@ -720,5 +838,5 @@ object StreamingQ {
     Seq(q_stream_windowed, q_stream_dedup, q_stream_join, q_stream_curate,
       q_stream_late, q_stream_index_insert, q_stream_dedup_lsh,
       q_stream_dedup_winnow, q_stream_dedup_containment,
-      q_stream_domain_cap)
+      q_stream_dedup_ladder, q_stream_domain_cap)
 }

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.queries.Dedup
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -17,9 +17,13 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *    reject if an earlier doc shares ≥ minShared MOSS winnowing
   *    fingerprints through fps below the boilerplate df cut;
   *  - [[containAdmit]] — containment (batch twin
-  *    `q_dedup_containment`): reject if one earlier doc contains ≥ t
-  *    of the new doc's distinct 3-shingles (exact prefix-filter
-  *    candidate cut).
+  *    `q_dedup_containment`): reject if one earlier doc contains ≥ τ
+  *    (an exact rational) of the new doc's distinct 3-shingles (exact
+  *    prefix-filter candidate cut, bucket-pruned posting reads);
+  *  - [[ladderAdmit]] — ALL FOUR tiers (exact hash included) composed
+  *    in one foreachBatch over one SHARED state family — the
+  *    production shape; one `sh` kind serves both shingle-consuming
+  *    tiers.
   *
   * EVERY batch document's keys/sets are appended to persisted state
   * regardless of admission — first-seen wins, so a dup of a dropped
@@ -125,22 +129,35 @@ object StreamDedup {
     * current batch, given the batch's shingle sets `d` (doc_id, sh,
     * nsh), the accumulated shingle-posting state `post` (doc_id, g) and
     * shingle-set state `psh` (doc_id, sh, nsh). A new doc N matches iff
-    * ∃ earlier P with |sh(N) ∩ sh(P)| / |sh(N)| ≥ `t`.
+    * ∃ earlier P with |sh(N) ∩ sh(P)| ≥ (tauNum/tauDen)·|sh(N)|.
     *
     * Candidate generation is the EXACT prefix filter of
-    * [[graft.dedup.SetSimJoin]], batch-order-aware: if containment ≥ t
-    * then an earlier doc misses at most (1−t)·|A| of A's shingles, so
-    * it must share one of ANY ⌊(1−t)·|A|⌋+1 of them — the theorem
-    * holds for every subset of that size, and picking the RAREST (by
-    * PRIOR document frequency, one broadcast-semi-joined scan of the
-    * posting state — batch-bounded like the winnow df pass) just
-    * minimizes candidate fan-out; it cannot change the answer. The
+    * [[graft.dedup.SetSimJoin]], batch-order-aware: if containment ≥ τ
+    * then an earlier doc misses at most |A| − ⌈τ·|A|⌉ of A's shingles,
+    * so it must share one of ANY |A| − ⌈τ·|A|⌉ + 1 of them — the
+    * theorem holds for every subset of that size, and picking the
+    * RAREST (by PRIOR document frequency, one broadcast-semi-joined
+    * scan of the posting state — batch-bounded like the winnow df pass)
+    * just minimizes candidate fan-out; it cannot change the answer. The
     * prefix rank is a window over BATCH rows only. Like every tier
     * here, state is scanned, never shuffled: posting and shingle state
-    * join against broadcast batch-derived frames. */
+    * join against broadcast batch-derived frames.
+    *
+    * The threshold is a RATIONAL and both the prefix bound and the
+    * verify are exact integer arithmetic — the batch twin
+    * [[graft.dedup.SetSimJoin.containmentJoin]]'s "no float boundary"
+    * discipline. The round-13 float form `⌊(1−t)·n⌋+1` under-counted
+    * the prefix whenever (1−t)·n was mathematically integral (t=0.8,
+    * n divisible by 5: (1−0.8) in doubles is 0.19999…, the product
+    * rounds just below the integer), so a doc at exactly the boundary
+    * whose RAREST shingle was the one missed was never generated as a
+    * candidate — a wrongly-ADMITTED true near-dup. StreamContainAdmitSpec
+    * "integer prefix bound" pins the boundary case. */
   private[streaming] def containMatched(d: DataFrame, post: DataFrame,
-      psh: DataFrame, t: Double): DataFrame = {
+      psh: DataFrame, tauNum: Int, tauDen: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
+      s"containment threshold must be a rational in (0, 1]: $tauNum/$tauDen")
     val bg = d.select(col("doc_id"), col("nsh"),
       explode(transform(col("sh"), s => xxhash64(s))).as("g"))
     val dfOf = post.join(broadcast(bg.select(col("g")).distinct()), Seq("g"))
@@ -150,8 +167,12 @@ object StreamDedup {
       .withColumn("df", coalesce(col("df"), lit(0L)))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))))
+    // ⌈τ·n⌉ = ⌊(n·num + den − 1) / den⌋ — exact for n ≪ 2^53/den (the
+    // SetSimJoin.containmentCandidates bound); prefix = n − ⌈τ·n⌉ + 1
+    val ceilTauN =
+      floor((col("nsh").cast("long") * tauNum + (tauDen - 1)) / tauDen)
     val prefix = ranked
-      .filter(col("rk") <= floor((lit(1.0) - lit(t)) * col("nsh")) + 1)
+      .filter(col("rk") <= col("nsh") - ceilTauN + 1)
       .select(col("doc_id").as("new_id"), col("g"))
     val cand = post.select(col("doc_id").as("prev_id"), col("g"))
       .join(broadcast(prefix), Seq("g"))
@@ -160,10 +181,68 @@ object StreamDedup {
       .join(broadcast(cand), Seq("prev_id"))
       .join(broadcast(d.select(col("doc_id").as("new_id"),
         col("sh").as("sh_n"), col("nsh").as("nn"))), Seq("new_id"))
-      .filter(size(array_intersect(col("sh_n"), col("sh_p"))).cast("double")
-        / col("nn").cast("double") >= t)
+      .filter(size(array_intersect(col("sh_n"), col("sh_p"))).cast("long")
+        * tauDen >= col("nn").cast("long") * tauNum)
       .select(col("new_id").as("doc_id")).distinct()
   }
+
+  /** Posting-state bucket count. The compacted `post_base` is laid out
+    * as one partition dir per bucket `b = pmod(g, PostBuckets)` (g is
+    * already a 64-bit shingle hash, so the residue is uniform), and
+    * every micro-batch's posting read prunes to the buckets ITS OWN
+    * shingles hit — the [[graft.index.IvfIndex]] posting-list
+    * discipline applied to dedup state (reference anchor: GANN's
+    * leaf-partitioned at-rest layout, `gann.py:180-193`). Without the
+    * pruning both posting passes of [[containMatched]] scan every
+    * accumulated posting row: compaction bounds the FILE count but not
+    * the BYTES, so at 100 TB the per-batch scan is O(corpus) — the
+    * round-13 measured growth term (b1→b8 wall 2.1× at 10× volume).
+    * With it a batch touching k distinct buckets reads k/PostBuckets of
+    * the base. 256 buckets keeps the compacted layout at ≤256 files
+    * (one per bucket per fold — fine up to ~32 GB of posting state at
+    * the default 128 MB target; a 100 TB deployment raises the count
+    * with the same key). Live per-batch dirs carry `b` as a DATA column
+    * (they are batch-bounded; a second dynamic-partition level per
+    * trigger is the exact small-files bug the round-13
+    * `appendStreamBlock` fix removed), so the same `isin` filter is a
+    * pushed data filter there and a partition-pruning filter on the
+    * base. */
+  private[streaming] val PostBuckets = 256
+
+  private def postBucket(g: Column): Column =
+    pmod(g, lit(PostBuckets.toLong)).cast("int")
+
+  /** Batch posting-state append: (doc_id, g, b) under
+    * `post/batch=<id>`. Posting keys are 64-bit shingle hashes, not the
+    * shingle strings: equality is all candidate generation needs, a
+    * hash collision only ADDS a candidate the exact array-intersect
+    * verify then drops (admission decisions provably unchanged), and
+    * the at-rest posting state shrinks to two longs + a bucket per
+    * row — the state term every batch scans (measured: string postings
+    * made the 10× per-batch wall GROW 2.7× across the replay where the
+    * LSH tier's md5-key band state stayed flat). */
+  private def writePostState(d: DataFrame, stateRoot: String,
+      batchId: Long): Unit =
+    d.select(col("doc_id"),
+        explode(transform(col("sh"), s => xxhash64(s))).as("g"))
+      .withColumn("b", postBucket(col("g")))
+      .write.mode("overwrite").parquet(s"$stateRoot/post/batch=$batchId")
+
+  /** Bucket-PRUNED posting state strictly before `batchId`: the batch's
+    * own shingles determine the bucket set (≤ [[PostBuckets]] values, a
+    * bounded driver collect off the cached batch frame), and the
+    * `isin` filter prunes the compacted base to those partition dirs
+    * and push-filters the live dirs. None when no posting state exists
+    * yet. */
+  private[streaming] def postingState(sp: SparkSession, stateRoot: String,
+      batchId: Long, d: DataFrame): Option[DataFrame] =
+    readState(sp, stateRoot, "post", batchId, Seq("doc_id", "g", "b"))
+      .map { post =>
+        val buckets = d.select(explode(transform(col("sh"),
+            s => postBucket(xxhash64(s)))).as("b"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        post.filter(col("b").isin(buckets: _*)).select("doc_id", "g")
+      }
 
   /** Streaming containment admission — the fourth tier of the live
     * dedup ladder (exact hash → MinHash-LSH → winnow overlap → shingle
@@ -172,11 +251,13 @@ object StreamDedup {
     * pages whose content is mostly already in the corpus" rule, the
     * batch-order-aware twin of
     * [[graft.queries.Dedup.q_dedup_containment]] with the same exact
-    * prefix-filter candidate cut (see [[containMatched]]). First-seen
-    * wins; same batch-keyed exactly-once layout, broadcast-pinned
-    * joins, and [[compactState]] maintenance (kinds `post` + `sh`). */
+    * prefix-filter candidate cut (see [[containMatched]], threshold the
+    * exact rational tauNum/tauDen). First-seen wins; same batch-keyed
+    * exactly-once layout, broadcast-pinned joins, bucket-pruned posting
+    * reads (see [[postingState]]), and [[compactState]] maintenance
+    * (kinds `post` + `sh`). */
   def containAdmit(docs: DataFrame, stateRoot: String, checkpoint: String,
-      t: Double = 0.8): StreamingQuery = {
+      tauNum: Int = 4, tauDen: Int = 5): StreamingQuery = {
     val outRoot = admittedRoot(stateRoot)
     docs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -185,27 +266,17 @@ object StreamDedup {
         val d = Dedup.shingleOf(batch.toDF()).cache()
         try {
           val matched = (
-            readState(sp, stateRoot, "post", batchId, Seq("doc_id", "g")),
+            postingState(sp, stateRoot, batchId, d),
             readState(sp, stateRoot, "sh", batchId,
               Seq("doc_id", "sh", "nsh"))) match {
-            case (Some(post), Some(psh)) => containMatched(d, post, psh, t)
+            case (Some(post), Some(psh)) =>
+              containMatched(d, post, psh, tauNum, tauDen)
             case _ => sp.range(0).select(col("id").as("doc_id"))
           }
           batch.toDF().select(col("doc_id"))
             .join(broadcast(matched), Seq("doc_id"), "left_anti")
             .write.mode("overwrite").parquet(s"$outRoot/batch=${batchId + 1}")
-          // posting keys are 64-bit shingle hashes, not the shingle
-          // strings: equality is all candidate generation needs, a hash
-          // collision only ADDS a candidate the exact array-intersect
-          // verify then drops (admission decisions provably unchanged),
-          // and the at-rest posting state shrinks to two longs per row —
-          // the state term every batch scans (measured: string postings
-          // made the 10× per-batch wall GROW 2.7× across the replay
-          // where the LSH tier's md5-key band state stayed flat)
-          d.select(col("doc_id"),
-              explode(transform(col("sh"), s => xxhash64(s))).as("g"))
-            .write.mode("overwrite")
-            .parquet(s"$stateRoot/post/batch=$batchId")
+          writePostState(d, stateRoot, batchId)
           d.select(col("doc_id"), col("sh"), col("nsh"))
             .write.mode("overwrite").parquet(s"$stateRoot/sh/batch=$batchId")
         } finally { d.unpersist(); () }
@@ -326,10 +397,95 @@ object StreamDedup {
       .start()
   }
 
+  /** The COMPOSED admission ladder — all four tiers (exact hash →
+    * MinHash-LSH → winnow overlap → shingle containment) in ONE
+    * foreachBatch over ONE shared state family, the shape a production
+    * pipeline actually runs. A document is ADMITTED iff NO tier matches
+    * it against EARLIER-batch state; every document's keys enter every
+    * tier's state regardless of admission (first-seen wins), so the
+    * ladder's admitted set is exactly the INTERSECTION of the four
+    * standalone tiers' admitted sets — which is what makes the whole
+    * replay one-shot oracle-checkable (q_stream_dedup_ladder ANDs the
+    * four tier conditions in SQL).
+    *
+    * State unification (the round-13 verdict's consolidation ask):
+    * running [[lshAdmit]] and [[containAdmit]] side by side stores
+    * every document's shingle array TWICE (each tier persists its own
+    * `sh` kind under its own stateRoot); here ONE `sh` kind serves both
+    * the LSH verify and the containment verify, alongside `hashes`
+    * (exact tier — 64-bit text hashes; a collision could only DROP a
+    * unique doc, at xxhash64 odds, and the batch incremental-dedup twin
+    * accepts the same trade), `bands` (LSH), `fps` (winnow) and the
+    * bucket-pruned `post` (containment). Same batch-keyed exactly-once
+    * layout, broadcast-pinned per-batch joins, and [[compactState]]
+    * maintenance as the standalone tiers — the state write amplification
+    * of the full ladder over its most expensive tier is the three extra
+    * id-keyed key tables, not a second copy of the shingles
+    * (StreamLadderAdmitSpec pins the single-`sh` claim and
+    * restart-resume). */
+  def ladderAdmit(docs: DataFrame, stateRoot: String, checkpoint: String,
+      verifyT: Double = Dedup.MINHASH_VERIFY_T,
+      maxDf: Long = 50L, minShared: Long = 2L,
+      tauNum: Int = 4, tauDen: Int = 5): StreamingQuery = {
+    val outRoot = admittedRoot(stateRoot)
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val sp = batch.sparkSession
+        val b = batch.toDF()
+        val d = Dedup.shingleOf(b).cache()
+        val banded = Dedup.bandedOf(d).cache()
+        val bfps = graft.queries.TextAnalysis.winnowFps(b).cache()
+        val bh = b.select(col("doc_id"), xxhash64(col("text")).as("h"))
+        try {
+          def none = sp.range(0).select(col("id").as("doc_id"))
+          val psh =
+            readState(sp, stateRoot, "sh", batchId, Seq("doc_id", "sh", "nsh"))
+          val exactM =
+            readState(sp, stateRoot, "hashes", batchId, Seq("doc_id", "h"))
+              .map(_.select(col("h")).join(broadcast(bh), Seq("h"))
+                .select(col("doc_id")).distinct())
+              .getOrElse(none)
+          val lshM = (readState(sp, stateRoot, "bands", batchId,
+              Seq("doc_id", "band", "bkey")), psh) match {
+            case (Some(pb), Some(s)) =>
+              matchedAgainstState(d, banded, pb, s, verifyT)
+            case _ => none
+          }
+          val winM = readState(sp, stateRoot, "fps", batchId,
+              Seq("doc_id", "fp"))
+            .map(winnowMatched(bfps, _, maxDf, minShared))
+            .getOrElse(none)
+          val conM = (postingState(sp, stateRoot, batchId, d), psh) match {
+            case (Some(post), Some(s)) =>
+              containMatched(d, post, s, tauNum, tauDen)
+            case _ => none
+          }
+          val matched = exactM.unionByName(lshM).unionByName(winM)
+            .unionByName(conM).distinct()
+          b.select(col("doc_id"))
+            .join(broadcast(matched), Seq("doc_id"), "left_anti")
+            .write.mode("overwrite").parquet(s"$outRoot/batch=${batchId + 1}")
+          bh.write.mode("overwrite")
+            .parquet(s"$stateRoot/hashes/batch=$batchId")
+          banded.write.mode("overwrite")
+            .parquet(s"${bandsRoot(stateRoot)}/batch=$batchId")
+          d.select(col("doc_id"), col("sh"), col("nsh"))
+            .write.mode("overwrite").parquet(s"${shRoot(stateRoot)}/batch=$batchId")
+          bfps.write.mode("overwrite")
+            .parquet(s"$stateRoot/fps/batch=$batchId")
+          writePostState(d, stateRoot, batchId)
+        } finally { d.unpersist(); banded.unpersist(); bfps.unpersist(); () }
+        ()
+      }
+      .start()
+  }
+
   /** MAINTENANCE-WINDOW state compaction: fold every live
-    * `bands|sh|fps|admitted/batch=*` dir (plus any previous base) into
-    * `<kind>_base` — ~`targetBytes` parquet files total, batch
-    * preserved as a data column — and drop the live dirs. Returns
+    * `bands|sh|fps|post|hashes|admitted/batch=*` dir (plus any previous
+    * base) into `<kind>_base` — ~`targetBytes` parquet files total
+    * (`post` instead bucket-partitioned by `b`, see [[PostBuckets]]),
+    * batch preserved as a data column — and drop the live dirs. Returns
     * false (no-op) when no live state exists. The admitted OUTPUT is
     * folded under the same contract as the dedup state and
     * [[graft.index.Blocks.compactStreamBlocks]]: one dir per trigger
@@ -351,12 +507,13 @@ object StreamDedup {
   def compactState(spark: SparkSession, stateRoot: String,
       targetBytes: Long = 128L * 1024 * 1024): Boolean = {
     val conf = spark.sparkContext.hadoopConfiguration
-    def foldOne(kind: String, cols: Seq[String]): Boolean = {
+    def foldOne(kind: String, cols: Seq[String],
+        bucketCol: Option[String] = None): Boolean = {
       val live = new org.apache.hadoop.fs.Path(s"$stateRoot/$kind")
       val fs = live.getFileSystem(conf)
       if (!fs.exists(live)) return false
       val base = new org.apache.hadoop.fs.Path(s"$stateRoot/${kind}_base")
-      val withBatch = cols :+ "batch"
+      val withBatch = cols ++ bucketCol :+ "batch"
       val liveDf = spark.read.parquet(live.toString)
         .withColumn("batch", col("batch").cast("long"))
         .select(withBatch.map(col): _*)
@@ -374,8 +531,20 @@ object StreamDedup {
       val n = graft.sink.Compaction.planFiles(bytes, targetBytes)
       val staging = s"$stateRoot/${kind}_compact"
       val folded = all
-      (if (folded.rdd.getNumPartitions > n) folded.coalesce(n) else folded)
-        .write.mode("overwrite").parquet(staging)
+      bucketCol match {
+        case Some(bc) =>
+          // bucket-partitioned base (the posting kind): each bucket's
+          // rows land entirely in one task (hash repartition on the
+          // bucket key — a shuffle, but this is the maintenance window,
+          // not the per-batch path), so the layout is one dir and ≤ a
+          // couple of files per bucket, and every micro-batch's posting
+          // read partition-prunes to the buckets its shingles hit
+          folded.repartition(math.max(n, 1), col(bc))
+            .write.mode("overwrite").partitionBy(bc).parquet(staging)
+        case None =>
+          (if (folded.rdd.getNumPartitions > n) folded.coalesce(n) else folded)
+            .write.mode("overwrite").parquet(staging)
+      }
       fs.delete(base, true)
       fs.delete(live, true)
       fs.rename(new org.apache.hadoop.fs.Path(staging), base)
@@ -384,9 +553,10 @@ object StreamDedup {
     val b = foldOne("bands", Seq("doc_id", "band", "bkey"))
     val s = foldOne("sh", Seq("doc_id", "sh", "nsh"))
     val f = foldOne("fps", Seq("doc_id", "fp"))
-    val g = foldOne("post", Seq("doc_id", "g"))
+    val g = foldOne("post", Seq("doc_id", "g"), bucketCol = Some("b"))
+    val h = foldOne("hashes", Seq("doc_id", "h"))
     val a = foldOne("admitted", Seq("doc_id"))
-    b || s || f || g || a
+    b || s || f || g || h || a
   }
 
   /** Where [[lshAdmit]]/[[winnowAdmit]] land admitted ids (partitioned

@@ -572,11 +572,19 @@ class OperatorsSpec extends AnyFunSuite {
       .write.parquet(s"$root/fps/batch=0")
     Seq((3L, 11L)).toDF("doc_id", "fp")
       .write.parquet(s"$root/fps/batch=1")
+    // containment posting + admitted output state: the status frame must
+    // report EVERY kind the fold touches (round-13 advice — a
+    // containment maintenance window used to report nothing at rest)
+    Seq((1L, 77L, 77 % 256), (2L, 99L, 99 % 256)).toDF("doc_id", "g", "b")
+      .write.parquet(s"$root/post/batch=0")
+    Seq(Tuple1(1L)).toDF("doc_id").write.parquet(s"$root/admitted/batch=1")
     val status = Operators.make(spark, "sink", "compact_stream_state",
       Map("stateRoot" -> root))(Seq.empty, Map.empty)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    assert(status.keySet == Set("fps"))
+    assert(status.keySet == Set("fps", "post", "admitted"))
     assert(status("fps")._1 == 3L) // all rows at rest in the base
+    assert(status("post")._1 == 2L)
+    assert(status("admitted")._1 == 1L)
     assert(!new java.io.File(s"$root/fps").exists, "live dirs folded away")
     // batch survives as a data column for the < current pruning
     val base = spark.read.parquet(s"$root/fps_base")

@@ -97,6 +97,82 @@ class StreamContainAdmitSpec extends AnyFunSuite {
     assert(admitted(state) == wantAdmitted)
   }
 
+  test("integer prefix bound: a boundary doc (nsh divisible by 5) whose " +
+      "rarest shingle is the one missed is still caught") {
+    // P contains 4 of A's 5 shingles — containment exactly 4/5, the
+    // threshold boundary. The missing shingle ("a b c") is A's RAREST
+    // (prior df 0), so the round-13 float prefix ⌊(1−0.8)·5⌋+1 = 1
+    // selected ONLY it: A was never generated as a candidate and a true
+    // near-dup was wrongly admitted. The exact integer bound
+    // 5 − ⌈4/5·5⌉ + 1 = 2 reaches the first shared shingle.
+    val landing = tmp("bland"); val state = tmp("bstate"); val ck = tmp("bck")
+    val base = System.currentTimeMillis()
+    val pText = "b c d e f g x y"  // shingles: bcd cde def efg fgx gxy
+    val aText = "a b c d e f g"    // shingles: abc bcd cde def efg (4 ⊆ P)
+    land(landing, docs(Seq(1L -> pText)), 0, base)
+    land(landing, docs(Seq(2L -> aText)), 1, base)
+    val q = StreamDedup.containAdmit(stream(landing), state.toString, ck.toString)
+    try q.processAllAvailable() finally q.stop()
+    assert(admitted(state) == Map(1L -> 1))
+  }
+
+  test("posting reads prune to the batch's buckets: the compacted base " +
+      "is b-partitioned and the scan carries a partition filter") {
+    import scala.jdk.CollectionConverters._
+    val landing = tmp("pland"); val state = tmp("pstate"); val ck = tmp("pck")
+    val base = System.currentTimeMillis()
+    land(landing, docs((1L to 80L).map(i =>
+      i -> s"u$i v$i w$i x$i y$i z$i q$i r$i")), 0, base)
+    val q = StreamDedup.containAdmit(stream(landing), state.toString, ck.toString)
+    try q.processAllAvailable() finally q.stop()
+    assert(StreamDedup.compactState(spark, state.toString))
+    val bucketDirs = java.nio.file.Files.list(state.resolve("post_base"))
+      .iterator().asScala.count(_.getFileName.toString.startsWith("b="))
+    assert(bucketDirs > 16, s"expected many b= partition dirs, got $bucketDirs")
+    val wasAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // a tiny batch hits few buckets; its posting read must carry a
+      // partition filter on b and return only those buckets' rows
+      val d = graft.queries.Dedup.shingleOf(docs(Seq(999L -> "p q r s t")))
+      val post = StreamDedup.postingState(spark, state.toString, 5L, d).get
+      val scans = post.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(
+            _.toString.contains("post_base")) => f
+      }
+      assert(scans.nonEmpty, "no post_base scan in the pruned read")
+      scans.foreach(f => assert(f.partitionFilters.nonEmpty,
+        s"post_base scan carries no partition filter:\n${f.treeString}"))
+      val full = spark.read.parquet(s"$state/post_base").count()
+      assert(post.count() < full,
+        "pruned posting read returned the whole base")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", wasAqe)
+  }
+
+  test("double maintenance fold with interleaved restarts: no admitted " +
+      "id lost or duplicated") {
+    val landing = tmp("dland"); val state = tmp("dstate"); val ck = tmp("dck")
+    val base = System.currentTimeMillis()
+    def runChunks(from: Int, to: Int): Unit = {
+      chunks.slice(from, to).zipWithIndex.foreach { case (c, i) =>
+        land(landing, docs(c), from + i, base) }
+      val q = StreamDedup.containAdmit(stream(landing), state.toString, ck.toString)
+      try q.processAllAvailable() finally q.stop()
+    }
+    runChunks(0, 2)
+    assert(StreamDedup.compactState(spark, state.toString))
+    runChunks(2, 3)
+    assert(StreamDedup.compactState(spark, state.toString))
+    runChunks(3, 4)
+    assert(admitted(state) == wantAdmitted)
+    // collapse-proof duplicate check (the Map assertion would mask one)
+    val ids = StreamDedup.readAdmitted(spark, state.toString)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(ids.size == ids.distinct.size,
+      s"duplicated admitted ids after two folds: $ids")
+  }
+
   test("per-batch plan: posting/shingle state is scanned, never shuffled " +
       "or broadcast raw — df, prefix, and verify broadcast the batch side") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
@@ -119,7 +195,7 @@ class StreamContainAdmitSpec extends AnyFunSuite {
         101L -> "completely novel words in this page")))
       val m = StreamDedup.containMatched(d,
         spark.read.parquet(s"$stateDir/post"),
-        spark.read.parquet(s"$stateDir/psh"), t = 0.8)
+        spark.read.parquet(s"$stateDir/psh"), tauNum = 4, tauDen = 5)
       val plan = m.queryExecution.executedPlan
       def isStateScan(p: SparkPlan): Boolean = p match {
         case f: FileSourceScanExec =>
