@@ -258,7 +258,15 @@ object RecallReport {
     // q_ann_ivf, allowed set = label < 3 semi-joined pre-distance;
     // scored vs the exact FILTERED brute force — measured 0.913 at
     // sf0.1, floor = measured−0.02
-    "q_ann_ivf_filtered" -> 0.89)
+    "q_ann_ivf_filtered" -> 0.89,
+    // filtered search on the compressed tier (round 14): the allowed
+    // set semi-joins the IVF-BQ code table before the Hamming fold,
+    // same nprobe-7/shortlist-800 knobs as q_ann_ivfbq; scored vs the
+    // exact FILTERED brute force — measured 0.964 at sf0.1
+    // (selectivity HELPS the compressed tier: the semi-join thins each
+    // probed cluster, so the fixed shortlist covers more of the allowed
+    // set); floor = measured−0.02
+    "q_ann_ivfbq_filtered" -> 0.94)
   private[graft] val lshPairRecallFloor: Double = 0.97
   private[graft] val hllMaxRelErrCeil: Double = 0.01
 
@@ -277,9 +285,11 @@ object RecallReport {
     // the same allowed set (label < 3) the entry semi-joins
     val exactFiltered = exactTopK(spark, sfDir, k, Some(col("label") < 3))
     val recalls = annEntries.map(nm =>
-      nm -> recallOf(spark, sfDir, exact, nm)) :+
-      ("q_ann_ivf_filtered" ->
-        recallOf(spark, sfDir, exactFiltered, "q_ann_ivf_filtered"))
+      nm -> recallOf(spark, sfDir, exact, nm)) ++ Seq(
+      "q_ann_ivf_filtered" ->
+        recallOf(spark, sfDir, exactFiltered, "q_ann_ivf_filtered"),
+      "q_ann_ivfbq_filtered" ->
+        recallOf(spark, sfDir, exactFiltered, "q_ann_ivfbq_filtered"))
     val lsh = lshPairRecall(spark, sfDir)
     val hll = hllMaxRelErr(spark, sfDir)
     val fastrp = fastRpMatches(spark)

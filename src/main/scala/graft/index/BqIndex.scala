@@ -60,13 +60,16 @@ object BqIndex {
         .select(col(qid), encUdf(col(qvec)).as("qsig"))
     }
 
-    /** Hamming top-k over the packed codes (coarse stage). */
+    /** Hamming top-k over the packed codes (coarse stage). `allowedIds`
+      * is the pre-filter contract ([[Search.allowedOnly]]). */
     def search(queries: DataFrame, qid: String, qvec: String, k: Int,
-        excludeSelf: Boolean = true): DataFrame = {
+        excludeSelf: Boolean = true,
+        allowedIds: Option[DataFrame] = None): DataFrame = {
       val idType = GannIndex.requireIntegralId(codes, idCol)
       Search.topKOut(
         Search.selfFilter(
-            codes.crossJoin(broadcast(encoded(queries, qid, qvec))),
+            Search.allowedOnly(codes, idCol, allowedIds)
+              .crossJoin(broadcast(encoded(queries, qid, qvec))),
             idCol, qid, excludeSelf)
           .select(col(qid), col(idCol),
             hamming(col("sig"), col("qsig")).cast("double").as("dist")),
@@ -74,13 +77,16 @@ object BqIndex {
     }
 
     /** Hamming shortlist + exact rerank against the raw vectors (the
-      * serving shape — see PqIndex.Model.searchRerank). */
+      * serving shape — see PqIndex.Model.searchRerank). The allowed-id
+      * filter applies at the SHORTLIST stage, so the rerank sees only
+      * allowed candidates. */
     def searchRerank(queries: DataFrame, qid: String, qvec: String, k: Int,
         shortlist: Int, vectors: DataFrame, vecCol: String,
-        excludeSelf: Boolean = true): DataFrame = {
+        excludeSelf: Boolean = true,
+        allowedIds: Option[DataFrame] = None): DataFrame = {
       val idType = GannIndex.requireIntegralId(codes, idCol)
       val cand = search(queries, qid, qvec, k = shortlist,
-        excludeSelf = excludeSelf)
+        excludeSelf = excludeSelf, allowedIds = allowedIds)
       Search.rerank(cand, queries, qid, qvec, k, vectors, idCol, vecCol,
         idType, metric)
     }

@@ -52,13 +52,18 @@ object IvfBq {
         .select(col(qid), col("p._1").as("cluster"), col("p._2").as("qsig"))
     }
 
-    /** Hamming top-k over the probed clusters' residual signatures. */
+    /** Hamming top-k over the probed clusters' residual signatures.
+      * `allowedIds` is the pre-filter contract ([[Search.allowedOnly]]):
+      * the semi join composes with the cluster-probe pruning — the
+      * distance fold sees only allowed rows of probed clusters. */
     def search(queries: DataFrame, qid: String, qvec: String,
-        k: Int, nprobe: Int, excludeSelf: Boolean = true): DataFrame = {
+        k: Int, nprobe: Int, excludeSelf: Boolean = true,
+        allowedIds: Option[DataFrame] = None): DataFrame = {
       val idType = GannIndex.requireIntegralId(codes, idCol)
       Search.topKOut(
         Search.selfFilter(
-            probed(queries, qid, qvec, nprobe).join(codes, Seq("cluster")),
+            probed(queries, qid, qvec, nprobe).join(
+              Search.allowedOnly(codes, idCol, allowedIds), Seq("cluster")),
             idCol, qid, excludeSelf)
           .select(col(qid), col(idCol),
             graft.functions.VectorF.hammingWords(col("sig"), col("qsig"))
@@ -67,13 +72,15 @@ object IvfBq {
     }
 
     /** Hamming shortlist + exact rerank (the serving shape — see
-      * PqIndex.Model.searchRerank). */
+      * PqIndex.Model.searchRerank). The allowed-id filter applies at
+      * the shortlist stage. */
     def searchRerank(queries: DataFrame, qid: String, qvec: String, k: Int,
         nprobe: Int, shortlist: Int, vectors: DataFrame, vecCol: String,
-        excludeSelf: Boolean = true): DataFrame = {
+        excludeSelf: Boolean = true,
+        allowedIds: Option[DataFrame] = None): DataFrame = {
       val idType = GannIndex.requireIntegralId(codes, idCol)
       val cand = search(queries, qid, qvec, k = shortlist, nprobe = nprobe,
-        excludeSelf = excludeSelf)
+        excludeSelf = excludeSelf, allowedIds = allowedIds)
       Search.rerank(cand, queries, qid, qvec, k, vectors, idCol, vecCol,
         idType, metric)
     }

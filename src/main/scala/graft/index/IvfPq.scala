@@ -36,9 +36,11 @@ object IvfPq {
       codes: DataFrame, idCol: String, appends: Int = 0,
       metric: String = "l2") {
 
-    /** ADC search over the probed clusters' residual codes. */
+    /** ADC search over the probed clusters' residual codes. `allowedIds`
+      * is the pre-filter contract ([[Search.allowedOnly]]). */
     def search(queries: DataFrame, qid: String, qvec: String,
-        k: Int, nprobe: Int, excludeSelf: Boolean = true): DataFrame = {
+        k: Int, nprobe: Int, excludeSelf: Boolean = true,
+        allowedIds: Option[DataFrame] = None): DataFrame = {
       val idType = GannIndex.requireIntegralId(codes, idCol)
       val spark = queries.sparkSession
       val bcC = spark.sparkContext.broadcast(coarse)
@@ -63,20 +65,23 @@ object IvfPq {
         .select(col(qid), col("p._1").as("cluster"), col("p._2").as("dt"))
       val adc = graft.functions.VectorF.adc(col("codes"), col("dt"), kk)
       Search.topKOut(
-        Search.selfFilter(probed.join(codes, Seq("cluster")), idCol, qid,
-            excludeSelf)
+        Search.selfFilter(
+            probed.join(Search.allowedOnly(codes, idCol, allowedIds),
+              Seq("cluster")), idCol, qid, excludeSelf)
           .select(col(qid), col(idCol), adc.as("dist")),
         qid, idCol, idType, k)
     }
 
     /** ADC shortlist + exact rerank against the raw vectors (the serving
-      * shape — see PqIndex.Model.searchRerank). */
+      * shape — see PqIndex.Model.searchRerank). The allowed-id filter
+      * applies at the shortlist stage. */
     def searchRerank(queries: DataFrame, qid: String, qvec: String, k: Int,
         nprobe: Int, shortlist: Int, vectors: DataFrame, vecCol: String,
-        excludeSelf: Boolean = true): DataFrame = {
+        excludeSelf: Boolean = true,
+        allowedIds: Option[DataFrame] = None): DataFrame = {
       val idType = GannIndex.requireIntegralId(codes, idCol)
       val cand = search(queries, qid, qvec, k = shortlist, nprobe = nprobe,
-        excludeSelf = excludeSelf)
+        excludeSelf = excludeSelf, allowedIds = allowedIds)
       Search.rerank(cand, queries, qid, qvec, k, vectors, idCol, vecCol,
         idType, metric)
     }

@@ -55,13 +55,16 @@ object IvfSq {
         .select(col(qid), col("p._1").as("cluster"), col("p._2").as("qres"))
     }
 
-    /** SQ asymmetric-distance top-k over the probed clusters' codes. */
+    /** SQ asymmetric-distance top-k over the probed clusters' codes.
+      * `allowedIds` is the pre-filter contract ([[Search.allowedOnly]]). */
     def search(queries: DataFrame, qid: String, qvec: String,
-        k: Int, nprobe: Int, excludeSelf: Boolean = true): DataFrame = {
+        k: Int, nprobe: Int, excludeSelf: Boolean = true,
+        allowedIds: Option[DataFrame] = None): DataFrame = {
       val idType = GannIndex.requireIntegralId(codes, idCol)
       Search.topKOut(
         Search.selfFilter(
-            probed(queries, qid, qvec, nprobe).join(codes, Seq("cluster")),
+            probed(queries, qid, qvec, nprobe).join(
+              Search.allowedOnly(codes, idCol, allowedIds), Seq("cluster")),
             idCol, qid, excludeSelf)
           .select(col(qid), col(idCol),
             graft.functions.VectorF.sqDist(col("sig"), col("qres"),
@@ -70,13 +73,15 @@ object IvfSq {
     }
 
     /** SQ shortlist + exact rerank (the serving shape — see
-      * PqIndex.Model.searchRerank). */
+      * PqIndex.Model.searchRerank). The allowed-id filter applies at
+      * the shortlist stage. */
     def searchRerank(queries: DataFrame, qid: String, qvec: String, k: Int,
         nprobe: Int, shortlist: Int, vectors: DataFrame, vecCol: String,
-        excludeSelf: Boolean = true): DataFrame = {
+        excludeSelf: Boolean = true,
+        allowedIds: Option[DataFrame] = None): DataFrame = {
       val idType = GannIndex.requireIntegralId(codes, idCol)
       val cand = search(queries, qid, qvec, k = shortlist, nprobe = nprobe,
-        excludeSelf = excludeSelf)
+        excludeSelf = excludeSelf, allowedIds = allowedIds)
       Search.rerank(cand, queries, qid, qvec, k, vectors, idCol, vecCol,
         idType, metric)
     }

@@ -36,7 +36,8 @@ object PqIndex {
       * broadcast codebooks), then a codegen'd lookup-sum over the codes
       * table and a bounded-heap top-k. */
     def search(queries: DataFrame, qid: String, qvec: String, k: Int,
-        excludeSelf: Boolean = true): DataFrame = {
+        excludeSelf: Boolean = true,
+        allowedIds: Option[DataFrame] = None): DataFrame = {
       val idType = GannIndex.requireIntegralId(codes, idCol)
       val spark = queries.sparkSession
       val bc = spark.sparkContext.broadcast(codebooks)
@@ -55,8 +56,9 @@ object PqIndex {
       // instead of 256 of floats
       val adc = graft.functions.VectorF.adc(col("codes"), col("dt"), kk)
       Search.topKOut(
-        Search.selfFilter(codes.crossJoin(broadcast(probes)), idCol, qid,
-            excludeSelf)
+        Search.selfFilter(
+            Search.allowedOnly(codes, idCol, allowedIds)
+              .crossJoin(broadcast(probes)), idCol, qid, excludeSelf)
           .select(col(qid), col(idCol), adc.as("dist")),
         qid, idCol, idType, k)
     }
@@ -70,10 +72,11 @@ object PqIndex {
       * ever read, via an id equi-join. */
     def searchRerank(queries: DataFrame, qid: String, qvec: String, k: Int,
         shortlist: Int, vectors: DataFrame, vecCol: String,
-        excludeSelf: Boolean = true): DataFrame = {
+        excludeSelf: Boolean = true,
+        allowedIds: Option[DataFrame] = None): DataFrame = {
       val idType = GannIndex.requireIntegralId(codes, idCol)
       val cand = search(queries, qid, qvec, k = shortlist,
-        excludeSelf = excludeSelf)
+        excludeSelf = excludeSelf, allowedIds = allowedIds)
       Search.rerank(cand, queries, qid, qvec, k, vectors, idCol, vecCol,
         idType, metric)
     }

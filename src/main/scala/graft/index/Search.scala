@@ -39,6 +39,19 @@ private[index] object Search {
         VectorF.normalize(col(vecCol).cast("array<double>")))
     else df
 
+  /** PRE-FILTER semantics for filtered ANN search — the reference's
+    * only search kwarg (radient/tasks/sinks/milvus.py:122-127) extended
+    * to every index tier (round 14; IVF and GANN grew it in rounds
+    * 11-12): semi-join the codes/posting table down to the allowed ids
+    * BEFORE the distance fold, so the returned k are the true top-k of
+    * the ALLOWED set — never the post-filtered (and arbitrarily short)
+    * unfiltered top-k. The semi join ships ids only; selectivity prunes
+    * the distance work proportionally. */
+  def allowedOnly(table: DataFrame, idCol: String,
+      allowedIds: Option[DataFrame]): DataFrame =
+    allowedIds.fold(table)(ids =>
+      table.join(ids.select(col(idCol)), Seq(idCol), "left_semi"))
+
   /** Self-exclusion: the id-domain convention of the self-kNN query
     * entries (qid and idCol share the corpus id space, so a query's own
     * row is dropped from its candidates). For an EXTERNAL query batch

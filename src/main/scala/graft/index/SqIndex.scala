@@ -54,15 +54,19 @@ object SqIndex {
       codes: DataFrame, idCol: String, appends: Int = 0,
       metric: String = "l2") {
 
-    /** Asymmetric-distance top-k over the byte codes (coarse stage). */
+    /** Asymmetric-distance top-k over the byte codes (coarse stage).
+      * `allowedIds` is the pre-filter contract ([[Search.allowedOnly]]). */
     def search(queries: DataFrame, qid: String, qvec: String, k: Int,
-        excludeSelf: Boolean = true): DataFrame = {
+        excludeSelf: Boolean = true,
+        allowedIds: Option[DataFrame] = None): DataFrame = {
       val idType = GannIndex.requireIntegralId(codes, idCol)
       val q = Search.prepVectors(
         queries.select(col(qid), col(qvec).cast("array<double>").as("__graft_qv")),
         "__graft_qv", metric)
       Search.topKOut(
-        Search.selfFilter(codes.crossJoin(broadcast(q)), idCol, qid, excludeSelf)
+        Search.selfFilter(
+            Search.allowedOnly(codes, idCol, allowedIds)
+              .crossJoin(broadcast(q)), idCol, qid, excludeSelf)
           .select(col(qid), col(idCol),
             graft.functions.VectorF.sqDist(col("sig"), col("__graft_qv"),
               mins, scales).as("dist")),
@@ -70,13 +74,15 @@ object SqIndex {
     }
 
     /** SQ shortlist + exact rerank against the raw vectors (the serving
-      * shape — see PqIndex.Model.searchRerank). */
+      * shape — see PqIndex.Model.searchRerank). The allowed-id filter
+      * applies at the shortlist stage. */
     def searchRerank(queries: DataFrame, qid: String, qvec: String, k: Int,
         shortlist: Int, vectors: DataFrame, vecCol: String,
-        excludeSelf: Boolean = true): DataFrame = {
+        excludeSelf: Boolean = true,
+        allowedIds: Option[DataFrame] = None): DataFrame = {
       val idType = GannIndex.requireIntegralId(codes, idCol)
       val cand = search(queries, qid, qvec, k = shortlist,
-        excludeSelf = excludeSelf)
+        excludeSelf = excludeSelf, allowedIds = allowedIds)
       Search.rerank(cand, queries, qid, qvec, k, vectors, idCol, vecCol,
         idType, metric)
     }

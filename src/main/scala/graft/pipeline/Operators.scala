@@ -370,12 +370,10 @@ object Operators {
       val k = p(params, "k", "10").toInt
       val nprobe = p(params, "nprobe", "3").toInt
       // filtered search (the Milvus filter= kwarg): a SECOND input frame
-      // of allowed ids restricts candidates pre-distance (gann/ivf —
-      // the families carrying the raw-vector posting/leaf tables)
-      val allowedIn = ins.drop(1).headOption
-      require(allowedIn.isEmpty || Set("gann", "ivf").contains(kind),
-        s"ann_search: allowed-id filtering supports gann/ivf, got '$kind'")
-      val allowed = allowedIn.map(_.select(col(idCol)))
+      // of allowed ids restricts candidates pre-distance — EVERY index
+      // family takes it (round 14; the compressed tiers semi-join their
+      // code tables through Search.allowedOnly)
+      val allowed = ins.drop(1).headOption.map(_.select(col(idCol)))
       kind match {
         case "gann" =>
           GannIndex.load(spark, path, idCol, vecCol)
@@ -384,20 +382,23 @@ object Operators {
           IvfIndex.load(spark, path, idCol, vecCol)
             .search(ins.head, qid, qvec, k, nprobe, allowedIds = allowed)
         case "pq" =>
-          PqIndex.load(spark, path, idCol).search(ins.head, qid, qvec, k)
+          PqIndex.load(spark, path, idCol)
+            .search(ins.head, qid, qvec, k, allowedIds = allowed)
         case "ivfpq" =>
           IvfPq.load(spark, path, idCol)
-            .search(ins.head, qid, qvec, k, nprobe)
+            .search(ins.head, qid, qvec, k, nprobe, allowedIds = allowed)
         case "bq" =>
-          BqIndex.load(spark, path, idCol).search(ins.head, qid, qvec, k)
+          BqIndex.load(spark, path, idCol)
+            .search(ins.head, qid, qvec, k, allowedIds = allowed)
         case "ivfbq" =>
           IvfBq.load(spark, path, idCol)
-            .search(ins.head, qid, qvec, k, nprobe)
+            .search(ins.head, qid, qvec, k, nprobe, allowedIds = allowed)
         case "sq" =>
-          SqIndex.load(spark, path, idCol).search(ins.head, qid, qvec, k)
+          SqIndex.load(spark, path, idCol)
+            .search(ins.head, qid, qvec, k, allowedIds = allowed)
         case "ivfsq" =>
           IvfSq.load(spark, path, idCol)
-            .search(ins.head, qid, qvec, k, nprobe)
+            .search(ins.head, qid, qvec, k, nprobe, allowedIds = allowed)
         case other => throw new IllegalArgumentException(
           s"unknown ann_search index '$other' (have: bq, gann, ivf, ivfbq, ivfpq, ivfsq, pq, sq)")
       }

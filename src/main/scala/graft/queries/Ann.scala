@@ -210,6 +210,34 @@ object Ann {
     },
     None)
 
+  /** Filtered ANN on the COMPRESSED tier (round 14 — the reference's
+    * `filter=` kwarg, radient/tasks/sinks/milvus.py:122, now on every
+    * index family, not just IVF/GANN): the allowed-id set (label < 3,
+    * ~30% of the corpus) semi-joins the code table BEFORE the Hamming
+    * fold ([[graft.index.Search.allowedOnly]]), so the shortlist — and
+    * therefore the exact rerank — sees only allowed candidates:
+    * pre-filter semantics at 64× compression. Index model SHARED with
+    * [[q_ann_ivfbq]] via the memo (filtering is a search-time verb,
+    * never a rebuild); same nprobe/shortlist knobs. rows-only +
+    * recall-gated vs the exact FILTERED brute force (RecallReport);
+    * full-probe equivalence pinned in AnnRecallSpec. */
+  val q_ann_ivfbq_filtered = Q(
+    "q_ann_ivfbq_filtered",
+    (s, dir) => {
+      val e = Tables.spread(Tables(s, dir, "embeddings"))
+      val model = memoized(s, dir, ivfBqMemo)(
+        IvfBq.build(e, "vec_id", "embedding", kCoarse = 8))
+      val queries = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val allowed = e.filter(col("label") < 3).select(col("vec_id"))
+      model.searchRerank(queries, "qid", "qv", k = 10,
+          nprobe = 7, shortlist = 800, vectors = e, vecCol = "embedding",
+          allowedIds = Some(allowed))
+        .select(col("qid"), col("vec_id"), round(col("dist"), 6).as("dist"), col("rnk"))
+        .orderBy(col("qid"), col("rnk"))
+    },
+    None)
+
   /** SQ8 (8-bit scalar quantization, 4x compression): asymmetric-distance
     * shortlist over the byte codes via the codegen SqDistance kernel,
     * exact rerank — the near-exact rung of the compression tier
@@ -275,5 +303,6 @@ object Ann {
 
   val all: Seq[Q] = Seq(q_ann_ivf, q_ann_ivf_filtered, q_ann_gann,
     q_ann_pq, q_ann_ivfpq,
-    q_ann_bq, q_ann_ivfbq, q_ann_sq, q_ann_ivfsq, q_ann_lsh_join)
+    q_ann_bq, q_ann_ivfbq, q_ann_ivfbq_filtered, q_ann_sq, q_ann_ivfsq,
+    q_ann_lsh_join)
 }

@@ -186,6 +186,54 @@ object StreamDedup {
       .select(col("new_id").as("doc_id")).distinct()
   }
 
+  /** The RAW containment per-batch core — the streaming twin of
+    * [[graft.dedup.SetSimJoin.Strategy.Raw]], and the default strategy
+    * (round 14): ONE posting-state scan instead of [[containMatched]]'s
+    * two-plus-shingle-verify.
+    *
+    *  - Candidate cut: join the posting state against the broadcast
+    *    batch postings on the 64-bit shingle hash and COUNT shared keys
+    *    per (prev, new) pair; pairs whose hash-count passes the
+    *    threshold go to verify. Hash equality is implied by string
+    *    equality, so the hash count is ≥ the true count — the candidate
+    *    set is a SUPERSET of the true near-dups (a collision can only
+    *    ADD a pair), and the exact string verify decides. Admitted set
+    *    provably identical to the prefix path's (StreamContainAdmitSpec
+    *    pins equivalence on the boundary fixture).
+    *  - Verify: the few threshold-passing pairs re-join the shingle-set
+    *    state for the exact integer-rational array-intersect test.
+    *
+    * Cost: one post scan + one sh scan, TWO batch-side broadcasts
+    * (postings, candidate pairs) vs the prefix path's five — measured
+    * 2.95 → ~2.1 s at the 10× replay's batch 8. The shuffle is the
+    * (prev, new) count aggregate over hash-matched rows
+    * (Σ_g df_state·df_batch — candidate-scale, map-side combined), the
+    * same Raw trade the batch twin prices: a PLANTED hot shingle makes
+    * it quadratic, which is what the `strategy = "prefix"` escape hatch
+    * (the prior-df prefix filter) is for — the batch twin's Auto
+    * decision variable (Σ df·(df−1) per posting) applies verbatim when
+    * choosing per corpus. */
+  private[streaming] def containMatchedRaw(d: DataFrame, post: DataFrame,
+      psh: DataFrame, tauNum: Int, tauDen: Int): DataFrame = {
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
+      s"containment threshold must be a rational in (0, 1]: $tauNum/$tauDen")
+    val bg = d.select(col("doc_id").as("new_id"), col("nsh").as("nn"),
+      explode(transform(col("sh"), s => xxhash64(s))).as("g"))
+    val cand = post.select(col("doc_id").as("prev_id"), col("g"))
+      .join(broadcast(bg), Seq("g"))
+      .groupBy(col("prev_id"), col("new_id"), col("nn"))
+      .agg(count(lit(1)).as("ns"))
+      .filter(col("ns") * tauDen >= col("nn").cast("long") * tauNum)
+      .select(col("prev_id"), col("new_id"))
+    psh.select(col("doc_id").as("prev_id"), col("sh").as("sh_p"))
+      .join(broadcast(cand), Seq("prev_id"))
+      .join(broadcast(d.select(col("doc_id").as("new_id"),
+        col("sh").as("sh_n"), col("nsh").as("nn"))), Seq("new_id"))
+      .filter(size(array_intersect(col("sh_n"), col("sh_p"))).cast("long")
+        * tauDen >= col("nn").cast("long") * tauNum)
+      .select(col("new_id").as("doc_id")).distinct()
+  }
+
   /** Posting-state bucket count. The compacted `post_base` is laid out
     * as one partition dir per bucket `b = pmod(g, PostBuckets)` (g is
     * already a 64-bit shingle hash, so the residue is uniform), and
@@ -241,7 +289,12 @@ object StreamDedup {
         val buckets = d.select(explode(transform(col("sh"),
             s => postBucket(xxhash64(s)))).as("b"))
           .distinct().collect().map(_.getInt(0)).toSeq
-        post.filter(col("b").isin(buckets: _*)).select("doc_id", "g")
+        // saturated batch (vocab ≥ bucket count — the big-replay regime)
+        // → the filter would select everything; skip it rather than pay
+        // a per-row InSet probe for nothing. The pruning lever bites in
+        // the production trigger regime: batch vocab ≪ bucket count.
+        if (buckets.size >= PostBuckets) post.select("doc_id", "g")
+        else post.filter(col("b").isin(buckets: _*)).select("doc_id", "g")
       }
 
   /** Streaming containment admission — the fourth tier of the live
@@ -257,7 +310,10 @@ object StreamDedup {
     * reads (see [[postingState]]), and [[compactState]] maintenance
     * (kinds `post` + `sh`). */
   def containAdmit(docs: DataFrame, stateRoot: String, checkpoint: String,
-      tauNum: Int = 4, tauDen: Int = 5): StreamingQuery = {
+      tauNum: Int = 4, tauDen: Int = 5,
+      strategy: String = "raw"): StreamingQuery = {
+    require(Set("raw", "prefix").contains(strategy),
+      s"containAdmit strategy must be raw|prefix, got '$strategy'")
     val outRoot = admittedRoot(stateRoot)
     docs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -270,7 +326,9 @@ object StreamDedup {
             readState(sp, stateRoot, "sh", batchId,
               Seq("doc_id", "sh", "nsh"))) match {
             case (Some(post), Some(psh)) =>
-              containMatched(d, post, psh, tauNum, tauDen)
+              if (strategy == "raw")
+                containMatchedRaw(d, post, psh, tauNum, tauDen)
+              else containMatched(d, post, psh, tauNum, tauDen)
             case _ => sp.range(0).select(col("id").as("doc_id"))
           }
           batch.toDF().select(col("doc_id"))
@@ -458,7 +516,7 @@ object StreamDedup {
             .getOrElse(none)
           val conM = (postingState(sp, stateRoot, batchId, d), psh) match {
             case (Some(post), Some(s)) =>
-              containMatched(d, post, s, tauNum, tauDen)
+              containMatchedRaw(d, post, s, tauNum, tauDen)
             case _ => none
           }
           val matched = exactM.unionByName(lshM).unionByName(winM)

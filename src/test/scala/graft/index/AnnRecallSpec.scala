@@ -91,6 +91,56 @@ class AnnRecallSpec extends AnyFunSuite {
       "all-clusters filtered search must equal the exact filtered top-k")
   }
 
+  test("filtered search on the compressed tiers: results stay allowed; " +
+      "IVF-BQ at full probe + corpus shortlist equals the exact filtered top-k") {
+    val allowedDf = emb.filter(col("label") < 3).select(col("vec_id"))
+    val allowed = allowedDf.collect().map(_.getLong(0)).toSet
+    val some = Some(allowedDf)
+    // membership on every compressed family (round 14: the allowed-id
+    // pre-filter extends past ivf/gann to the code tables)
+    val results = Seq(
+      "bq" -> BqIndex.build(emb, "vec_id", "embedding")
+        .search(queries, "qid", "qv", K, allowedIds = some),
+      "sq" -> SqIndex.build(emb, "vec_id", "embedding")
+        .search(queries, "qid", "qv", K, allowedIds = some),
+      "pq" -> PqIndex.build(emb, "vec_id", "embedding", m = 16, ksub = 16)
+        .search(queries, "qid", "qv", K, allowedIds = some),
+      "ivfpq" -> IvfPq.build(emb, "vec_id", "embedding",
+          kCoarse = 8, m = 16, ksub = 16)
+        .search(queries, "qid", "qv", K, nprobe = 8, allowedIds = some),
+      "ivfsq" -> IvfSq.build(emb, "vec_id", "embedding", kCoarse = 8)
+        .search(queries, "qid", "qv", K, nprobe = 8, allowedIds = some),
+      "ivfbq" -> IvfBq.build(emb, "vec_id", "embedding", kCoarse = 8)
+        .search(queries, "qid", "qv", K, nprobe = 8, allowedIds = some))
+    results.foreach { case (nm, df) =>
+      val rows = df.select("vec_id").collect()
+      assert(rows.nonEmpty, s"$nm filtered search returned nothing")
+      assert(rows.forall(r => allowed(r.getLong(0))),
+        s"$nm filtered search returned an id outside the allowed set")
+    }
+    // exactness at the exhaustive setting: every cluster probed and the
+    // shortlist covers the corpus, so the exact rerank ranks the WHOLE
+    // allowed set — pre-filter semantics make the result the exact
+    // filtered top-k, ties (dist, id) as in the window below
+    val n = emb.count().toInt
+    val gotMap = IvfBq.build(emb, "vec_id", "embedding", kCoarse = 8)
+      .searchRerank(queries, "qid", "qv", K, nprobe = 8, shortlist = n,
+        vectors = emb, vecCol = "embedding", allowedIds = some)
+      .select("qid", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
+    val exactF = emb.filter(col("label") < 3).crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        VectorF.l2Dist(col("embedding"), col("qv")).as("dist"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select("qid", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(gotMap == exactF,
+      "exhaustive filtered IVF-BQ rerank must equal the exact filtered top-k")
+  }
+
   test("GANN filtered search: results stay allowed and equal the " +
       "post-filtered full ranking of the same probed leaves") {
     val model = GannIndex.build(emb, "vec_id", "embedding",

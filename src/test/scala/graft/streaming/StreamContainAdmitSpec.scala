@@ -105,15 +105,35 @@ class StreamContainAdmitSpec extends AnyFunSuite {
     // selected ONLY it: A was never generated as a candidate and a true
     // near-dup was wrongly admitted. The exact integer bound
     // 5 − ⌈4/5·5⌉ + 1 = 2 reaches the first shared shingle.
-    val landing = tmp("bland"); val state = tmp("bstate"); val ck = tmp("bck")
-    val base = System.currentTimeMillis()
     val pText = "b c d e f g x y"  // shingles: bcd cde def efg fgx gxy
     val aText = "a b c d e f g"    // shingles: abc bcd cde def efg (4 ⊆ P)
-    land(landing, docs(Seq(1L -> pText)), 0, base)
-    land(landing, docs(Seq(2L -> aText)), 1, base)
-    val q = StreamDedup.containAdmit(stream(landing), state.toString, ck.toString)
-    try q.processAllAvailable() finally q.stop()
-    assert(admitted(state) == Map(1L -> 1))
+    Seq("prefix", "raw").foreach { strat =>
+      val landing = tmp(s"bland$strat"); val state = tmp(s"bstate$strat")
+      val ck = tmp(s"bck$strat")
+      val base = System.currentTimeMillis()
+      land(landing, docs(Seq(1L -> pText)), 0, base)
+      land(landing, docs(Seq(2L -> aText)), 1, base)
+      val q = StreamDedup.containAdmit(stream(landing), state.toString,
+        ck.toString, strategy = strat)
+      try q.processAllAvailable() finally q.stop()
+      assert(admitted(state) == Map(1L -> 1), s"strategy $strat")
+    }
+  }
+
+  test("raw and prefix strategies admit identically across the replay") {
+    val results = Seq("raw", "prefix").map { strat =>
+      val landing = tmp(s"eq$strat"); val state = tmp(s"eqst$strat")
+      val ck = tmp(s"eqck$strat")
+      val base = System.currentTimeMillis()
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        land(landing, docs(c), i, base) }
+      val q = StreamDedup.containAdmit(stream(landing), state.toString,
+        ck.toString, strategy = strat)
+      try q.processAllAvailable() finally q.stop()
+      admitted(state)
+    }
+    assert(results.head == results.last)
+    assert(results.head == wantAdmitted)
   }
 
   test("posting reads prune to the batch's buckets: the compacted base " +
@@ -193,10 +213,6 @@ class StreamContainAdmitSpec extends AnyFunSuite {
       val d = Dedup.shingleOf(docs(Seq(
         100L -> "w9 x9 y9 z9 shared tail run here now",
         101L -> "completely novel words in this page")))
-      val m = StreamDedup.containMatched(d,
-        spark.read.parquet(s"$stateDir/post"),
-        spark.read.parquet(s"$stateDir/psh"), tauNum = 4, tauDen = 5)
-      val plan = m.queryExecution.executedPlan
       def isStateScan(p: SparkPlan): Boolean = p match {
         case f: FileSourceScanExec =>
           f.relation.location.rootPaths.exists(_.toString.contains("cplanstate"))
@@ -207,13 +223,25 @@ class StreamContainAdmitSpec extends AnyFunSuite {
         case s if isStateScan(s) => true
         case other => other.children.exists(exposed)
       }
-      plan.collect { case s: ShuffleExchangeExec => s }.foreach(s =>
-        assert(!exposed(s.child),
-          s"raw state rows enter a shuffle:\n${s.treeString}"))
-      plan.collect { case b: BroadcastExchangeExec => b }.foreach(b =>
-        assert(!exposed(b.child),
-          s"raw corpus state is broadcast:\n${b.treeString}"))
-      assert(plan.collect { case j: BroadcastHashJoinExec => j }.size >= 3)
+      def pinned(m: org.apache.spark.sql.DataFrame, minBhj: Int): Unit = {
+        val plan = m.queryExecution.executedPlan
+        plan.collect { case s: ShuffleExchangeExec => s }.foreach(s =>
+          assert(!exposed(s.child),
+            s"raw state rows enter a shuffle:\n${s.treeString}"))
+        plan.collect { case b: BroadcastExchangeExec => b }.foreach(b =>
+          assert(!exposed(b.child),
+            s"raw corpus state is broadcast:\n${b.treeString}"))
+        assert(plan.collect { case j: BroadcastHashJoinExec => j }.size >= minBhj)
+      }
+      pinned(StreamDedup.containMatched(d,
+        spark.read.parquet(s"$stateDir/post"),
+        spark.read.parquet(s"$stateDir/psh"), tauNum = 4, tauDen = 5), 3)
+      // the raw strategy's plan holds the same contract with ONE posting
+      // scan: post joins broadcast batch postings, sh joins broadcast
+      // candidates — state never shuffled or broadcast raw
+      pinned(StreamDedup.containMatchedRaw(d,
+        spark.read.parquet(s"$stateDir/post"),
+        spark.read.parquet(s"$stateDir/psh"), tauNum = 4, tauDen = 5), 3)
     } finally spark.conf.set("spark.sql.adaptive.enabled", wasAqe)
   }
 }
