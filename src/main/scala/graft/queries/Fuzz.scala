@@ -382,6 +382,25 @@ object Fuzz {
       else None
     val pred = if (forceAgg || rnd.nextInt(4) > 0) Some(genPred(rnd, cols)) else None
 
+    // Render-only NULL-dtype shield (round 14 — the hold-out that kept
+    // outer-join window plans off the cross-engine oracle): under an
+    // OUTER join (joinKind 4/5) a projected int column can be
+    // NULL-extended, and a nulled int coerces engine-dependently in the
+    // driver's pandas/duckdb compare path (int32 vs float64). Casting
+    // the projection to BIGINT on BOTH renderings makes the dtype
+    // symmetric — int64 when the result happens null-free, float64 with
+    // NaN when nulled — without touching the draw stream (keyed off the
+    // plan's own join kind, never an rnd draw). Inner/semi/anti plans
+    // render exactly as before.
+    def shieldSql(name: String): String =
+      if (joinKind >= 4 && cols.exists(c => c.name == name && c.kind == IntK))
+        s"CAST($name AS BIGINT) AS $name"
+      else name
+    def shieldDf(name: String): Column =
+      if (joinKind >= 4 && cols.exists(c => c.name == name && c.kind == IntK))
+        col(name).cast("long").as(name)
+      else col(name)
+
     val fromSql = base.name + (joinKind match {
       case 1 => join.map(j =>
         s" JOIN ${j.dim.name} ON ${j.leftKey} = ${j.rightKey}").getOrElse("")
@@ -731,7 +750,7 @@ object Fuzz {
       val oc = pick(rnd, if (nums.isEmpty) base.cols.filterNot(_.name == g) else nums).name
       val topJ = 1 + rnd.nextInt(5)
       val sql =
-        s"SELECT $g, $oc, rk FROM (" +
+        s"SELECT ${shieldSql(g)}, ${shieldSql(oc)}, rk FROM (" +
           s"SELECT $g, $oc, CAST(rank() OVER (PARTITION BY $g ORDER BY $oc " +
           s"NULLS FIRST) " +
           s"AS BIGINT) AS rk FROM $fromSql${whereSql(pred)}) AS w WHERE rk <= $topJ"
@@ -746,7 +765,7 @@ object Fuzz {
         src(s, dir, pred)
           .withColumn("rk", rank().over(w).cast("long"))
           .filter(col("rk") <= topJ)
-          .select(col(g), col(oc), col("rk"))
+          .select(shieldDf(g), shieldDf(oc), col("rk"))
       })
     } else if (shape == 5 && base.uniqueKey.nonEmpty && groupable.nonEmpty
         && windowVariant == 2) {
@@ -774,13 +793,17 @@ object Fuzz {
       // order is the unique key
       val uk = base.uniqueKey.get
       val mixed = (seed & 16L) != 0L
+      // NULLS FIRST is explicit on the uk ordering too (round 14): uk is
+      // the base's unique key, NULL-extended only under a FULL outer
+      // join — explicit placement keeps the two engines' ASC defaults
+      // from diverging there, and is a no-op for every other join kind.
       val csumSql = if (mixed)
-        s", CAST(sum($sc) OVER (PARTITION BY $g ORDER BY $uk " +
+        s", CAST(sum($sc) OVER (PARTITION BY $g ORDER BY $uk NULLS FIRST " +
           s"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) " +
           s"AS csum"
       else ""
       val sql =
-        s"SELECT $g, $oc, CAST(sum($sc) OVER (PARTITION BY $g ORDER BY $oc " +
+        s"SELECT ${shieldSql(g)}, ${shieldSql(oc)}, CAST(sum($sc) OVER (PARTITION BY $g ORDER BY $oc " +
           s"NULLS FIRST " +
           s"RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) " +
           s"AS rsum$csumSql FROM $fromSql${whereSql(pred)}"
@@ -794,12 +817,12 @@ object Fuzz {
           .withColumn("rsum", sum(col(sc)).over(w).cast("long"))
         val out =
           if (mixed) withR.withColumn("csum", sum(col(sc)).over(
-            Window.partitionBy(col(g)).orderBy(col(uk))
+            Window.partitionBy(col(g)).orderBy(col(uk).asc_nulls_first)
               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
             .cast("long"))
           else withR
-        out.select((Seq(g, oc, "rsum") ++
-          (if (mixed) Seq("csum") else Nil)).map(col): _*)
+        out.select((Seq(shieldDf(g), shieldDf(oc), col("rsum")) ++
+          (if (mixed) Seq(col("csum")) else Nil)): _*)
       })
     } else if (shape == 5 && base.uniqueKey.nonEmpty && groupable.nonEmpty) {
       // window shape: row_number (+ optional running int sum) per group,
@@ -812,19 +835,21 @@ object Fuzz {
           Some(pick(rnd, base.cols.filter(c => c.kind == IntK && c.name != uk)
             match { case Seq() => base.cols.filter(_.kind == IntK); case xs => xs }).name)
         else None
-      val over = s"OVER (PARTITION BY $g ORDER BY $uk)"
+      // uk ordering carries explicit NULLS FIRST (round 14) — same
+      // cross-engine ASC-default reasoning as the mixed-frame csum above
+      val over = s"OVER (PARTITION BY $g ORDER BY $uk NULLS FIRST)"
       val csumSel = csumCol.map(c =>
-        s", CAST(sum($c) OVER (PARTITION BY $g ORDER BY $uk " +
+        s", CAST(sum($c) OVER (PARTITION BY $g ORDER BY $uk NULLS FIRST " +
           s"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS csum")
         .getOrElse("")
       val outCols = Seq(g, uk, "rn") ++ csumCol.map(_ => "csum")
       val sql =
-        s"SELECT ${outCols.mkString(", ")} FROM (" +
+        s"SELECT ${(outCols.map(shieldSql)).mkString(", ")} FROM (" +
           s"SELECT $g, $uk, CAST(row_number() $over AS BIGINT) AS rn$csumSel " +
           s"FROM $fromSql${whereSql(pred)}) AS w WHERE rn <= $topJ"
       Plan(seed, sql, (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col(g)).orderBy(col(uk))
+        val w = Window.partitionBy(col(g)).orderBy(col(uk).asc_nulls_first)
         val in = src(s, dir, pred)
           .withColumn("rn", row_number().over(w).cast("long"))
         val withSum = csumCol match {
@@ -833,7 +858,7 @@ object Fuzz {
               Window.currentRow)).cast("long"))
           case None => in
         }
-        withSum.filter(col("rn") <= topJ).select(outCols.map(col): _*)
+        withSum.filter(col("rn") <= topJ).select(outCols.map(shieldDf): _*)
       })
     } else if (shape == 9) {
       // LATERAL shape: a correlated aggregate subquery in FROM — the
@@ -953,19 +978,42 @@ object Fuzz {
 
   /** Window-bearing driver seeds (round 13 — the family the round-12
     * NULLS-placement fix unlocked): NON-forceAgg plans whose natural
-    * draw lands the shape-5 window variants, hand-picked (FuzzSeedScan
-    * --window at sf0.001) to avoid outer joins — window plans project
-    * raw columns, and a NULL-extended int column would coerce
-    * engine-dependently in the pandas/duckdb compare path where the
-    * forceAgg aggregates dodge it. With inner/semi joins only, every
-    * projected column is NULL-free and the explicit NULLS FIRST on both
-    * window ORDER BYs is belt-and-braces. 347 = EXISTS semi + rank()
+    * draw lands the shape-5 window variants, hand-picked via
+    * FuzzSeedScan --window at sf0.001. The round-13 picks avoided outer
+    * joins (a NULL-extended int column coerced engine-dependently in
+    * the pandas/duckdb compare path); round 14's BIGINT shield removed
+    * that hold-out and promoted four outer-join seeds below. 347 = EXISTS semi + rank()
     * top-j (tie arithmetic through a decorrelated semi join), 397 =
     * inner dim join + RANGE-frame running sum (peer-inclusive frames
     * over joined rows), 404 = mixed RANGE + ROWS frames in one plan
     * (two Window nodes in Spark, one pass in DuckDB — the round-12
-    * mixed-frame edge, now cross-engine-checked). */
-  val windowDriverSeeds = Seq(347L, 397L, 404L)
+    * mixed-frame edge, now cross-engine-checked).
+    *
+    * Round-14 promotions — the OUTER-JOIN window family, unlocked by
+    * the render-only BIGINT shield on NULL-extendable int projections
+    * (see `shieldSql` in [[plan]]) plus explicit NULLS FIRST on the uk
+    * orderings. Each is tie-DETERMINISTIC despite NULL order keys
+    * because every tied row projects identical cells (NULL-extended
+    * rows in one partition are indistinguishable in the emitted
+    * columns, and running sums over their NULL contributions stay
+    * NULL): 87 = FULL outer + rank() where unmatched dims tie at rank 1
+    * on a NULL order key, 128 = LEFT outer + rank() with a
+    * NULL-propagating OR predicate over a nullable dim column, 574 =
+    * FULL outer + the mixed RANGE/ROWS frame pair over NULL-first
+    * order-key ties, 599 = LEFT outer sliced to ONLY the NULL-extended
+    * rows (r_name IS NULL) — window arithmetic over an all-NULL
+    * partition key. */
+  val windowDriverSeeds = Seq(347L, 397L, 404L, 87L, 128L, 574L, 599L)
+
+  /** Set-operation driver seeds (round 14): shape 6 never draws under
+    * forceAgg, so the INTERSECT/EXCEPT family was soak-only until now.
+    * Non-forceAgg plans, FuzzSeedScan --setop picked: 35 = EXCEPT ALL
+    * (bag difference — multiplicity arithmetic) on supplier, 115 =
+    * INTERSECT (set-distinct) on part, 158 = EXCEPT on part, 251 =
+    * INTERSECT ALL on part with an IS-NOT-NULL disjunct. Projection
+    * output is join-free, so no NULL extension and the int dtypes stay
+    * symmetric without the shield. */
+  val setOpDriverSeeds = Seq(35L, 115L, 158L, 251L)
 
   val all: Seq[Q] = driverSeeds.map { s =>
     val p = plan(s, forceAgg = true)
@@ -973,5 +1021,8 @@ object Fuzz {
   } ++ windowDriverSeeds.map { s =>
     val p = plan(s)
     Q(s"q_fuzzw_$s", p.run, Some(p.sql))
+  } ++ setOpDriverSeeds.map { s =>
+    val p = plan(s)
+    Q(s"q_fuzzs_$s", p.run, Some(p.sql))
   }
 }

@@ -20,11 +20,21 @@ object FuzzSeedScan {
     // pandas/duckdb compare path — aggregates dodge it, windows must
     // pick seeds without dimf joins)
     val window = args.contains("--window")
+    // --setop: scan NON-forceAgg plans for set-operation candidates
+    // (shape 6 never draws under forceAgg — same reasoning as --window)
+    val setop = args.contains("--setop")
+    // --full: print the complete SQL (default truncates to 200 chars)
+    val full = args.contains("--full")
+    // --seeds=1,2,3: scan exactly these seeds instead of 1..max
+    val seedList = args.find(_.startsWith("--seeds="))
+      .map(_.stripPrefix("--seeds=").split(",").map(_.toInt).toSeq)
     val max = args.filterNot(_.startsWith("--"))
       .headOption.map(_.toInt).getOrElse(200)
-    (1 to max).foreach { seed =>
-      val p = Fuzz.plan(seed.toLong, forceAgg = !window)
+    seedList.getOrElse(1 to max).foreach { seed =>
+      val p = Fuzz.plan(seed.toLong, forceAgg = !window && !setop)
       if (window && !p.sql.contains("OVER (")) ()
+      else if (setop && !Seq("INTERSECT", "EXCEPT", "UNION ALL")
+          .exists(p.sql.contains)) ()
       else {
       val rows =
         try p.run(spark, dir).count()
@@ -43,10 +53,16 @@ object FuzzSeedScan {
         if (sql.contains("ROLLUP")) "ROLLUP" else "",
         if (sql.contains("CUBE")) "CUBE" else "",
         if (sql.contains("GROUPING SETS")) "GSETS" else "",
+        if (sql.contains("INTERSECT ALL")) "INTERSECTALL"
+        else if (sql.contains("INTERSECT")) "INTERSECT"
+        else if (sql.contains("EXCEPT ALL")) "EXCEPTALL"
+        else if (sql.contains("EXCEPT")) "EXCEPT"
+        else if (sql.contains("UNION ALL")) "UNIONALL" else "",
         if (sql.contains("(SELECT min") || sql.contains("(SELECT max")) "CORRSUB" else "",
         if (sql.contains("GROUP BY")) "GRP" else "")
         .filter(_.nonEmpty).mkString("+")
-      println(s"SEED $seed rows=$rows feats=$feats sql=${sql.take(200)}")
+      println(s"SEED $seed rows=$rows feats=$feats sql=${
+        if (full) sql else sql.take(200)}")
       }
     }
     spark.stop()
