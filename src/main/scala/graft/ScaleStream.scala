@@ -72,6 +72,12 @@ object ScaleStream {
           q.stop()
           graft.streaming.StreamDedup.compactState(spark, stateRoot.get)
           q = attach(stream)
+          // absorb checkpoint recovery + source relisting in an untimed
+          // no-op trigger (no new files landed yet): the next timed
+          // batch then measures steady-state work, not restart cost —
+          // without this the post-fold batches carried ~0.5-1 s of
+          // recovery and distorted the slope
+          q.processAllAvailable()
         }
         // stage OUTSIDE the watched dir, then ATOMIC move into place —
         // the file-source listing must never see a half-written parquet

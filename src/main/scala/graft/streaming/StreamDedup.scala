@@ -246,16 +246,34 @@ object StreamDedup {
     * the BYTES, so at 100 TB the per-batch scan is O(corpus) — the
     * round-13 measured growth term (b1→b8 wall 2.1× at 10× volume).
     * With it a batch touching k distinct buckets reads k/PostBuckets of
-    * the base. 256 buckets keeps the compacted layout at ≤256 files
-    * (one per bucket per fold — fine up to ~32 GB of posting state at
-    * the default 128 MB target; a 100 TB deployment raises the count
-    * with the same key). Live per-batch dirs carry `b` as a DATA column
+    * the base. Live per-batch dirs carry `b` as a DATA column
     * (they are batch-bounded; a second dynamic-partition level per
     * trigger is the exact small-files bug the round-13
     * `appendStreamBlock` fix removed), so the same `isin` filter is a
     * pushed data filter there and a partition-pruning filter on the
-    * base. */
-  private[streaming] val PostBuckets = 256
+    * base.
+    *
+    * SIZING LAW (round-14 measurements, PostReadProfile): two
+    * conditions must BOTH hold before the partitioned layout wins.
+    * (1) Selectivity: a trigger of v distinct hashes hits
+    * ≈ B·(1 − e^(−v/B)) of B buckets, so the read fraction is ~v/B
+    * only when v ≪ B — a deployment sets `-Dgraft.postBuckets` to
+    * ~10-100× its per-trigger vocabulary (the value is baked into
+    * state at WRITE time; changing it means re-folding the base).
+    * (2) Amortization: each bucket dir must hold enough bytes that the
+    * per-dir listing/open cost is amortized — measured locally, a
+    * 3-doc trigger pruning 94% of a 26 MB base read 2.68 s through
+    * 2048 dirs vs 0.15 s scanning the SAME base flat with a pushed
+    * isin filter (13 KB/dir: open cost × 124 dirs dwarfs the 24 MB of
+    * columnar scan it saved). Flat-scan bytes are so cheap that the
+    * crossover sits near ~100 MB/bucket — i.e. a multi-TB posting
+    * base in a bucketed TABLE FORMAT, exactly the 100 TB regime. That
+    * is why [[compactState]] gates the layout on `bucketedBaseMinBytes`
+    * and every locally-testable size folds FLAT (same b data column,
+    * same pushed filter, no dir fanout); the partitioned branch is the
+    * 100 TB path, spec-pinned with the gate forced to 0. */
+  private[streaming] val PostBuckets: Int =
+    sys.props.get("graft.postBuckets").map(_.toInt).getOrElse(256)
 
   private def postBucket(g: Column): Column =
     pmod(g, lit(PostBuckets.toLong)).cast("int")
@@ -563,7 +581,8 @@ object StreamDedup {
     * data column keeps the replay blind to its own folded rows — see
     * the class doc. */
   def compactState(spark: SparkSession, stateRoot: String,
-      targetBytes: Long = 128L * 1024 * 1024): Boolean = {
+      targetBytes: Long = 128L * 1024 * 1024,
+      bucketedBaseMinBytes: Long = 4L * 1024 * 1024 * PostBuckets): Boolean = {
     val conf = spark.sparkContext.hadoopConfiguration
     def foldOne(kind: String, cols: Seq[String],
         bucketCol: Option[String] = None): Boolean = {
@@ -590,7 +609,7 @@ object StreamDedup {
       val staging = s"$stateRoot/${kind}_compact"
       val folded = all
       bucketCol match {
-        case Some(bc) =>
+        case Some(bc) if bytes >= bucketedBaseMinBytes =>
           // bucket-partitioned base (the posting kind): each bucket's
           // rows land entirely in one task (hash repartition on the
           // bucket key — a shuffle, but this is the maintenance window,
@@ -599,7 +618,17 @@ object StreamDedup {
           // read partition-prunes to the buckets its shingles hit
           folded.repartition(math.max(n, 1), col(bc))
             .write.mode("overwrite").partitionBy(bc).parquet(staging)
-        case None =>
+        case _ =>
+          // Below ~bucketedBaseMinBytes the 256-way dir fanout COSTS
+          // more than pruning can save: a fold of 14 MB of postings
+          // read 0.78 s bucket-partitioned vs 0.36 s flat
+          // (PostReadProfile, 10x replay — replay batches saturate the
+          // bucket set, so pruning never engaged), the appendStreamBlock
+          // lesson at the state layer. The base lands FLAT with the
+          // bucket as a DATA column, so postingState's isin stays a
+          // pushed data filter; the partition-pruning layout switches on
+          // exactly when per-bucket dirs reach real file sizes (the
+          // 100 TB regime, where batch vocab ≪ bucket count too).
           (if (folded.rdd.getNumPartitions > n) folded.coalesce(n) else folded)
             .write.mode("overwrite").parquet(staging)
       }

@@ -1,7 +1,6 @@
 package graft.queries
 
-import graft.TestSpark
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** One-off profile of the winnow fingerprint kernel (round-14 verdict
@@ -27,7 +26,16 @@ object WinnowProfile {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val copies = args.drop(1).headOption.map(_.toInt).getOrElse(10)
-    val spark = TestSpark.spark
+    // own local[32] session — TestSpark's local[4] would throttle the
+    // CPU-bound kernels 8x and distort nothing but waste wall-clock
+    // (relative stage split is what we're after, but at 3+ min/rep the
+    // measurement never lands)
+    val spark = graft.core.Tables.configure(SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
     import graft.functions.TextF._
 
     val base = graft.core.Tables.spread(
@@ -60,14 +68,20 @@ object WinnowProfile {
     stage("md5")(d => d.select(
       aggregate(transform(shingles(tokens(col("text")), 3), s => h32(s)),
         lit(0L), (a, x) => a + x).as("probe")))
-    stage("winmin")(d => d.select(
-      aggregate({
-        val hs = transform(shingles(tokens(col("text")), 3), s => h32(s))
-        when(size(hs) >= 4,
-          transform(sequence(lit(0), size(hs) - 4),
-            i => array_min(slice(hs, i + lit(1), lit(4)))))
-          .otherwise(array().cast("array<long>"))
-      }, lit(0L), (a, x) => a + x).as("probe")))
+    // hs is MATERIALIZED via withColumn exactly as winnowFps does — a
+    // `val hs = <expr>` referenced inside the window lambda would
+    // duplicate the whole tokens→shingles→md5 subtree per window
+    // element (Catalyst does no CSE inside HOF lambdas): measured 87 s
+    // vs 2.6 s for the same logical stage, an instructive artifact, not
+    // a winnow cost
+    stage("winmin")(d => d
+      .withColumn("hs", transform(shingles(tokens(col("text")), 3),
+        s => h32(s)))
+      .filter(size(col("hs")) >= 4)
+      .select(aggregate(
+        transform(sequence(lit(0), size(col("hs")) - 4),
+          i => array_min(slice(col("hs"), i + lit(1), lit(4)))),
+        lit(0L), (a, x) => a + x).as("probe")))
     stage("full")(d => graft.queries.TextAnalysis.winnowFps(d)
       .select(col("fp").as("probe")))
 

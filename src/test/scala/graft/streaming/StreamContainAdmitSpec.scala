@@ -145,7 +145,11 @@ class StreamContainAdmitSpec extends AnyFunSuite {
       i -> s"u$i v$i w$i x$i y$i z$i q$i r$i")), 0, base)
     val q = StreamDedup.containAdmit(stream(landing), state.toString, ck.toString)
     try q.processAllAvailable() finally q.stop()
-    assert(StreamDedup.compactState(spark, state.toString))
+    // bucketedBaseMinBytes = 0 forces the partitioned layout the 100 TB
+    // regime gets (the default folds this tiny fixture flat — see the
+    // compactState size gate)
+    assert(StreamDedup.compactState(spark, state.toString,
+      bucketedBaseMinBytes = 0L))
     val bucketDirs = java.nio.file.Files.list(state.resolve("post_base"))
       .iterator().asScala.count(_.getFileName.toString.startsWith("b="))
     assert(bucketDirs > 16, s"expected many b= partition dirs, got $bucketDirs")
