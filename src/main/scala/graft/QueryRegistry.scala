@@ -13,7 +13,8 @@ object QueryRegistry {
       CorpusOps.all ++
       Sharding.all ++ Dedup.all ++ VectorSearch.all ++ VectorCompress.all ++
       SparseSearch.all ++ HybridSearch.all ++ Molecules.all ++
-      Ann.all ++ Pipelines.all ++ StreamingQ.all ++ SourcesQ.all ++ Fuzz.all
+      Ann.all ++ Pipelines.all ++ StreamingQ.all ++ SourcesQ.all ++
+      Recursion.all ++ Fuzz.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

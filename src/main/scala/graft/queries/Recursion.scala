@@ -1,0 +1,110 @@
+package graft.queries
+
+import graft.core.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Recursive-CTE query entries — `WITH RECURSIVE` executed by Spark's
+  * native iterative plan (`UnionLoopExec`, available since Spark 4.0) and
+  * replayed verbatim by DuckDB, so the recursion itself runs under the
+  * cross-engine oracle rather than beside it.
+  *
+  * Two deliberately different topologies:
+  *  - [[q_recursive_tree]] walks a FAN-OUT hierarchy (each step doubles
+  *    the frontier: the org-chart / category-tree shape) — iteration
+  *    count is O(log n), per-iteration work grows;
+  *  - [[q_recursive_chain]] walks MANY PARALLEL CHAINS (one linked list
+  *    per customer: the sessionization / event-succession shape) —
+  *    iteration count is the longest chain, per-iteration work is one
+  *    frontier row per still-active chain.
+  *
+  * Scale shape: each recursion step is ONE equi-join of the frontier
+  * against the base table — a shuffle (or broadcast, when the frontier is
+  * small) per level, never an all-pairs product; the number of levels is
+  * a property of the DATA's hierarchy depth (log₂ n for the tree, max
+  * chain length for the chains), not its row count, so a 100 TB corpus
+  * with a 30-deep hierarchy runs 30 bounded joins. Spark guards runaway
+  * recursion with `spark.sql.cteRecursionLevelLimit` (default 100) and
+  * `spark.sql.cteRecursionRowLimit` — both orders of magnitude above
+  * these walks (≈10 levels / ≈25 levels).
+  *
+  * Determinism: money accumulates through the shared DECIMAL(18,2)
+  * discipline ([[Sql.dsum]]'s cast, re-cast at every recursive step so
+  * Spark's widen-on-add cannot drift the type), integers surface as
+  * BIGINT on both engines, and every ORDER BY is on a unique key.
+  */
+object Recursion {
+
+  /** Register the tables an entry's SQL references under stable view
+    * names (idempotent per session — `createOrReplaceTempView`). */
+  private def withViews(s: SparkSession, dir: String, names: String*)(
+      sql: String): DataFrame = {
+    names.foreach(n => Tables(s, dir, n).createOrReplaceTempView(n))
+    s.sql(sql)
+  }
+
+  /** Org-chart walk over the supplier table arranged as a binary heap
+    * (contiguous keys 0..n−1, parent(k) = ⌊(k−1)/2⌋): depth of every
+    * node and the account-balance total along its root path — the
+    * canonical "roll costs down the reporting chain" recursion. The
+    * frontier doubles each level, so the walk terminates after ⌈log₂ n⌉
+    * joins with every supplier visited exactly once (a tree has one
+    * path per node; UNION ALL is exact, no dedup needed). */
+  private val treeSql = """
+    |WITH RECURSIVE walk AS (
+    |  SELECT s_suppkey AS k, CAST(0 AS BIGINT) AS depth,
+    |         CAST(s_acctbal AS DECIMAL(18,2)) AS path_bal
+    |  FROM supplier WHERE s_suppkey = 0
+    |  UNION ALL
+    |  SELECT s.s_suppkey, w.depth + CAST(1 AS BIGINT),
+    |         CAST(w.path_bal + CAST(s.s_acctbal AS DECIMAL(18,2))
+    |           AS DECIMAL(18,2))
+    |  FROM supplier s JOIN walk w
+    |    ON CAST(floor((s.s_suppkey - 1) / 2.0) AS BIGINT) = w.k
+    |  WHERE s.s_suppkey >= 1)
+    |SELECT k AS s_suppkey, depth, CAST(path_bal AS DOUBLE) AS path_bal
+    |FROM walk ORDER BY s_suppkey
+    |""".stripMargin
+
+  val q_recursive_tree = Q(
+    "q_recursive_tree",
+    (s, dir) => withViews(s, dir, "supplier")(treeSql),
+    Some(treeSql))
+
+  /** Per-customer order-succession walk: `nxt` materializes each order's
+    * successor pointer (lead over the customer's chronological order
+    * history — a plain window, outside the recursion), then the
+    * recursion starts every chain at its first order and follows the
+    * pointers, carrying position-in-chain and the running spend. One
+    * frontier row per still-active chain per level; the recursion ends
+    * at the longest order history (≈25 here), independent of total
+    * order count. The running total is exactly the prefix sum a window
+    * would give — which is what makes the entry a semantic pin of the
+    * recursion (join direction, frontier carry, per-step type
+    * discipline) rather than the only way to compute it. */
+  private val chainSql = """
+    |WITH RECURSIVE nxt AS (
+    |  SELECT o_orderkey AS k,
+    |         lead(o_orderkey) OVER (PARTITION BY o_custkey
+    |           ORDER BY o_orderdate, o_orderkey) AS nk,
+    |         CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+    |         row_number() OVER (PARTITION BY o_custkey
+    |           ORDER BY o_orderdate, o_orderkey) AS rn
+    |  FROM orders),
+    |walk AS (
+    |  SELECT k, nk, CAST(1 AS BIGINT) AS pos, price AS run_total
+    |  FROM nxt WHERE rn = 1
+    |  UNION ALL
+    |  SELECT n.k, n.nk, w.pos + CAST(1 AS BIGINT),
+    |         CAST(w.run_total + n.price AS DECIMAL(18,2))
+    |  FROM nxt n JOIN walk w ON n.k = w.nk)
+    |SELECT k AS o_orderkey, pos, CAST(run_total AS DOUBLE) AS run_total
+    |FROM walk ORDER BY o_orderkey
+    |""".stripMargin
+
+  val q_recursive_chain = Q(
+    "q_recursive_chain",
+    (s, dir) => withViews(s, dir, "orders")(chainSql),
+    Some(chainSql))
+
+  val all: Seq[Q] = Seq(q_recursive_tree, q_recursive_chain)
+}

@@ -242,6 +242,66 @@ object StreamingQ {
       |ORDER BY pid, cid
       |""".stripMargin))
 
+  /** Stream-stream LEFT OUTER interval join — [[q_stream_join]]'s
+    * attribution pairs PLUS a NULL row for every purchase with no click
+    * in its preceding 30 minutes. The outer half is WATERMARK-GATED:
+    * Structured Streaming emits an unmatched left row only when the
+    * watermark proves no matching click can still arrive (for the
+    * condition `cts < pts` that is global watermark ≥ pts, where the
+    * global watermark is the MIN of the two sides' input watermarks —
+    * purchases trail clicks in this corpus, so it is max(pts) − 30 min,
+    * ms-truncated per EventTimeStats), and rows above the final
+    * watermark stay buffered when the replay ends — their NULL verdict
+    * is still pending, exactly as it would be on an unbounded stream.
+    * The oracle states BOTH halves arithmetically: the inner pairs as a
+    * batch join, the emitted-NULL set as `pts ≤ final watermark`
+    * (boundary inclusive — StreamOuterJoinSpec pins `=` emission with a
+    * crafted ms-exact corpus). Matched-or-evicted is deterministic
+    * under the chronological replay (no late data), so the entry is
+    * hash-checked; cid is BIGINT on both renderings (the outer-join
+    * NULL-int dtype shield the fuzz family uses). */
+  val q_stream_join_outer = Q(
+    "q_stream_join_outer",
+    (s, dir) => {
+      val stream = stagedEventStream(s, dir, "join")
+      val p = stream.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id").as("pu"), col("ts").as("pts"))
+        .withWatermark("pts", "30 minutes")
+      val c = stream.filter(col("event_type") === "click")
+        .select(col("event_id").as("cid"), col("user_id").as("cu"), col("ts").as("cts"))
+        .withWatermark("cts", "30 minutes")
+      val joined = p.join(c,
+          expr("pu = cu AND cts >= pts - interval 30 minutes AND cts < pts"),
+          "leftOuter")
+        .select(col("pid"), col("cid").cast("long").as("cid"))
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try Streams.runToMemory(joined, "q_stream_join_outer_sink", OutputMode.Append())
+        .orderBy(col("pid"), col("cid"))
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    },
+    Some("""
+      |WITH p AS (
+      |  SELECT event_id AS pid, user_id AS pu, ts AS pts
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT event_id AS cid, user_id AS cu, ts AS cts
+      |  FROM events WHERE event_type = 'click'),
+      |m AS (
+      |  SELECT pid, cid FROM p JOIN c ON pu = cu
+      |    AND cts >= pts - INTERVAL 30 MINUTE AND cts < pts),
+      |wm AS (
+      |  SELECT (least((SELECT max(epoch_us(pts)) FROM p),
+      |                (SELECT max(epoch_us(cts)) FROM c)) // 1000
+      |          - 1800000) * 1000 AS w)
+      |SELECT pid, cid FROM m
+      |UNION ALL
+      |SELECT pid, CAST(NULL AS BIGINT) AS cid
+      |FROM p, wm
+      |WHERE pid NOT IN (SELECT pid FROM m) AND epoch_us(pts) <= w
+      |ORDER BY pid, cid
+      |""".stripMargin))
+
   /** Streaming corpus curation — the SAME string-keyed `quality_filter`
     * registry operator the batch pipelines chain
     * ([[Corpus.q_pipeline_curate2]]) applied UNCHANGED to a document
@@ -835,7 +895,8 @@ object StreamingQ {
     Some(Corpus.domainCapSql))
 
   val all: Seq[Q] =
-    Seq(q_stream_windowed, q_stream_dedup, q_stream_join, q_stream_curate,
+    Seq(q_stream_windowed, q_stream_dedup, q_stream_join,
+      q_stream_join_outer, q_stream_curate,
       q_stream_late, q_stream_index_insert, q_stream_dedup_lsh,
       q_stream_dedup_winnow, q_stream_dedup_containment,
       q_stream_dedup_ladder, q_stream_domain_cap)

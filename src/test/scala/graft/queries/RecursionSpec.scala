@@ -1,0 +1,59 @@
+package graft.queries
+
+import graft.TestSpark
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The recursive-CTE walks checked against independent non-recursive
+  * computations of the same facts (closed-form heap depths; windowed
+  * prefix sums), plus a plan pin that the recursion really runs through
+  * Spark's iterative `UnionLoop` operator rather than some rewrite.
+  */
+class RecursionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sf0001
+
+  test("q_recursive_tree: heap depths and root-path sums, every node once") {
+    val rows = Recursion.q_recursive_tree.run(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val bal = graft.core.Tables(spark, dir, "supplier")
+      .select(col("s_suppkey"),
+        col("s_acctbal").cast(DecimalType(18, 2)).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    assert(rows.keySet == bal.keySet, "walk must visit every supplier once")
+    rows.foreach { case (k, (depth, pathBal)) =>
+      // closed-form heap depth: node k sits at ⌊log₂(k+1)⌋
+      val want = (63 - java.lang.Long.numberOfLeadingZeros(k + 1)).toLong
+      assert(depth == want, s"depth($k) = $depth, want $want")
+      // root-path balance by climbing parents directly
+      var sum = java.math.BigDecimal.ZERO
+      var n = k
+      while (n > 0) { sum = sum.add(bal(n)); n = (n - 1) / 2 }
+      sum = sum.add(bal(0L))
+      assert(math.abs(pathBal - sum.doubleValue()) < 1e-9,
+        s"path_bal($k) = $pathBal, want $sum")
+    }
+  }
+
+  test("q_recursive_chain: positions and running totals equal the window form") {
+    val got = Recursion.q_recursive_chain.run(spark, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val want = graft.core.Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("p"))
+      .select(col("o_orderkey"), row_number().over(w).cast("long").as("pos"),
+        sum(col("p")).over(w).cast("double").as("run_total"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "recursive walk must equal the windowed prefix sum exactly")
+  }
+
+  test("the recursion executes through UnionLoop, one join per level") {
+    val plan = Recursion.q_recursive_tree.run(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("UnionLoop"),
+      s"expected an iterative UnionLoop execution, got:\n$plan")
+  }
+}
