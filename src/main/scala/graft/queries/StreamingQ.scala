@@ -302,6 +302,66 @@ object StreamingQ {
       |ORDER BY pid, cid
       |""".stripMargin))
 
+  /** Stream-stream FULL OUTER interval join — [[q_stream_join_outer]]
+    * plus the click side's verdicts. The two outer halves evict on
+    * DIFFERENT bounds, and the asymmetry comes straight from the
+    * half-open interval `pts − 30 min ≤ cts < pts`: a purchase stops
+    * waiting once the watermark reaches its OWN event time (future
+    * clicks all have cts ≥ wm ≥ pts, violating `cts < pts` — boundary
+    * INCLUSIVE because the violation is already strict at equality),
+    * while a click keeps waiting a further 30 minutes (a future
+    * purchase at pts = wm still matches any click with cts ≥ wm − 30
+    * min, so eviction needs cts STRICTLY below wm − 30 min).
+    * StreamOuterJoinSpec pins both boundaries with ms-exact corpora;
+    * the oracle states them as `pts ≤ w` and `cts < w − 30 min`. */
+  val q_stream_join_full = Q(
+    "q_stream_join_full",
+    (s, dir) => {
+      val stream = stagedEventStream(s, dir, "join")
+      val p = stream.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id").as("pu"), col("ts").as("pts"))
+        .withWatermark("pts", "30 minutes")
+      val c = stream.filter(col("event_type") === "click")
+        .select(col("event_id").as("cid"), col("user_id").as("cu"), col("ts").as("cts"))
+        .withWatermark("cts", "30 minutes")
+      val joined = p.join(c,
+          expr("pu = cu AND cts >= pts - interval 30 minutes AND cts < pts"),
+          "fullOuter")
+        .select(col("pid").cast("long").as("pid"),
+          col("cid").cast("long").as("cid"))
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try Streams.runToMemory(joined, "q_stream_join_full_sink", OutputMode.Append())
+        .orderBy(col("pid"), col("cid"))
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    },
+    Some("""
+      |WITH p AS (
+      |  SELECT event_id AS pid, user_id AS pu, ts AS pts
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT event_id AS cid, user_id AS cu, ts AS cts
+      |  FROM events WHERE event_type = 'click'),
+      |m AS (
+      |  SELECT pid, cid FROM p JOIN c ON pu = cu
+      |    AND cts >= pts - INTERVAL 30 MINUTE AND cts < pts),
+      |wm AS (
+      |  SELECT (least((SELECT max(epoch_us(pts)) FROM p),
+      |                (SELECT max(epoch_us(cts)) FROM c)) // 1000
+      |          - 1800000) * 1000 AS w)
+      |SELECT pid, cid FROM m
+      |UNION ALL
+      |SELECT pid, CAST(NULL AS BIGINT) AS cid
+      |FROM p, wm
+      |WHERE pid NOT IN (SELECT pid FROM m) AND epoch_us(pts) <= w
+      |UNION ALL
+      |SELECT CAST(NULL AS BIGINT) AS pid, cid
+      |FROM c, wm
+      |WHERE cid NOT IN (SELECT cid FROM m)
+      |  AND epoch_us(cts) < w - 1800000000
+      |ORDER BY pid, cid
+      |""".stripMargin))
+
   /** Streaming corpus curation — the SAME string-keyed `quality_filter`
     * registry operator the batch pipelines chain
     * ([[Corpus.q_pipeline_curate2]]) applied UNCHANGED to a document
@@ -896,7 +956,7 @@ object StreamingQ {
 
   val all: Seq[Q] =
     Seq(q_stream_windowed, q_stream_dedup, q_stream_join,
-      q_stream_join_outer, q_stream_curate,
+      q_stream_join_outer, q_stream_join_full, q_stream_curate,
       q_stream_late, q_stream_index_insert, q_stream_dedup_lsh,
       q_stream_dedup_winnow, q_stream_dedup_containment,
       q_stream_dedup_ladder, q_stream_domain_cap)
