@@ -958,8 +958,10 @@ object Relational2 {
     * aggregate, no lag/cumsum window chain — and the identical code runs
     * under Structured Streaming with a watermark). Session end is
     * lastEvent + gap by definition; the oracle states that directly.
-    * (Boundary semantics differ from the lag formulation only for a gap
-    * of EXACTLY 30 minutes — the dataset has none at any SF, verified.) */
+    * (The `ts > lag + gap` break is EXACT on any corpus: touching
+    * windows merge — pinned empirically by StreamSessionWindowSpec's
+    * boundary corpus, so the formulations agree even at exact-gap
+    * adjacency.) */
   val q_events_session_window = Q(
     "q_events_session_window",
     (s, dir) => {

@@ -362,6 +362,76 @@ object StreamingQ {
       |ORDER BY pid, cid
       |""".stripMargin))
 
+  /** Streaming sessionization — the batch
+    * [[Relational2.q_events_session_window]] operator run as a
+    * watermarked APPEND-mode stream over the multi-batch replay, which
+    * is the configuration where `session_window` actually earns its
+    * keep: session-merging STATE crosses micro-batch boundaries (an
+    * event arriving in batch N lands inside — and extends — a session
+    * opened in batch N−1), and a session only emits once the watermark
+    * proves no event can still join it. Two boundary semantics are
+    * pinned ms-exact in StreamSessionWindowSpec and stated
+    * arithmetically by the oracle:
+    *
+    *  1. MERGE is inclusive at `lastTs + gap` (windows that TOUCH are
+    *     merged, pinned empirically — an event at exactly the current
+    *     session end extends it), so the gaps-and-islands break below
+    *     is `ts > lag(ts) + gap`; that is the batch entry's exact
+    *     formulation, so the two renderings agree on any corpus.
+    *  2. EMISSION is inclusive at `end == watermark` (`end <= wm`
+    *     emits); sessions ending above the final watermark — max event
+    *     time, ms-truncated per EventTimeStats, minus the 30-minute
+    *     delay — stay buffered when the replay ends, their membership
+    *     still legitimately open, exactly as on an unbounded stream.
+    *
+    * Values are exact DECIMAL sums so batch/stream/oracle agree
+    * bit-for-bit; (user_id, start_ts) keys the emitted set
+    * order-independently → hash-checked. */
+  val q_stream_sessions = Q(
+    "q_stream_sessions",
+    (s, dir) => {
+      val stream = stagedEventStream(s, dir, "sessions")
+      val sess = stream
+        .withWatermark("ts", "30 minutes")
+        .groupBy(session_window(col("ts"), "20 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+        .select(col("user_id"), col("w.start").as("start_ts"),
+          col("w.end").as("end_ts"), col("n_events"), col("sum_value"))
+      // session state partitions sized to key cardinality, like
+      // q_stream_windowed (see the note there)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try Streams.runToMemory(sess, "q_stream_sessions_sink", OutputMode.Append())
+        .orderBy(col("user_id"), col("start_ts"))
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    },
+    Some(s"""
+      |WITH g AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |              OR ts > lag(ts) OVER w + INTERVAL '20 minutes'
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sess AS (
+      |  SELECT user_id, ts, value,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                   ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM g
+      |), agg AS (
+      |  SELECT user_id, min(ts) AS start_ts,
+      |    max(ts) + INTERVAL '20 minutes' AS end_ts,
+      |    count(*) AS n_events, ${Sql.dsum("value")} AS sum_value
+      |  FROM sess GROUP BY user_id, sid
+      |), wm AS (
+      |  SELECT ((SELECT max(epoch_us(ts)) FROM events) // 1000
+      |          - 1800000) * 1000 AS w)
+      |SELECT user_id, start_ts, end_ts, n_events, sum_value
+      |FROM agg, wm WHERE epoch_us(end_ts) <= w
+      |ORDER BY user_id, start_ts
+      |""".stripMargin))
+
   /** Streaming corpus curation — the SAME string-keyed `quality_filter`
     * registry operator the batch pipelines chain
     * ([[Corpus.q_pipeline_curate2]]) applied UNCHANGED to a document
@@ -956,7 +1026,8 @@ object StreamingQ {
 
   val all: Seq[Q] =
     Seq(q_stream_windowed, q_stream_dedup, q_stream_join,
-      q_stream_join_outer, q_stream_join_full, q_stream_curate,
+      q_stream_join_outer, q_stream_join_full, q_stream_sessions,
+      q_stream_curate,
       q_stream_late, q_stream_index_insert, q_stream_dedup_lsh,
       q_stream_dedup_winnow, q_stream_dedup_containment,
       q_stream_dedup_ladder, q_stream_domain_cap)

@@ -396,12 +396,26 @@ class OperatorsSpec extends AnyFunSuite {
     val ids = fhits.select("vec_id").collect().map(_.getLong(0))
     assert(ids.nonEmpty && ids.forall(allowed),
       "filtered ann_search returned ids outside the allowed set")
+    // round 14: the compressed tiers take the filter frame too (the
+    // former allowed-id rejection is gone) — a PQ index built through
+    // the registry serves the same pre-distance-filtered search
+    val pqIdx = tmp("ops-pq-filtered")
+    Operators.make(spark, "sink", "pq",
+      Map("path" -> pqIdx, "idCol" -> "vec_id", "vecCol" -> "embedding"))(
+      Seq(emb), Map.empty)
+    val pqHits = Operators.make(spark, "transform", "ann_search",
+      Map("index" -> "pq", "path" -> pqIdx, "idCol" -> "vec_id",
+        "k" -> "5"))(Seq(queries, allowedDf), Map.empty)
+    val pqIds = pqHits.select("vec_id").collect().map(_.getLong(0))
+    assert(pqIds.nonEmpty && pqIds.forall(allowed),
+      "filtered pq ann_search returned ids outside the allowed set")
+    // unknown index names still fail fast
     val e = intercept[IllegalArgumentException] {
       Operators.make(spark, "transform", "ann_search",
-        Map("index" -> "pq", "path" -> idx))(
+        Map("index" -> "nope", "path" -> idx, "idCol" -> "vec_id"))(
         Seq(queries, allowedDf), Map.empty)
     }
-    assert(e.getMessage.contains("allowed-id filtering"))
+    assert(e.getMessage.contains("unknown ann_search index"))
   }
 
   test("all eight index sinks land state and serve ann_search") {

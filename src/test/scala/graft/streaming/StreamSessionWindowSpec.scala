@@ -1,0 +1,78 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.TestSpark
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the two boundary semantics `q_stream_sessions`' oracle states
+  * arithmetically:
+  *
+  *  1. MERGE bound — an event at EXACTLY the current session end
+  *     (lastTs + gap) MERGES into the session (windows that touch are
+  *     merged, not just windows that overlap), so the oracle's
+  *     gaps-and-islands break is `ts > lag(ts) + gap` — the same
+  *     formulation the batch q_events_session_window oracle uses, now
+  *     known exact on any corpus rather than by absence of exact-gap
+  *     adjacency. The merge state machine behaves identically whether
+  *     the two events arrive in one micro-batch or across a batch
+  *     boundary (session-merging state is the operator's whole point).
+  *  2. EMISSION bound — in append mode a finalized session emits exactly
+  *     when the watermark has reached its end (INCLUSIVE at equality:
+  *     `end <= wm` emits), and a session whose end is above the final
+  *     watermark stays buffered with no output when the replay ends.
+  */
+class StreamSessionWindowSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def ts(hhmm: String) = Timestamp.valueOf(s"2026-01-01 $hhmm:00")
+
+  test("session merge across micro-batches, inclusive at lastTs + gap; " +
+    "append emission inclusive at end == watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val df = input.toDF.toDF("user_id", "ts")
+    val sess = df
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window($"ts", "20 minutes").as("w"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"w.start".as("start_ts"), $"w.end".as("end_ts"),
+        $"n_events")
+    val q = sess.writeStream.outputMode("append")
+      .format("memory").queryName("session_boundary").start()
+    try {
+      // b1: u1 two events 10 min apart (one session, end 10:30 after b2's
+      // extension); u2 one event (end 10:25); u4 one event (end 10:20).
+      input.addData((1L, ts("10:00")), (1L, ts("10:10")),
+        (2L, ts("10:05")), (4L, ts("10:00")))
+      q.processAllAvailable()
+      // b2: u1 event at 10:25 — 10:25 < current end 10:30, MERGES and
+      // extends the end to 10:45. u4 event at EXACTLY its session end
+      // 10:20 — touching windows merge too: ONE session ending 10:40.
+      // u3 at 11:15 advances max event time → final wm = 10:45.
+      input.addData((1L, ts("10:25")), (4L, ts("10:20")), (3L, ts("11:15")))
+      q.processAllAvailable()
+
+      val rows = spark.table("session_boundary").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3))).toSet
+      // u2's session end 10:25 < wm 10:45 → emitted
+      assert(rows.contains((2L, ts("10:05"), ts("10:25"), 1L)),
+        s"u2 finalized session missing in $rows")
+      // u4: ONE merged session — the boundary event extends it
+      assert(rows.contains((4L, ts("10:00"), ts("10:40"), 2L)),
+        s"u4 boundary event must merge (inclusive at lastTs + gap) in $rows")
+      // u1: one MERGED session spanning the batch boundary, end 10:45 ==
+      // final wm → inclusive emission
+      assert(rows.contains((1L, ts("10:00"), ts("10:45"), 3L)),
+        s"u1 merged session (end == wm, inclusive) missing in $rows")
+      // u3's session end 11:35 > wm → stays buffered
+      assert(!rows.exists(_._1 == 3L),
+        s"session above the final watermark must stay buffered; got $rows")
+      assert(rows.size == 3, s"unexpected extra rows: $rows")
+    } finally q.stop()
+  }
+}
