@@ -432,6 +432,102 @@ object StreamingQ {
       |ORDER BY user_id, start_ts
       |""".stripMargin))
 
+  /** Dynamic-gap streaming sessionization — the idle timeout varies PER
+    * EVENT (purchases/signups hold a session open 30 minutes, ambient
+    * click/view/error traffic only 10), which is `session_window`'s
+    * two-argument form and the configuration real funnels run: cheap
+    * events shouldn't keep a session alive as long as high-intent ones.
+    * Dynamic gaps change the session algebra in a way the fixed-gap
+    * oracle can't express: a session's end is the MAX end over its
+    * members — an early long-gap event can OUTLAST later short-gap
+    * ones, so `lastTs + gap` is wrong and the gaps-and-islands break
+    * needs the running max of prior member ends (`brk ⇔ ts > max
+    * prior end`; merge stays inclusive at touch, and both facts are
+    * pinned ms-exact in StreamSessionWindowSpec's dynamic-gap corpus).
+    * Same append-mode emission contract as [[q_stream_sessions]]:
+    * finalized ⇔ `end <= final watermark`. */
+  val q_stream_sessions_gap = Q(
+    "q_stream_sessions_gap",
+    (s, dir) => {
+      val stream = stagedEventStream(s, dir, "sessgap")
+      val gap = when(col("event_type").isin("purchase", "signup"),
+        "30 minutes").otherwise("10 minutes")
+      val sess = stream
+        .withWatermark("ts", "30 minutes")
+        .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+        .select(col("user_id"), col("w.start").as("start_ts"),
+          col("w.end").as("end_ts"), col("n_events"), col("sum_value"))
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try Streams.runToMemory(sess, "q_stream_sessions_gap_sink", OutputMode.Append())
+        .orderBy(col("user_id"), col("start_ts"))
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    },
+    Some(s"""
+      |WITH e AS (
+      |  SELECT user_id, event_id, ts, value, epoch_us(ts) AS ts_us,
+      |    epoch_us(ts) + CASE WHEN event_type IN ('purchase', 'signup')
+      |                        THEN 1800000000 ELSE 600000000 END AS end_us
+      |  FROM events
+      |), g AS (
+      |  SELECT user_id, event_id, ts, value, ts_us, end_us,
+      |    CASE WHEN max(end_us) OVER (PARTITION BY user_id
+      |             ORDER BY ts_us, event_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |           >= ts_us
+      |         THEN 0 ELSE 1 END AS brk
+      |  FROM e
+      |), sess AS (
+      |  SELECT user_id, ts, value, end_us,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                   ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM g
+      |), agg AS (
+      |  SELECT user_id, min(ts) AS start_ts,
+      |    make_timestamp(max(end_us)) AS end_ts,
+      |    count(*) AS n_events, ${Sql.dsum("value")} AS sum_value
+      |  FROM sess GROUP BY user_id, sid
+      |), wm AS (
+      |  SELECT ((SELECT max(epoch_us(ts)) FROM events) // 1000
+      |          - 1800000) * 1000 AS w)
+      |SELECT user_id, start_ts, end_ts, n_events, sum_value
+      |FROM agg, wm WHERE epoch_us(end_ts) <= w
+      |ORDER BY user_id, start_ts
+      |""".stripMargin))
+
+  /** Stream-static enrichment join — the most common streaming op of
+    * all: a live event stream decorated with a slowly-changing
+    * dimension. The dim side is bounded and BROADCAST (pinned in
+    * StreamEnrichSpec's per-batch plan: one BroadcastHashJoin, the
+    * stream side never shuffled), so at 100 TB/day of events the join
+    * costs one dim broadcast per micro-batch and zero stream movement —
+    * the stateless shape that needs no watermark and holds no state.
+    * Every (event, customer) attribute pair is exact → hash-checked
+    * against the batch join. */
+  val q_stream_enrich = Q(
+    "q_stream_enrich",
+    (s, dir) => {
+      val stream = stagedEventStream(s, dir, "enrich")
+      val dim = graft.core.Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val joined = stream
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("c_mktsegment"))
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try Streams.runToMemory(joined, "q_stream_enrich_sink", OutputMode.Append())
+        .orderBy(col("event_id"))
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    },
+    Some("""
+      |SELECT event_id, user_id, event_type, c_mktsegment
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |ORDER BY event_id
+      |""".stripMargin))
+
   /** Streaming corpus curation — the SAME string-keyed `quality_filter`
     * registry operator the batch pipelines chain
     * ([[Corpus.q_pipeline_curate2]]) applied UNCHANGED to a document
@@ -1027,7 +1123,7 @@ object StreamingQ {
   val all: Seq[Q] =
     Seq(q_stream_windowed, q_stream_dedup, q_stream_join,
       q_stream_join_outer, q_stream_join_full, q_stream_sessions,
-      q_stream_curate,
+      q_stream_sessions_gap, q_stream_enrich, q_stream_curate,
       q_stream_late, q_stream_index_insert, q_stream_dedup_lsh,
       q_stream_dedup_winnow, q_stream_dedup_containment,
       q_stream_dedup_ladder, q_stream_domain_cap)

@@ -75,4 +75,47 @@ class StreamSessionWindowSpec extends AnyFunSuite {
       assert(rows.size == 3, s"unexpected extra rows: $rows")
     } finally q.stop()
   }
+
+  test("dynamic gap: session end is the MAX member end (an early " +
+    "long-gap event outlasts later short-gap ones); touch still merges") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val df = input.toDF.toDF("user_id", "ts", "kind")
+    val sess = df
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window($"ts",
+        when($"kind" === "long", "30 minutes").otherwise("10 minutes"))
+        .as("w"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"w.start".as("start_ts"), $"w.end".as("end_ts"),
+        $"n_events")
+    val q = sess.writeStream.outputMode("append")
+      .format("memory").queryName("session_gap_boundary").start()
+    try {
+      // u1: long event at 10:00 (end 10:30), then a SHORT event at
+      // 10:05 (own end 10:15) — the merged session must keep the long
+      // event's later end, not lastTs + gap(last) = 10:15.
+      // u2: short at 10:00 (end 10:10), short at EXACTLY 10:10 — touch
+      // merges under dynamic gaps too → one session ending 10:20.
+      input.addData((1L, ts("10:00"), "long"), (1L, ts("10:05"), "short"),
+        (2L, ts("10:00"), "short"), (2L, ts("10:10"), "short"))
+      q.processAllAvailable()
+      // u3 advances max event time to 11:30 → final wm = 11:00; both
+      // u1/u2 sessions end below it and emit, u3's own stays buffered
+      input.addData((3L, ts("11:30"), "short"))
+      q.processAllAvailable()
+
+      val rows = spark.table("session_gap_boundary").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3))).toSet
+      assert(rows.contains((1L, ts("10:00"), ts("10:30"), 2L)),
+        s"merged end must be the MAX member end (10:30, not 10:15): $rows")
+      assert(rows.contains((2L, ts("10:00"), ts("10:20"), 2L)),
+        s"touching dynamic-gap windows must merge: $rows")
+      assert(!rows.exists(_._1 == 3L),
+        s"session above the final watermark must stay buffered: $rows")
+      assert(rows.size == 2, s"unexpected extra rows: $rows")
+    } finally q.stop()
+  }
 }
