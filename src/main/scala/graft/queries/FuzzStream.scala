@@ -1,0 +1,219 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.streaming.Streams
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.DecimalType
+
+/** Randomized differential fuzzing of the STREAMING surface: a seeded
+  * generator draws small watermarked windowed-aggregation plans over the
+  * events table and executes each one THREE ways — as a multi-micro-batch
+  * file-stream replay ([[StreamingQ.stagedEventStream]], state crossing
+  * batch boundaries), as the identical DataFrame plan in batch, and (for
+  * the fixed driver seeds) as ANSI SQL in DuckDB — all three must agree
+  * row-for-row. The batch fuzzer ([[Fuzz]]) explores the relational
+  * algebra; this one explores the STATEFUL execution axes none of the
+  * hand-written streaming entries can cover combinatorially: window
+  * size × group-key arity × pre-watermark filters × aggregate set ×
+  * output mode (Complete vs watermark-gated Append).
+  *
+  * Draw space per seed:
+  *  - tumbling window of {5, 10, 15, 30, 60} minutes (all divide 24 h, so
+  *    Spark's epoch-aligned `window()` and DuckDB's `time_bucket` agree);
+  *  - group keys: optional `event_type`, optional `user_id % m` bucket;
+  *  - optional pre-aggregation filter (event-type membership / value
+  *    threshold / user-id residue), applied BEFORE `withWatermark` so the
+  *    watermark is definitively computed over the FILTERED stream — the
+  *    placement question (does a pushed filter see the watermark node or
+  *    not?) never arises because the plan states it explicitly, and the
+  *    oracle's cutoff reads `max(ts) FROM f` (filtered) accordingly;
+  *  - aggregates: `count(*)` always, optional exact-DECIMAL `sum(value)`,
+  *    optional `max(ts)` (both bit-exact across engines);
+  *  - output mode: Complete (every window, the batch equivalence) or
+  *    Append (only windows the final watermark finalized — inclusive at
+  *    `end == wm`, the StreamSessionWindowSpec-pinned bound, stated by
+  *    the oracle as `epoch_us(window_end) <= w` with w = ms-truncated
+  *    max filtered event time minus the 30-minute delay).
+  *
+  * FuzzStreamSpec soaks N seeds stream-vs-batch per run (knob
+  * SPARK_GRAFT_FUZZ_STREAMS); the fixed [[driverSeeds]] are exported as
+  * `q_fuzzst_*` entries whose SQL rendering IS the DuckDB oracle, so the
+  * driver cross-checks the streaming engine against a second engine
+  * every round — the only streaming state machine in the inventory under
+  * a RANDOMIZED cross-engine oracle.
+  */
+object FuzzStream {
+
+  final case class SPlan(seed: Long) {
+    private val rnd = new scala.util.Random(seed * 7919 + 13)
+    val winMin: Int = Seq(5, 10, 15, 30, 60)(rnd.nextInt(5))
+    val keyEvent: Boolean = rnd.nextBoolean()
+    val userMod: Option[Int] =
+      if (rnd.nextBoolean()) Some(Seq(3, 5, 7)(rnd.nextInt(3))) else None
+    val filtKind: Int = rnd.nextInt(4)
+    val filtTypes: Seq[String] = {
+      val all = Seq("click", "view", "purchase", "signup", "error")
+      rnd.shuffle(all).take(2 + rnd.nextInt(2)).sorted
+    }
+    val filtValue: Double = Seq(25.0, 50.0, 100.0)(rnd.nextInt(3))
+    val filtMod: (Int, Int) = {
+      val p = Seq(2, 3, 5)(rnd.nextInt(3)); (p, rnd.nextInt(p))
+    }
+    val sumVal: Boolean = rnd.nextBoolean()
+    val maxTs: Boolean = rnd.nextBoolean()
+    val append: Boolean = rnd.nextBoolean()
+
+    def describe: String = {
+      val k = (if (keyEvent) Seq("event_type") else Nil) ++
+        userMod.map(m => s"user_id%$m")
+      val f = filtKind match {
+        case 0 => "none"
+        case 1 => s"type IN ${filtTypes.mkString("/")}"
+        case 2 => s"value >= $filtValue"
+        case 3 => s"user_id % ${filtMod._1} = ${filtMod._2}"
+      }
+      val a = Seq("count") ++ (if (sumVal) Seq("dsum") else Nil) ++
+        (if (maxTs) Seq("max_ts") else Nil)
+      s"win=${winMin}m keys=[${k.mkString(",")}] filter=[$f] " +
+        s"aggs=[${a.mkString(",")}] mode=${if (append) "append" else "complete"}"
+    }
+
+    private def filterCol: Option[Column] = filtKind match {
+      case 0 => None
+      case 1 => Some(col("event_type").isin(filtTypes: _*))
+      case 2 => Some(col("value") >= lit(filtValue))
+      case 3 => Some(pmod(col("user_id"), lit(filtMod._1)) === lit(filtMod._2))
+    }
+
+    private def filterSql: String = filtKind match {
+      case 0 => "TRUE"
+      case 1 => s"event_type IN (${filtTypes.map(t => s"'$t'").mkString(", ")})"
+      case 2 => s"value >= $filtValue"
+      case 3 => s"user_id % ${filtMod._1} = ${filtMod._2}"
+    }
+
+    private def keyCols: Seq[Column] =
+      (if (keyEvent) Seq(col("event_type")) else Nil) ++
+        userMod.map(m => pmod(col("user_id"), lit(m)).as("ub")).toSeq
+
+    private def keyNames: Seq[String] =
+      (if (keyEvent) Seq("event_type") else Nil) ++
+        userMod.map(_ => "ub").toSeq
+
+    /** The aggregation plan over any events frame — the SAME code runs
+      * streaming (micro-batch state) and batch (`withWatermark` is a
+      * no-op on bounded frames), which is the differential's point. */
+    def aggPlan(events: DataFrame): DataFrame = {
+      val filtered = filterCol.fold(events)(events.filter)
+      val aggs = Seq(count(lit(1)).as("n")) ++
+        (if (sumVal)
+          Seq(sum(col("value").cast(DecimalType(18, 2))).cast("double")
+            .as("sum_value"))
+        else Nil) ++
+        (if (maxTs) Seq(max(col("ts")).as("max_ts")) else Nil)
+      filtered
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), s"$winMin minutes").as("w") +: keyCols: _*)
+        .agg(aggs.head, aggs.tail: _*)
+        .select(Seq(col("w.start").as("window_start"),
+          col("w.end").as("window_end")) ++
+          keyNames.map(col) ++
+          Seq(col("n")) ++
+          (if (sumVal) Seq(col("sum_value")) else Nil) ++
+          (if (maxTs) Seq(col("max_ts")) else Nil): _*)
+    }
+
+    private def orderCols: Seq[Column] =
+      col("window_start") +: keyNames.map(col)
+
+    /** Multi-micro-batch streaming execution through the memory sink. */
+    def runStream(s: SparkSession, dir: String): DataFrame = {
+      val agg = aggPlan(StreamingQ.stagedEventStream(s, dir, "fuzzst"))
+      val mode = if (append) OutputMode.Append() else OutputMode.Complete()
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try Streams.runToMemory(agg, s"q_fuzzst_${seed}_sink", mode)
+        .orderBy(orderCols: _*)
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+
+    /** Batch twin: identical plan on the bounded table; in append mode
+      * the finalized-set cutoff is applied from the same watermark
+      * arithmetic the streaming engine uses (ms-truncated max filtered
+      * event time − delay, INCLUSIVE at the bound). The scalar max is a
+      * spec-harness collect, not an engine path. */
+    def runBatch(s: SparkSession, dir: String): DataFrame = {
+      val events = Tables(s, dir, "events")
+      val agg = aggPlan(events)
+      val cut =
+        if (!append) agg
+        else {
+          val fil = filterCol.fold(events)(events.filter)
+          val mx = fil.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+          if (mx == null) agg.limit(0)
+          else {
+            val wm = new java.sql.Timestamp(mx.getTime - 30L * 60 * 1000)
+            agg.filter(col("window_end") <= lit(wm))
+          }
+        }
+      cut.orderBy(orderCols: _*)
+    }
+
+    /** DuckDB rendering (the driver-seed oracle). */
+    def sql: String = {
+      val keySel = (if (keyEvent) Seq("event_type") else Nil) ++
+        userMod.map(m => s"user_id % $m AS ub").toSeq
+      val keyGrp = (if (keyEvent) Seq("event_type") else Nil) ++
+        userMod.map(_ => "ub").toSeq
+      val aggSel = Seq("count(*) AS n") ++
+        (if (sumVal) Seq(s"${Sql.dsum("value")} AS sum_value") else Nil) ++
+        (if (maxTs) Seq("max(ts) AS max_ts") else Nil)
+      val outCols = Seq("window_start", "window_end") ++ keyGrp ++
+        Seq("n") ++ (if (sumVal) Seq("sum_value") else Nil) ++
+        (if (maxTs) Seq("max_ts") else Nil)
+      val ord = ("window_start" +: keyGrp).mkString(", ")
+      val bucket = s"time_bucket(INTERVAL '$winMin minutes', ts)"
+      val base =
+        s"""WITH f AS (SELECT * FROM events WHERE $filterSql),
+           |a AS (
+           |  SELECT $bucket AS window_start,
+           |    $bucket + INTERVAL '$winMin minutes' AS window_end${
+            if (keySel.nonEmpty) ",\n    " + keySel.mkString(", ") else ""},
+           |    ${aggSel.mkString(", ")}
+           |  FROM f
+           |  GROUP BY ${("window_start" +: "window_end" +: keyGrp).mkString(", ")}
+           |)""".stripMargin
+      if (!append)
+        s"""$base
+           |SELECT ${outCols.mkString(", ")} FROM a
+           |ORDER BY $ord
+           |""".stripMargin
+      else
+        s"""$base,
+           |wm AS (
+           |  SELECT ((SELECT max(epoch_us(ts)) FROM f) // 1000
+           |          - 1800000) * 1000 AS w)
+           |SELECT ${outCols.mkString(", ")} FROM a, wm
+           |WHERE epoch_us(window_end) <= w
+           |ORDER BY $ord
+           |""".stripMargin
+    }
+  }
+
+  /** Fixed driver seeds under the DuckDB oracle, picked for draw
+    * diversity (see each seed's `describe` in FuzzStreamSpec output):
+    * 3 = append + residue filter, key-free; 4 = append + type filter,
+    * event_type-keyed, 5-minute windows; 7 = complete, user-bucket
+    * keyed, unfiltered; 11 = complete + value threshold, max_ts, 60-min
+    * windows; 12 = append, TWO keys, type filter, max_ts. Together:
+    * both output modes, all three filter families plus unfiltered, both
+    * optional aggregates, and 0/1/2-key groupings. */
+  val driverSeeds: Seq[Long] = Seq(3L, 4L, 7L, 11L, 12L)
+
+  val all: Seq[Q] = driverSeeds.map { s =>
+    val p = SPlan(s)
+    Q(s"q_fuzzst_$s", (spark, dir) => p.runStream(spark, dir), Some(p.sql))
+  }
+}

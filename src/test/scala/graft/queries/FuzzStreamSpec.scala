@@ -1,0 +1,43 @@
+package graft.queries
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Differential soak for [[FuzzStream]]: every seeded plan's multi-batch
+  * streaming replay must equal the identical DataFrame plan run in batch
+  * (with the append-mode finalized-set cutoff applied from the same
+  * watermark arithmetic). SPARK_GRAFT_FUZZ_STREAMS raises the seed count
+  * for soak runs; the fixed driver seeds additionally run under the
+  * DuckDB oracle via the `q_fuzzst_*` registry entries.
+  */
+class FuzzStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val nPlans =
+    sys.env.get("SPARK_GRAFT_FUZZ_STREAMS").map(_.toInt).getOrElse(12)
+
+  test(s"$nPlans seeded streaming plans: stream replay equals batch") {
+    (1 to nPlans).foreach { seed =>
+      val p = FuzzStream.SPlan(seed.toLong)
+      val st = p.runStream(spark, TestSpark.sf0001).collect()
+        .map(_.toString).toSeq
+      val bt = p.runBatch(spark, TestSpark.sf0001).collect()
+        .map(_.toString).toSeq
+      assert(st == bt,
+        s"seed $seed diverged (${p.describe}): stream ${st.size} rows vs " +
+          s"batch ${bt.size};\nstream head=${st.take(3)}\nbatch head=${bt.take(3)}")
+      info(s"seed $seed ok (${st.size} rows): ${p.describe}")
+    }
+  }
+
+  test("driver seeds span both output modes, filters, and key arities") {
+    val ds = FuzzStream.driverSeeds.map(FuzzStream.SPlan)
+    ds.foreach(p => info(s"seed ${p.seed}: ${p.describe}"))
+    assert(ds.exists(_.append) && ds.exists(!_.append),
+      "driver seeds must cover both output modes")
+    assert(ds.exists(_.filtKind != 0), "at least one filtered seed")
+    assert(ds.exists(p => p.keyEvent || p.userMod.nonEmpty),
+      "at least one keyed seed")
+    assert(ds.exists(_.sumVal), "at least one DECIMAL-sum seed")
+  }
+}
