@@ -98,12 +98,14 @@ object Ann {
       // (radient/tasks/sinks/local/gann.py:15); nTrees = the n_trees
       // recall knob (gann.py:201) — search probes every tree and
       // dedupes candidates across trees before the exact re-rank.
-      // nTrees=3 puts recall@10 at 0.89 (2 trees measured 0.754, under
-      // the tier's 0.8 line); trees build concurrently, so the third
-      // tree costs scheduling overlap, not a third build wall-clock
+      // Measured recall@10 at sf0.1: 2 trees 0.754, 3 trees 0.891,
+      // 4 trees 0.943 (round-14 ratchet; 1.1 s warm in-entry). Tree
+      // DIVERSITY is the lever — beam=2 on 3 trees measured only
+      // 0.896 at ~2x probe cost, so the 4th tree wins. Trees build
+      // concurrently: the 4th costs scheduling overlap, not wall-clock
       val model = memoized(s, dir, gannMemo)(
         GannIndex.build(e, "vec_id", "embedding",
-          leafSize = 200, spill = 0.15, nTrees = 3))
+          leafSize = 200, spill = 0.15, nTrees = 4))
       val queries = e.filter(col("vec_id") < 100)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       model.search(queries, "qid", "qv", k = 10)
