@@ -53,6 +53,15 @@ if hll is None:
     failures.append("hll_max_rel_err missing from artifact")
 elif hll > floors.get("hll_max_rel_err_max", 1.0):
     failures.append(f"hll_max_rel_err {hll} > ceil {floors['hll_max_rel_err_max']}")
+# quantile sketch (round 14): absent only in pre-r14 artifacts — require
+# it once the floors map carries the ceiling (self-describing artifact)
+if "quantile_max_rel_err_max" in floors:
+    qre = art.get("quantile_max_rel_err")
+    if qre is None:
+        failures.append("quantile_max_rel_err missing from artifact")
+    elif qre > floors["quantile_max_rel_err_max"]:
+        failures.append(
+            f"quantile_max_rel_err {qre} > ceil {floors['quantile_max_rel_err_max']}")
 if art.get("fastrp_matches_dense") is False:
     failures.append("fastrp_matches_dense is false")
 if art.get("bpe_matches_sequential") is False:
@@ -63,6 +72,10 @@ for name, r in sorted(recalls.items()):
     print(f"{mark} {name}: recall@10 {r} (floor {floors.get(name, '-')})")
 lsh_ok = lsh is not None and lsh >= floors.get("lsh_join_pair_recall", 0.0)
 hll_ok = hll is not None and hll <= floors.get("hll_max_rel_err_max", 1.0)
+if "quantile_max_rel_err_max" in floors:
+    qre = art.get("quantile_max_rel_err")
+    q_ok = qre is not None and qre <= floors["quantile_max_rel_err_max"]
+    print(f"{'ok  ' if q_ok else 'FAIL'} quantile_max_rel_err {qre}")
 print(f"{'ok  ' if lsh_ok else 'FAIL'} lsh_join_pair_recall {lsh}")
 print(f"{'ok  ' if hll_ok else 'FAIL'} hll_max_rel_err {hll}")
 

@@ -112,6 +112,26 @@ object RecallReport {
     }.max
   }
 
+  /** Max relative error of the approx_percentile sketch entry vs the
+    * exact-percentile entry, over every (group, percentile) cell. The
+    * exact path interpolates while the sketch returns data values, so
+    * the metric absorbs rank slack AND interpolation — the honest
+    * user-visible error. */
+  private def quantileMaxRelErr(spark: SparkSession, sfDir: String): Double = {
+    def cells(name: String): Map[String, Seq[Double]] =
+      SparkEntry.queries(name)(spark, sfDir)
+        .select("l_returnflag", "p50", "p90", "p99").collect()
+        .map(r => r.getString(0) ->
+          Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exact = cells("q_quantiles")
+    val approx = cells("q_quantiles_sketch")
+    exact.map { case (g, ex) =>
+      ex.zip(approx.getOrElse(g, Seq(0.0, 0.0, 0.0))).map { case (e, a) =>
+        math.abs(a - e) / math.max(math.abs(e), 1e-9)
+      }.max
+    }.max
+  }
+
   // ---- equivalence booleans (fixed small inputs, SF-independent) ----
 
   /** Independent sequential BPE (the BpeTrainSpec reference): merge the
@@ -274,6 +294,11 @@ object RecallReport {
     "q_ann_ivfbq_filtered" -> 0.94)
   private[graft] val lshPairRecallFloor: Double = 0.97
   private[graft] val hllMaxRelErrCeil: Double = 0.01
+  // GK accuracy 10000 → rank error ≤ n/10⁴; on the l_quantity integer
+  // domain (1..50) one rank step near a percentile moves the value at
+  // most one unit → measured max rel err 0.0 at sf0.1/sf0.01, ceiling
+  // set loose enough for any SF's group sizes (round 14)
+  private[graft] val quantileMaxRelErrCeil: Double = 0.05
 
   /** The artifact plus the list of floor breaches (empty = healthy). */
   final case class Report(json: String, failures: Seq[String])
@@ -297,6 +322,7 @@ object RecallReport {
         recallOf(spark, sfDir, exactFiltered, "q_ann_ivfbq_filtered"))
     val lsh = lshPairRecall(spark, sfDir)
     val hll = hllMaxRelErr(spark, sfDir)
+    val qre = quantileMaxRelErr(spark, sfDir)
     val fastrp = fastRpMatches(spark)
     val bpe = bpeMatches(spark)
     val failures =
@@ -308,6 +334,9 @@ object RecallReport {
       (if (hll > hllMaxRelErrCeil)
         Seq(s"q_events_approx_users max rel err ${fmt(hll)} > ceil ${fmt(hllMaxRelErrCeil)}")
       else Nil) ++
+      (if (qre > quantileMaxRelErrCeil)
+        Seq(s"q_quantiles_sketch max rel err ${fmt(qre)} > ceil ${fmt(quantileMaxRelErrCeil)}")
+      else Nil) ++
       (if (!fastrp) Seq("fastrp_matches_dense is false") else Nil) ++
       (if (!bpe) Seq("bpe_matches_sequential is false") else Nil)
     val rj = recalls.map { case (nm, r) => "\"" + nm + "\":" + fmt(r) }
@@ -316,13 +345,15 @@ object RecallReport {
       .map { case (nm, f) => "\"" + nm + "\":" + fmt(f) }
       .mkString("{", ",",
         s""","lsh_join_pair_recall":${fmt(lshPairRecallFloor)}""" +
-        s""","hll_max_rel_err_max":${fmt(hllMaxRelErrCeil)}}""")
+        s""","hll_max_rel_err_max":${fmt(hllMaxRelErrCeil)}""" +
+        s""","quantile_max_rel_err_max":${fmt(quantileMaxRelErrCeil)}}""")
     def qstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val failJ = failures.map(qstr).mkString("[", ",", "]")
     val sfName = new java.io.File(sfDir).getName
     val json =
       s"""{"recall_at_$k":$rj,"lsh_join_pair_recall":${fmt(lsh)},""" +
-      s""""hll_max_rel_err":${fmt(hll)},"fastrp_matches_dense":$fastrp,""" +
+      s""""hll_max_rel_err":${fmt(hll)},"quantile_max_rel_err":${fmt(qre)},""" +
+      s""""fastrp_matches_dense":$fastrp,""" +
       s""""bpe_matches_sequential":$bpe,"queries":${exact.size},"sf":"$sfName",""" +
       s""""floors":$fj,"floor_failures":$failJ}"""
     Report(json, failures)

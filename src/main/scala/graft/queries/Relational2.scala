@@ -938,6 +938,31 @@ object Relational2 {
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
       |""".stripMargin))
 
+  /** Mergeable approximate percentiles — `approx_percentile`'s
+    * Greenwald-Khanna sketch at accuracy 10000 (rank error ≤ n/10⁴),
+    * the one-pass MERGEABLE path that replaces [[q_quantiles]]' exact
+    * rank computation at 100 TB: partial sketches combine associatively
+    * map-side, so the shuffle moves fixed-size summaries instead of
+    * ranking the column. Approximate by design → rows-only; the QUALITY
+    * gate lives in RecallReport like HLL's (`quantile_max_rel_err` vs
+    * the exact-percentile entry, ceiling embedded in the artifact). The
+    * sketch returns actual data values where the exact path
+    * interpolates — the error metric absorbs both that and rank
+    * slack. */
+  val q_quantiles_sketch = Q(
+    "q_quantiles_sketch",
+    (s, dir) => {
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr(
+          "approx_percentile(l_quantity, array(0.5, 0.9, 0.99), 10000)")
+          .as("q"))
+        .select(col("l_returnflag"),
+          col("q")(0).as("p50"), col("q")(1).as("p90"), col("q")(2).as("p99"))
+        .orderBy(col("l_returnflag"))
+    },
+    None)
+
   /** HyperLogLog sketch: approximate distinct users per event type —
     * approximate by design → rows-only (Spark's HLL++ and any oracle
     * engine's sketch will not agree bit-wise; the exact-distinct twin is
@@ -1236,6 +1261,7 @@ object Relational2 {
     q_events_attribution, q_profile_lineitem, q_profile_corr,
     q_profile_histogram, q_join_skew, q_zorder_key,
     q09_profit_by_nation, q11_important_stock, q20_heavy_shippers,
-    q_quantiles, q_events_approx_users, q_events_session_window,
+    q_quantiles, q_quantiles_sketch, q_events_approx_users,
+    q_events_session_window,
     q_user_activity, q_set_ops, q_pivot_priority)
 }
