@@ -20,8 +20,13 @@ import org.apache.spark.sql.types.DecimalType
   * output mode (Complete vs watermark-gated Append).
   *
   * Draw space per seed:
-  *  - tumbling window of {5, 10, 15, 30, 60} minutes (all divide 24 h, so
-  *    Spark's epoch-aligned `window()` and DuckDB's `time_bucket` agree);
+  *  - window of {5, 10, 15, 30, 60} minutes (all divide 24 h, so
+  *    Spark's epoch-aligned `window()` and DuckDB's `time_bucket` agree)
+  *    × a SLIDE drawn from the window's divisors (round 14): slide ==
+  *    window is tumbling; a proper divisor makes every event belong to
+  *    exactly window/slide overlapping windows, which the oracle
+  *    enumerates with `generate_series` off the event's slide bucket —
+  *    both engines align sliding starts to multiples of the slide;
   *  - group keys: optional `event_type`, optional `user_id % m` bucket;
   *  - optional pre-aggregation filter (event-type membership / value
   *    threshold / user-id residue), applied BEFORE `withWatermark` so the
@@ -64,6 +69,19 @@ object FuzzStream {
     val sumVal: Boolean = rnd.nextBoolean()
     val maxTs: Boolean = rnd.nextBoolean()
     val append: Boolean = rnd.nextBoolean()
+    /** Sliding-window draw (round 14, appended LAST so earlier fields
+      * keep their per-seed values): slide from the divisors of the
+      * window that the engines' shared alignment supports — Spark
+      * aligns sliding starts to multiples of the SLIDE, exactly
+      * `time_bucket(slide)`'s grid, and slide | window keeps the
+      * windows-per-event count at the constant window/slide. slide ==
+      * window is a tumbling draw, so the family subsumes the original
+      * generator. */
+    val slideMin: Int = {
+      val cands = Seq(winMin) ++
+        Seq(5, 10, 15, 30).filter(s => s < winMin && winMin % s == 0)
+      cands(rnd.nextInt(cands.size))
+    }
 
     def describe: String = {
       val k = (if (keyEvent) Seq("event_type") else Nil) ++
@@ -76,7 +94,9 @@ object FuzzStream {
       }
       val a = Seq("count") ++ (if (sumVal) Seq("dsum") else Nil) ++
         (if (maxTs) Seq("max_ts") else Nil)
-      s"win=${winMin}m keys=[${k.mkString(",")}] filter=[$f] " +
+      val w = if (slideMin == winMin) s"win=${winMin}m"
+        else s"win=${winMin}m/slide=${slideMin}m"
+      s"$w keys=[${k.mkString(",")}] filter=[$f] " +
         s"aggs=[${a.mkString(",")}] mode=${if (append) "append" else "complete"}"
     }
 
@@ -115,7 +135,8 @@ object FuzzStream {
         (if (maxTs) Seq(max(col("ts")).as("max_ts")) else Nil)
       filtered
         .withWatermark("ts", "30 minutes")
-        .groupBy(window(col("ts"), s"$winMin minutes").as("w") +: keyCols: _*)
+        .groupBy(window(col("ts"), s"$winMin minutes",
+          s"$slideMin minutes").as("w") +: keyCols: _*)
         .agg(aggs.head, aggs.tail: _*)
         .select(Seq(col("w.start").as("window_start"),
           col("w.end").as("window_end")) ++
@@ -174,15 +195,26 @@ object FuzzStream {
         Seq("n") ++ (if (sumVal) Seq("sum_value") else Nil) ++
         (if (maxTs) Seq("max_ts") else Nil)
       val ord = ("window_start" +: keyGrp).mkString(", ")
-      val bucket = s"time_bucket(INTERVAL '$winMin minutes', ts)"
+      val bucket = s"time_bucket(INTERVAL '$slideMin minutes', ts)"
+      // tumbling: the event's one bucket IS the window start; sliding:
+      // the event belongs to exactly window/slide windows whose starts
+      // step back from its slide bucket — both engines align starts to
+      // multiples of the slide, so the enumerated grid matches Spark's
+      val from =
+        if (slideMin == winMin) s"(SELECT $bucket AS window_start, * FROM f) e"
+        else
+          s"""f, UNNEST(generate_series(
+             |      $bucket - INTERVAL '${winMin - slideMin} minutes',
+             |      $bucket, INTERVAL '$slideMin minutes'))
+             |      AS gs(window_start)""".stripMargin
       val base =
         s"""WITH f AS (SELECT * FROM events WHERE $filterSql),
            |a AS (
-           |  SELECT $bucket AS window_start,
-           |    $bucket + INTERVAL '$winMin minutes' AS window_end${
+           |  SELECT window_start,
+           |    window_start + INTERVAL '$winMin minutes' AS window_end${
             if (keySel.nonEmpty) ",\n    " + keySel.mkString(", ") else ""},
            |    ${aggSel.mkString(", ")}
-           |  FROM f
+           |  FROM $from
            |  GROUP BY ${("window_start" +: "window_end" +: keyGrp).mkString(", ")}
            |)""".stripMargin
       if (!append)
@@ -204,13 +236,16 @@ object FuzzStream {
 
   /** Fixed driver seeds under the DuckDB oracle, picked for draw
     * diversity (see each seed's `describe` in FuzzStreamSpec output):
-    * 3 = append + residue filter, key-free; 4 = append + type filter,
-    * event_type-keyed, 5-minute windows; 7 = complete, user-bucket
-    * keyed, unfiltered; 11 = complete + value threshold, max_ts, 60-min
-    * windows; 12 = append, TWO keys, type filter, max_ts. Together:
-    * both output modes, all three filter families plus unfiltered, both
-    * optional aggregates, and 0/1/2-key groupings. */
-  val driverSeeds: Seq[Long] = Seq(3L, 4L, 7L, 11L, 12L)
+    * 3 = append + residue filter, key-free tumbling; 4 = append + type
+    * filter, event_type-keyed, 5-minute windows; 7 = complete,
+    * user-bucket keyed, unfiltered; 9 = APPEND SLIDING (30 m window /
+    * 15 m slide — the watermark cutoff over overlapping windows) +
+    * value threshold; 11 = complete SLIDING (60 m / 15 m) + value
+    * threshold, max_ts; 12 = append, TWO keys, type filter, max_ts.
+    * Together: both output modes, tumbling + sliding, all three filter
+    * families plus unfiltered, both optional aggregates, and 0/1/2-key
+    * groupings. */
+  val driverSeeds: Seq[Long] = Seq(3L, 4L, 7L, 9L, 11L, 12L)
 
   val all: Seq[Q] = driverSeeds.map { s =>
     val p = SPlan(s)

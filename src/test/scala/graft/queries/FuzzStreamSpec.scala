@@ -39,5 +39,10 @@ class FuzzStreamSpec extends AnyFunSuite {
     assert(ds.exists(p => p.keyEvent || p.userMod.nonEmpty),
       "at least one keyed seed")
     assert(ds.exists(_.sumVal), "at least one DECIMAL-sum seed")
+    assert(ds.exists(p => p.slideMin < p.winMin),
+      "at least one SLIDING seed")
+    assert(ds.exists(p => p.slideMin < p.winMin && p.append),
+      "at least one sliding APPEND seed (watermark cutoff over " +
+        "overlapping windows)")
   }
 }
