@@ -118,4 +118,74 @@ class StreamSessionWindowSpec extends AnyFunSuite {
       assert(rows.size == 2, s"unexpected extra rows: $rows")
     } finally q.stop()
   }
+
+  test("restart mid-replay: merging-session state recovers from the " +
+    "checkpoint; sessions emitted before the stop never re-emit") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    def tmp(tag: String) = {
+      val d = java.nio.file.Files.createTempDirectory(s"graft_sessrs_$tag")
+      d.toFile.deleteOnExit(); d
+    }
+    val landing = tmp("land"); val ck = tmp("ck")
+    def land(df: org.apache.spark.sql.DataFrame, i: Int, base: Long): Unit = {
+      val staging = tmp(s"stage$i")
+      df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = java.nio.file.Files.list(staging).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+      val dest = landing.resolve(f"chunk$i%03d.parquet")
+      java.nio.file.Files.move(part, dest)
+      dest.toFile.deleteOnExit()
+      dest.toFile.setLastModified(base + i * 2000L)
+      ()
+    }
+    val schema = Seq((0L, ts("00:00"))).toDF("user_id", "ts").schema
+    // the memory sink cannot recover from a checkpoint; foreachBatch can
+    def attach(into: scala.collection.mutable.Set[(Long, Timestamp, Timestamp, Long)]) = {
+      val sess = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(landing.toString)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(session_window($"ts", "20 minutes").as("w"), $"user_id")
+        .agg(count(lit(1)).as("n_events"))
+        .select($"user_id", $"w.start".as("start_ts"), $"w.end".as("end_ts"),
+          $"n_events")
+      sess.writeStream.outputMode("append")
+        .option("checkpointLocation", ck.toString)
+        .foreachBatch {
+          (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            val got = df.collect().map(r => (r.getLong(0), r.getTimestamp(1),
+              r.getTimestamp(2), r.getLong(3)))
+            into.synchronized { into ++= got; () }
+            ()
+        }.start()
+    }
+    val base = System.currentTimeMillis()
+    // chunk 1: u5's session (ends 09:20) finalizes under the post-batch
+    // watermark 09:40 and emits BEFORE the stop; u1/u2 sessions stay open
+    land(Seq((5L, ts("09:00")), (1L, ts("10:00")), (1L, ts("10:10")),
+      (2L, ts("10:05"))).toDF("user_id", "ts"), 1, base)
+    val preBuf =
+      scala.collection.mutable.Set.empty[(Long, Timestamp, Timestamp, Long)]
+    val q1 = attach(preBuf)
+    try q1.processAllAvailable() finally q1.stop()
+    val pre = preBuf.toSet
+    assert(pre == Set((5L, ts("09:00"), ts("09:20"), 1L)),
+      s"only u5 finalizes before the stop: $pre")
+    // chunk 2 lands while the stream is DOWN; the resumed query must
+    // recover u1's OPEN session from the checkpointed state and merge
+    // the 10:25 event into it (end 10:45), finalize u2, and NOT re-emit
+    // u5 (its emission committed with batch 1)
+    land(Seq((1L, ts("10:25")), (3L, ts("11:15"))).toDF("user_id", "ts"),
+      2, base)
+    val postBuf =
+      scala.collection.mutable.Set.empty[(Long, Timestamp, Timestamp, Long)]
+    val q2 = attach(postBuf)
+    try q2.processAllAvailable() finally q2.stop()
+    val post = postBuf.toSet
+    assert(post == Set(
+      (1L, ts("10:00"), ts("10:45"), 3L),
+      (2L, ts("10:05"), ts("10:25"), 1L)),
+      s"resumed emission must merge across the restart and not " +
+        s"re-emit u5: $post")
+  }
 }
