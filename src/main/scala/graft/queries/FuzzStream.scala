@@ -82,6 +82,16 @@ object FuzzStream {
         Seq(5, 10, 15, 30).filter(s => s < winMin && winMin % s == 0)
       cands(rnd.nextInt(cands.size))
     }
+    /** Session-window draw (round 14, appended after the slide draw):
+      * 0 keeps the time-window families above; a positive gap turns the
+      * plan into per-user sessionization (`session_window`, keyed by
+      * user_id plus the optional event_type; the user-bucket key is
+      * dropped — it is functionally dependent on user_id). The oracle
+      * reuses the gaps-and-islands formulation StreamSessionWindowSpec
+      * pinned: break at `ts > lag + gap`, end = max member ts + gap,
+      * append emission inclusive at `end <= wm`. */
+    val sessionGapMin: Int = Seq(0, 0, 10, 20)(rnd.nextInt(4))
+    def isSession: Boolean = sessionGapMin > 0
 
     def describe: String = {
       val k = (if (keyEvent) Seq("event_type") else Nil) ++
@@ -94,9 +104,12 @@ object FuzzStream {
       }
       val a = Seq("count") ++ (if (sumVal) Seq("dsum") else Nil) ++
         (if (maxTs) Seq("max_ts") else Nil)
-      val w = if (slideMin == winMin) s"win=${winMin}m"
+      val w =
+        if (isSession) s"session gap=${sessionGapMin}m"
+        else if (slideMin == winMin) s"win=${winMin}m"
         else s"win=${winMin}m/slide=${slideMin}m"
-      s"$w keys=[${k.mkString(",")}] filter=[$f] " +
+      val ks = if (isSession) sessKeyNames else keyNames
+      s"$w keys=[${ks.mkString(",")}] filter=[$f] " +
         s"aggs=[${a.mkString(",")}] mode=${if (append) "append" else "complete"}"
     }
 
@@ -122,6 +135,12 @@ object FuzzStream {
       (if (keyEvent) Seq("event_type") else Nil) ++
         userMod.map(_ => "ub").toSeq
 
+    private def sessKeyCols: Seq[Column] =
+      col("user_id") +: (if (keyEvent) Seq(col("event_type")) else Nil)
+
+    private def sessKeyNames: Seq[String] =
+      "user_id" +: (if (keyEvent) Seq("event_type") else Nil)
+
     /** The aggregation plan over any events frame — the SAME code runs
       * streaming (micro-batch state) and batch (`withWatermark` is a
       * no-op on bounded frames), which is the differential's point. */
@@ -133,21 +152,25 @@ object FuzzStream {
             .as("sum_value"))
         else Nil) ++
         (if (maxTs) Seq(max(col("ts")).as("max_ts")) else Nil)
+      val wcol =
+        if (isSession) session_window(col("ts"), s"$sessionGapMin minutes")
+        else window(col("ts"), s"$winMin minutes", s"$slideMin minutes")
       filtered
         .withWatermark("ts", "30 minutes")
-        .groupBy(window(col("ts"), s"$winMin minutes",
-          s"$slideMin minutes").as("w") +: keyCols: _*)
+        .groupBy(wcol.as("w") +:
+          (if (isSession) sessKeyCols else keyCols): _*)
         .agg(aggs.head, aggs.tail: _*)
         .select(Seq(col("w.start").as("window_start"),
           col("w.end").as("window_end")) ++
-          keyNames.map(col) ++
+          (if (isSession) sessKeyNames else keyNames).map(col) ++
           Seq(col("n")) ++
           (if (sumVal) Seq(col("sum_value")) else Nil) ++
           (if (maxTs) Seq(col("max_ts")) else Nil): _*)
     }
 
     private def orderCols: Seq[Column] =
-      col("window_start") +: keyNames.map(col)
+      col("window_start") +:
+        (if (isSession) sessKeyNames else keyNames).map(col)
 
     /** Multi-micro-batch streaming execution through the memory sink. */
     def runStream(s: SparkSession, dir: String): DataFrame = {
@@ -183,7 +206,58 @@ object FuzzStream {
     }
 
     /** DuckDB rendering (the driver-seed oracle). */
-    def sql: String = {
+    def sql: String = if (isSession) sessionSql else windowSql
+
+    /** Session rendering: the gaps-and-islands formulation the session
+      * entries pinned (break `ts > lag + gap`, end = max ts + gap,
+      * append cutoff inclusive), per (user_id[, event_type]). */
+    private def sessionSql: String = {
+      val keys = sessKeyNames.mkString(", ")
+      val aggSel = Seq("count(*) AS n") ++
+        (if (sumVal) Seq(s"${Sql.dsum("value")} AS sum_value") else Nil) ++
+        (if (maxTs) Seq("max(ts) AS max_ts") else Nil)
+      val outCols = Seq("window_start", "window_end") ++ sessKeyNames ++
+        Seq("n") ++ (if (sumVal) Seq("sum_value") else Nil) ++
+        (if (maxTs) Seq("max_ts") else Nil)
+      val ord = ("window_start" +: sessKeyNames).mkString(", ")
+      val base =
+        s"""WITH f AS (SELECT * FROM events WHERE $filterSql),
+           |g AS (
+           |  SELECT $keys, event_id, ts, value,
+           |    CASE WHEN lag(ts) OVER w IS NULL
+           |              OR ts > lag(ts) OVER w
+           |                 + INTERVAL '$sessionGapMin minutes'
+           |         THEN 1 ELSE 0 END AS brk
+           |  FROM f
+           |  WINDOW w AS (PARTITION BY $keys ORDER BY ts, event_id)
+           |), sess AS (
+           |  SELECT $keys, ts, value,
+           |    sum(brk) OVER (PARTITION BY $keys ORDER BY ts, event_id
+           |                   ROWS UNBOUNDED PRECEDING) AS sid
+           |  FROM g
+           |), a AS (
+           |  SELECT min(ts) AS window_start,
+           |    max(ts) + INTERVAL '$sessionGapMin minutes' AS window_end,
+           |    $keys, ${aggSel.mkString(", ")}
+           |  FROM sess GROUP BY $keys, sid
+           |)""".stripMargin
+      if (!append)
+        s"""$base
+           |SELECT ${outCols.mkString(", ")} FROM a
+           |ORDER BY $ord
+           |""".stripMargin
+      else
+        s"""$base,
+           |wm AS (
+           |  SELECT ((SELECT max(epoch_us(ts)) FROM f) // 1000
+           |          - 1800000) * 1000 AS w)
+           |SELECT ${outCols.mkString(", ")} FROM a, wm
+           |WHERE epoch_us(window_end) <= w
+           |ORDER BY $ord
+           |""".stripMargin
+    }
+
+    private def windowSql: String = {
       val keySel = (if (keyEvent) Seq("event_type") else Nil) ++
         userMod.map(m => s"user_id % $m AS ub").toSeq
       val keyGrp = (if (keyEvent) Seq("event_type") else Nil) ++
@@ -236,16 +310,18 @@ object FuzzStream {
 
   /** Fixed driver seeds under the DuckDB oracle, picked for draw
     * diversity (see each seed's `describe` in FuzzStreamSpec output):
-    * 3 = append + residue filter, key-free tumbling; 4 = append + type
-    * filter, event_type-keyed, 5-minute windows; 7 = complete,
-    * user-bucket keyed, unfiltered; 9 = APPEND SLIDING (30 m window /
-    * 15 m slide — the watermark cutoff over overlapping windows) +
-    * value threshold; 11 = complete SLIDING (60 m / 15 m) + value
-    * threshold, max_ts; 12 = append, TWO keys, type filter, max_ts.
-    * Together: both output modes, tumbling + sliding, all three filter
-    * families plus unfiltered, both optional aggregates, and 0/1/2-key
-    * groupings. */
-  val driverSeeds: Seq[Long] = Seq(3L, 4L, 7L, 9L, 11L, 12L)
+    * 3 = SESSION append (gap 20 m + residue filter — watermark-gated
+    * session finalization under the islands oracle); 4 = tumbling
+    * append + type filter, event_type-keyed, 5-minute windows; 6 =
+    * SLIDING complete (60 m / 10 m, two keys, max_ts); 7 = tumbling
+    * complete, user-bucket keyed, unfiltered; 9 = SLIDING append
+    * (30 m / 15 m — the watermark cutoff over overlapping windows) +
+    * value threshold; 11 = SESSION complete (gap 20 m + value
+    * threshold, max_ts); 12 = tumbling append, TWO keys, type filter,
+    * max_ts. Together: both output modes × all three window families
+    * (tumbling, sliding, session), all three filter families plus
+    * unfiltered, both optional aggregates, and 0/1/2-key groupings. */
+  val driverSeeds: Seq[Long] = Seq(3L, 4L, 6L, 7L, 9L, 11L, 12L)
 
   val all: Seq[Q] = driverSeeds.map { s =>
     val p = SPlan(s)

@@ -39,10 +39,14 @@ class FuzzStreamSpec extends AnyFunSuite {
     assert(ds.exists(p => p.keyEvent || p.userMod.nonEmpty),
       "at least one keyed seed")
     assert(ds.exists(_.sumVal), "at least one DECIMAL-sum seed")
-    assert(ds.exists(p => p.slideMin < p.winMin),
+    assert(ds.exists(p => !p.isSession && p.slideMin < p.winMin),
       "at least one SLIDING seed")
-    assert(ds.exists(p => p.slideMin < p.winMin && p.append),
+    assert(ds.exists(p => !p.isSession && p.slideMin < p.winMin && p.append),
       "at least one sliding APPEND seed (watermark cutoff over " +
         "overlapping windows)")
+    assert(ds.exists(p => p.isSession && p.append) &&
+      ds.exists(p => p.isSession && !p.append),
+      "session seeds in BOTH output modes (watermark-gated session " +
+        "finalization + the batch-equality complete form)")
   }
 }
