@@ -125,8 +125,17 @@ object RecallReport {
           Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
     val exact = cells("q_quantiles")
     val approx = cells("q_quantiles_sketch")
+    // fail loudly, not synthetically (round-15 advice): a group missing
+    // from either side — or an empty result — is a real defect in the
+    // sketch entry, and must surface AS that defect rather than as a
+    // coerced "rel err ~1.0" cell or an opaque empty-max throw
+    require(exact.nonEmpty, "quantile gate: exact entry returned no groups")
+    require(exact.keySet == approx.keySet,
+      s"quantile gate: group keysets differ — exact ${exact.keys.toSeq.sorted
+        .mkString("[", ",", "]")} vs sketch ${approx.keys.toSeq.sorted
+        .mkString("[", ",", "]")}")
     exact.map { case (g, ex) =>
-      ex.zip(approx.getOrElse(g, Seq(0.0, 0.0, 0.0))).map { case (e, a) =>
+      ex.zip(approx(g)).map { case (e, a) =>
         math.abs(a - e) / math.max(math.abs(e), 1e-9)
       }.max
     }.max

@@ -24,8 +24,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * chain length for the chains), not its row count, so a 100 TB corpus
   * with a 30-deep hierarchy runs 30 bounded joins. Spark guards runaway
   * recursion with `spark.sql.cteRecursionLevelLimit` (default 100) and
-  * `spark.sql.cteRecursionRowLimit` — both orders of magnitude above
-  * these walks (≈10 levels / ≈25 levels).
+  * `spark.sql.cteRecursionRowLimit`. The tree walk's ceil(log2 n) depth
+  * never approaches the default, but the CHAIN walk's depth is the max
+  * per-customer order count — ~25 at sf0.1 with only 4x headroom under
+  * the default 100, and it GROWS with corpus size, so [[levelLimit]]
+  * raises the limit explicitly for every entry here (round-15 advice):
+  * the guard then trips on a genuine cycle/runaway, not on a large
+  * corpus's legitimately deeper data.
   *
   * Determinism: money accumulates through the shared DECIMAL(18,2)
   * discipline ([[Sql.dsum]]'s cast, re-cast at every recursive step so
@@ -34,10 +39,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Recursion {
 
+  /** Raise the recursion level limit for a data-depth walk (see the
+    * class doc): 10,000 levels keeps the runaway guard real (a cycle
+    * without a visited-guard still trips it fast) while never failing
+    * on a corpus whose longest chain legitimately outgrew the default
+    * 100. Set per entry, not globally — non-recursive queries keep the
+    * session default. */
+  private def levelLimit(s: SparkSession): Unit =
+    s.conf.set("spark.sql.cteRecursionLevelLimit", "10000")
+
   /** Register the tables an entry's SQL references under stable view
     * names (idempotent per session — `createOrReplaceTempView`). */
   private def withViews(s: SparkSession, dir: String, names: String*)(
       sql: String): DataFrame = {
+    levelLimit(s)
     names.foreach(n => Tables(s, dir, n).createOrReplaceTempView(n))
     s.sql(sql)
   }
@@ -134,6 +149,7 @@ object Recursion {
   val q_recursive_chain = Q(
     "q_recursive_chain",
     (s, dir) => {
+      levelLimit(s)
       Tables(s, dir, "orders").createOrReplaceTempView("orders")
       val nxt = graft.core.Caches.cached(s.sql(nxtSql))
       nxt.createOrReplaceTempView("nxt_chain")

@@ -276,8 +276,12 @@ object StreamingQ {
         .select(col("pid"), col("cid").cast("long").as("cid"))
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
+      // NULLS FIRST made explicit on both renderings (round-15 advice):
+      // Spark ASC defaults to nulls-first, DuckDB to nulls-last — the
+      // NULL-cid verdict rows would order differently under an
+      // order-sensitive compare unless both sides state the placement
       try Streams.runToMemory(joined, "q_stream_join_outer_sink", OutputMode.Append())
-        .orderBy(col("pid"), col("cid"))
+        .orderBy(asc_nulls_first("pid"), asc_nulls_first("cid"))
       finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     },
     Some("""
@@ -299,7 +303,7 @@ object StreamingQ {
       |SELECT pid, CAST(NULL AS BIGINT) AS cid
       |FROM p, wm
       |WHERE pid NOT IN (SELECT pid FROM m) AND epoch_us(pts) <= w
-      |ORDER BY pid, cid
+      |ORDER BY pid NULLS FIRST, cid NULLS FIRST
       |""".stripMargin))
 
   /** Stream-stream FULL OUTER interval join — [[q_stream_join_outer]]
@@ -331,8 +335,9 @@ object StreamingQ {
           col("cid").cast("long").as("cid"))
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
+      // explicit NULLS FIRST, matching the oracle (see q_stream_join_outer)
       try Streams.runToMemory(joined, "q_stream_join_full_sink", OutputMode.Append())
-        .orderBy(col("pid"), col("cid"))
+        .orderBy(asc_nulls_first("pid"), asc_nulls_first("cid"))
       finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     },
     Some("""
@@ -359,7 +364,7 @@ object StreamingQ {
       |FROM c, wm
       |WHERE cid NOT IN (SELECT cid FROM m)
       |  AND epoch_us(cts) < w - 1800000000
-      |ORDER BY pid, cid
+      |ORDER BY pid NULLS FIRST, cid NULLS FIRST
       |""".stripMargin))
 
   /** Streaming sessionization — the batch
