@@ -107,6 +107,7 @@ object ScaleStream {
     val only = args.drop(1).toSet
     val known = Set("q_stream_dedup_lsh", "q_stream_dedup_winnow",
       "q_stream_dedup_containment", "q_stream_dedup_ladder",
+      "q_stream_dedup_containment_hot", "q_stream_dedup_containment_hotraw",
       "q_stream_domain_cap", "q_stream_index_insert")
     require(only.subsetOf(known),
       s"unknown ScaleStream entries: ${(only -- known).toSeq.sorted.mkString(", ")}" +
@@ -180,6 +181,43 @@ object ScaleStream {
         graft.streaming.StreamDedup.containAdmit(s, ctSt.toString, ctCk.toString))
       val ctRows = spark.read.parquet(s"$ctSt/post").count()
       rows += (("q_stream_dedup_containment", scale, ctWalls, ctRows))
+      }
+
+      // SATURATED-SHINGLE corpus (round-15 verdict ask): the same
+      // documents with a 6-token boilerplate run injected into 30% of
+      // them — every hot shingle's posting list grows with the corpus,
+      // so a raw-forced replay's candidate aggregate is
+      // Σ df_state·df_batch ~ 0.09·N²/64 per hot shingle per late batch
+      // (quadratic in corpus size), while the auto pick flips to the
+      // prefix filter (hot shingles fall outside every rarest-first
+      // prefix) and stays candidate-bounded. Two rows: auto (the
+      // default production path — bounded walls) and hotraw (the
+      // round-14 manual-knob regime, kept measurable as the refutation
+      // baseline). Same fold cadence as the plain containment row.
+      if (want("q_stream_dedup_containment_hot") ||
+          want("q_stream_dedup_containment_hotraw")) {
+      lazy val hotStaged = graft.queries.StreamingQ.stageFrameChunks(
+        graft.core.Tables(spark, dir, "documents").withColumn("text",
+          when(pmod(col("doc_id"), lit(10)) < 3,
+            concat(lit("boiler plate header every crawl page repeats "),
+              col("text")))
+            .otherwise(col("text"))),
+        Seq(col("doc_id")), s"sst_hot_${scale}", numFiles,
+        blockBytes = Some(64L * 1024))
+      Seq("q_stream_dedup_containment_hot" -> "auto",
+          "q_stream_dedup_containment_hotraw" -> "raw").foreach {
+        case (entry, strat) =>
+          if (want(entry)) {
+            val walls = minOver(reps) {
+              val st = tmpDir("hotstate"); val ck = tmpDir("hotck")
+              replayTimed(spark, hotStaged,
+                s => graft.streaming.StreamDedup.containAdmit(
+                  s, st.toString, ck.toString, strategy = strat),
+                foldEvery = 2, stateRoot = Some(st.toString))
+            }
+            rows += ((entry, scale, walls, -1L))
+          }
+      }
       }
 
       if (want("q_stream_dedup_ladder")) {

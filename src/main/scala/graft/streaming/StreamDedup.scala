@@ -209,10 +209,10 @@ object StreamDedup {
     * (prev, new) count aggregate over hash-matched rows
     * (Σ_g df_state·df_batch — candidate-scale, map-side combined), the
     * same Raw trade the batch twin prices: a PLANTED hot shingle makes
-    * it quadratic, which is what the `strategy = "prefix"` escape hatch
-    * (the prior-df prefix filter) is for — the batch twin's Auto
-    * decision variable (Σ df·(df−1) per posting) applies verbatim when
-    * choosing per corpus. */
+    * it quadratic, which is why [[chooseContainStrategy]] prices the
+    * two per micro-batch (round 15 — the batch twin's Auto, streamed)
+    * and falls back to the prior-df prefix filter when the exact
+    * fan-out bound says raw lost its linearity. */
   private[streaming] def containMatchedRaw(d: DataFrame, post: DataFrame,
       psh: DataFrame, tauNum: Int, tauDen: Int): DataFrame = {
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
@@ -232,6 +232,50 @@ object StreamDedup {
       .filter(size(array_intersect(col("sh_n"), col("sh_p"))).cast("long")
         * tauDen >= col("nn").cast("long") * tauNum)
       .select(col("new_id").as("doc_id")).distinct()
+  }
+
+  /** Per-micro-batch strategy pick for the containment tier — the
+    * streaming twin of [[graft.dedup.SetSimJoin.choosePostingStrategy]]
+    * (round 15; the batch Auto's decision variable applied to the
+    * batch-vs-state join instead of the self-join). One aggregate over
+    * the already-bucket-pruned posting read joined to the broadcast
+    * batch per-shingle counts yields BOTH terms EXACTLY:
+    *
+    *  - `raw` = Σ_g df_state(g)·df_batch(g) — the raw strategy's
+    *    hash-join output rows (each matched posting row fans out to the
+    *    batch docs sharing its shingle);
+    *  - `p` = Σ_g df_state(g) over the batch's shingles — the posting
+    *    rows ANY strategy must scan (the prefix branch's own df pass
+    *    reads exactly these rows).
+    *
+    * Raw wins iff raw ≤ [[graft.dedup.SetSimJoin.RawRowsPerPosting]]·p —
+    * shuffle volume provably within a small constant of the mandatory
+    * posting scan, linear per batch. A SATURATED shingle (boilerplate
+    * header in ~every doc: df_state ~ corpus, df_batch ~ batch) drives
+    * the ratio to ~hot-fraction²·|batch|·|corpus|/p — past the bound
+    * long before the quadratic join materializes, so the prefix filter
+    * (hot shingles fall outside every rarest-first prefix) takes over
+    * per BATCH, automatically, where round 14 required a manual
+    * `strategy = "prefix"` knob. The decision aggregate is a 1-row
+    * bounded collect per trigger; on raw-favorable corpora it re-reads
+    * the pruned posting slice once — the same "insurance premium" the
+    * batch twin prices in. No memo: state grows every batch, so the
+    * decision is genuinely per trigger (a corpus can CROSS the bound
+    * mid-stream). StreamContainAdmitSpec pins the pick in both
+    * directions and that all three strategies admit identically on a
+    * hot-shingle corpus. */
+  private[streaming] def chooseContainStrategy(d: DataFrame,
+      post: DataFrame): String = {
+    val bdf = d
+      .select(explode(transform(col("sh"), s => xxhash64(s))).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("bdf"))
+    val stats = post.select(col("g")).join(broadcast(bdf), Seq("g"))
+      .agg(coalesce(sum(col("bdf")), lit(0L)).as("raw"),
+        count(lit(1)).as("p"))
+      .head()
+    if (stats.getLong(0) <=
+        graft.dedup.SetSimJoin.RawRowsPerPosting * stats.getLong(1)) "raw"
+    else "prefix"
   }
 
   /** Posting-state bucket count. The compacted `post_base` is laid out
@@ -326,12 +370,16 @@ object StreamDedup {
     * exact rational tauNum/tauDen). First-seen wins; same batch-keyed
     * exactly-once layout, broadcast-pinned joins, bucket-pruned posting
     * reads (see [[postingState]]), and [[compactState]] maintenance
-    * (kinds `post` + `sh`). */
+    * (kinds `post` + `sh`).
+    *
+    * `strategy`: `auto` (default — per-batch cost-based pick, see
+    * [[chooseContainStrategy]]) | `raw` | `prefix`. All three admit
+    * identically (spec-pinned); the choice is purely physical. */
   def containAdmit(docs: DataFrame, stateRoot: String, checkpoint: String,
       tauNum: Int = 4, tauDen: Int = 5,
-      strategy: String = "raw"): StreamingQuery = {
-    require(Set("raw", "prefix").contains(strategy),
-      s"containAdmit strategy must be raw|prefix, got '$strategy'")
+      strategy: String = "auto"): StreamingQuery = {
+    require(Set("auto", "raw", "prefix").contains(strategy),
+      s"containAdmit strategy must be auto|raw|prefix, got '$strategy'")
     val outRoot = admittedRoot(stateRoot)
     docs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -344,7 +392,10 @@ object StreamDedup {
             readState(sp, stateRoot, "sh", batchId,
               Seq("doc_id", "sh", "nsh"))) match {
             case (Some(post), Some(psh)) =>
-              if (strategy == "raw")
+              val chosen =
+                if (strategy == "auto") chooseContainStrategy(d, post)
+                else strategy
+              if (chosen == "raw")
                 containMatchedRaw(d, post, psh, tauNum, tauDen)
               else containMatched(d, post, psh, tauNum, tauDen)
             case _ => sp.range(0).select(col("id").as("doc_id"))
@@ -502,7 +553,10 @@ object StreamDedup {
   def ladderAdmit(docs: DataFrame, stateRoot: String, checkpoint: String,
       verifyT: Double = Dedup.MINHASH_VERIFY_T,
       maxDf: Long = 50L, minShared: Long = 2L,
-      tauNum: Int = 4, tauDen: Int = 5): StreamingQuery = {
+      tauNum: Int = 4, tauDen: Int = 5,
+      strategy: String = "auto"): StreamingQuery = {
+    require(Set("auto", "raw", "prefix").contains(strategy),
+      s"ladderAdmit strategy must be auto|raw|prefix, got '$strategy'")
     val outRoot = admittedRoot(stateRoot)
     docs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -534,7 +588,11 @@ object StreamDedup {
             .getOrElse(none)
           val conM = (postingState(sp, stateRoot, batchId, d), psh) match {
             case (Some(post), Some(s)) =>
-              containMatchedRaw(d, post, s, tauNum, tauDen)
+              val chosen =
+                if (strategy == "auto") chooseContainStrategy(d, post)
+                else strategy
+              if (chosen == "raw") containMatchedRaw(d, post, s, tauNum, tauDen)
+              else containMatched(d, post, s, tauNum, tauDen)
             case _ => none
           }
           val matched = exactM.unionByName(lshM).unionByName(winM)

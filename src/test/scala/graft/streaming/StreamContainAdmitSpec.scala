@@ -120,8 +120,8 @@ class StreamContainAdmitSpec extends AnyFunSuite {
     }
   }
 
-  test("raw and prefix strategies admit identically across the replay") {
-    val results = Seq("raw", "prefix").map { strat =>
+  test("raw, prefix, and auto strategies admit identically across the replay") {
+    val results = Seq("raw", "prefix", "auto").map { strat =>
       val landing = tmp(s"eq$strat"); val state = tmp(s"eqst$strat")
       val ck = tmp(s"eqck$strat")
       val base = System.currentTimeMillis()
@@ -132,8 +132,60 @@ class StreamContainAdmitSpec extends AnyFunSuite {
       try q.processAllAvailable() finally q.stop()
       admitted(state)
     }
-    assert(results.head == results.last)
+    assert(results.toSet.size == 1)
     assert(results.head == wantAdmitted)
+  }
+
+  // posting frame exactly as writePostState lands it (hash postings)
+  private def postOf(df: DataFrame): DataFrame =
+    graft.queries.Dedup.shingleOf(df).select(col("doc_id"),
+      explode(transform(col("sh"), s => xxhash64(s))).as("g"))
+
+  test("auto strategy: raw on a benign corpus, prefix once a saturated " +
+      "shingle makes the exact fan-out cross the bound") {
+    // benign: zero shared shingles between batch and state -> raw rows 0
+    val benignState = postOf(docs((1L to 50L).map(i =>
+      i -> s"s${i}a s${i}b s${i}c s${i}d s${i}e")))
+    val batch = graft.queries.Dedup.shingleOf(docs((100L to 119L).map(i =>
+      i -> s"boiler plate header a$i b$i c$i")))
+    val benignBatch = graft.queries.Dedup.shingleOf(docs((100L to 119L).map(i =>
+      i -> s"n${i}a n${i}b n${i}c n${i}d")))
+    assert(StreamDedup.chooseContainStrategy(benignBatch, benignState) == "raw")
+    // saturated: the "boiler plate header" shingle sits in all 50 state
+    // docs AND all 20 batch docs -> raw join rows >= 50*20 = 1000, while
+    // the mandatory posting scan is ~56 rows (50 hot + spillover) —
+    // past the 16x bound, so the prefix filter (hot shingles fall
+    // outside every rarest-first prefix) takes over
+    val hotState = postOf(docs((1L to 50L).map(i =>
+      i -> s"boiler plate header u$i v$i w$i")))
+    assert(StreamDedup.chooseContainStrategy(batch, hotState) == "prefix")
+  }
+
+  test("hot-shingle replay: auto admits exactly what forced raw/prefix " +
+      "admit (the decision is purely physical)") {
+    // 30% of docs open with the same boilerplate run (the saturated-
+    // shingle regime of the round-14 verdict); the rest are unique.
+    // Batches are chronological thirds.
+    val hotDocs: Seq[(Long, String)] = (1L to 30L).map { i =>
+      if (i % 3 == 0L) i -> s"boiler plate header text p$i q$i r$i"
+      else i -> s"m${i}a m${i}b m${i}c m${i}d m${i}e m${i}f"
+    }
+    val parts = hotDocs.grouped(10).toSeq
+    val results = Seq("raw", "prefix", "auto").map { strat =>
+      val landing = tmp(s"hot$strat"); val state = tmp(s"hotst$strat")
+      val ck = tmp(s"hotck$strat")
+      val base = System.currentTimeMillis()
+      parts.zipWithIndex.foreach { case (c, i) =>
+        land(landing, docs(c), i, base) }
+      val q = StreamDedup.containAdmit(stream(landing), state.toString,
+        ck.toString, strategy = strat)
+      try q.processAllAvailable() finally q.stop()
+      admitted(state)
+    }
+    assert(results.toSet.size == 1, s"strategies disagree: $results")
+    // every doc admitted: the shared run is 4 tokens -> 2 shingles, far
+    // below 4/5 containment of any 6-token doc
+    assert(results.head.keySet == hotDocs.map(_._1).toSet)
   }
 
   test("posting reads prune to the batch's buckets: the compacted base " +
