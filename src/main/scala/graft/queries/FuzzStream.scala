@@ -308,6 +308,153 @@ object FuzzStream {
     }
   }
 
+  /** Randomized STREAM-STREAM INTERVAL JOIN plans (round 15 — the other
+    * stateful family: FuzzStream's agg draws cover the windowed-state
+    * machine, these cover the symmetric-hash-join state machine the
+    * three hand-written `q_stream_join*` entries pin by hand). A new
+    * draw FAMILY gets its own generator class rather than fields
+    * appended to [[SPlan]]: the plan shape (no window, two watermarked
+    * sides, a join-type axis, pair output) shares nothing with the agg
+    * family, and a separate seed space keeps every existing `q_fuzzst_*`
+    * seed's draws byte-identical — the same stability discipline as
+    * round 14's append-last rule, applied at the family level.
+    *
+    * Draw space per seed: left/right event types (distinct — the
+    * attribution shape), interval I ∈ {10, 30, 60} min, watermark delay
+    * D ∈ {10, 30} min (same on both sides, like the hand-written
+    * entries), join type ∈ {inner, leftOuter, fullOuter}. The condition
+    * is the proven half-open attribution interval
+    * `lu = ru AND rts ∈ [lts − I, lts)`, so the emission bounds
+    * generalize the StreamOuterJoinSpec-pinned arithmetic parametrically:
+    * with global watermark w = min(max lts, max rts) − D (ms-truncated
+    * per side's EventTimeStats), an unmatched LEFT row's NULL verdict is
+    * final iff `lts ≤ w` (any future right has rts ≥ w ≥ lts, violating
+    * `rts < lts` already at equality), and an unmatched RIGHT row's iff
+    * `rts < w − I` (a future left at lts = w still reaches rights with
+    * rts ≥ w − I). The oracle states exactly those bounds; rows above
+    * them stay buffered when the replay ends, as on a real unbounded
+    * stream. Inner matches emit unconditionally (chronological replay —
+    * both sides have always arrived by the time the later one lands).
+    * FuzzStreamSpec soaks seeds stream-vs-batch; [[joinDriverSeeds]]
+    * export as `q_fuzzstj_*` under the DuckDB oracle. */
+  final case class JPlan(seed: Long) {
+    private val rnd = new scala.util.Random(seed * 104729 + 17)
+    val sides: Seq[String] = rnd.shuffle(
+      Seq("click", "view", "purchase", "signup", "error")).take(2)
+    val leftType: String = sides.head
+    val rightType: String = sides(1)
+    val intervalMin: Int = Seq(10, 30, 60)(rnd.nextInt(3))
+    val delayMin: Int = Seq(10, 30)(rnd.nextInt(2))
+    val joinType: String =
+      Seq("inner", "leftOuter", "fullOuter")(rnd.nextInt(3))
+
+    def describe: String =
+      s"$joinType $leftType<-$rightType I=${intervalMin}m D=${delayMin}m"
+
+    private def side(events: DataFrame, tpe: String, p: String): DataFrame =
+      events.filter(col("event_type") === tpe)
+        .select(col("event_id").as(s"${p}id"), col("user_id").as(s"${p}u"),
+          col("ts").as(s"${p}ts"))
+        .withWatermark(s"${p}ts", s"$delayMin minutes")
+
+    private def cond: String =
+      s"lu = ru AND rts >= lts - interval $intervalMin minutes AND rts < lts"
+
+    /** Multi-micro-batch streaming execution through the memory sink. */
+    def runStream(s: SparkSession, dir: String): DataFrame = {
+      val stream = StreamingQ.stagedEventStream(s, dir, "fuzzstj")
+      val joined = side(stream, leftType, "l")
+        .join(side(stream, rightType, "r"), expr(cond), joinType)
+        .select(col("lid").cast("long").as("lid"),
+          col("rid").cast("long").as("rid"))
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try Streams.runToMemory(joined, s"q_fuzzstj_${seed}_sink",
+          OutputMode.Append())
+        .orderBy(asc_nulls_first("lid"), asc_nulls_first("rid"))
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+
+    /** Batch twin: inner matches as a plain join; outer verdicts applied
+      * from the same watermark arithmetic the streaming engine uses (the
+      * scalar maxes are a spec-harness collect, not an engine path). */
+    def runBatch(s: SparkSession, dir: String): DataFrame = {
+      val events = Tables(s, dir, "events")
+      val l = events.filter(col("event_type") === leftType)
+        .select(col("event_id").as("lid"), col("user_id").as("lu"),
+          col("ts").as("lts"))
+      val r = events.filter(col("event_type") === rightType)
+        .select(col("event_id").as("rid"), col("user_id").as("ru"),
+          col("ts").as("rts"))
+      val m = l.join(r, expr(cond), "inner")
+      val matches = m.select(col("lid").cast("long").as("lid"),
+        col("rid").cast("long").as("rid"))
+      val mxL = l.agg(max(col("lts"))).collect()(0).getTimestamp(0)
+      val mxR = r.agg(max(col("rts"))).collect()(0).getTimestamp(0)
+      val out =
+        if (mxL == null || mxR == null) matches
+        else {
+          val wMs = math.min(mxL.getTime, mxR.getTime) - delayMin * 60000L
+          val w = new java.sql.Timestamp(wMs)
+          val wRight = new java.sql.Timestamp(wMs - intervalMin * 60000L)
+          val lNulls = l.join(m.select(col("lid")), Seq("lid"), "left_anti")
+            .filter(col("lts") <= lit(w))
+            .select(col("lid").cast("long").as("lid"),
+              lit(null).cast("long").as("rid"))
+          val rNulls = r.join(m.select(col("rid")), Seq("rid"), "left_anti")
+            .filter(col("rts") < lit(wRight))
+            .select(lit(null).cast("long").as("lid"),
+              col("rid").cast("long").as("rid"))
+          joinType match {
+            case "inner" => matches
+            case "leftOuter" => matches.unionByName(lNulls)
+            case _ => matches.unionByName(lNulls).unionByName(rNulls)
+          }
+        }
+      out.orderBy(asc_nulls_first("lid"), asc_nulls_first("rid"))
+    }
+
+    /** DuckDB rendering (the driver-seed oracle) — the emission bounds
+      * stated arithmetically, lid/rid BIGINT on both engines, NULLS
+      * FIRST explicit on both renderings. */
+    def sql: String = {
+      val base =
+        s"""WITH l AS (
+           |  SELECT event_id AS lid, user_id AS lu, ts AS lts
+           |  FROM events WHERE event_type = '$leftType'),
+           |r AS (
+           |  SELECT event_id AS rid, user_id AS ru, ts AS rts
+           |  FROM events WHERE event_type = '$rightType'),
+           |m AS (
+           |  SELECT lid, rid FROM l JOIN r ON lu = ru
+           |    AND rts >= lts - INTERVAL $intervalMin MINUTE AND rts < lts),
+           |wm AS (
+           |  SELECT (least((SELECT max(epoch_us(lts)) FROM l),
+           |                (SELECT max(epoch_us(rts)) FROM r)) // 1000
+           |          - ${delayMin * 60000L}) * 1000 AS w)""".stripMargin
+      val lHalf =
+        s"""UNION ALL
+           |SELECT lid, CAST(NULL AS BIGINT) AS rid
+           |FROM l, wm
+           |WHERE lid NOT IN (SELECT lid FROM m) AND epoch_us(lts) <= w""".stripMargin
+      val rHalf =
+        s"""UNION ALL
+           |SELECT CAST(NULL AS BIGINT) AS lid, rid
+           |FROM r, wm
+           |WHERE rid NOT IN (SELECT rid FROM m)
+           |  AND epoch_us(rts) < w - ${intervalMin * 60000000L}""".stripMargin
+      val halves = joinType match {
+        case "inner" => ""
+        case "leftOuter" => "\n" + lHalf
+        case _ => "\n" + lHalf + "\n" + rHalf
+      }
+      s"""$base
+         |SELECT lid, rid FROM m$halves
+         |ORDER BY lid NULLS FIRST, rid NULLS FIRST
+         |""".stripMargin
+    }
+  }
+
   /** Fixed driver seeds under the DuckDB oracle, picked for draw
     * diversity (see each seed's `describe` in FuzzStreamSpec output):
     * 3 = SESSION append (gap 20 m + residue filter — watermark-gated
@@ -323,8 +470,22 @@ object FuzzStream {
     * unfiltered, both optional aggregates, and 0/1/2-key groupings. */
   val driverSeeds: Seq[Long] = Seq(3L, 4L, 6L, 7L, 9L, 11L, 12L)
 
+  /** Fixed [[JPlan]] driver seeds under the DuckDB oracle (round 15),
+    * picked for draw diversity: 2 = FULL OUTER, I=10 m, D=30 m (both
+    * sides' verdicts under the deep-delay watermark); 7 = LEFT OUTER,
+    * I=60 m, D=10 m (the I ≠ D regime — right-side eviction bound
+    * w − I crosses zero matches differently than the hand-written
+    * I = D entries); 10 = FULL OUTER, I=10 m, D=10 m; 13 = INNER,
+    * I=30 m, D=30 m (the pure match stream — no verdict arithmetic).
+    * Together: all three join types, I ∈ {10, 30, 60}, D ∈ {10, 30},
+    * and six distinct event-type side pairs. */
+  val joinDriverSeeds: Seq[Long] = Seq(2L, 7L, 10L, 13L)
+
   val all: Seq[Q] = driverSeeds.map { s =>
     val p = SPlan(s)
     Q(s"q_fuzzst_$s", (spark, dir) => p.runStream(spark, dir), Some(p.sql))
+  } ++ joinDriverSeeds.map { s =>
+    val p = JPlan(s)
+    Q(s"q_fuzzstj_$s", (spark, dir) => p.runStream(spark, dir), Some(p.sql))
   }
 }

@@ -30,6 +30,36 @@ class FuzzStreamSpec extends AnyFunSuite {
     }
   }
 
+  private val nJoinPlans =
+    sys.env.get("SPARK_GRAFT_FUZZ_STREAM_JOINS").map(_.toInt).getOrElse(8)
+
+  test(s"$nJoinPlans seeded stream-stream join plans: stream replay " +
+      "equals batch") {
+    (1 to nJoinPlans).foreach { seed =>
+      val p = FuzzStream.JPlan(seed.toLong)
+      val st = p.runStream(spark, TestSpark.sf0001).collect()
+        .map(_.toString).toSeq
+      val bt = p.runBatch(spark, TestSpark.sf0001).collect()
+        .map(_.toString).toSeq
+      assert(st == bt,
+        s"join seed $seed diverged (${p.describe}): stream ${st.size} rows " +
+          s"vs batch ${bt.size};\nstream head=${st.take(3)}\nbatch head=${bt.take(3)}")
+      info(s"join seed $seed ok (${st.size} rows): ${p.describe}")
+    }
+  }
+
+  test("join driver seeds span all three join types, both delays, and " +
+      "the I != D regime") {
+    val ds = FuzzStream.joinDriverSeeds.map(FuzzStream.JPlan)
+    ds.foreach(p => info(s"join seed ${p.seed}: ${p.describe}"))
+    assert(ds.map(_.joinType).toSet ==
+      Set("inner", "leftOuter", "fullOuter"))
+    assert(ds.map(_.delayMin).toSet == Set(10, 30))
+    assert(ds.exists(p => p.intervalMin != p.delayMin),
+      "at least one I != D seed (the eviction bounds differ only then)")
+    assert(ds.forall(p => p.leftType != p.rightType))
+  }
+
   test("driver seeds span both output modes, filters, and key arities") {
     val ds = FuzzStream.driverSeeds.map(FuzzStream.SPlan)
     ds.foreach(p => info(s"seed ${p.seed}: ${p.describe}"))
