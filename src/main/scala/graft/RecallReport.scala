@@ -300,7 +300,16 @@ object RecallReport {
     // (selectivity HELPS the compressed tier: the semi-join thins each
     // probed cluster, so the fixed shortlist covers more of the allowed
     // set); floor = measured−0.02
-    "q_ann_ivfbq_filtered" -> 0.94)
+    "q_ann_ivfbq_filtered" -> 0.94,
+    // round 15 — the remaining filtered tiers gated (flat BQ/PQ/SQ):
+    // same allowed semi-join before the code-distance fold, same
+    // shortlist knobs as the unfiltered twins; the ~30% selectivity
+    // widens effective shortlist coverage of the allowed set, so each
+    // measures at or above its unfiltered sibling at sf0.1; floors =
+    // measured-0.02 (capped at 0.98 where measured = 1.0)
+    "q_ann_bq_filtered" -> 0.98,
+    "q_ann_pq_filtered" -> 0.97,
+    "q_ann_sq_filtered" -> 0.98)
   private[graft] val lshPairRecallFloor: Double = 0.97
   private[graft] val hllMaxRelErrCeil: Double = 0.01
   // GK accuracy 10000 → rank error ≤ n/10⁴; on the l_quantity integer
@@ -323,12 +332,12 @@ object RecallReport {
     // filtered search scores against the exact FILTERED brute force —
     // the same allowed set (label < 3) the entry semi-joins
     val exactFiltered = exactTopK(spark, sfDir, k, Some(col("label") < 3))
+    val filteredEntries = Seq("q_ann_ivf_filtered", "q_ann_ivfbq_filtered",
+      "q_ann_bq_filtered", "q_ann_pq_filtered", "q_ann_sq_filtered")
     val recalls = annEntries.map(nm =>
-      nm -> recallOf(spark, sfDir, exact, nm)) ++ Seq(
-      "q_ann_ivf_filtered" ->
-        recallOf(spark, sfDir, exactFiltered, "q_ann_ivf_filtered"),
-      "q_ann_ivfbq_filtered" ->
-        recallOf(spark, sfDir, exactFiltered, "q_ann_ivfbq_filtered"))
+      nm -> recallOf(spark, sfDir, exact, nm)) ++
+      filteredEntries.map(nm =>
+        nm -> recallOf(spark, sfDir, exactFiltered, nm))
     val lsh = lshPairRecall(spark, sfDir)
     val hll = hllMaxRelErr(spark, sfDir)
     val qre = quantileMaxRelErr(spark, sfDir)

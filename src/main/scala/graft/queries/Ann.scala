@@ -240,6 +240,71 @@ object Ann {
     },
     None)
 
+  /** Filtered flat-BQ search (round 15 — the last un-gated filtered
+    * tiers get recall floors like their unfiltered twins): allowed set
+    * (label < 3, ~30%) semi-joins the packed code table BEFORE the
+    * Hamming fold, so shortlist and rerank see only allowed candidates.
+    * Model shared with [[q_ann_bq]] via the memo; same shortlist knob.
+    * rows-only + recall-gated vs the exact FILTERED brute force. */
+  val q_ann_bq_filtered = Q(
+    "q_ann_bq_filtered",
+    (s, dir) => {
+      val e = Tables.spread(Tables(s, dir, "embeddings"))
+      val model = memoized(s, dir, bqMemo)(
+        BqIndex.build(e, "vec_id", "embedding"))
+      val queries = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val allowed = e.filter(col("label") < 3).select(col("vec_id"))
+      model.searchRerank(queries, "qid", "qv", k = 10,
+          shortlist = 800, vectors = e, vecCol = "embedding",
+          allowedIds = Some(allowed))
+        .select(col("qid"), col("vec_id"), round(col("dist"), 6).as("dist"), col("rnk"))
+        .orderBy(col("qid"), col("rnk"))
+    },
+    None)
+
+  /** Filtered flat-PQ search — [[q_ann_bq_filtered]]'s ADC sibling:
+    * the allowed semi-join precedes the ADC fold, same m/ksub/shortlist
+    * as [[q_ann_pq]], model shared via the memo. rows-only +
+    * recall-gated vs the exact FILTERED brute force. */
+  val q_ann_pq_filtered = Q(
+    "q_ann_pq_filtered",
+    (s, dir) => {
+      val e = Tables.spread(Tables(s, dir, "embeddings"))
+      val model = memoized(s, dir, pqMemo)(
+        PqIndex.build(e, "vec_id", "embedding", m = 16, ksub = 16))
+      val queries = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val allowed = e.filter(col("label") < 3).select(col("vec_id"))
+      model.searchRerank(queries, "qid", "qv", k = 10,
+          shortlist = 200, vectors = e, vecCol = "embedding",
+          allowedIds = Some(allowed))
+        .select(col("qid"), col("vec_id"), round(col("dist"), 6).as("dist"), col("rnk"))
+        .orderBy(col("qid"), col("rnk"))
+    },
+    None)
+
+  /** Filtered SQ8 search — the near-exact rung under the filter verb:
+    * allowed semi-join before the asymmetric SqDistance fold, same
+    * shortlist as [[q_ann_sq]], model shared via the memo. rows-only +
+    * recall-gated vs the exact FILTERED brute force. */
+  val q_ann_sq_filtered = Q(
+    "q_ann_sq_filtered",
+    (s, dir) => {
+      val e = Tables.spread(Tables(s, dir, "embeddings"))
+      val model = memoized(s, dir, sqMemo)(
+        SqIndex.build(e, "vec_id", "embedding"))
+      val queries = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val allowed = e.filter(col("label") < 3).select(col("vec_id"))
+      model.searchRerank(queries, "qid", "qv", k = 10,
+          shortlist = 30, vectors = e, vecCol = "embedding",
+          allowedIds = Some(allowed))
+        .select(col("qid"), col("vec_id"), round(col("dist"), 6).as("dist"), col("rnk"))
+        .orderBy(col("qid"), col("rnk"))
+    },
+    None)
+
   /** SQ8 (8-bit scalar quantization, 4x compression): asymmetric-distance
     * shortlist over the byte codes via the codegen SqDistance kernel,
     * exact rerank — the near-exact rung of the compression tier
@@ -304,7 +369,8 @@ object Ann {
     None)
 
   val all: Seq[Q] = Seq(q_ann_ivf, q_ann_ivf_filtered, q_ann_gann,
-    q_ann_pq, q_ann_ivfpq,
-    q_ann_bq, q_ann_ivfbq, q_ann_ivfbq_filtered, q_ann_sq, q_ann_ivfsq,
+    q_ann_pq, q_ann_pq_filtered, q_ann_ivfpq,
+    q_ann_bq, q_ann_bq_filtered, q_ann_ivfbq, q_ann_ivfbq_filtered,
+    q_ann_sq, q_ann_sq_filtered, q_ann_ivfsq,
     q_ann_lsh_join)
 }
