@@ -146,6 +146,44 @@ object Recursion {
     |FROM walk ORDER BY o_orderkey
     |""".stripMargin
 
+  /** CYCLIC-graph walk (round 15 — the first two entries walk acyclic
+    * topologies, where recursion terminates because the data runs out;
+    * here it terminates ONLY because the query says stop): a 25-node
+    * directed graph over the nation table with a ring edge
+    * n → (n+1) mod 25 and a doubling chord n → 2n mod 25 — strongly
+    * cyclic (including a self-loop at 0). The walk starts at node 0 and
+    * follows every path to depth 12, guarded by the explicit
+    * `w.depth < 12` predicate — remove it and the recursion never
+    * drains; Spark then fails at `spark.sql.cteRecursionLevelLimit`
+    * (RecursionSpec pins exactly that failure), which is the limit's
+    * intended role: a backstop behind the query's own guard, not a
+    * substitute for one. UNION ALL enumerates PATHS (2 out-edges → ≤2^12
+    * rows, bounded by the guard, never by dedup), so the aggregate
+    * reports min-hop distance and path counts per node — both engines
+    * run the statement verbatim. */
+  private val graphSql = """
+    |WITH RECURSIVE
+    |ring AS (
+    |  SELECT CAST(n_nationkey AS BIGINT) AS src,
+    |         CAST((n_nationkey + 1) % 25 AS BIGINT) AS dst FROM nation
+    |  UNION ALL
+    |  SELECT CAST(n_nationkey AS BIGINT),
+    |         CAST((n_nationkey * 2) % 25 AS BIGINT) FROM nation),
+    |walk AS (
+    |  SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS depth
+    |  UNION ALL
+    |  SELECT r.dst, w.depth + CAST(1 AS BIGINT)
+    |  FROM ring r JOIN walk w ON r.src = w.node
+    |  WHERE w.depth < 12)
+    |SELECT node, min(depth) AS hops, count(*) AS paths
+    |FROM walk GROUP BY node ORDER BY node
+    |""".stripMargin
+
+  val q_recursive_graph = Q(
+    "q_recursive_graph",
+    (s, dir) => withViews(s, dir, "nation")(graphSql),
+    Some(graphSql))
+
   val q_recursive_chain = Q(
     "q_recursive_chain",
     (s, dir) => {
@@ -157,5 +195,6 @@ object Recursion {
     },
     Some(chainSql))
 
-  val all: Seq[Q] = Seq(q_recursive_tree, q_recursive_chain)
+  val all: Seq[Q] = Seq(q_recursive_tree, q_recursive_chain,
+    q_recursive_graph)
 }

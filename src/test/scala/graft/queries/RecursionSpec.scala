@@ -50,6 +50,55 @@ class RecursionSpec extends AnyFunSuite {
       "recursive walk must equal the windowed prefix sum exactly")
   }
 
+  test("q_recursive_graph: min-hop distances and path counts equal a " +
+      "driver-side DP over the cyclic graph") {
+    val got = Recursion.q_recursive_graph.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // the same 25-node ring + doubling-chord graph, walked by dynamic
+    // programming: level_d[node] = number of length-d walks from 0
+    val edges = (0 until 25).flatMap(n => Seq(n -> ((n + 1) % 25), n -> ((2 * n) % 25)))
+    var level = Map(0 -> 1L)
+    val visits = scala.collection.mutable.Map(0 -> 1L)
+    val hops = scala.collection.mutable.Map(0 -> 0L)
+    for (d <- 1 to 12) {
+      val next = scala.collection.mutable.Map.empty[Int, Long]
+      edges.foreach { case (s, t) =>
+        level.get(s).foreach(c => next(t) = next.getOrElse(t, 0L) + c) }
+      level = next.toMap
+      level.foreach { case (n, c) =>
+        visits(n) = visits.getOrElse(n, 0L) + c
+        if (!hops.contains(n)) hops(n) = d.toLong
+      }
+    }
+    val want = visits.keys
+      .map(n => n.toLong -> ((hops(n), visits(n)))).toMap
+    assert(got == want)
+  }
+
+  test("unguarded cyclic recursion trips cteRecursionLevelLimit — the " +
+      "backstop behind the query's own depth guard") {
+    graft.core.Tables(spark, dir, "nation").createOrReplaceTempView("nation")
+    val prev = spark.conf.get("spark.sql.cteRecursionLevelLimit")
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", "40")
+    try {
+      // ring-only walk (one out-edge -> one frontier row per level) with
+      // NO depth predicate: on a cyclic graph the frontier never drains,
+      // so the level limit is the only thing that stops it
+      val e = intercept[Exception] {
+        spark.sql("""
+          |WITH RECURSIVE walk AS (
+          |  SELECT CAST(0 AS BIGINT) AS node
+          |  UNION ALL
+          |  SELECT CAST((w.node + 1) % 25 AS BIGINT)
+          |  FROM nation n JOIN walk w ON CAST(n.n_nationkey AS BIGINT) = w.node)
+          |SELECT count(*) FROM walk
+          |""".stripMargin).collect()
+      }
+      assert(e.getMessage.toLowerCase.contains("recursion"),
+        s"expected a recursion-limit failure, got: ${e.getMessage}")
+    } finally spark.conf.set("spark.sql.cteRecursionLevelLimit", prev)
+  }
+
   test("the recursion executes through UnionLoop, one join per level") {
     val plan = Recursion.q_recursive_tree.run(spark, dir)
       .queryExecution.executedPlan.toString
