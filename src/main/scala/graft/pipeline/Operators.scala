@@ -591,6 +591,38 @@ object Operators {
       graft.sink.Compaction.compactParquet(spark, path, out, target)
       spark.read.parquet(out)
     },
+    // the COMPOSED streaming admission ladder as a registry stage
+    // (round 15 — the standalone tiers' knobs were already function
+    // params; this exposes the production composition the same way so
+    // a Workflow user can tune every tier threshold per deployment):
+    // attach StreamDedup.ladderAdmit to the parquet landing dir at
+    // `path`, drain everything available, and return the admitted
+    // (doc_id, batch) set via readAdmitted (live dirs ∪ compacted
+    // base). State/checkpoint persist under `stateRoot`, so successive
+    // pipeline runs RESUME admission across earlier batches — the
+    // incremental-curation shape. Knobs: verifyT (LSH verify Jaccard),
+    // maxDf/minShared (winnow), tauNum/tauDen (containment rational),
+    // strategy (containment auto|raw|prefix), maxFilesPerTrigger.
+    "ladder_admit" -> { (spark, cp) => (_, rp) =>
+      val params = cp ++ rp
+      val path = req(params, "path", "sink/ladder_admit")
+      val root = req(params, "stateRoot", "sink/ladder_admit")
+      val ck = p(params, "checkpoint", s"$root/_checkpoint")
+      val stream = spark.readStream
+        .schema(spark.read.parquet(path).schema)
+        .option("maxFilesPerTrigger", p(params, "maxFilesPerTrigger", "1"))
+        .parquet(path)
+      val q = graft.streaming.StreamDedup.ladderAdmit(stream, root, ck,
+        verifyT = p(params, "verifyT",
+          graft.queries.Dedup.MINHASH_VERIFY_T.toString).toDouble,
+        maxDf = p(params, "maxDf", "50").toLong,
+        minShared = p(params, "minShared", "2").toLong,
+        tauNum = p(params, "tauNum", "4").toInt,
+        tauDen = p(params, "tauDen", "5").toInt,
+        strategy = p(params, "strategy", "auto"))
+      try q.processAllAvailable() finally q.stop()
+      graft.streaming.StreamDedup.readAdmitted(spark, root)
+    },
     // maintenance folds for the streaming tier (round 13), as pipeline
     // stages — run in a maintenance window (stream stopped, checkpoint
     // committed: each fold's own contract). compact_stream_state folds

@@ -577,6 +577,48 @@ class OperatorsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("budget"))
   }
 
+  test("ladder_admit runs the composed admission ladder with tunable " +
+      "tier thresholds and resumes across stage invocations") {
+    import spark.implicits._
+    def landChunk(dir: String, i: Int, rows: Seq[(Long, String)]): Unit = {
+      val staging = tmp(s"ops-la-stage$i")
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(staging)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(staging))
+        .iterator()
+      val src = Iterator.continually(part).takeWhile(_.hasNext).map(_.next())
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.move(src,
+        java.nio.file.Paths.get(dir, f"chunk$i%03d.parquet"))
+      ()
+    }
+    // doc 2 is fully contained in doc 1 (1 shingle, 100%); doc 3 shares
+    // 1 of its 4 shingles (25%) — under the default 4/5 containment it
+    // is admitted, under a 1/5 threshold it is rejected: the knob must
+    // reach the containment tier through the registry params
+    val c0 = Seq(1L -> "alpha beta gamma delta epsilon zeta")
+    val c1 = Seq(2L -> "gamma delta epsilon",
+      3L -> "alpha beta gamma x1 y1 z1")
+    def admittedWith(params: Map[String, String]): Map[Long, Long] = {
+      val landing = tmp("ops-la-land"); val root = tmp("ops-la-root")
+      val stage = Operators.make(spark, "sink", "ladder_admit",
+        params ++ Map("path" -> landing, "stateRoot" -> root))
+      landChunk(landing, 0, c0)
+      stage(Seq.empty, Map.empty)
+      // resume: a LATER invocation of the same stage sees new files and
+      // continues admission against the earlier batches' state
+      landChunk(landing, 1, c1)
+      stage(Seq.empty, Map.empty)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val loose = admittedWith(Map.empty)
+    assert(loose == Map(1L -> 1L, 3L -> 2L),
+      s"default 4/5: doc 2 contained, doc 3 admitted — got $loose")
+    val tight = admittedWith(Map("tauNum" -> "1", "tauDen" -> "5"))
+    assert(tight == Map(1L -> 1L),
+      s"1/5 threshold: doc 3's 25% overlap now rejects — got $tight")
+  }
+
   test("compact_stream_state folds per-trigger dedup state into sized bases") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_ops_css").toString
