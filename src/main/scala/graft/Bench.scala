@@ -71,10 +71,35 @@ object Bench {
       } else base
     }
     def pass(): Map[String, Double] = ordered.map { case (name, fn) =>
+      // untimed full GC between entries (round-15 de-noise): a query's
+      // measurement must not pay the previous query's garbage — without
+      // this, collection cost MIGRATES between entries as the suite
+      // grows, which is exactly the +27% shared-entry drift mechanism
+      // the r14 suite-length jump exposed (78 untouched entries drifted
+      // together when 25 entries joined the suite)
+      System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
+    // host-speed calibration probe (round-15 de-noise): a FIXED pure-CPU
+    // job — no IO, no shuffle, size-invariant across rounds — timed
+    // min-of-3 before and after the timed passes. Round-over-round bench
+    // deltas divide by the calib ratio before being read as regressions:
+    // r14's +27% drift on 78 untouched entries was host slowdown
+    // (standalone re-times confirmed it), but that diagnosis took a
+    // manual session — this field makes it one division. min-of-6 is the
+    // same steady-state-under-asymmetric-noise estimator as the queries'.
+    def calibProbe(): Double = {
+      val t0 = System.nanoTime()
+      // variadic xxhash64(a, j) + a modulo before the sum: a chained
+      // hash is full-range 64-bit, so both `a + j` and a raw sum of
+      // hashes overflow under ANSI mode
+      spark.range(0, 12000000L, 1, cpus.toInt).selectExpr(
+        "sum(aggregate(sequence(1, 16), cast(id as bigint), (a, j) -> xxhash64(a, j)) % 1000000)")
+        .collect()
+      (System.nanoTime() - t0) / 1e9
+    }
     // priming pass at the TARGET SF (untimed): materializes every memoized
     // cross-entry cache at sfDir — tf/df Postings, the 8 ANN index models,
     // the BPE learn() memo, LSH hash tables, bucketed snapshot tables —
@@ -88,8 +113,18 @@ object Bench {
     // both timed passes measure sustained per-query latency — the number
     // that scales — and the min gets two fair draws against host noise.
     pass()
-    val p1 = pass(); val p2 = pass()
-    val results = p1.map { case (name, t) => name -> math.min(t, p2(name)) }
+    // min-of-N timed passes (round-15: N=3 default, was 2) — with the
+    // per-entry GC above, three draws put ~2 suite-lengths between a
+    // query's first and last sample, so a multi-minute host burst can
+    // corrupt at most one of the three
+    val nPasses = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
+      .flatMap(_.toIntOption).getOrElse(3).max(1)
+    val calibPre = (1 to 3).map(_ => calibProbe())
+    val passes = (1 to nPasses).map(_ => pass())
+    val calibPost = (1 to 3).map(_ => calibProbe())
+    val calib = (calibPre ++ calibPost).min
+    val results = passes.reduce((a, b) =>
+      a.map { case (name, t) => name -> math.min(t, b(name)) })
     // Short-line guard: the driver keeps only a ~2000-char stdout tail and
     // sbt's trailing "[success] ..." line (~75 chars) eats into it, so the
     // JSON line must stay well under ~1900 chars or its head gets clipped
@@ -109,7 +144,7 @@ object Bench {
     def line(dec: Int, rs: Map[String, Double]): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v, dec) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","calib":${fmt(calib, 2)},"queries":$qs,"sf":"$sfName"}"""
     }
     // 1895 + the ~76-char sbt "[success] ..." trailer + newlines stays
     // inside the 2000-char window with ~25 chars margin. Tiers: 2-dec
@@ -130,16 +165,18 @@ object Bench {
     // is ever lost to the tail budget
     try {
       val full = line(2, results)
-      val p1s = p1.toSeq.sortBy(_._1)
-        .map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }
-        .mkString("{", ",", "}")
-      val p2s = p2.toSeq.sortBy(_._1)
-        .map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }
-        .mkString("{", ",", "}")
+      val passJson = passes.zipWithIndex.map { case (p, i) =>
+        val ps = p.toSeq.sortBy(_._1)
+          .map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }
+          .mkString("{", ",", "}")
+        s""""pass${i + 1}":$ps"""
+      }.mkString(",")
+      val calibJson = (calibPre ++ calibPost)
+        .map(fmt(_, 3)).mkString("[", ",", "]")
       val dir = java.nio.file.Paths.get("target")
       java.nio.file.Files.createDirectories(dir)
       java.nio.file.Files.write(dir.resolve("bench_full.json"),
-        s"""{"report":$full,"pass1":$p1s,"pass2":$p2s}\n"""
+        s"""{"report":$full,"calib":$calibJson,$passJson}\n"""
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () }
     // quality artifact for the approximate entries (recall@10 vs exact,
