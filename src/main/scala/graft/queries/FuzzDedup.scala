@@ -44,7 +44,14 @@ import org.apache.spark.sql.functions._
   *    ∈ {auto, raw, prefix} (physical only; a divergence here means the
   *    cost-based pick changed the ANSWER, which is the bug class the
   *    strategy-equivalence spec pins on one corpus and this fuzzer
-  *    pins on random ones).
+  *    pins on random ones);
+  *  - a mid-replay boundary: after a drawn batch count the stream is
+  *    STOPPED, optionally compacted ([[graft.streaming.StreamDedup
+  *    .compactState]] — the maintenance-window fold), and resumed from
+  *    the same checkpoint. Restart and fold are output-neutral by the
+  *    exactly-once batch-keyed state contract, so the oracles are
+  *    unchanged — a divergence here is an exactly-once bug under a
+  *    parameter combination no hand spec pins.
   *
   * FuzzDedupSpec soaks N seeds stream-vs-batch per run (knob
   * SPARK_GRAFT_FUZZ_DEDUP); the fixed [[driverSeeds]] export as
@@ -72,6 +79,23 @@ object FuzzDedup {
     val tau: (Int, Int) =
       Seq((1, 2), (2, 3), (3, 4), (4, 5), (9, 10))(rnd.nextInt(5))
     val strategy: String = Seq("auto", "raw", "prefix")(rnd.nextInt(3))
+    /** Restart/compaction draws (appended LAST so earlier fields keep
+      * their per-seed values — the FuzzStream append-last discipline):
+      * a drawn mid-replay boundary stops the stream after `k` batches,
+      * optionally runs [[graft.streaming.StreamDedup.compactState]]
+      * (the maintenance-window fold), and resumes from the same
+      * checkpoint. Both are OUTPUT-NEUTRAL by the exactly-once
+      * batch-keyed state contract, so the DuckDB oracle and the batch
+      * twin are unchanged — which is exactly what makes the draw a
+      * differential axis: a restart or fold that changes the admitted
+      * set is a real exactly-once bug. The hand specs pin restart and
+      * fold per tier at the default thresholds; these draws run them
+      * under every drawn parameter combination. */
+    val restartAfter: Option[Int] = {
+      val k = rnd.nextInt(chunks)
+      if (k == 0) None else Some(k)
+    }
+    val foldAtRestart: Boolean = rnd.nextBoolean()
 
     def tierName: String =
       Seq("lsh", "winnow", "containment", "ladder")(tier)
@@ -85,7 +109,10 @@ object FuzzDedup {
         case _ => s"verifyT=$verifyT maxDf=$maxDf minShared=$minShared " +
           s"tau=${tau._1}/${tau._2} strategy=$strategy"
       }
-      s"$tierName corpus=$corpus chunks=$chunks $params"
+      val boundary = restartAfter.fold("") { k =>
+        s" restart@$k${if (foldAtRestart) "+fold" else ""}"
+      }
+      s"$tierName corpus=$corpus chunks=$chunks $params$boundary"
     }
 
     private def docsOf(s: SparkSession, dir: String): DataFrame = {
@@ -104,14 +131,23 @@ object FuzzDedup {
       * admission loop (the [[StreamingQ.q_stream_dedup_lsh]] harness
       * shape: fresh state root per invocation, tmpfs checkpoint dropped
       * after the replay, scan-split cap so the per-doc kernels
-      * parallelize per micro-batch). */
+      * parallelize per micro-batch). Chunk files land one at a time —
+      * staged outside the watched dir, atomic move, strictly ordered
+      * mtimes, the ScaleStream land() discipline — so the drawn
+      * restart/fold boundary can stop the stream BETWEEN batches and
+      * resume it from the same checkpoint. */
     def runStream(s: SparkSession, dir: String): DataFrame = {
       import graft.streaming.StreamDedup
-      val landing = staged(s, dir)
-      val stream = s.readStream
-        .schema(s.read.parquet(landing.toString).schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(landing.toString)
+      import scala.jdk.CollectionConverters._
+      val stagedDir = staged(s, dir)
+      val chunkFiles = java.nio.file.Files.list(stagedDir).iterator().asScala
+        .toSeq.filter(_.getFileName.toString.endsWith(".parquet"))
+        .sortBy(_.getFileName.toString)
+      val schema = s.read.parquet(stagedDir.toString).schema
+      val landing = java.nio.file.Files.createTempDirectory("graft_fzdd_land")
+      landing.toFile.deleteOnExit()
+      val landStage = java.nio.file.Files.createTempDirectory("graft_fzdd_stg")
+      landStage.toFile.deleteOnExit()
       val root = java.nio.file.Files.createTempDirectory("graft_fzdd")
       root.toFile.deleteOnExit()
       val shm = java.nio.file.Paths.get("/dev/shm")
@@ -119,22 +155,42 @@ object FuzzDedup {
           java.nio.file.Files.isWritable(shm)) shm
         else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
       val ck = java.nio.file.Files.createTempDirectory(ckBase, "graft_fzdd_ck")
+      def attach(): org.apache.spark.sql.streaming.StreamingQuery = {
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(landing.toString)
+        tier match {
+          case 0 => StreamDedup.lshAdmit(
+            stream, root.toString, ck.toString, verifyT)
+          case 1 => StreamDedup.winnowAdmit(
+            stream, root.toString, ck.toString, maxDf, minShared)
+          case 2 => StreamDedup.containAdmit(
+            stream, root.toString, ck.toString, tau._1, tau._2, strategy)
+          case _ => StreamDedup.ladderAdmit(
+            stream, root.toString, ck.toString, verifyT, maxDf, minShared,
+            tau._1, tau._2, strategy)
+        }
+      }
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       val prevSplit = s.conf.get("spark.sql.files.maxPartitionBytes")
       s.conf.set("spark.sql.shuffle.partitions", "4")
       s.conf.set("spark.sql.files.maxPartitionBytes", (64 * 1024).toString)
-      val q = tier match {
-        case 0 => StreamDedup.lshAdmit(
-          stream, root.toString, ck.toString, verifyT)
-        case 1 => StreamDedup.winnowAdmit(
-          stream, root.toString, ck.toString, maxDf, minShared)
-        case 2 => StreamDedup.containAdmit(
-          stream, root.toString, ck.toString, tau._1, tau._2, strategy)
-        case _ => StreamDedup.ladderAdmit(
-          stream, root.toString, ck.toString, verifyT, maxDf, minShared,
-          tau._1, tau._2, strategy)
-      }
-      try { q.processAllAvailable() } finally {
+      var q = attach()
+      try {
+        chunkFiles.zipWithIndex.foreach { case (f, i) =>
+          if (restartAfter.contains(i)) {
+            q.stop()
+            if (foldAtRestart) StreamDedup.compactState(s, root.toString)
+            q = attach()
+          }
+          val tmp = landStage.resolve(f.getFileName.toString)
+          java.nio.file.Files.copy(f, tmp)
+          tmp.toFile.setLastModified(f.toFile.lastModified())
+          java.nio.file.Files.move(tmp, landing.resolve(f.getFileName.toString),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          q.processAllAvailable()
+        }
+      } finally {
         q.stop()
         s.conf.set("spark.sql.shuffle.partitions", prevParts)
         s.conf.set("spark.sql.files.maxPartitionBytes", prevSplit)
@@ -346,7 +402,11 @@ object FuzzDedup {
     * rational + the strategy knob off its auto default); 52 = the
     * composed ladder, doc_id%3=1, 4 chunks, verifyT 0.8 + maxDf 20 +
     * minShared 2 + τ 4/5, auto strategy (every tier threshold moved at
-    * once on a narrowed corpus). */
+    * once on a narrowed corpus). All four also draw a mid-replay
+    * restart boundary (11 and 40 with a compaction fold at it, 6 and
+    * 52 restart-only), so every driver entry runs exactly-once
+    * recovery — and two run the maintenance fold — under the DuckDB
+    * oracle every round. */
   val driverSeeds: Seq[Long] = Seq(11L, 40L, 6L, 52L)
 
   val all: Seq[Q] = driverSeeds.map { s =>

@@ -55,5 +55,9 @@ class FuzzDedupSpec extends AnyFunSuite {
       "at least one seed off the pinned 4-chunk replay")
     assert(ds.exists(_.docMod.nonEmpty) && ds.exists(_.docMod.isEmpty),
       "both full and residue-narrowed corpora among the driver seeds")
+    assert(ds.exists(p => p.restartAfter.nonEmpty && p.foldAtRestart) &&
+      ds.exists(p => p.restartAfter.nonEmpty && !p.foldAtRestart),
+      "driver seeds must run exactly-once recovery both WITH and " +
+        "WITHOUT a compaction fold at the restart boundary")
   }
 }
