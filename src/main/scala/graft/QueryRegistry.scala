@@ -14,7 +14,8 @@ object QueryRegistry {
       Sharding.all ++ Dedup.all ++ VectorSearch.all ++ VectorCompress.all ++
       SparseSearch.all ++ HybridSearch.all ++ Molecules.all ++
       Ann.all ++ Pipelines.all ++ StreamingQ.all ++ SourcesQ.all ++
-      Recursion.all ++ Fuzz.all ++ FuzzStream.all ++ FuzzDedup.all
+      Recursion.all ++ Fuzz.all ++ FuzzStream.all ++ FuzzDedup.all ++
+      FuzzRecursion.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
