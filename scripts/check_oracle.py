@@ -2,7 +2,15 @@
 """Local replica of the driver's correctness gate: run graft.Verify, then run
 each oracle SQL in DuckDB over the same parquet tables and compare.
 
-Usage: python3 scripts/check_oracle.py [sfdir] [outdir] [--skip-verify] [names...]
+Usage: python3 scripts/check_oracle.py [sfdir] [outdir] [--skip-verify]
+           [--report=PATH] [names...]
+
+--report=PATH writes a driver-shaped per-entry JSON map (the
+CORRECTNESS_r*.json schema: rows_match / schema_match / hash_match /
+spark_rows / oracle_rows / err, rows-only entries as err="no_oracle") so
+every round carries a committed local replica of the gate even if the
+driver-side artifact is lost (round-15 post-mortem: CORRECTNESS_r15.json
+shipped as literal {}).
 """
 import json
 import math
@@ -17,6 +25,8 @@ SFDIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUTDIR = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 FLAGS = set(a for a in sys.argv[3:] if a.startswith("--"))
 ONLY = [a for a in sys.argv[3:] if not a.startswith("--")]
+REPORT = next((a.split("=", 1)[1] for a in FLAGS if a.startswith("--report=")),
+              None)
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -49,6 +59,13 @@ def cmp_cell(a, b) -> bool:
     return a == b
 
 
+def entry(rows_match=None, schema_match=None, hash_match=None,
+          spark_rows=None, oracle_rows=None, err=None):
+    return {"rows_match": rows_match, "schema_match": schema_match,
+            "hash_match": hash_match, "spark_rows": spark_rows,
+            "oracle_rows": oracle_rows, "err": err}
+
+
 def main():
     if "--skip-verify" not in FLAGS:
         run_verify()
@@ -57,24 +74,49 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS FROM '{SFDIR}/{t}.parquet'")
     oracle = json.loads(Path(f"{OUTDIR}/oracle_sql.json").read_text())
+    report = {}
+    # rows-only entries (no oracle SQL): record their dumped row count,
+    # like the driver does — the quality gate for these is recall_full.json
+    dumped = sorted(p.name for p in Path(OUTDIR).iterdir()
+                    if p.is_dir() and p.name.startswith("q"))
+    for name in dumped:
+        if name in oracle or (ONLY and name not in ONLY):
+            continue
+        try:
+            n = len(pd.read_parquet(Path(OUTDIR) / name))
+            report[name] = entry(spark_rows=n, err="no_oracle")
+        except Exception as e:
+            report[name] = entry(err=f"no_oracle: {e}")
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         if ONLY and name not in ONLY:
             continue
         pq = Path(OUTDIR) / name
         if not pq.exists():
-            print(f"FAIL {name}: no spark output"); n_bad += 1; continue
+            print(f"FAIL {name}: no spark output"); n_bad += 1
+            report[name] = entry(err="no spark output")
+            continue
         try:
             got = canon(pd.read_parquet(pq))
             want = canon(con.sql(sql).df())
         except Exception as e:
-            print(f"FAIL {name}: {e}"); n_bad += 1; continue
+            print(f"FAIL {name}: {e}"); n_bad += 1
+            report[name] = entry(err=str(e)[:200])
+            continue
         if list(got.columns) != list(want.columns):
             print(f"FAIL {name}: cols spark={list(got.columns)} duckdb={list(want.columns)}")
-            n_bad += 1; continue
+            n_bad += 1
+            report[name] = entry(rows_match=len(got) == len(want),
+                                 schema_match=False, hash_match=False,
+                                 spark_rows=len(got), oracle_rows=len(want))
+            continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows spark={len(got)} duckdb={len(want)}")
-            n_bad += 1; continue
+            n_bad += 1
+            report[name] = entry(rows_match=False, schema_match=True,
+                                 hash_match=False, spark_rows=len(got),
+                                 oracle_rows=len(want))
+            continue
         bad = None
         for c in got.columns:
             gv, wv = got[c].tolist(), want[c].tolist()
@@ -87,6 +129,9 @@ def main():
             c, i, a, b = bad
             print(f"FAIL {name}: col={c} row={i} spark={a!r} duckdb={b!r}")
             n_bad += 1
+            report[name] = entry(rows_match=True, schema_match=True,
+                                 hash_match=False, spark_rows=len(got),
+                                 oracle_rows=len(want))
         else:
             # The driver's hash encodes the value TYPE (e.g. DuckDB HUGEINT
             # from sum(CASE...) != Spark BIGINT even when values agree), so
@@ -97,9 +142,19 @@ def main():
             if dtw:
                 print(f"FAIL {name}: DTYPE-DIVERGENCE {dtw}")
                 n_bad += 1
+                report[name] = entry(rows_match=True, schema_match=False,
+                                     hash_match=False, spark_rows=len(got),
+                                     oracle_rows=len(want))
             else:
                 print(f"ok   {name} ({len(got)} rows)")
                 n_ok += 1
+                report[name] = entry(rows_match=True, schema_match=True,
+                                     hash_match=True, spark_rows=len(got),
+                                     oracle_rows=len(want))
+    if REPORT:
+        Path(REPORT).write_text(
+            json.dumps(dict(sorted(report.items())), indent=2) + "\n")
+        print(f"report -> {REPORT} ({len(report)} entries)")
     print(f"\n{n_ok} ok, {n_bad} failed")
     sys.exit(1 if n_bad else 0)
 

@@ -55,7 +55,24 @@ object Bench {
     // they stay in Verify's oracle gate but would only add IO noise here
     val benchExclude = Set("q_csv_roundtrip", "q_json_roundtrip",
       "q_orc_roundtrip", "q_quarantine_roundtrip")
-    val benched = SparkEntry.queries.view.filterKeys(!benchExclude(_)).toMap
+    // DRAWN stateful-fuzz replays are likewise correctness-only here
+    // (round-16 policy, the r15 verdict's #3 ask made explicit): each
+    // q_fuzzsd_* / q_fuzzst_* / q_fuzzstj_* entry is a multi-batch
+    // streaming replay — checkpoint setup, per-trigger file landing,
+    // restart/fold machinery — whose ENGINE kernels (admission tiers,
+    // windowed-agg and interval-join state) are already timed by the
+    // hand-written q_stream_* entries at fixed parameters; in the 3-pass
+    // min protocol the suite paid the drawn replays ~65 s x 5 runs per
+    // round for zero additional performance signal (their parameters are
+    // drawn for CORRECTNESS coverage, not plan shape). They remain full
+    // oracle entries in Verify. The batch q_fuzzs_* seeds stay benched
+    // (plain Catalyst plans, ~0.4 s each), and so do q_fuzzr_*: native
+    // UnionLoop executions with no hand-written timing twin at their
+    // drawn depths.
+    val fuzzReplay = (n: String) =>
+      n.startsWith("q_fuzzsd_") || n.startsWith("q_fuzzst")
+    val benched = SparkEntry.queries.view
+      .filterKeys(n => !benchExclude(n) && !fuzzReplay(n)).toMap
     // measurement knob (round-11 LM suite-ordering experiment): with
     // SPARK_GRAFT_BENCH_ORDER=lmfirst the LM entry runs FIRST in each
     // pass (near-empty sf0.1 block manager) instead of at its hash-order

@@ -309,7 +309,18 @@ object RecallReport {
     // measured-0.02 (capped at 0.98 where measured = 1.0)
     "q_ann_bq_filtered" -> 0.98,
     "q_ann_pq_filtered" -> 0.97,
-    "q_ann_sq_filtered" -> 0.98)
+    "q_ann_sq_filtered" -> 0.98,
+    // round 16 — filtered search over the STREAM-MAINTAINED serving
+    // union (base 3/4 ∪ streamed 1/4 blocks through the frozen forest):
+    // allowed set label < 3 semi-joined pre-distance across both block
+    // families, scored vs the exact filtered brute force over the same
+    // union. Measured 0.905 at sf0.1, tracking the unfiltered twin's
+    // 0.908 rather than exceeding it the way the compressed filtered
+    // tiers do — a GANN probe visits a FIXED leaf set (no
+    // shortlist-depth knob for selectivity to stretch), so the filter
+    // thins candidates within the same leaves; floor = measured−0.02,
+    // same rung as the unfiltered serving floor
+    "q_stream_index_insert_filtered" -> 0.88)
   private[graft] val lshPairRecallFloor: Double = 0.97
   private[graft] val hllMaxRelErrCeil: Double = 0.01
   // GK accuracy 10000 → rank error ≤ n/10⁴; on the l_quantity integer
@@ -333,7 +344,8 @@ object RecallReport {
     // the same allowed set (label < 3) the entry semi-joins
     val exactFiltered = exactTopK(spark, sfDir, k, Some(col("label") < 3))
     val filteredEntries = Seq("q_ann_ivf_filtered", "q_ann_ivfbq_filtered",
-      "q_ann_bq_filtered", "q_ann_pq_filtered", "q_ann_sq_filtered")
+      "q_ann_bq_filtered", "q_ann_pq_filtered", "q_ann_sq_filtered",
+      "q_stream_index_insert_filtered")
     val recalls = annEntries.map(nm =>
       nm -> recallOf(spark, sfDir, exact, nm)) ++
       filteredEntries.map(nm =>

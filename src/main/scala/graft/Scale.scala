@@ -129,13 +129,15 @@ object Scale {
     // containment fixtures (their numbers are already on record).
     val only = args.drop(1).toSet
     // EVERY named entry must be known — a typo in one of several names
-    // would otherwise yield a partial run that looks complete
-    val unknown = only.diff(MeasuredQueries.toSet)
+    // would otherwise yield a partial run that looks complete.
+    // "skew_fixture" addresses the synthetic hot-key block below.
+    val unknown = only.diff(MeasuredQueries.toSet + "skew_fixture")
     require(unknown.isEmpty,
       s"unknown MeasuredQueries: ${unknown.toSeq.sorted.mkString(", ")}")
     val measured =
       if (only.isEmpty) MeasuredQueries else MeasuredQueries.filter(only)
-    require(measured.nonEmpty, s"no MeasuredQueries match $only")
+    require(measured.nonEmpty || only("skew_fixture"),
+      s"no MeasuredQueries match $only")
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warm = "/root/testdata/sf0.001"
     val out = s"/tmp/graft_scale/x$factor"
@@ -147,7 +149,7 @@ object Scale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    buildScaled(spark, base, out, factor)
+    if (measured.nonEmpty || only.isEmpty) buildScaled(spark, base, out, factor)
     // codegen/JIT warm-up so the 1× pass doesn't pay compile costs
     measured.foreach { q =>
       try { SparkEntry.queries(q)(spark, warm).count(); () }
@@ -240,13 +242,79 @@ object Scale {
         s""""result_pairs_1":$c1,"result_pairs_N":$cN}"""
     }
 
+    // Planted hot-key SKEW fixture (round 16 — the SCALE row behind
+    // q_join_skew_salted / SkewJoin.salted): a fact table where ONE key
+    // carries 30% of the rows, joined to a 100k-key dimension with
+    // broadcast DISABLED and AQE's skew split OFF — the regime the
+    // manual salt targets (AQE can't split a hash-aggregated or
+    // fixed-partitioner exchange; a broadcast-able dim needs no salt at
+    // all). Two facts per scale: the DETERMINISTIC per-partition row
+    // mass of the join exchange keyed by k vs (k, salt) — the straggler
+    // as data, no timing noise — and the min-of-reps wall of the same
+    // join+aggregate unsalted vs salted(8).
+    val skew = if (only.nonEmpty && !only("skew_fixture")) "" else {
+      import org.apache.spark.sql.DataFrame
+      val parts = 16
+      def fixture(n: Long): DataFrame =
+        spark.range(n).select(
+          when(pmod(col("id"), lit(10)) < 3, lit(0L))
+            .otherwise(pmod(col("id"), lit(100000L))).as("k"),
+          col("id").as("rid"))
+      val dims = spark.range(100000L).select(col("id").as("k"),
+        md5(col("id").cast("string")).as("name"))
+      def saltOf = pmod(hash(col("rid")), lit(8))
+      def maxPartMass(df: DataFrame, keys: Seq[org.apache.spark.sql.Column]): Long =
+        df.repartition(parts, keys: _*)
+          .select(spark_partition_id().as("p"))
+          .groupBy(col("p")).agg(count(lit(1)).as("c"))
+          .agg(max(col("c"))).head().getLong(0)
+      def timeJoin(f: DataFrame, salted: Boolean): Double = {
+        val reps = sys.env.get("SPARK_GRAFT_SCALE_REPS")
+          .flatMap(_.toIntOption).getOrElse(1).max(1)
+        (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          val j =
+            if (salted) graft.core.SkewJoin.salted(f, dims, Seq("k"),
+              saltBy = col("rid"), salt = 8)
+            else f.join(dims, Seq("k"))
+          j.groupBy(col("name")).agg(count(lit(1)).as("n"),
+              sum(col("rid")).as("s"))
+            .agg(count(lit(1)), sum(col("s"))).head()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+      }
+      val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevSkew = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      try {
+        val n1 = 2000000L
+        val f1 = fixture(n1)
+        val fN = fixture(n1 * factor)
+        val (m1k, m1ks) =
+          (maxPartMass(f1, Seq(col("k"))), maxPartMass(f1, Seq(col("k"), saltOf)))
+        val (mNk, mNks) =
+          (maxPartMass(fN, Seq(col("k"))), maxPartMass(fN, Seq(col("k"), saltOf)))
+        val (tp1, ts1) = (timeJoin(f1, salted = false), timeJoin(f1, salted = true))
+        val (tpN, tsN) = (timeJoin(fN, salted = false), timeJoin(fN, salted = true))
+        s""""skew_salted":{"n1":$n1,"factor":$factor,"salt":8,""" +
+          s""""max_part_rows_plain_1":$m1k,"max_part_rows_salted_1":$m1ks,""" +
+          s""""max_part_rows_plain_N":$mNk,"max_part_rows_salted_N":$mNks,""" +
+          f""""t_plain_1":$tp1%.2f,"t_salted_1":$ts1%.2f,""" +
+          f""""t_plain_N":$tpN%.2f,"t_salted_N":$tsN%.2f}"""
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prevSkew)
+      }
+    }
+
     val rows = t1.zip(tN).map { case ((q, a), (_, b)) => (q, a, b, b / a) }
     val md = rows.map { case (q, a, b, r) =>
       f"| $q | $a%.1f | $b%.1f | ${r}%.1f× |"
     }
     val json = (rows.map { case (q, a, b, r) =>
       f"""\"$q\":{\"t1\":$a%.2f,\"t$factor\":$b%.2f,\"ratio\":$r%.2f}"""
-    } ++ Seq(knob, containment).filter(_.nonEmpty))
+    } ++ Seq(knob, containment, skew).filter(_.nonEmpty))
       .mkString("{", ",", s""","factor":$factor}""")
     try {
       val dir = java.nio.file.Paths.get("target")

@@ -28,6 +28,8 @@ object Verify {
     // sides. Query code stays idiomatic LTZ; only the dump normalizes.
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val okNames = scala.collection.mutable.ArrayBuffer.empty[String]
+    val errNames = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -46,9 +48,11 @@ object Verify {
         // catalog sweep behind it catches anything untracked.
         graft.core.Caches.clear(spark)
         spark.catalog.clearCache()
+        okNames += name
       }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errNames += name
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -66,6 +70,20 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // machine-readable run summary (round-15 armor: CORRECTNESS_r15.json
+    // shipped as literal `{}`, and nothing in the round's artifacts could
+    // say whether the dump itself ran). One final stdout line + the same
+    // JSON beside the dump, so a truncated/empty driver capture is
+    // instantly attributable: summary present-and-green = harness-side
+    // loss; summary absent or failed-list non-empty = engine-side.
+    val summary =
+      s"""{"verify_total":${okNames.size + errNames.size},""" +
+      s""""verify_ok":${okNames.size},""" +
+      s""""verify_failed":${errNames.sorted.map(q).mkString("[", ",", "]")},""" +
+      s""""oracle_entries":${SparkEntry.oracleSql.size}}"""
+    Files.writeString(Paths.get(s"$outDir/verify_summary.json"), summary)
     spark.stop()
+    println(summary)
+    System.out.flush()
   }
 }

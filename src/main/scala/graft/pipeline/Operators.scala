@@ -513,6 +513,24 @@ object Operators {
       graft.graph.PageRank.ranks(ins.head,
         p(params, "iters", "10").toInt,
         p(params, "damping", "0.85").toDouble)
+    },
+    // salted equi-join for hot-key skew (graft.core.SkewJoin — the fix
+    // for what the q_join_skew diagnostic names; oracle-checked fixed
+    // form q_join_skew_salted): ins = [big (skewed), small]. `keys` is
+    // the comma-separated equi-join key list; `saltBy` a deterministic
+    // per-row column of the big side (row id — drives the salt, NOT
+    // rand(), so task retries recompute identically); `salt` the spread
+    // factor (small side replicates salt×, hot keys split across salt
+    // shuffle partitions). Result rows are identical to the plain join.
+    "skew_join" -> { (_, cp) => (ins, rp) =>
+      val params = cp ++ rp
+      require(ins.size == 2,
+        s"skew_join needs [big, small] inputs, got ${ins.size}")
+      val keys = req(params, "keys", "transform/skew_join")
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      graft.core.SkewJoin.salted(ins(0), ins(1), keys,
+        saltBy = col(req(params, "saltBy", "transform/skew_join")),
+        salt = p(params, "salt", "8").toInt)
     })
 
   /** Vectorizers — add an embedding column / rows. */

@@ -96,6 +96,30 @@ object FuzzDedup {
       if (k == 0) None else Some(k)
     }
     val foldAtRestart: Boolean = rnd.nextBoolean()
+    /** State-LAYOUT draws (round 16, appended after the restart draws —
+      * same append-last discipline, driver seeds keep every earlier
+      * field): both are PHYSICAL-ONLY knobs, so the DuckDB oracle and
+      * the batch twin are untouched — a divergence means the posting
+      * layout or the maintenance fold changed the ADMITTED SET, which
+      * is exactly the bug class no hand spec pins at drawn thresholds.
+      *
+      *  - `postBuckets` ∈ {8, 256}: the posting-state bucket count
+      *    (set via the `graft.postBuckets` property for the life of
+      *    the replay — the value is baked into state at write time).
+      *    At 8, every multi-doc batch SATURATES the bucket set and
+      *    [[graft.streaming.StreamDedup.postingState]] takes its
+      *    skip-the-isin branch; at 256 the pruned `isin` read runs —
+      *    both paths now under randomized thresholds.
+      *  - `foldEvery` ∈ {none, 2, 3}: the maintenance CADENCE — every
+      *    k-th batch boundary stops the stream, folds ALL state kinds
+      *    into the sized base ([[graft.streaming.StreamDedup
+      *    .compactState]]), and resumes from the same checkpoint (the
+      *    ScaleStream replay discipline), composing with the single
+      *    drawn restart boundary. Repeated folds exercise base∪live
+      *    re-reads and base-over-base refolds that the one
+      *    restart+fold draw touches only once. */
+    val postBuckets: Int = Seq(8, 256)(rnd.nextInt(2))
+    val foldEvery: Option[Int] = Seq(None, Some(2), Some(3))(rnd.nextInt(3))
 
     def tierName: String =
       Seq("lsh", "winnow", "containment", "ladder")(tier)
@@ -112,7 +136,9 @@ object FuzzDedup {
       val boundary = restartAfter.fold("") { k =>
         s" restart@$k${if (foldAtRestart) "+fold" else ""}"
       }
-      s"$tierName corpus=$corpus chunks=$chunks $params$boundary"
+      val layout = s" buckets=$postBuckets" +
+        foldEvery.fold("")(k => s" foldEvery=$k")
+      s"$tierName corpus=$corpus chunks=$chunks $params$boundary$layout"
     }
 
     private def docsOf(s: SparkSession, dir: String): DataFrame = {
@@ -145,11 +171,8 @@ object FuzzDedup {
         .sortBy(_.getFileName.toString)
       val schema = s.read.parquet(stagedDir.toString).schema
       val landing = java.nio.file.Files.createTempDirectory("graft_fzdd_land")
-      landing.toFile.deleteOnExit()
       val landStage = java.nio.file.Files.createTempDirectory("graft_fzdd_stg")
-      landStage.toFile.deleteOnExit()
       val root = java.nio.file.Files.createTempDirectory("graft_fzdd")
-      root.toFile.deleteOnExit()
       val shm = java.nio.file.Paths.get("/dev/shm")
       val ckBase = if (java.nio.file.Files.isDirectory(shm) &&
           java.nio.file.Files.isWritable(shm)) shm
@@ -175,12 +198,31 @@ object FuzzDedup {
       val prevSplit = s.conf.get("spark.sql.files.maxPartitionBytes")
       s.conf.set("spark.sql.shuffle.partitions", "4")
       s.conf.set("spark.sql.files.maxPartitionBytes", (64 * 1024).toString)
+      // deleted in the finally (reverse-order walk, same as the
+      // checkpoint): every replay writes fresh landing copies + state
+      // trees, and deleteOnExit cannot remove non-empty dirs — without
+      // eager cleanup each bench pass leaks its whole state tree under
+      // /tmp. Only the memoized STAGED chunks persist across replays.
+      def rmTree(dir: java.nio.file.Path): Unit =
+        try {
+          val walk = java.nio.file.Files.walk(dir)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          finally walk.close()
+        } catch { case _: java.io.IOException => () }
+      // the drawn bucket count holds for the WHOLE replay (baked into
+      // state at write time — a mid-replay change would split the
+      // posting layout); restored in the finally
+      val prevPb = sys.props.get("graft.postBuckets")
+      sys.props("graft.postBuckets") = postBuckets.toString
       var q = attach()
       try {
         chunkFiles.zipWithIndex.foreach { case (f, i) =>
-          if (restartAfter.contains(i)) {
+          val cadenceFold = foldEvery.exists(k => i > 0 && i % k == 0)
+          if (restartAfter.contains(i) || cadenceFold) {
             q.stop()
-            if (foldAtRestart) StreamDedup.compactState(s, root.toString)
+            if (cadenceFold || (restartAfter.contains(i) && foldAtRestart))
+              StreamDedup.compactState(s, root.toString)
             q = attach()
           }
           val tmp = landStage.resolve(f.getFileName.toString)
@@ -190,18 +232,22 @@ object FuzzDedup {
             java.nio.file.StandardCopyOption.ATOMIC_MOVE)
           q.processAllAvailable()
         }
+        // materialize the admitted set BEFORE the state tree is deleted
+        // below — the returned frame must not lazily re-read `root`
+        val admitted = StreamDedup.readAdmitted(s, root.toString)
+          .orderBy(col("doc_id"))
+        s.createDataFrame(
+          java.util.Arrays.asList(admitted.collect(): _*), admitted.schema)
       } finally {
         q.stop()
+        prevPb match {
+          case Some(v) => sys.props("graft.postBuckets") = v
+          case None => sys.props.remove("graft.postBuckets"); ()
+        }
         s.conf.set("spark.sql.shuffle.partitions", prevParts)
         s.conf.set("spark.sql.files.maxPartitionBytes", prevSplit)
-        try {
-          val walk = java.nio.file.Files.walk(ck)
-          try walk.sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => java.nio.file.Files.deleteIfExists(p))
-          finally walk.close()
-        } catch { case _: java.io.IOException => () }
+        Seq(ck, landing, landStage, root).foreach(rmTree)
       }
-      StreamDedup.readAdmitted(s, root.toString).orderBy(col("doc_id"))
     }
 
     // ---- batch twin: ntile chunks + earlier-chunk window joins --------
@@ -293,8 +339,13 @@ object FuzzDedup {
         val out = chunk.join(matched, Seq("doc_id"), "left_anti")
           .select(col("doc_id"), col("b").cast("long").as("batch"))
           .orderBy(col("doc_id"))
-        out.collect() // materialize before unpersisting the inputs
-        out
+        // return a LOCALLY materialized frame: the plan reads the cached
+        // chunk/d frames that the finally block unpersists, so a lazy
+        // return would silently recompute the whole plan uncached at the
+        // caller's collect (the round-15 advice finding — the bare
+        // collect-then-return-lazy form did exactly that)
+        s.createDataFrame(
+          java.util.Arrays.asList(out.collect(): _*), out.schema)
       } finally { chunk.unpersist(); d.unpersist(); () }
     }
 
@@ -406,7 +457,11 @@ object FuzzDedup {
     * restart boundary (11 and 40 with a compaction fold at it, 6 and
     * 52 restart-only), so every driver entry runs exactly-once
     * recovery — and two run the maintenance fold — under the DuckDB
-    * oracle every round. */
+    * oracle every round. Round-16 layout draws land as: 11 and 6 run
+    * the 8-bucket posting layout (saturated bucket set — the isin-skip
+    * read path), 40 and 52 the 256-bucket pruned path; all four draw a
+    * fold CADENCE (every 2-3 batches), so repeated base∪live refolds
+    * run under the oracle too. */
   val driverSeeds: Seq[Long] = Seq(11L, 40L, 6L, 52L)
 
   val all: Seq[Q] = driverSeeds.map { s =>

@@ -51,12 +51,30 @@ object FuzzRecursion {
     val chordMul: Int = Seq(2, 3, 7)(rnd.nextInt(3))
     val depthCap: Int = Seq(6, 9, 12)(rnd.nextInt(3))
     val startNode: Int = rnd.nextInt(5)
+    /** UNION-distinct axis (round 16, appended LAST — the FuzzStream
+      * append discipline: seeds 10/18/17 keep their drawn fields AND,
+      * checked by replaying the RNG, their reach draw is false, so the
+      * three existing driver oracles are bit-stable). Applies to the
+      * GRAPH topology only: when true the walk is REACHABILITY — a
+      * multiplicative two-chord graph (×chordMul, ×7) from startNode,
+      * `UNION` (frontier dedup), NO depth guard — the
+      * [[Recursion.q_recursive_reach]] shape on drawn parameters. Spark
+      * rejects UNION-distinct recursion (UNION_NOT_SUPPORTED_IN_
+      * RECURSIVE_CTE), so the Spark side runs [[Recursion.reachable]];
+      * DuckDB executes the statement natively — the fuzz now covers the
+      * composed-loop implementation against a second engine's native
+      * UNION recursion. startNode = 0 is a legitimate draw: 0's only
+      * out-edges are self-loops, so the reachable set is exactly {0}. */
+    private val reachDraw = rnd.nextBoolean() // consumed for EVERY topo,
+    // so the draw stream stays aligned for any future appended axis
+    val reach: Boolean = topo == 2 && reachDraw
 
     def topoName: String = Seq("tree", "chain", "graph")(topo)
 
     def describe: String = topo match {
       case 0 => s"tree fan=$fan carry=${if (carry) "path_bal" else "depth"}"
       case 1 => s"chain o_custkey%${custMod._1}=${custMod._2}"
+      case _ if reach => s"graph-reach chords=*$chordMul,*7 start=$startNode"
       case _ => s"graph chord=*$chordMul start=$startNode cap=$depthCap"
     }
 
@@ -122,6 +140,22 @@ object FuzzRecursion {
       |FROM walk ORDER BY o_orderkey
       |""".stripMargin
 
+    private def reachGraphSql: String =
+      s"""
+      |WITH RECURSIVE
+      |chords AS (
+      |  SELECT CAST(n_nationkey AS BIGINT) AS src,
+      |         CAST((n_nationkey * $chordMul) % 25 AS BIGINT) AS dst FROM nation
+      |  UNION ALL
+      |  SELECT CAST(n_nationkey AS BIGINT),
+      |         CAST((n_nationkey * 7) % 25 AS BIGINT) FROM nation),
+      |reach AS (
+      |  SELECT CAST($startNode AS BIGINT) AS node
+      |  UNION
+      |  SELECT r.dst FROM chords r JOIN reach w ON r.src = w.node)
+      |SELECT node FROM reach ORDER BY node
+      |""".stripMargin
+
     private def graphSql: String =
       s"""
       |WITH RECURSIVE
@@ -145,6 +179,7 @@ object FuzzRecursion {
     def sql: String = topo match {
       case 0 => treeSql
       case 1 => chainSql
+      case _ if reach => reachGraphSql
       case _ => graphSql
     }
 
@@ -152,7 +187,7 @@ object FuzzRecursion {
       * [[Recursion.q_recursive_chain]]'s materialization (Spark
       * re-inlines non-recursive CTE references per level). */
     def runSpark(s: SparkSession, dir: String): DataFrame = {
-      s.conf.set("spark.sql.cteRecursionLevelLimit", "10000")
+      Recursion.levelLimit(s) // the engine's one (documented) guard knob
       topo match {
         case 0 =>
           Tables(s, dir, "supplier").createOrReplaceTempView("supplier")
@@ -163,6 +198,16 @@ object FuzzRecursion {
           val view = s"nxt_fuzzr_$seed"
           nxt.createOrReplaceTempView(view)
           s.sql(chainWalkSql(view))
+        case _ if reach =>
+          // Spark rejects UNION-distinct recursion — composed loop
+          // (Recursion.reachable) with identical frontier-dedup semantics
+          val nk = Tables(s, dir, "nation")
+            .select(col("n_nationkey").cast("long").as("k"))
+          val edges = nk.select(col("k").as("src"),
+              (col("k") * chordMul % 25).as("dst"))
+            .unionByName(nk.select(col("k").as("src"),
+              (col("k") * 7 % 25).as("dst")))
+          Recursion.reachable(edges, startNode.toLong).orderBy(col("node"))
         case _ =>
           Tables(s, dir, "nation").createOrReplaceTempView("nation")
           s.sql(graphSql)
@@ -225,6 +270,21 @@ object FuzzRecursion {
           out.sortBy(_._1).toSeq
             .map(t => (t._1, t._2, t._3.doubleValue))
             .toDF("o_orderkey", "pos", "run_total")
+        case _ if reach =>
+          // set-closure BFS (frontier dedup IS set insertion here)
+          val nk = Tables(s, dir, "nation")
+            .select(col("n_nationkey").cast("long")).collect().map(_.getLong(0))
+          val adj = (nk.map(n => n -> (n * chordMul) % 25) ++
+            nk.map(n => n -> (n * 7) % 25))
+            .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+          val seen = scala.collection.mutable.Set(startNode.toLong)
+          var frontier: Set[Long] = Set(startNode.toLong)
+          while (frontier.nonEmpty) {
+            frontier = frontier.flatMap(n => adj.getOrElse(n, Nil))
+              .filterNot(seen)
+            seen ++= frontier
+          }
+          seen.toSeq.sorted.toDF("node")
         case _ =>
           val nk = Tables(s, dir, "nation")
             .select(col("n_nationkey").cast("long")).collect().map(_.getLong(0))
@@ -259,8 +319,13 @@ object FuzzRecursion {
     * o_custkey%3=2 (a different chain population than the full-corpus
     * hand entry); 17 = graph, chord ×2 from start node 2 with depth cap
     * 12 (a different reachable set and path-count profile than the
-    * hand entry's node-0 walk). */
-  val driverSeeds: Seq[Long] = Seq(10L, 18L, 17L)
+    * hand entry's node-0 walk); 27 (round 16) = graph-REACH, chords
+    * ×3/×7 from start node 4 — UNION-distinct frontier-dedup
+    * reachability (reachable set = the 20 units of Z/25, a proper
+    * subset) running the composed [[Recursion.reachable]] loop against
+    * DuckDB's native UNION recursion, on parameters the hand
+    * `q_recursive_reach` entry (×2/×7 from 5) doesn't pin. */
+  val driverSeeds: Seq[Long] = Seq(10L, 18L, 17L, 27L)
 
   val all: Seq[Q] = driverSeeds.map { s =>
     val p = RPlan(s)

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.core.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col, lit}
 
 /** Recursive-CTE query entries — `WITH RECURSIVE` executed by Spark's
   * native iterative plan (`UnionLoopExec`, available since Spark 4.0) and
@@ -43,9 +44,12 @@ object Recursion {
     * class doc): 10,000 levels keeps the runaway guard real (a cycle
     * without a visited-guard still trips it fast) while never failing
     * on a corpus whose longest chain legitimately outgrew the default
-    * 100. Set per entry, not globally — non-recursive queries keep the
-    * session default. */
-  private def levelLimit(s: SparkSession): Unit =
+    * 100. SESSION-WIDE by design (the ONE place the engine touches this
+    * conf — [[FuzzRecursion]] routes through it too, round-15 advice):
+    * every recursive entry here wants the same stance, non-recursive
+    * queries never consult the conf, and a save/restore per entry would
+    * leave the guard's effective value dependent on entry ordering. */
+  private[queries] def levelLimit(s: SparkSession): Unit =
     s.conf.set("spark.sql.cteRecursionLevelLimit", "10000")
 
   /** Register the tables an entry's SQL references under stable view
@@ -184,6 +188,91 @@ object Recursion {
     (s, dir) => withViews(s, dir, "nation")(graphSql),
     Some(graphSql))
 
+  /** UNION-distinct (frontier-dedup) REACHABILITY — the recursion shape
+    * a graph user actually writes (`WITH RECURSIVE reach AS (anchor
+    * UNION step)`): NO depth guard anywhere; on a cyclic graph the walk
+    * terminates ONLY because rows already produced are removed from the
+    * frontier. The 25-node graph is the nation table under two
+    * multiplicative chords n → 2n mod 25 and n → 7n mod 25 (strongly
+    * cyclic — every node sits on a ×2 orbit), walked from node 5: the
+    * reachable set is 5·⟨2,7⟩ mod 25 = {5, 10, 15, 20}, a PROPER subset
+    * of the nodes — deliberately not the additive ring+chord graph,
+    * whose reachable set from any start is all 25 nodes and whose hash
+    * therefore could not distinguish a wrong walk from a right one.
+    *
+    * ENGINE BOUNDARY (round 16): Spark 4.1 rejects UNION inside a
+    * recursive CTE outright (error condition
+    * `UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE` — only UNION ALL executes
+    * through UnionLoop), so the Spark side runs [[reachable]], the
+    * distributed frontier-dedup loop (the Pregel BFS shape) with
+    * IDENTICAL semantics; DuckDB executes the UNION statement natively
+    * and verbatim as the oracle. RecursionSpec pins the rejection
+    * loudly — the day Spark learns UNION-distinct recursion, that spec
+    * fails and this entry should switch to the native statement. */
+  private val reachSql = """
+    |WITH RECURSIVE
+    |chords AS (
+    |  SELECT CAST(n_nationkey AS BIGINT) AS src,
+    |         CAST((n_nationkey * 2) % 25 AS BIGINT) AS dst FROM nation
+    |  UNION ALL
+    |  SELECT CAST(n_nationkey AS BIGINT),
+    |         CAST((n_nationkey * 7) % 25 AS BIGINT) FROM nation),
+    |reach AS (
+    |  SELECT CAST(5 AS BIGINT) AS node
+    |  UNION
+    |  SELECT r.dst FROM chords r JOIN reach w ON r.src = w.node)
+    |SELECT node FROM reach ORDER BY node
+    |""".stripMargin
+
+  /** Distributed frontier-dedup reachability — UNION-distinct recursion
+    * semantics composed from existing operators, since Spark's UnionLoop
+    * executes UNION ALL only (see [[q_recursive_reach]]). Level-synchronous
+    * BFS: per level ONE equi-join of the edge table against the (bounded,
+    * broadcast) frontier plus one anti-join against the visited set, both
+    * distributed; the driver holds only the loop counter. Iteration count
+    * is the graph's eccentricity from the start set — a property of the
+    * topology, not the row count, exactly like UnionLoop's level count —
+    * and `localCheckpoint` truncates lineage each level so plans stay
+    * O(1) deep instead of O(levels). At 100 TB the frontier of a real
+    * web/citation graph can outgrow a broadcast: drop the `broadcast`
+    * hints and the same loop runs as shuffle joins per level (the
+    * visited-set anti-join already does); for diameter-bound pathologies
+    * (long chains) the pointer-jumping doubling of
+    * [[graft.dedup.ConnectedComponents]] is the O(log n)-round
+    * alternative. */
+  private[queries] def reachable(edges: DataFrame, startNode: Long): DataFrame = {
+    val spark = edges.sparkSession
+    var seen = spark.range(1).select(lit(startNode).as("node"))
+      .localCheckpoint()
+    var frontier = seen
+    var more = true
+    while (more) {
+      val next = edges
+        .join(broadcast(frontier.select(col("node").as("src"))), Seq("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(seen, Seq("node"), "left_anti")
+        .localCheckpoint()
+      more = next.limit(1).count() > 0
+      if (more) {
+        seen = seen.unionByName(next).localCheckpoint()
+        frontier = next
+      }
+    }
+    seen
+  }
+
+  val q_recursive_reach = Q(
+    "q_recursive_reach",
+    (s, dir) => {
+      val nk = Tables(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("k"))
+      val edges = nk.select(col("k").as("src"), (col("k") * 2 % 25).as("dst"))
+        .unionByName(
+          nk.select(col("k").as("src"), (col("k") * 7 % 25).as("dst")))
+      reachable(edges, 5L).orderBy(col("node"))
+    },
+    Some(reachSql))
+
   val q_recursive_chain = Q(
     "q_recursive_chain",
     (s, dir) => {
@@ -196,5 +285,5 @@ object Recursion {
     Some(chainSql))
 
   val all: Seq[Q] = Seq(q_recursive_tree, q_recursive_chain,
-    q_recursive_graph)
+    q_recursive_graph, q_recursive_reach)
 }

@@ -315,8 +315,18 @@ object StreamDedup {
     * is why [[compactState]] gates the layout on `bucketedBaseMinBytes`
     * and every locally-testable size folds FLAT (same b data column,
     * same pushed filter, no dir fanout); the partitioned branch is the
-    * 100 TB path, spec-pinned with the gate forced to 0. */
-  private[streaming] val PostBuckets: Int =
+    * 100 TB path, spec-pinned with the gate forced to 0.
+    *
+    * A `def`, not a `val` (round 16): the bucket count is BAKED INTO
+    * state at write time, so it must be constant for the life of one
+    * state root — but the dedup FUZZ draws it per replay
+    * ([[graft.queries.FuzzDedup]]'s layout axis: an 8-bucket layout
+    * makes every batch SATURATE the bucket set, exercising the
+    * skip-the-isin branch of [[postingState]] under randomized
+    * parameters), setting the property for the whole replay and
+    * restoring it after — admission output is provably layout-blind, so
+    * the DuckDB oracle is unchanged. */
+  private[streaming] def PostBuckets: Int =
     sys.props.get("graft.postBuckets").map(_.toInt).getOrElse(256)
 
   private def postBucket(g: Column): Column =

@@ -15,7 +15,8 @@ class RecallGateSpec extends AnyFunSuite {
   test("every q_ann_* index entry carries a recall floor, and nothing else does") {
     val annIndexEntries = (SparkEntry.queries.keySet
       .filter(_.startsWith("q_ann_")) - "q_ann_lsh_join") + // pair-join: own floor
-      "q_stream_index_insert" // the stream-maintained GANN serves ANN too
+      "q_stream_index_insert" + // the stream-maintained GANN serves ANN too
+      "q_stream_index_insert_filtered" // its filtered serving twin (r16)
     assert(RecallReport.recallFloors.keySet == annIndexEntries,
       s"floors=${RecallReport.recallFloors.keySet} entries=$annIndexEntries")
   }

@@ -664,6 +664,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$path/assign_stream").exists)
   }
 
+  test("skew_join operator equals the plain join on a planted hot key") {
+    import spark.implicits._
+    // one hot key (0) carrying half the big side, plus a long tail
+    val big = (1 to 200).map(i =>
+      (if (i % 2 == 0) 0L else i.toLong % 7, i.toLong, s"p$i"))
+      .toDF("k", "rid", "payload")
+    val small = (0 to 6).map(i => (i.toLong, s"dim$i")).toDF("k", "name")
+    val out = Operators.make(spark, "transform", "skew_join",
+      Map("keys" -> "k", "saltBy" -> "rid", "salt" -> "4"))(
+      Seq(big, small), Map.empty)
+    val want = big.join(small, Seq("k"))
+    assert(out.columns.toSeq == want.columns.toSeq)
+    assert(out.exceptAll(want).isEmpty && want.exceptAll(out).isEmpty,
+      "salted registry join must be row-identical to the plain join")
+    intercept[IllegalArgumentException] {
+      Operators.make(spark, "transform", "skew_join",
+        Map("keys" -> "k", "saltBy" -> "rid"))(Seq(big), Map.empty)
+    }
+    ()
+  }
+
   test("pagerank operator runs over an edge-list input") {
     import spark.implicits._
     val edges = Seq((1L, 2L, 1.0), (2L, 1L, 1.0), (3L, 1L, 1.0))

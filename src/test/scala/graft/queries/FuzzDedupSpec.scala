@@ -59,5 +59,12 @@ class FuzzDedupSpec extends AnyFunSuite {
       ds.exists(p => p.restartAfter.nonEmpty && !p.foldAtRestart),
       "driver seeds must run exactly-once recovery both WITH and " +
         "WITHOUT a compaction fold at the restart boundary")
+    // round 16 — the state-LAYOUT axes: both posting bucket counts
+    // (8 = saturated/isin-skip read, 256 = pruned isin read) and a
+    // repeated fold cadence must run under the driver oracle
+    assert(ds.map(_.postBuckets).toSet == Set(8, 256),
+      "driver seeds must cover both posting-bucket layouts")
+    assert(ds.exists(_.foldEvery.nonEmpty),
+      "at least one driver seed must fold state on a cadence")
   }
 }

@@ -49,5 +49,12 @@ class FuzzRecursionSpec extends AnyFunSuite {
     assert(ds.exists(p => p.topo == 2 &&
         (p.startNode != 0 || p.chordMul != 2 || p.depthCap != 12)),
       "the graph seed must move off the hand entry's node-0/×2/cap-12 walk")
+    // round 16: the UNION-distinct axis — one driver seed must run the
+    // composed frontier-dedup loop against DuckDB's native UNION
+    // recursion, off the hand q_recursive_reach entry's ×2/start-5 point
+    assert(ds.exists(p => p.reach && (p.chordMul != 2 || p.startNode != 5)),
+      "one driver seed must draw graph-REACH on non-hand parameters")
+    assert(ds.exists(p => p.topo == 2 && !p.reach),
+      "the UNION ALL path-count graph seed must survive the reach axis")
   }
 }

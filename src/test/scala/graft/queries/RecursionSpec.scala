@@ -99,6 +99,40 @@ class RecursionSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.cteRecursionLevelLimit", prev)
   }
 
+  test("q_recursive_reach: frontier-dedup reachability equals the set " +
+      "closure, and terminates with no depth guard") {
+    val got = Recursion.q_recursive_reach.run(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    // independent closure of {5} under ×2 and ×7 mod 25
+    val seen = scala.collection.mutable.Set(5L)
+    var frontier = Set(5L)
+    while (frontier.nonEmpty) {
+      frontier = frontier.flatMap(n => Seq(n * 2 % 25, n * 7 % 25))
+        .filterNot(seen)
+      seen ++= frontier
+    }
+    assert(got == seen.toSet && got == Set(5L, 10L, 15L, 20L),
+      s"reachable set $got != closure $seen")
+  }
+
+  test("ENGINE BOUNDARY: Spark still rejects UNION-distinct recursion " +
+      "(UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE) — when this test fails, " +
+      "Spark learned it and q_recursive_reach should go native") {
+    graft.core.Tables(spark, dir, "nation").createOrReplaceTempView("nation")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("""
+        |WITH RECURSIVE reach AS (
+        |  SELECT CAST(5 AS BIGINT) AS node
+        |  UNION
+        |  SELECT CAST(w.node * 2 % 25 AS BIGINT)
+        |  FROM nation n JOIN reach w ON CAST(n.n_nationkey AS BIGINT) = w.node)
+        |SELECT node FROM reach ORDER BY node
+        |""".stripMargin).collect()
+    }
+    assert(e.getCondition == "UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE",
+      s"expected the UNION-in-recursion rejection, got: ${e.getCondition} / ${e.getMessage}")
+  }
+
   test("the recursion executes through UnionLoop, one join per level") {
     val plan = Recursion.q_recursive_tree.run(spark, dir)
       .queryExecution.executedPlan.toString
