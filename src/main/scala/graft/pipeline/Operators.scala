@@ -531,6 +531,23 @@ object Operators {
       graft.core.SkewJoin.salted(ins(0), ins(1), keys,
         saltBy = col(req(params, "saltBy", "transform/skew_join")),
         salt = p(params, "salt", "8").toInt)
+    },
+    // graph reachability with frontier-dedup termination
+    // (graft.queries.Recursion.reachable — the UNION-distinct recursion
+    // Spark's UnionLoop can't run natively, as a composed distributed
+    // loop; oracle-checked fixed form q_recursive_reach): input is an
+    // edge list, `start` the source node id; emits the reachable (node)
+    // set. No depth knob — termination comes from the frontier dedup,
+    // the production "what does this record link to, transitively"
+    // shape (lineage walks, link graphs, contamination spread).
+    "graph_reach" -> { (_, cp) => (ins, rp) =>
+      val params = cp ++ rp
+      val src = p(params, "srcCol", "src")
+      val dst = p(params, "dstCol", "dst")
+      graft.queries.Recursion.reachable(
+        ins.head.select(col(src).cast("long").as("src"),
+          col(dst).cast("long").as("dst")),
+        req(params, "start", "transform/graph_reach").toLong)
     })
 
   /** Vectorizers — add an embedding column / rows. */

@@ -240,7 +240,7 @@ object Recursion {
     * (long chains) the pointer-jumping doubling of
     * [[graft.dedup.ConnectedComponents]] is the O(log n)-round
     * alternative. */
-  private[queries] def reachable(edges: DataFrame, startNode: Long): DataFrame = {
+  private[graft] def reachable(edges: DataFrame, startNode: Long): DataFrame = {
     val spark = edges.sparkSession
     var seen = spark.range(1).select(lit(startNode).as("node"))
       .localCheckpoint()

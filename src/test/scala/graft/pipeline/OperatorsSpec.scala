@@ -685,6 +685,17 @@ class OperatorsSpec extends AnyFunSuite {
     ()
   }
 
+  test("graph_reach operator computes the frontier-dedup closure") {
+    import spark.implicits._
+    // two components: 1->2->3->1 (cycle) and 4->5; start inside the cycle
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L)).toDF("src", "dst")
+    val out = Operators.make(spark, "transform", "graph_reach",
+      Map("start" -> "1"))(Seq(edges), Map.empty)
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 2L, 3L),
+      "must terminate on the cycle via frontier dedup and exclude 4/5")
+  }
+
   test("pagerank operator runs over an edge-list input") {
     import spark.implicits._
     val edges = Seq((1L, 2L, 1.0), (2L, 1L, 1.0), (3L, 1L, 1.0))
