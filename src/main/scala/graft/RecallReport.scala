@@ -320,7 +320,18 @@ object RecallReport {
     // shortlist-depth knob for selectivity to stretch), so the filter
     // thins candidates within the same leaves; floor = measured−0.02,
     // same rung as the unfiltered serving floor
-    "q_stream_index_insert_filtered" -> 0.88)
+    "q_stream_index_insert_filtered" -> 0.88,
+    // round 16 — the IVF serving-union twins (base 3/4 quantizer fit,
+    // streamed 1/4 encoded by the frozen centroids, nprobe 6 of 8 like
+    // q_ann_ivf): measured 0.924 plain / 0.884 filtered at sf0.1 —
+    // plain within noise of the static q_ann_ivf's 0.926 (frozen encode
+    // ranks streamed rows exactly like resident ones); the filtered
+    // union sits ~3 points under the static filtered tier's 0.913
+    // because the quantizer saw only the resident 3/4, so the allowed
+    // set's streamed members land in slightly worse-fitting clusters;
+    // floors = measured−0.02
+    "q_stream_index_insert_ivf" -> 0.90,
+    "q_stream_index_insert_ivf_filtered" -> 0.86)
   private[graft] val lshPairRecallFloor: Double = 0.97
   private[graft] val hllMaxRelErrCeil: Double = 0.01
   // GK accuracy 10000 → rank error ≤ n/10⁴; on the l_quantity integer
@@ -339,13 +350,13 @@ object RecallReport {
     val exact = exactTopK(spark, sfDir, k)
     val annEntries = Seq("q_ann_ivf", "q_ann_gann", "q_ann_pq",
       "q_ann_ivfpq", "q_ann_bq", "q_ann_ivfbq", "q_ann_sq", "q_ann_ivfsq",
-      "q_stream_index_insert")
+      "q_stream_index_insert", "q_stream_index_insert_ivf")
     // filtered search scores against the exact FILTERED brute force —
     // the same allowed set (label < 3) the entry semi-joins
     val exactFiltered = exactTopK(spark, sfDir, k, Some(col("label") < 3))
     val filteredEntries = Seq("q_ann_ivf_filtered", "q_ann_ivfbq_filtered",
       "q_ann_bq_filtered", "q_ann_pq_filtered", "q_ann_sq_filtered",
-      "q_stream_index_insert_filtered")
+      "q_stream_index_insert_filtered", "q_stream_index_insert_ivf_filtered")
     val recalls = annEntries.map(nm =>
       nm -> recallOf(spark, sfDir, exact, nm)) ++
       filteredEntries.map(nm =>

@@ -779,6 +779,93 @@ object StreamingQ {
     },
     None)
 
+  private val idxIvfMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val servingIvfMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.index.IvfIndex.Model]()
+
+  /** The IVF twin of [[maintainedIndexPath]] (round 16 — the maintained
+    * GANN path had query entries since round 12, the IVF maintenance
+    * path only spec coverage): coarse quantizer fit on the RESIDENT 3/4
+    * (same k=8 as q_ann_ivf), saved, then the ARRIVING 1/4 replayed as
+    * 4 micro-batches through [[graft.streaming.IndexMaintain
+    * .maintainIvf]] — each batch encodes against the FROZEN centroids
+    * and lands as an idempotent batch block. */
+  private def maintainedIvfIndexPath(s: SparkSession, dir: String): String =
+    graft.core.Caches.memoized(s, dir, idxIvfMemo) {
+      import graft.index.IvfIndex
+      val e = graft.core.Tables.spread(
+        graft.core.Tables(s, dir, "embeddings"))
+      val model = IvfIndex.build(e.filter(col("vec_id") % 4 =!= 0),
+        "vec_id", "embedding", k = 8)
+      val path = java.nio.file.Files.createTempDirectory("graft_stream_ivfidx")
+      path.toFile.deleteOnExit()
+      IvfIndex.save(model, path.toString)
+      val landing = stageFrameChunks(
+        e.filter(col("vec_id") % 4 === 0)
+          .select(col("vec_id"), col("embedding")),
+        Seq(col("vec_id")), "idxivf", numFiles = 4)
+      val stream = s.readStream
+        .schema(s.read.parquet(landing.toString).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing.toString)
+      val ck = java.nio.file.Files.createTempDirectory("graft_stream_ivfidx_ck")
+      ck.toFile.deleteOnExit()
+      val q = graft.streaming.IndexMaintain.maintainIvf(
+        stream, model, path.toString, ck.toString)
+      try q.processAllAvailable() finally q.stop()
+      path.toString
+    }
+
+  private def ivfServing(s: SparkSession, dir: String): graft.index.IvfIndex.Model =
+    graft.core.Caches.memoized(s, dir, servingIvfMemo) {
+      val c = graft.index.IvfIndex.loadServing(
+        s, maintainedIvfIndexPath(s, dir), "vec_id", "embedding")
+      c.copy(assign = graft.core.Caches.cached(c.assign))
+    }
+
+  /** IVF serving-union search over base ∪ streamed blocks — completes
+    * the maintained-index matrix ({GANN, IVF} × {plain, filtered}):
+    * same nprobe-6 knob as the static q_ann_ivf, scored against the
+    * same exact brute force (rows-only + recall floor; measured at
+    * sf0.1 in RecallReport's floor table). Streamed rows were encoded
+    * by the FROZEN quantizer, so they rank exactly like resident ones
+    * — the q_ann_ivf discipline applied to the live-ingest shape. */
+  val q_stream_index_insert_ivf = Q(
+    "q_stream_index_insert_ivf",
+    (s, dir) => {
+      val e = graft.core.Tables.spread(
+        graft.core.Tables(s, dir, "embeddings"))
+      val queries = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      ivfServing(s, dir).search(queries, "qid", "qv", k = 10, nprobe = 6)
+        .select(col("qid"), col("vec_id"),
+          round(col("dist"), 6).as("dist"), col("rnk"))
+        .orderBy(col("qid"), col("rnk"))
+    },
+    None)
+
+  /** Filtered search over the IVF serving union (`label < 3`
+    * semi-joined onto the posting lists before the distance fold —
+    * [[graft.index.Search.allowedOnly]] semantics across base and
+    * streamed blocks alike), scored vs the exact FILTERED brute force
+    * the static filtered tiers share. */
+  val q_stream_index_insert_ivf_filtered = Q(
+    "q_stream_index_insert_ivf_filtered",
+    (s, dir) => {
+      val e = graft.core.Tables.spread(
+        graft.core.Tables(s, dir, "embeddings"))
+      val queries = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val allowed = e.filter(col("label") < 3).select(col("vec_id"))
+      ivfServing(s, dir).search(queries, "qid", "qv", k = 10, nprobe = 6,
+          allowedIds = Some(allowed))
+        .select(col("qid"), col("vec_id"),
+          round(col("dist"), 6).as("dist"), col("rnk"))
+        .orderBy(col("qid"), col("rnk"))
+    },
+    None)
+
   /** Streaming MinHash-LSH near-dup admission
     * ([[graft.streaming.StreamDedup.lshAdmit]] — the incremental twin of
     * [[Dedup.q_dedup_minhash_lsh]]; see that object's scaladoc for the
@@ -1168,6 +1255,7 @@ object StreamingQ {
       q_stream_join_outer, q_stream_join_full, q_stream_sessions,
       q_stream_sessions_gap, q_stream_enrich, q_stream_curate,
       q_stream_late, q_stream_index_insert, q_stream_index_insert_filtered,
+      q_stream_index_insert_ivf, q_stream_index_insert_ivf_filtered,
       q_stream_dedup_lsh,
       q_stream_dedup_winnow, q_stream_dedup_containment,
       q_stream_dedup_ladder, q_stream_domain_cap)

@@ -16,7 +16,9 @@ class RecallGateSpec extends AnyFunSuite {
     val annIndexEntries = (SparkEntry.queries.keySet
       .filter(_.startsWith("q_ann_")) - "q_ann_lsh_join") + // pair-join: own floor
       "q_stream_index_insert" + // the stream-maintained GANN serves ANN too
-      "q_stream_index_insert_filtered" // its filtered serving twin (r16)
+      "q_stream_index_insert_filtered" + // its filtered serving twin (r16)
+      "q_stream_index_insert_ivf" + // the maintained-IVF serving path (r16)
+      "q_stream_index_insert_ivf_filtered"
     assert(RecallReport.recallFloors.keySet == annIndexEntries,
       s"floors=${RecallReport.recallFloors.keySet} entries=$annIndexEntries")
   }
