@@ -79,6 +79,20 @@ def main():
     # like the driver does — the quality gate for these is recall_full.json
     dumped = sorted(p.name for p in Path(OUTDIR).iterdir()
                     if p.is_dir() and p.name.startswith("q"))
+    # a reused OUTDIR can hold stale q* dirs from a previous run whose
+    # entries were renamed/removed — those would land in the report as
+    # no_oracle rows with misleading counts; keep only names the LAST
+    # verify run actually dumped (verify_summary.json's ok list)
+    summary_path = Path(OUTDIR) / "verify_summary.json"
+    if summary_path.exists():
+        current = set(json.loads(summary_path.read_text())
+                      .get("verify_ok_names", []))
+        if current:
+            stale = [n for n in dumped if n not in current]
+            if stale:
+                print(f"note: ignoring {len(stale)} stale dump dir(s): "
+                      + " ".join(stale[:8]) + (" ..." if len(stale) > 8 else ""))
+            dumped = [n for n in dumped if n in current]
     for name in dumped:
         if name in oracle or (ONLY and name not in ONLY):
             continue

@@ -99,14 +99,23 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    // host-speed calibration probe (round-15 de-noise): a FIXED pure-CPU
-    // job — no IO, no shuffle, size-invariant across rounds — timed
-    // min-of-3 before and after the timed passes. Round-over-round bench
-    // deltas divide by the calib ratio before being read as regressions:
-    // r14's +27% drift on 78 untouched entries was host slowdown
-    // (standalone re-times confirmed it), but that diagnosis took a
-    // manual session — this field makes it one division. min-of-6 is the
-    // same steady-state-under-asymmetric-noise estimator as the queries'.
+    // host-speed calibration probe (round-15 de-noise; ESTIMATOR AND
+    // VALIDITY RULE fixed round 17): a FIXED pure-CPU job — no IO, no
+    // shuffle, size-invariant across rounds — timed 3× before and 3×
+    // after the timed passes. The driver line reports BOTH
+    // `"calib":[min, median]` of the six brackets: r16's brackets
+    // spanned 0.74–7.8 s within ONE run, so the min alone is a
+    // best-burst estimator that can indict or pardon a round at random.
+    // THE RULE (symmetric, direction-independent — r16 verdict #1):
+    // round-over-round deltas may be divided by the calib ratio ONLY
+    // when the probe was stable within the run on BOTH rounds
+    // (median/min ≤ 1.5 on each side, both medians from the committed
+    // BENCH_LOCAL_r*.json brackets); otherwise the normalizer is
+    // INCONCLUSIVE and the raw deltas stand, in BOTH directions — a
+    // regression is never excused, and an improvement never inflated,
+    // by an unstable probe. When valid, the division applies always,
+    // again in both directions. PLANS.md restates each round's reading
+    // under this rule.
     def calibProbe(): Double = {
       val t0 = System.nanoTime()
       // variadic xxhash64(a, j) + a modulo before the sum: a chained
@@ -139,7 +148,9 @@ object Bench {
     val calibPre = (1 to 3).map(_ => calibProbe())
     val passes = (1 to nPasses).map(_ => pass())
     val calibPost = (1 to 3).map(_ => calibProbe())
-    val calib = (calibPre ++ calibPost).min
+    val calibBrackets = (calibPre ++ calibPost).sorted
+    val calib = calibBrackets.head
+    val calibMed = calibBrackets(calibBrackets.size / 2)
     val results = passes.reduce((a, b) =>
       a.map { case (name, t) => name -> math.min(t, b(name)) })
     // Short-line guard: the driver keeps only a ~2000-char stdout tail and
@@ -161,7 +172,7 @@ object Bench {
     def line(dec: Int, rs: Map[String, Double]): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v, dec) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","calib":${fmt(calib, 2)},"queries":$qs,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","calib":[${fmt(calib, 2)},${fmt(calibMed, 2)}],"queries":$qs,"sf":"$sfName"}"""
     }
     // 1895 + the ~76-char sbt "[success] ..." trailer + newlines stays
     // inside the 2000-char window with ~25 chars margin. Tiers: 2-dec

@@ -98,10 +98,15 @@ object RecallReport {
   }
 
   /** Max relative error of approx_count_distinct vs the exact distinct
-    * count, over the event types. */
+    * count, over the event types. (Computed from the raw sketch
+    * directly — the q_events_approx_users entry itself now emits the
+    * exact twin + in-bound boolean for the driver's hash gate, round
+    * 17, so the raw estimate no longer appears in its output.) */
   private def hllMaxRelErr(spark: SparkSession, sfDir: String): Double = {
-    val approx = SparkEntry.queries("q_events_approx_users")(spark, sfDir)
-      .select("event_type", "approx_users").collect()
+    val approx = Tables(spark, sfDir, "events")
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val exact = Tables(spark, sfDir, "events")
       .groupBy(col("event_type"))
@@ -118,13 +123,21 @@ object RecallReport {
     * the metric absorbs rank slack AND interpolation — the honest
     * user-visible error. */
   private def quantileMaxRelErr(spark: SparkSession, sfDir: String): Double = {
-    def cells(name: String): Map[String, Seq[Double]] =
-      SparkEntry.queries(name)(spark, sfDir)
-        .select("l_returnflag", "p50", "p90", "p99").collect()
-        .map(r => r.getString(0) ->
-          Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
-    val exact = cells("q_quantiles")
-    val approx = cells("q_quantiles_sketch")
+    val exact = SparkEntry.queries("q_quantiles")(spark, sfDir)
+      .select("l_returnflag", "p50", "p90", "p99").collect()
+      .map(r => r.getString(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    // raw sketch, computed directly: the q_quantiles_sketch entry now
+    // emits exact values + in-bound booleans for the driver's hash gate
+    // (round 17), so the raw estimates no longer appear in its output
+    val approx = Tables(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr(
+        "approx_percentile(l_quantity, array(0.5, 0.9, 0.99), 10000)")
+        .as("q"))
+      .collect()
+      .map(r => r.getString(0) ->
+        r.getSeq[Double](1).toSeq).toMap
     // fail loudly, not synthetically (round-15 advice): a group missing
     // from either side — or an empty result — is a real defect in the
     // sketch entry, and must surface AS that defect rather than as a
@@ -243,6 +256,25 @@ object RecallReport {
     }
   }
 
+  /** Quantizer-drift monitor over the maintained IVF serving union
+    * (round 17 — the r16 verdict's missing failure-mode owner): mean
+    * distance to assigned centroid, streamed vs resident
+    * ([[graft.index.IvfIndex.servingDrift]] on the same persisted index
+    * the q_stream_index_insert_ivf entries serve). On the UNdrifted
+    * bench corpus the streamed quarter comes from the same distribution
+    * as the resident fit, so the ratio sits near 1 (measured 1.02 at
+    * sf0.1); the ceiling is the gate that fires when sustained ingest
+    * drifts the encode quality before recall visibly decays — the
+    * measured drift→recall curve and the `refit_compact` recovery are
+    * in SCALE.md's ivf_drift row. */
+  private def ivfServingDriftRatio(spark: SparkSession, sfDir: String): Double = {
+    val path = graft.queries.StreamingQ.maintainedIvfIndexPath(spark, sfDir)
+    val (resident, streamed) =
+      graft.index.IvfIndex.servingDrift(spark, path, "embedding")
+    if (resident.isNaN || streamed.isNaN || resident <= 0) Double.NaN
+    else streamed / resident
+  }
+
   private def fmt(v: Double): String =
     "%.4f".formatLocal(java.util.Locale.ROOT, v)
 
@@ -334,6 +366,12 @@ object RecallReport {
     "q_stream_index_insert_ivf_filtered" -> 0.86)
   private[graft] val lshPairRecallFloor: Double = 0.97
   private[graft] val hllMaxRelErrCeil: Double = 0.01
+  // streamed/resident mean-centroid-distance ratio for the maintained
+  // IVF serving union: ~1.02 measured at sf0.1 on the undrifted corpus
+  // (same-distribution ingest); SCALE.md's drift curve shows recall
+  // still ≥0.90 at ratio ~1.15, so 1.15 is the "investigate / schedule
+  // refit_compact" line, comfortably before measured decay
+  private[graft] val ivfDriftRatioCeil: Double = 1.15
   // GK accuracy 10000 → rank error ≤ n/10⁴; on the l_quantity integer
   // domain (1..50) one rank step near a percentile moves the value at
   // most one unit → measured max rel err 0.0 at sf0.1/sf0.01, ceiling
@@ -364,9 +402,14 @@ object RecallReport {
     val lsh = lshPairRecall(spark, sfDir)
     val hll = hllMaxRelErr(spark, sfDir)
     val qre = quantileMaxRelErr(spark, sfDir)
+    val drift = ivfServingDriftRatio(spark, sfDir)
     val fastrp = fastRpMatches(spark)
     val bpe = bpeMatches(spark)
     val failures =
+      (if (!drift.isNaN && drift > ivfDriftRatioCeil)
+        Seq(s"ivf_serving_drift_ratio ${fmt(drift)} > ceil ${fmt(ivfDriftRatioCeil)}" +
+          " — schedule refit_compact")
+      else Nil) ++
       recalls.collect { case (nm, r) if r < recallFloors(nm) =>
         s"$nm recall ${fmt(r)} < floor ${fmt(recallFloors(nm))}" } ++
       (if (lsh < lshPairRecallFloor)
@@ -394,6 +437,9 @@ object RecallReport {
     val json =
       s"""{"recall_at_$k":$rj,"lsh_join_pair_recall":${fmt(lsh)},""" +
       s""""hll_max_rel_err":${fmt(hll)},"quantile_max_rel_err":${fmt(qre)},""" +
+      s""""ivf_serving_drift_ratio":${
+        if (drift.isNaN) "null" else fmt(drift)},""" +
+      s""""ivf_serving_drift_ratio_max":${fmt(ivfDriftRatioCeil)},""" +
       s""""fastrp_matches_dense":$fastrp,""" +
       s""""bpe_matches_sequential":$bpe,"queries":${exact.size},"sf":"$sfName",""" +
       s""""floors":$fj,"floor_failures":$failJ}"""

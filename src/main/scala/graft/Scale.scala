@@ -130,13 +130,14 @@ object Scale {
     val only = args.drop(1).toSet
     // EVERY named entry must be known — a typo in one of several names
     // would otherwise yield a partial run that looks complete.
-    // "skew_fixture" addresses the synthetic hot-key block below.
-    val unknown = only.diff(MeasuredQueries.toSet + "skew_fixture")
+    // "skew_fixture" / "reach_fixture" address the synthetic blocks below.
+    val fixtures = Set("skew_fixture", "reach_fixture", "ivf_drift_fixture")
+    val unknown = only.diff(MeasuredQueries.toSet ++ fixtures)
     require(unknown.isEmpty,
       s"unknown MeasuredQueries: ${unknown.toSeq.sorted.mkString(", ")}")
     val measured =
       if (only.isEmpty) MeasuredQueries else MeasuredQueries.filter(only)
-    require(measured.nonEmpty || only("skew_fixture"),
+    require(measured.nonEmpty || only.exists(fixtures),
       s"no MeasuredQueries match $only")
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warm = "/root/testdata/sf0.001"
@@ -262,7 +263,13 @@ object Scale {
           col("id").as("rid"))
       val dims = spark.range(100000L).select(col("id").as("k"),
         md5(col("id").cast("string")).as("name"))
-      def saltOf = pmod(hash(col("rid")), lit(8))
+      // the VALUE the round-17 collision-aware salt joins on: per-key
+      // candidates whose shuffle partitions are pairwise distinct
+      // (SaltSelect), fed by the same slice index the old naive salt
+      // used — so max_part_rows_salted_* below measures the exchange
+      // the real salted join produces
+      def saltOf = graft.functions.SaltSelect(hash(col("k")),
+        pmod(hash(col("rid")), lit(8)), 8, parts)
       def maxPartMass(df: DataFrame, keys: Seq[org.apache.spark.sql.Column]): Long =
         df.repartition(parts, keys: _*)
           .select(spark_partition_id().as("p"))
@@ -275,7 +282,7 @@ object Scale {
           val t0 = System.nanoTime()
           val j =
             if (salted) graft.core.SkewJoin.salted(f, dims, Seq("k"),
-              saltBy = col("rid"), salt = 8)
+              saltBy = col("rid"), salt = 8, numPartitions = Some(parts))
             else f.join(dims, Seq("k"))
           j.groupBy(col("name")).agg(count(lit(1)).as("n"),
               sum(col("rid")).as("s"))
@@ -285,8 +292,12 @@ object Scale {
       }
       val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       val prevSkew = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      // the timed join must run under the same 16-wide exchange the
+      // deterministic mass model (maxPartMass) computes
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
       try {
         val n1 = 2000000L
         val f1 = fixture(n1)
@@ -305,7 +316,119 @@ object Scale {
       } finally {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prevSkew)
+        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       }
+    }
+
+    // Frontier-gate REACH fixture (round 17 — the SCALE row behind
+    // Recursion.reachable's size-gated frontier join): a 12M-edge
+    // uniform random digraph over 3M nodes (avg out-degree 4), BFS from
+    // one node. The giant out-component covers ~98% of the graph and
+    // the frontier crosses 10⁶ nodes mid-walk — far past the default
+    // gate (autoBroadcastJoinThreshold/16 ≈ 655k rows) — so the gated
+    // walk genuinely flips to shuffle mode (once-partitioned edge
+    // snapshot, per-level cost O(frontier)), while the forced-broadcast
+    // walk builds multi-MB driver broadcasts each level: the 100 TB
+    // failure mode this fixture exists to price. Both walks must agree
+    // exactly on the reach set.
+    val reach = if (!only("reach_fixture")) "" else {
+      val nNodes = 3000000L
+      val nEdges = 12000000L
+      val edges = spark.range(nEdges).select(
+        pmod(xxhash64(col("id")), lit(nNodes)).as("src"),
+        pmod(xxhash64(col("id"), lit(1)), lit(nNodes)).as("dst"))
+        .localCheckpoint()
+      val start = edges.agg(min(col("src"))).head().getLong(0)
+      def walk(maxRows: Option[Long]): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val n = graft.queries.Recursion.reachable(edges, start, maxRows).count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      walk(Some(Long.MaxValue)) // warm-up: codegen + parquet-free JIT paths
+      val (tGated, nGated) = walk(None)
+      val (tBcast, nBcast) = walk(Some(Long.MaxValue))
+      require(nGated == nBcast,
+        s"gated and broadcast walks diverged: $nGated vs $nBcast")
+      s""""reach_gate":{"nodes":$nNodes,"edges":$nEdges,""" +
+        f""""t_gated":$tGated%.2f,"t_broadcast_forced":$tBcast%.2f,""" +
+        s""""n_reach":$nGated}"""
+    }
+
+    // IVF quantizer-DRIFT fixture (round 17 — the measured curve behind
+    // IvfIndex.servingDrift + refitCompact): the resident 3/4 of the
+    // embeddings table fits the coarse quantizer; the arriving 1/4 is
+    // SCATTERED by a per-row ±delta/√dim jitter (row-seeded directions —
+    // diffuse drift that degrades the frozen encode IN PLACE; a uniform
+    // translation was measured first and is the WRONG fixture: it moves
+    // the quarter into its own compact far-away ball that one probe
+    // trivially covers, recall 0.915→0.999 with drift) before replaying
+    // through the frozen-encode block-append path. Per delta: recall@10
+    // of the serving union vs the exact brute force over the same
+    // (drifted) union at the entries' nprobe-6 knob AND the tight
+    // nprobe-2 regime where assignment quality actually bites, the
+    // drift monitor's streamed/resident ratio, then refit_compact and
+    // the recovered recalls — drift curve, early-warning signal, and
+    // actuator proof in one row.
+    val ivfDrift = if (!only("ivf_drift_fixture")) "" else {
+      import graft.index.IvfIndex
+      import graft.functions.{TopKAgg, VectorF}
+      val e = graft.core.Tables.spread(
+        graft.core.Tables(spark, base, "embeddings"))
+      val resident = e.filter(col("vec_id") % 4 =!= 0)
+        .select(col("vec_id"), col("embedding"))
+      val arriving = e.filter(col("vec_id") % 4 === 0)
+        .select(col("vec_id"), col("embedding"))
+      val dim = e.select(size(col("embedding"))).head().getInt(0)
+      def driftedBy(delta: Double): DataFrame =
+        arriving.withColumn("embedding", expr(
+          s"""transform(embedding, (x, i) -> x + $delta *
+             |(CASE WHEN pmod(xxhash64(vec_id * 131 + i), 2) = 0
+             |      THEN 1.0D ELSE -1.0D END)
+             |/ sqrt(${dim}D))""".stripMargin))
+      def exactOf(cands: DataFrame, queries: DataFrame): Map[Long, Set[Long]] =
+        cands.crossJoin(broadcast(queries))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            VectorF.l2Dist(col("embedding"), col("qv")).as("dist"))
+          .groupBy(col("qid"))
+          .agg(TopKAgg.topK(col("dist"), col("vec_id"), 10).as("top"))
+          .select(col("qid"), explode(col("top")).as("s"))
+          .select(col("qid"), col("s.id"))
+          .collect()
+          .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val cells = Seq(0.0, 0.3, 0.6, 1.2).map { delta =>
+        val arr = driftedBy(delta).localCheckpoint()
+        val model = IvfIndex.build(resident, "vec_id", "embedding", k = 8)
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_ivf_drift").toString
+        IvfIndex.save(model, path)
+        (0 until 4).foreach { b =>
+          IvfIndex.appendStreamBlock(model, path,
+            arr.filter(pmod(col("vec_id"), lit(16)) === lit(b * 4L)), b)
+        }
+        val queries = arr.filter(col("vec_id") < 400)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val exact = exactOf(resident.unionByName(arr), queries)
+        def recallOf(m: IvfIndex.Model, np: Int): Double =
+          graft.RecallReport.recallOfDf(
+            m.search(queries, "qid", "qv", k = 10, nprobe = np), exact)
+        val serving = IvfIndex.loadServing(spark, path, "vec_id", "embedding")
+        val (b6, b2) = (recallOf(serving, 6), recallOf(serving, 2))
+        val (resD, strD) = IvfIndex.servingDrift(spark, path, "embedding")
+        val refit = IvfIndex.refitCompact(spark, path, "vec_id", "embedding")
+        val (a6, a2) = (recallOf(refit, 6), recallOf(refit, 2))
+        graft.core.Caches.clear(spark)
+        try {
+          val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          finally walk.close()
+        } catch { case _: java.io.IOException => () }
+        f""""d$delta%.1f":{"drift_ratio":${strD / resD}%.3f,""" +
+          f""""recall_frozen_np6":$b6%.3f,"recall_refit_np6":$a6%.3f,""" +
+          f""""recall_frozen_np2":$b2%.3f,"recall_refit_np2":$a2%.3f}"""
+      }
+      s""""ivf_drift":{${cells.mkString(",")}}"""
     }
 
     val rows = t1.zip(tN).map { case ((q, a), (_, b)) => (q, a, b, b / a) }
@@ -314,7 +437,7 @@ object Scale {
     }
     val json = (rows.map { case (q, a, b, r) =>
       f"""\"$q\":{\"t1\":$a%.2f,\"t$factor\":$b%.2f,\"ratio\":$r%.2f}"""
-    } ++ Seq(knob, containment, skew).filter(_.nonEmpty))
+    } ++ Seq(knob, containment, skew, reach, ivfDrift).filter(_.nonEmpty))
       .mkString("{", ",", s""","factor":$factor}""")
     try {
       val dir = java.nio.file.Paths.get("target")

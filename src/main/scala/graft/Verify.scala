@@ -81,7 +81,14 @@ object Verify {
       s""""verify_ok":${okNames.size},""" +
       s""""verify_failed":${errNames.sorted.map(q).mkString("[", ",", "]")},""" +
       s""""oracle_entries":${SparkEntry.oracleSql.size}}"""
-    Files.writeString(Paths.get(s"$outDir/verify_summary.json"), summary)
+    // the FILE additionally carries this run's dumped-entry names so the
+    // gate script can ignore stale q* dirs left in a reused OUTDIR by a
+    // previous round's renamed/removed entries (round-17 advice); the
+    // printed line stays short — the driver's stdout tail budget is
+    // finite
+    val summaryFile = summary.dropRight(1) +
+      s""","verify_ok_names":${okNames.sorted.map(q).mkString("[", ",", "]")}}"""
+    Files.writeString(Paths.get(s"$outDir/verify_summary.json"), summaryFile)
     spark.stop()
     println(summary)
     System.out.flush()

@@ -174,6 +174,88 @@ object IvfIndex {
     }
   }
 
+  /** Quantizer-DRIFT monitor for a stream-maintained IVF index: mean
+    * distance to the assigned centroid, RESIDENT base vs STREAMED
+    * blocks. Streamed rows are encoded by the FROZEN coarse quantizer,
+    * so when the ingest distribution drifts the streamed rows land in
+    * progressively worse-fitting clusters — this pair is the early
+    * signal (streamed/resident ratio grows with drift magnitude long
+    * before recall visibly decays; the measured curve is in SCALE.md's
+    * ivf_drift row). One aggregate per side over the at-rest layout, no
+    * search required. `streamed` is NaN when no stream blocks exist
+    * (nothing has arrived — no drift to measure). */
+  def servingDrift(spark: SparkSession, path: String,
+      vecCol: String): (Double, Double) = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    def meanDist(df: DataFrame): Double = {
+      val r = df.join(broadcast(cents), Seq("cluster"))
+        .agg(avg(VectorF.l2Dist(col(vecCol).cast("array<double>"),
+          col("centroid"))))
+        .head()
+      if (r.isNullAt(0)) Double.NaN else r.getDouble(0)
+    }
+    val resident = meanDist(spark.read.parquet(s"$path/assign"))
+    val streamRoot = new org.apache.hadoop.fs.Path(s"$path/assign_stream")
+    val fs = streamRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val streamed =
+      if (!fs.exists(streamRoot)) Double.NaN
+      else meanDist(spark.read.parquet(streamRoot.toString))
+    (resident, streamed)
+  }
+
+  /** REFIT-AND-RE-ENCODE compaction — the maintenance verb that closes
+    * the frozen-quantizer drift loop ([[servingDrift]] is the monitor,
+    * this is the actuator): refit the coarse quantizer on the FULL
+    * serving union (base ∪ streamed blocks), re-encode every row
+    * against the fresh centroids, and swap the layout atomically —
+    * centroids and cluster-partitioned assignment replaced, stream
+    * blocks folded in and dropped. After the swap the streamed rows are
+    * first-class residents of a quantizer that has seen them, restoring
+    * the recall the frozen encode bleeds under distribution shift
+    * (measured recovery in SCALE.md's ivf_drift row; IvfRefitSpec pins
+    * layout + row preservation + post-refit drift collapse).
+    *
+    * Contract (same maintenance window as
+    * [[Blocks.compactStreamBlocks]], which this subsumes): run ONLY
+    * while the maintenance stream is stopped AND its checkpoint fully
+    * committed — folded batch-idempotence dirs are gone afterwards, so
+    * a replaying stream would re-append. The swap is write-staging then
+    * delete-and-rename; on a real deployment the rename is a
+    * table-format manifest commit, and the `refit_stage` dir survives a
+    * crash for manual recovery. Cost: one bounded driver-side fit
+    * sample + one full re-encode scan + one partitioned rewrite — the
+    * same order as a plain compaction, which is why the refit rides the
+    * compaction window instead of earning a separate one. */
+  def refitCompact(spark: SparkSession, path: String, idCol: String,
+      vecCol: String, seed: Long = 42L, fitSample: Int = 100000,
+      balance: Boolean = false): Model = {
+    import spark.implicits._
+    val serving = loadServing(spark, path, idCol, vecCol)
+    val k = math.max(serving.centroids.length, 1)
+    val fresh = build(serving.assign.select(col(idCol), col(vecCol)),
+      idCol, vecCol, k = k, seed = seed, fitSample = fitSample,
+      balance = balance, metric = serving.metric)
+    val staging = s"$path/refit_stage"
+    fresh.centroids.toSeq.toDF("cluster", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$staging/centroids")
+    // materializes the re-encoded union INTO staging before anything
+    // live is deleted — the read side of this write still points at the
+    // live dirs
+    fresh.assign.write.mode("overwrite")
+      .partitionBy("cluster").parquet(s"$staging/assign")
+    fresh.assign.unpersist(false)
+    val conf = spark.sparkContext.hadoopConfiguration
+    def pth(s: String) = new org.apache.hadoop.fs.Path(s)
+    val fs = pth(path).getFileSystem(conf)
+    fs.delete(pth(s"$path/assign"), true)
+    fs.delete(pth(s"$path/centroids"), true)
+    fs.delete(pth(s"$path/assign_stream"), true)
+    fs.rename(pth(s"$staging/assign"), pth(s"$path/assign"))
+    fs.rename(pth(s"$staging/centroids"), pth(s"$path/centroids"))
+    fs.delete(pth(staging), true)
+    load(spark, path, idCol, vecCol)
+  }
+
   /** Balance-aware Lloyd on the (driver-side) sample — the deterministic
     * twin of the reference's GKMeans size-decay objective
     * (radient/tasks/sinks/local/_gkmeans.py:165-175: loss =

@@ -530,7 +530,10 @@ object Operators {
         .split(",").map(_.trim).filter(_.nonEmpty).toSeq
       graft.core.SkewJoin.salted(ins(0), ins(1), keys,
         saltBy = col(req(params, "saltBy", "transform/skew_join")),
-        salt = p(params, "salt", "8").toInt)
+        salt = p(params, "salt", "8").toInt,
+        // collision-aware placement targets the session's exchange
+        // width by default; override for a known different width
+        numPartitions = params.get("numPartitions").map(_.toInt))
     },
     // graph reachability with frontier-dedup termination
     // (graft.queries.Recursion.reachable — the UNION-distinct recursion
@@ -539,7 +542,12 @@ object Operators {
     // edge list, `start` the source node id; emits the reachable (node)
     // set. No depth knob — termination comes from the frontier dedup,
     // the production "what does this record link to, transitively"
-    // shape (lineage walks, link graphs, contamination spread).
+    // shape (lineage walks, link graphs, contamination spread). Each
+    // level's frontier join is SIZE-GATED: broadcast while the measured
+    // frontier fits (`broadcastMaxRows`, default derived from the
+    // session's autoBroadcastJoinThreshold), shuffle join against a
+    // once-partitioned edge snapshot above — so a web-scale frontier
+    // never builds on the driver.
     "graph_reach" -> { (_, cp) => (ins, rp) =>
       val params = cp ++ rp
       val src = p(params, "srcCol", "src")
@@ -547,7 +555,8 @@ object Operators {
       graft.queries.Recursion.reachable(
         ins.head.select(col(src).cast("long").as("src"),
           col(dst).cast("long").as("dst")),
-        req(params, "start", "transform/graph_reach").toLong)
+        req(params, "start", "transform/graph_reach").toLong,
+        broadcastMaxRows = params.get("broadcastMaxRows").map(_.toLong))
     })
 
   /** Vectorizers — add an embedding column / rows. */
@@ -699,6 +708,21 @@ object Operators {
       val partCols = p(params, "partitionBy", "tree,leaf")
         .split(",").map(_.trim).filter(_.nonEmpty).toIndexedSeq
       graft.index.Blocks.compactStreamBlocks(spark, path, partCols)
+      spark.read.parquet(s"$path/assign")
+    },
+    // refit_compact_index (round 17 — the quantizer-drift actuator):
+    // refit the IVF coarse quantizer on base ∪ streamed blocks,
+    // re-encode, and atomically swap (IvfIndex.refitCompact — subsumes
+    // compact_index_blocks for IVF layouts). Same maintenance-window
+    // contract as the plain compaction: stream stopped, checkpoint
+    // committed. Returns the re-read (re-encoded) assignment.
+    "refit_compact_index" -> { (spark, cp) => (_, rp) =>
+      val params = cp ++ rp
+      val path = req(params, "path", "sink/refit_compact_index")
+      graft.index.IvfIndex.refitCompact(spark, path,
+        p(params, "idCol", "vec_id"), p(params, "vecCol", "embedding"),
+        fitSample = p(params, "fitSample", "100000").toInt,
+        balance = p(params, "balance", "false").toBoolean)
       spark.read.parquet(s"$path/assign")
     },
     // index-tier sinks — the reference's make_operator("sink", "local")

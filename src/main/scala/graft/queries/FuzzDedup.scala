@@ -212,13 +212,25 @@ object FuzzDedup {
         } catch { case _: java.io.IOException => () }
       // the drawn bucket count holds for the WHOLE replay (baked into
       // state at write time — a mid-replay change would split the
-      // posting layout); restored in the finally
+      // posting layout); restored in the finally. The override window is
+      // held under StreamDedup.layoutOverrideLock: PostBuckets is a
+      // process-global read at every state write/read, so overlapping
+      // replays (or any concurrent dedup stream in this JVM) must be
+      // impossible by construction, not by test-ordering accident
+      // (round-17 advice)
+      StreamDedup.layoutOverrideLock.synchronized {
       val prevPb = sys.props.get("graft.postBuckets")
       sys.props("graft.postBuckets") = postBuckets.toString
       var q = attach()
       try {
         chunkFiles.zipWithIndex.foreach { case (f, i) =>
-          val cadenceFold = foldEvery.exists(k => i > 0 && i % k == 0)
+          // the drawn restart boundary OWNS its fold decision: when the
+          // draw says restart WITHOUT a fold, the cadence must not fold
+          // there either, or the no-fold recovery path (resume over
+          // unfolded live state) silently stops being exercised on
+          // seeds where the boundaries coincide (round-17 advice)
+          val cadenceFold = foldEvery.exists(k => i > 0 && i % k == 0) &&
+            !(restartAfter.contains(i) && !foldAtRestart)
           if (restartAfter.contains(i) || cadenceFold) {
             q.stop()
             if (cadenceFold || (restartAfter.contains(i) && foldAtRestart))
@@ -248,6 +260,7 @@ object FuzzDedup {
         s.conf.set("spark.sql.files.maxPartitionBytes", prevSplit)
         Seq(ck, landing, landStage, root).foreach(rmTree)
       }
+      } // layoutOverrideLock
     }
 
     // ---- batch twin: ntile chunks + earlier-chunk window joins --------

@@ -227,32 +227,70 @@ object Recursion {
   /** Distributed frontier-dedup reachability — UNION-distinct recursion
     * semantics composed from existing operators, since Spark's UnionLoop
     * executes UNION ALL only (see [[q_recursive_reach]]). Level-synchronous
-    * BFS: per level ONE equi-join of the edge table against the (bounded,
-    * broadcast) frontier plus one anti-join against the visited set, both
-    * distributed; the driver holds only the loop counter. Iteration count
-    * is the graph's eccentricity from the start set — a property of the
-    * topology, not the row count, exactly like UnionLoop's level count —
-    * and `localCheckpoint` truncates lineage each level so plans stay
-    * O(1) deep instead of O(levels). At 100 TB the frontier of a real
-    * web/citation graph can outgrow a broadcast: drop the `broadcast`
-    * hints and the same loop runs as shuffle joins per level (the
-    * visited-set anti-join already does); for diameter-bound pathologies
-    * (long chains) the pointer-jumping doubling of
-    * [[graft.dedup.ConnectedComponents]] is the O(log n)-round
-    * alternative. */
-  private[graft] def reachable(edges: DataFrame, startNode: Long): DataFrame = {
+    * BFS: per level ONE equi-join of the edge table against the frontier
+    * plus one anti-join against the visited set, both distributed; the
+    * driver holds only the loop counter and the frontier's row COUNT.
+    * Iteration count is the graph's eccentricity from the start set — a
+    * property of the topology, not the row count, exactly like
+    * UnionLoop's level count — and `localCheckpoint` truncates lineage
+    * each level so plans stay O(1) deep instead of O(levels).
+    *
+    * SIZE-GATED frontier strategy (round 17, the
+    * `chooseContainStrategy` discipline): the frontier of a real
+    * web/citation graph can outgrow a broadcast (8 GB hard cap, driver
+    * OOM before that), so each level picks by the measured frontier
+    * count — BROADCAST the frontier while it fits
+    * (`broadcastMaxRows`, defaulting to the session's
+    * `autoBroadcastJoinThreshold` at 16 bytes/node id, 0 when broadcast
+    * is disabled), SHUFFLE join above. The first time the gate flips to
+    * shuffle, the edge table is hash-partitioned by `src` ONCE and
+    * checkpointed — `LogicalRDD` preserves the physical partitioning,
+    * so every later level's join moves only the frontier while the
+    * (static, huge) edge side stays put: per-level cost is O(frontier)
+    * shuffle, never O(edges). The count that drives the gate is the
+    * same count the loop's termination already needs. For
+    * diameter-bound pathologies (long chains) the pointer-jumping
+    * doubling of [[graft.dedup.ConnectedComponents]] is the
+    * O(log n)-round alternative. RecursionSpec pins that both branches
+    * produce identical reach sets; SCALE.md's `reach_fixture` row
+    * measures the gate firing on a 12M-edge random digraph whose
+    * frontier crosses 10⁶ nodes. */
+  private[graft] def reachable(edges: DataFrame, startNode: Long,
+      broadcastMaxRows: Option[Long] = None): DataFrame = {
     val spark = edges.sparkSession
+    val maxRows = broadcastMaxRows.getOrElse {
+      val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val bytes =
+        try {
+          if (thr.trim.startsWith("-")) -1L
+          else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(thr)
+        } catch { case _: Throwable => 10L * 1024 * 1024 }
+      if (bytes <= 0) 0L else bytes / 16
+    }
+    // partitioned-by-src edge snapshot, built lazily on first shuffle-mode
+    // level; the checkpoint pins HashPartitioning(src) so later levels
+    // reuse it exchange-free
+    var edgesBySrc: DataFrame = null
     var seen = spark.range(1).select(lit(startNode).as("node"))
       .localCheckpoint()
     var frontier = seen
+    var frontierRows = 1L
     var more = true
     while (more) {
-      val next = edges
-        .join(broadcast(frontier.select(col("node").as("src"))), Seq("src"))
+      val fk = frontier.select(col("node").as("src"))
+      val stepped =
+        if (frontierRows <= maxRows) edges.join(broadcast(fk), Seq("src"))
+        else {
+          if (edgesBySrc == null)
+            edgesBySrc = edges.repartition(col("src")).localCheckpoint()
+          edgesBySrc.join(fk, Seq("src"))
+        }
+      val next = stepped
         .select(col("dst").as("node")).distinct()
         .join(seen, Seq("node"), "left_anti")
         .localCheckpoint()
-      more = next.limit(1).count() > 0
+      frontierRows = next.count()
+      more = frontierRows > 0
       if (more) {
         seen = seen.unionByName(next).localCheckpoint()
         frontier = next

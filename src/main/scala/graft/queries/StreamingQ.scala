@@ -791,7 +791,7 @@ object StreamingQ {
     * 4 micro-batches through [[graft.streaming.IndexMaintain
     * .maintainIvf]] — each batch encodes against the FROZEN centroids
     * and lands as an idempotent batch block. */
-  private def maintainedIvfIndexPath(s: SparkSession, dir: String): String =
+  private[graft] def maintainedIvfIndexPath(s: SparkSession, dir: String): String =
     graft.core.Caches.memoized(s, dir, idxIvfMemo) {
       import graft.index.IvfIndex
       val e = graft.core.Tables.spread(

@@ -329,6 +329,18 @@ object StreamDedup {
   private[streaming] def PostBuckets: Int =
     sys.props.get("graft.postBuckets").map(_.toInt).getOrElse(256)
 
+  /** Serializes replays that OVERRIDE the process-global posting-layout
+    * property above. `PostBuckets` is read at every state write AND
+    * read, so a concurrent dedup stream in the same JVM would observe
+    * an override window's drawn bucket count and write state with a
+    * foreign layout. Production streams never set the property (they
+    * see the stable default); anything that DOES override it for a
+    * bounded window — the fuzz replays' layout axis — must hold this
+    * lock from set to restore, making overlapping override windows
+    * impossible by construction rather than by test-ordering accident
+    * (round-17 advice). */
+  private[graft] val layoutOverrideLock = new Object
+
   private def postBucket(g: Column): Column =
     pmod(g, lit(PostBuckets.toLong)).cast("int")
 

@@ -34,6 +34,43 @@ class SkewJoinSpec extends AnyFunSuite {
     assert(out == Set(Seq(1L, "a", "p"), Seq(1L, "c", "p"), Seq(2L, "b", "q")))
   }
 
+  test("collision-aware salt: every key's slices occupy salt DISTINCT " +
+      "shuffle partitions where the naive 0..salt-1 ids collide") {
+    import graft.functions.SaltSelect
+    val P = 16
+    val salt = 8
+    val keys = spark.range(200).select(col("id").as("k"))
+    def spread(saltVals: org.apache.spark.sql.Column): Map[Long, Long] =
+      keys.withColumn("__salt", explode(saltVals))
+        // the same exchange the salted join's shuffle builds:
+        // HashPartitioning(k, __salt) at width P
+        .repartition(P, col("k"), col("__salt"))
+        .select(col("k"), spark_partition_id().as("p"))
+        .groupBy("k").agg(countDistinct(col("p")).as("np"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val aware = spread(transform(sequence(lit(0), lit(salt - 1)),
+      i => SaltSelect(hash(col("k")), i, salt, P)))
+    assert(aware.values.forall(_ == salt.toLong),
+      s"every key must spread over exactly $salt partitions, got " +
+        aware.values.groupBy(identity).view.mapValues(_.size).toMap)
+    // the birthday problem the selection exists to kill: with plain ids
+    // 0..7 hashed into 16 partitions, most keys lose partitions
+    val naive = spread(sequence(lit(0), lit(salt - 1)))
+    assert(naive.values.exists(_ < salt.toLong),
+      "naive salt ids were collision-free on 200 keys — partition model changed?")
+  }
+
+  test("salt values stay pairwise distinct per key (row identity), even salt > P") {
+    import graft.functions.SaltSelect
+    val vals = spark.range(100)
+      .select(transform(sequence(lit(0), lit(19)),
+        i => SaltSelect(hash(col("id")), i, 20, 8)).as("vs"))
+      .select(size(array_distinct(col("vs"))).as("n"))
+      .agg(min(col("n"))).head().getInt(0)
+    assert(vals == 20,
+      "SaltSelect must emit pairwise-distinct candidates per key or the join duplicates rows")
+  }
+
   test("every salt bucket of a hot key finds its small-side match") {
     import spark.implicits._
     val big = spark.range(1000).select(col("id"), lit(42L).as("k"))

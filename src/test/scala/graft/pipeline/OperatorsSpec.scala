@@ -682,6 +682,16 @@ class OperatorsSpec extends AnyFunSuite {
       Operators.make(spark, "transform", "skew_join",
         Map("keys" -> "k", "saltBy" -> "rid"))(Seq(big), Map.empty)
     }
+    // salt/numPartitions params thread through and stay row-identical:
+    // collision-aware placement is a shuffle-layout property, never a
+    // result property
+    for ((s, np) <- Seq(("6", Some("12")), ("3", None))) {
+      val out2 = Operators.make(spark, "transform", "skew_join",
+        Map("keys" -> "k", "saltBy" -> "rid", "salt" -> s) ++
+          np.map("numPartitions" -> _))(Seq(big, small), Map.empty)
+      assert(out2.exceptAll(want).isEmpty && want.exceptAll(out2).isEmpty,
+        s"salt=$s numPartitions=$np must stay row-identical")
+    }
     ()
   }
 

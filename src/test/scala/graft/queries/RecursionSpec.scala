@@ -115,6 +115,48 @@ class RecursionSpec extends AnyFunSuite {
       s"reachable set $got != closure $seen")
   }
 
+  test("frontier size gate: broadcast and shuffle branches produce " +
+      "identical reach sets") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val nk = graft.core.Tables(spark, dir, "nation")
+      .select(col("n_nationkey").cast("long").as("k"))
+    val edges = nk.select(col("k").as("src"), expr("k * 2 % 25").as("dst"))
+      .unionByName(nk.select(col("k").as("src"), expr("k * 7 % 25").as("dst")))
+    def reachSet(maxRows: Option[Long]): Set[Long] =
+      Recursion.reachable(edges, 5L, maxRows)
+        .collect().map(_.getLong(0)).toSet
+    val viaBroadcast = reachSet(Some(Long.MaxValue)) // every level broadcasts
+    val viaShuffle = reachSet(Some(0L)) // gate trips immediately: all shuffle
+    val viaDefault = reachSet(None)
+    assert(viaBroadcast == Set(5L, 10L, 15L, 20L))
+    assert(viaShuffle == viaBroadcast,
+      s"shuffle branch diverged: $viaShuffle vs $viaBroadcast")
+    assert(viaDefault == viaBroadcast)
+  }
+
+  test("shuffle-mode edge snapshot: the checkpointed repartition(src) " +
+      "pins its partitioning, so the per-level join moves only the frontier") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.SparkPlan
+    val edges = spark.range(1000).select(
+      col("id").as("src"), ((col("id") * 3) % 1000).as("dst"))
+      .repartition(col("src")).localCheckpoint()
+    val frontier = spark.range(10).select(col("id").as("src"))
+    val joined = edges.join(frontier, Seq("src"))
+    joined.count()
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
+      case _ => p +: p.children.flatMap(flatten)
+    }
+    val shuffles = flatten(joined.queryExecution.executedPlan)
+      .collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size <= 1,
+      s"expected at most the frontier-side exchange, got ${shuffles.size}: " +
+        shuffles.map(_.outputPartitioning).mkString("; "))
+  }
+
   test("ENGINE BOUNDARY: Spark still rejects UNION-distinct recursion " +
       "(UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE) — when this test fails, " +
       "Spark learned it and q_recursive_reach should go native") {
