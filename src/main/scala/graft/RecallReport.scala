@@ -367,10 +367,14 @@ object RecallReport {
   private[graft] val lshPairRecallFloor: Double = 0.97
   private[graft] val hllMaxRelErrCeil: Double = 0.01
   // streamed/resident mean-centroid-distance ratio for the maintained
-  // IVF serving union: ~1.02 measured at sf0.1 on the undrifted corpus
-  // (same-distribution ingest); SCALE.md's drift curve shows recall
-  // still ≥0.90 at ratio ~1.15, so 1.15 is the "investigate / schedule
-  // refit_compact" line, comfortably before measured decay
+  // IVF serving union: 1.01 measured on the undrifted corpus (drift
+  // fixture d=0, same-distribution ingest). SCALE.md's measured curve:
+  // at the entries' nprobe-6 serving knob recall stays FLAT
+  // (0.915-0.921) even at ratio 1.57, while the tight nprobe-2 regime
+  // starts bleeding near ratio ~1.2 (0.473 → 0.436) — so 1.15 is the
+  // "investigate / schedule refit_compact" line: past the undrifted
+  // band, at the knee where tight-probe quality starts moving, well
+  // before the serving knob ever does
   private[graft] val ivfDriftRatioCeil: Double = 1.15
   // GK accuracy 10000 → rank error ≤ n/10⁴; on the l_quantity integer
   // domain (1..50) one rank step near a percentile moves the value at
