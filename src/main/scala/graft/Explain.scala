@@ -34,14 +34,26 @@ object Explain {
     // run's caches and understate the time.
     val timeOnly = args.contains("--time-only")
     val warm = args.contains("--warm")
+    // --reps=N: N timed invocations after the warm pass, every wall
+    // printed plus the min — the bench's min-under-asymmetric-noise
+    // estimator for standalone A/B experiments on a bursty host
+    val reps = args.find(_.startsWith("--reps="))
+      .map(_.stripPrefix("--reps=").toInt).getOrElse(1)
     names.foreach { name =>
       if (warm) SparkEntry.queries(name)(spark, sfDir).count()
-      val t0 = System.nanoTime()
-      val df = SparkEntry.queries(name)(spark, sfDir)
-      if (!timeOnly) df.explain("formatted")
-      val n = df.count()
+      val walls = (1 to reps).map { _ =>
+        System.gc()
+        val t0 = System.nanoTime()
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        if (!timeOnly) df.explain("formatted")
+        val n = df.count()
+        (n, (System.nanoTime() - t0) / 1e9)
+      }
+      val n = walls.head._1
       val label = if (timeOnly) "" else " (incl. explain)"
-      println(f"[explain] $name rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2f s$label")
+      val all = walls.map(w => f"${w._2}%.2f").mkString(",")
+      println(f"[explain] $name rows=$n time=${walls.map(_._2).min}%.2f s$label" +
+        (if (reps > 1) s" reps=[$all]" else ""))
     }
     spark.stop()
   }

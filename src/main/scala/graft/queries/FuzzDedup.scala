@@ -170,14 +170,10 @@ object FuzzDedup {
         .toSeq.filter(_.getFileName.toString.endsWith(".parquet"))
         .sortBy(_.getFileName.toString)
       val schema = s.read.parquet(stagedDir.toString).schema
-      val landing = java.nio.file.Files.createTempDirectory("graft_fzdd_land")
-      val landStage = java.nio.file.Files.createTempDirectory("graft_fzdd_stg")
-      val root = java.nio.file.Files.createTempDirectory("graft_fzdd")
-      val shm = java.nio.file.Paths.get("/dev/shm")
-      val ckBase = if (java.nio.file.Files.isDirectory(shm) &&
-          java.nio.file.Files.isWritable(shm)) shm
-        else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-      val ck = java.nio.file.Files.createTempDirectory(ckBase, "graft_fzdd_ck")
+      val landing = graft.core.Scratch.tempDir("graft_fzdd_land")
+      val landStage = graft.core.Scratch.tempDir("graft_fzdd_stg")
+      val root = graft.core.Scratch.tempDir("graft_fzdd")
+      val ck = graft.core.Scratch.tempDir("graft_fzdd_ck")
       def attach(): org.apache.spark.sql.streaming.StreamingQuery = {
         val stream = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1")

@@ -76,7 +76,7 @@ object StreamingQ {
       tag: String, numFiles: Int = 4): DataFrame = {
     val landing = stagedMemo.computeIfAbsent(s"$dir#doc#$tag#$numFiles",
       _ => stageFrameChunks(graft.core.Tables(s, dir, "documents"),
-        Seq(col("doc_id")), tag, numFiles, blockBytes = Some(64L * 1024)))
+        Seq(col("doc_id")), tag, numFiles, blockBytes = Some(16L * 1024)))
     s.readStream.schema(s.read.parquet(landing.toString).schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(landing.toString)
@@ -92,7 +92,7 @@ object StreamingQ {
     // landing registered for deleteOnExit BEFORE its files: deleteOnExit
     // runs in reverse registration order, so the chunk files go first and
     // the by-then-empty directory last
-    val landing = java.nio.file.Files.createTempDirectory(s"graft_stream_$tag")
+    val landing = graft.core.Scratch.tempDir(s"graft_stream_$tag")
     landing.toFile.deleteOnExit()
     // equal-count chronological chunks (single-partition window sort:
     // harness staging over the bounded replay corpus, not engine path)
@@ -129,6 +129,16 @@ object StreamingQ {
     landing
   }
 
+  // Stateful-parallelism note (round-17 measurement): raising the
+  // interval joins' / sessionization's state partitions toward the core
+  // count was MEASURED AND REJECTED — min-of-3 standalone walls at
+  // {4, 8, 32} partitions were {15.4, 13.9, 16.2} s (inner join),
+  // {17.7, 18.4, 24.4} (left outer), {18.9, 16.0, 40.0} (full outer):
+  // per-partition state-store fixed costs (provider init, version
+  // cloning, delta commit per store per trigger) dominate long before
+  // row throughput does at this batch size, so the r16 sizing — a small
+  // fixed count tracking state, not cores — stands for every stateful
+  // entry here.
   val q_stream_windowed = Q(
     "q_stream_windowed",
     (s, dir) => {
@@ -404,7 +414,7 @@ object StreamingQ {
         .select(col("user_id"), col("w.start").as("start_ts"),
           col("w.end").as("end_ts"), col("n_events"), col("sum_value"))
       // session state partitions sized to key cardinality, like
-      // q_stream_windowed (see the note there)
+      // q_stream_windowed (see the notes there)
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
       try Streams.runToMemory(sess, "q_stream_sessions_sink", OutputMode.Append())
@@ -567,7 +577,7 @@ object StreamingQ {
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       val prevSplit = s.conf.get("spark.sql.files.maxPartitionBytes")
       s.conf.set("spark.sql.shuffle.partitions", "4")
-      s.conf.set("spark.sql.files.maxPartitionBytes", (64 * 1024).toString)
+      s.conf.set("spark.sql.files.maxPartitionBytes", (16 * 1024).toString)
       try Streams.runToMemory(dd, "q_stream_curate_sink", OutputMode.Complete())
         .orderBy(col("doc_id"))
       finally {
@@ -683,7 +693,7 @@ object StreamingQ {
         graft.core.Tables(s, dir, "embeddings"))
       val model = GannIndex.build(e.filter(col("vec_id") % 4 =!= 0),
         "vec_id", "embedding", leafSize = 200, spill = 0.15, nTrees = 3)
-      val path = java.nio.file.Files.createTempDirectory("graft_stream_idx")
+      val path = graft.core.Scratch.tempDir("graft_stream_idx")
       path.toFile.deleteOnExit()
       GannIndex.save(model, path.toString)
       val landing = stageFrameChunks(
@@ -694,7 +704,7 @@ object StreamingQ {
         .schema(s.read.parquet(landing.toString).schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(landing.toString)
-      val ck = java.nio.file.Files.createTempDirectory("graft_stream_idx_ck")
+      val ck = graft.core.Scratch.tempDir("graft_stream_idx_ck")
       ck.toFile.deleteOnExit()
       val q = graft.streaming.IndexMaintain.maintainGann(
         stream, model, path.toString, ck.toString)
@@ -798,7 +808,7 @@ object StreamingQ {
         graft.core.Tables(s, dir, "embeddings"))
       val model = IvfIndex.build(e.filter(col("vec_id") % 4 =!= 0),
         "vec_id", "embedding", k = 8)
-      val path = java.nio.file.Files.createTempDirectory("graft_stream_ivfidx")
+      val path = graft.core.Scratch.tempDir("graft_stream_ivfidx")
       path.toFile.deleteOnExit()
       IvfIndex.save(model, path.toString)
       val landing = stageFrameChunks(
@@ -809,7 +819,7 @@ object StreamingQ {
         .schema(s.read.parquet(landing.toString).schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(landing.toString)
-      val ck = java.nio.file.Files.createTempDirectory("graft_stream_ivfidx_ck")
+      val ck = graft.core.Scratch.tempDir("graft_stream_ivfidx_ck")
       ck.toFile.deleteOnExit()
       val q = graft.streaming.IndexMaintain.maintainIvf(
         stream, model, path.toString, ck.toString)
@@ -886,13 +896,9 @@ object StreamingQ {
     (s, dir) => {
       val stream = stagedDocStream(s, dir, "lshdedup")
       // fresh state root per invocation — the replay IS the entry
-      val root = java.nio.file.Files.createTempDirectory("graft_lshdd")
+      val root = graft.core.Scratch.tempDir("graft_lshdd")
       root.toFile.deleteOnExit()
-      val shm = java.nio.file.Paths.get("/dev/shm")
-      val ckBase = if (java.nio.file.Files.isDirectory(shm) &&
-          java.nio.file.Files.isWritable(shm)) shm
-        else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-      val ck = java.nio.file.Files.createTempDirectory(ckBase, "graft_lshdd_ck")
+      val ck = graft.core.Scratch.tempDir("graft_lshdd_ck")
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       val prevSplit = s.conf.get("spark.sql.files.maxPartitionBytes")
       s.conf.set("spark.sql.shuffle.partitions", "4")
@@ -900,7 +906,7 @@ object StreamingQ {
       // micro-batch (the q_stream_domain_cap discipline: a one-file
       // chunk is otherwise ONE scan split and the per-doc kernel runs
       // on a single core)
-      s.conf.set("spark.sql.files.maxPartitionBytes", (64 * 1024).toString)
+      s.conf.set("spark.sql.files.maxPartitionBytes", (16 * 1024).toString)
       val q = graft.streaming.StreamDedup.lshAdmit(
         stream, root.toString, ck.toString)
       try { q.processAllAvailable() } finally {
@@ -976,13 +982,9 @@ object StreamingQ {
     "q_stream_dedup_winnow",
     (s, dir) => {
       val stream = stagedDocStream(s, dir, "winnowdedup")
-      val root = java.nio.file.Files.createTempDirectory("graft_wndd")
+      val root = graft.core.Scratch.tempDir("graft_wndd")
       root.toFile.deleteOnExit()
-      val shm = java.nio.file.Paths.get("/dev/shm")
-      val ckBase = if (java.nio.file.Files.isDirectory(shm) &&
-          java.nio.file.Files.isWritable(shm)) shm
-        else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-      val ck = java.nio.file.Files.createTempDirectory(ckBase, "graft_wndd_ck")
+      val ck = graft.core.Scratch.tempDir("graft_wndd_ck")
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       val prevSplit = s.conf.get("spark.sql.files.maxPartitionBytes")
       s.conf.set("spark.sql.shuffle.partitions", "4")
@@ -991,7 +993,7 @@ object StreamingQ {
       // one-file chunk is otherwise ONE scan split running it on a
       // single core (measured 2.7 s/batch single-split vs ~1 s split —
       // the q_stream_domain_cap discipline)
-      s.conf.set("spark.sql.files.maxPartitionBytes", (64 * 1024).toString)
+      s.conf.set("spark.sql.files.maxPartitionBytes", (16 * 1024).toString)
       val q = graft.streaming.StreamDedup.winnowAdmit(
         stream, root.toString, ck.toString)
       try { q.processAllAvailable() } finally {
@@ -1057,19 +1059,15 @@ object StreamingQ {
     "q_stream_dedup_containment",
     (s, dir) => {
       val stream = stagedDocStream(s, dir, "containdedup")
-      val root = java.nio.file.Files.createTempDirectory("graft_ctdd")
+      val root = graft.core.Scratch.tempDir("graft_ctdd")
       root.toFile.deleteOnExit()
-      val shm = java.nio.file.Paths.get("/dev/shm")
-      val ckBase = if (java.nio.file.Files.isDirectory(shm) &&
-          java.nio.file.Files.isWritable(shm)) shm
-        else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-      val ck = java.nio.file.Files.createTempDirectory(ckBase, "graft_ctdd_ck")
+      val ck = graft.core.Scratch.tempDir("graft_ctdd_ck")
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       val prevSplit = s.conf.get("spark.sql.files.maxPartitionBytes")
       s.conf.set("spark.sql.shuffle.partitions", "4")
       // scan-split cap: the per-doc shingle kernel parallelizes per
       // micro-batch (the q_stream_domain_cap discipline)
-      s.conf.set("spark.sql.files.maxPartitionBytes", (64 * 1024).toString)
+      s.conf.set("spark.sql.files.maxPartitionBytes", (16 * 1024).toString)
       val q = graft.streaming.StreamDedup.containAdmit(
         stream, root.toString, ck.toString)
       try { q.processAllAvailable() } finally {
@@ -1123,19 +1121,15 @@ object StreamingQ {
     "q_stream_dedup_ladder",
     (s, dir) => {
       val stream = stagedDocStream(s, dir, "ladderdedup")
-      val root = java.nio.file.Files.createTempDirectory("graft_lddd")
+      val root = graft.core.Scratch.tempDir("graft_lddd")
       root.toFile.deleteOnExit()
-      val shm = java.nio.file.Paths.get("/dev/shm")
-      val ckBase = if (java.nio.file.Files.isDirectory(shm) &&
-          java.nio.file.Files.isWritable(shm)) shm
-        else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-      val ck = java.nio.file.Files.createTempDirectory(ckBase, "graft_lddd_ck")
+      val ck = graft.core.Scratch.tempDir("graft_lddd_ck")
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       val prevSplit = s.conf.get("spark.sql.files.maxPartitionBytes")
       s.conf.set("spark.sql.shuffle.partitions", "4")
       // scan-split cap: the per-doc shingle/minhash/fingerprint kernels
       // parallelize per micro-batch (the q_stream_domain_cap discipline)
-      s.conf.set("spark.sql.files.maxPartitionBytes", (64 * 1024).toString)
+      s.conf.set("spark.sql.files.maxPartitionBytes", (16 * 1024).toString)
       val q = graft.streaming.StreamDedup.ladderAdmit(
         stream, root.toString, ck.toString)
       try { q.processAllAvailable() } finally {
@@ -1239,7 +1233,7 @@ object StreamingQ {
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       val prevSplit = s.conf.get("spark.sql.files.maxPartitionBytes")
       s.conf.set("spark.sql.shuffle.partitions", "4")
-      s.conf.set("spark.sql.files.maxPartitionBytes", (64 * 1024).toString)
+      s.conf.set("spark.sql.files.maxPartitionBytes", (16 * 1024).toString)
       try Corpus.domainCapUnpack(
         Streams.runToMemory(top, "q_stream_domain_cap_sink",
           OutputMode.Complete()))

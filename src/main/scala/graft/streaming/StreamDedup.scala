@@ -82,6 +82,45 @@ object StreamDedup {
   private def bandsRoot(stateRoot: String) = s"$stateRoot/bands"
   private def shRoot(stateRoot: String) = s"$stateRoot/sh"
 
+  /** Small daemon pool for OVERLAPPING the independent per-batch state
+    * writes (guide §2.6 "overlap independent jobs"): each admission
+    * trigger lands several MUTUALLY INDEPENDENT state kinds (hashes,
+    * bands, sh, fps, post — distinct directories, all derived from the
+    * batch's cached kernel frames), and running them as sequential
+    * driver actions leaves the cluster idle through each job's tail and
+    * commit. The pool submits them concurrently; nothing reads these
+    * dirs until the NEXT trigger (the admitted write — the only
+    * consumer-ordered action — has already completed when these fire),
+    * and an at-least-once replay overwrites the same batch-keyed dirs
+    * whatever order the writes landed in, so exactly-once semantics are
+    * unchanged. Sized well below the core count: 2-3 jobs in flight
+    * fills the tail without fighting the next trigger. */
+  private lazy val writePool = java.util.concurrent.Executors.newFixedThreadPool(
+    4,
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-state-write")
+      t.setDaemon(true)
+      t
+    })
+
+  /** Run the named state writes concurrently on [[writePool]] and wait;
+    * the first failure propagates (the foreachBatch fails and the
+    * trigger retries, exactly as a sequential write failure would).
+    * Job descriptions are thread-local, so each write labels its own
+    * jobs in the UI. */
+  private def writeAll(sp: SparkSession,
+      writes: Seq[(String, () => Unit)]): Unit = {
+    val futs = writes.map { case (label, w) =>
+      writePool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = {
+          sp.sparkContext.setJobDescription(label)
+          try w() finally sp.sparkContext.setJobDescription(null)
+        }
+      })
+    }
+    futs.foreach(_.get())
+  }
+
   private def exists(sp: SparkSession, dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir)
     p.getFileSystem(sp.sparkContext.hadoopConfiguration).exists(p)
@@ -422,12 +461,18 @@ object StreamDedup {
               else containMatched(d, post, psh, tauNum, tauDen)
             case _ => sp.range(0).select(col("id").as("doc_id"))
           }
+          sp.sparkContext.setJobDescription(s"contain b$batchId: admit")
           batch.toDF().select(col("doc_id"))
             .join(broadcast(matched), Seq("doc_id"), "left_anti")
             .write.mode("overwrite").parquet(s"$outRoot/batch=${batchId + 1}")
-          writePostState(d, stateRoot, batchId)
-          d.select(col("doc_id"), col("sh"), col("nsh"))
-            .write.mode("overwrite").parquet(s"$stateRoot/sh/batch=$batchId")
+          sp.sparkContext.setJobDescription(null)
+          writeAll(sp, Seq(
+            (s"contain b$batchId: post", () =>
+              writePostState(d, stateRoot, batchId)),
+            (s"contain b$batchId: sh", () =>
+              d.select(col("doc_id"), col("sh"), col("nsh"))
+                .write.mode("overwrite")
+                .parquet(s"$stateRoot/sh/batch=$batchId"))))
         } finally { d.unpersist(); () }
         ()
       }
@@ -462,16 +507,22 @@ object StreamDedup {
           // `batch` is NOT a data column in the live dirs — it comes
           // back from the partition dir key on read (a same-named data
           // column would collide with partition discovery)
+          sp.sparkContext.setJobDescription(s"lsh b$batchId: admit")
           batch.toDF().select(col("doc_id"))
             .join(broadcast(matched), Seq("doc_id"), "left_anti")
             .write.mode("overwrite").parquet(s"$outRoot/batch=${batchId + 1}")
+          sp.sparkContext.setJobDescription(null)
           // state append AFTER the match (an at-least-once replay
           // overwrites these same dirs; the batch< filter above makes
-          // the replay blind to them)
-          banded.write.mode("overwrite")
-            .parquet(s"${bandsRoot(stateRoot)}/batch=$batchId")
-          d.select(col("doc_id"), col("sh"), col("nsh"))
-            .write.mode("overwrite").parquet(s"${shRoot(stateRoot)}/batch=$batchId")
+          // the replay blind to them) — the two kinds are independent,
+          // so they land concurrently (see writeAll)
+          writeAll(sp, Seq(
+            (s"lsh b$batchId: bands", () => banded.write.mode("overwrite")
+              .parquet(s"${bandsRoot(stateRoot)}/batch=$batchId")),
+            (s"lsh b$batchId: sh", () =>
+              d.select(col("doc_id"), col("sh"), col("nsh"))
+                .write.mode("overwrite")
+                .parquet(s"${shRoot(stateRoot)}/batch=$batchId"))))
         } finally { d.unpersist(); banded.unpersist() }
         ()
       }
@@ -535,11 +586,14 @@ object StreamDedup {
             readState(sp, stateRoot, "fps", batchId, Seq("doc_id", "fp"))
               .map(winnowMatched(bfps, _, maxDf, minShared))
               .getOrElse(sp.range(0).select(col("id").as("doc_id")))
+          sp.sparkContext.setJobDescription(s"winnow b$batchId: admit")
           batch.toDF().select(col("doc_id"))
             .join(broadcast(matched), Seq("doc_id"), "left_anti")
             .write.mode("overwrite").parquet(s"$outRoot/batch=${batchId + 1}")
+          sp.sparkContext.setJobDescription(s"winnow b$batchId: fps")
           bfps.write.mode("overwrite")
             .parquet(s"$stateRoot/fps/batch=$batchId")
+          sp.sparkContext.setJobDescription(null)
         } finally { bfps.unpersist(); () }
         ()
       }
@@ -619,18 +673,26 @@ object StreamDedup {
           }
           val matched = exactM.unionByName(lshM).unionByName(winM)
             .unionByName(conM).distinct()
+          sp.sparkContext.setJobDescription(s"ladder b$batchId: admit")
           b.select(col("doc_id"))
             .join(broadcast(matched), Seq("doc_id"), "left_anti")
             .write.mode("overwrite").parquet(s"$outRoot/batch=${batchId + 1}")
-          bh.write.mode("overwrite")
-            .parquet(s"$stateRoot/hashes/batch=$batchId")
-          banded.write.mode("overwrite")
-            .parquet(s"${bandsRoot(stateRoot)}/batch=$batchId")
-          d.select(col("doc_id"), col("sh"), col("nsh"))
-            .write.mode("overwrite").parquet(s"${shRoot(stateRoot)}/batch=$batchId")
-          bfps.write.mode("overwrite")
-            .parquet(s"$stateRoot/fps/batch=$batchId")
-          writePostState(d, stateRoot, batchId)
+          sp.sparkContext.setJobDescription(null)
+          // five independent state kinds — land them concurrently
+          // (nothing reads them until the next trigger; see writeAll)
+          writeAll(sp, Seq(
+            (s"ladder b$batchId: hashes", () => bh.write.mode("overwrite")
+              .parquet(s"$stateRoot/hashes/batch=$batchId")),
+            (s"ladder b$batchId: bands", () => banded.write.mode("overwrite")
+              .parquet(s"${bandsRoot(stateRoot)}/batch=$batchId")),
+            (s"ladder b$batchId: sh", () =>
+              d.select(col("doc_id"), col("sh"), col("nsh"))
+                .write.mode("overwrite")
+                .parquet(s"${shRoot(stateRoot)}/batch=$batchId")),
+            (s"ladder b$batchId: fps", () => bfps.write.mode("overwrite")
+              .parquet(s"$stateRoot/fps/batch=$batchId")),
+            (s"ladder b$batchId: post", () =>
+              writePostState(d, stateRoot, batchId))))
         } finally { d.unpersist(); banded.unpersist(); bfps.unpersist(); () }
         ()
       }

@@ -125,11 +125,7 @@ object Streams {
     * run is discarded on stop, so durability buys nothing. */
   def runToMemory(df: DataFrame, name: String,
       mode: OutputMode = OutputMode.Update()): DataFrame = {
-    val shm = java.nio.file.Paths.get("/dev/shm")
-    val ckBase = if (java.nio.file.Files.isDirectory(shm) &&
-        java.nio.file.Files.isWritable(shm)) shm
-      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-    val ck = java.nio.file.Files.createTempDirectory(ckBase, s"graft_ck_$name")
+    val ck = graft.core.Scratch.tempDir(s"graft_ck_$name")
     val q = df.writeStream.outputMode(mode)
       .option("checkpointLocation", ck.toString)
       .format("memory").queryName(name).start()
