@@ -36,6 +36,8 @@ object Profile {
     } catch { case _: Throwable => () }
 
     val jobs = TrieMap.empty[Int, JobRec]
+    // stageId -> (name, task time ms, tasks, input rows-ish via records)
+    val stages = TrieMap.empty[Int, (String, Long, Long)]
     @volatile var taskTimeMs = 0L
     @volatile var taskCount = 0L
     @volatile var shufReadB = 0L
@@ -50,6 +52,10 @@ object Profile {
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit =
         jobs.get(e.jobId).foreach(_.end = e.time)
+      override def onStageSubmitted(e: SparkListenerStageSubmitted): Unit = {
+        stages.putIfAbsent(e.stageInfo.stageId,
+          (e.stageInfo.name.take(120), 0L, 0L)); ()
+      }
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
         val m = e.taskMetrics
         if (m != null) {
@@ -57,6 +63,9 @@ object Profile {
           gcMs += m.jvmGCTime
           shufReadB += m.shuffleReadMetrics.totalBytesRead
           shufWriteB += m.shuffleWriteMetrics.bytesWritten
+          stages.get(e.stageId).foreach { case (n, t, c) =>
+            stages.put(e.stageId, (n, t + m.executorRunTime, c + 1)); ()
+          }
         }
         taskCount += 1
       }
@@ -66,7 +75,7 @@ object Profile {
       val fn = SparkEntry.queries(name)
       if (!cold) { try fn(spark, sfDir).count() catch { case _: Throwable => () } }
       System.gc()
-      jobs.clear(); taskTimeMs = 0; taskCount = 0
+      jobs.clear(); stages.clear(); taskTimeMs = 0; taskCount = 0
       shufReadB = 0; shufWriteB = 0; gcMs = 0
       spark.sparkContext.addSparkListener(listener)
       val t0 = System.nanoTime()
@@ -90,6 +99,10 @@ object Profile {
       recs.sortBy(r => -(r.end - r.start)).take(15).foreach { r =>
         val d = if (r.desc.isEmpty) "" else s"  «${r.desc.take(70)}»"
         println(f"[profile]   job ${r.id}%4d ${(r.end - r.start) / 1e3}%7.3f s$d")
+      }
+      stages.toSeq.sortBy(-_._2._2).take(12).foreach {
+        case (id, (nm, t, c)) =>
+          println(f"[profile]   stage $id%4d taskTime=${t / 1e3}%7.2f s tasks=$c%3d  $nm")
       }
     }
     spark.stop()

@@ -268,7 +268,16 @@ object Operators {
         case None => scored
       }
       if (p(params, "mode", "score") == "filter")
-        ins.head.join(kept.select(col(idCol)), Seq(idCol), "left_semi")
+        // survivors CACHED (round 17): the filter stage sits mid-pipeline
+        // and every downstream stage (dedup collapse, sampling) otherwise
+        // re-derives the whole upstream chain — quality kernel, LM fit,
+        // semi-join — once per consumer (profiled: ~4 corpus passes in
+        // q_pipeline_curate2, 65 s of task time for a 3.3 s answer). The
+        // survivor set is the curated fraction of the corpus, so at scale
+        // the cache replaces full-corpus re-scans with a far smaller
+        // materialization (spillable storage; released by Caches.clear).
+        graft.core.Caches.cached(
+          ins.head.join(kept.select(col(idCol)), Seq(idCol), "left_semi"))
       else kept
     },
     // DSIR importance-resampling weights (Xie et al. 2023; the

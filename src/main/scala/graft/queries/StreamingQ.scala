@@ -577,7 +577,7 @@ object StreamingQ {
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       val prevSplit = s.conf.get("spark.sql.files.maxPartitionBytes")
       s.conf.set("spark.sql.shuffle.partitions", "4")
-      s.conf.set("spark.sql.files.maxPartitionBytes", (16 * 1024).toString)
+      s.conf.set("spark.sql.files.maxPartitionBytes", (64 * 1024).toString)
       try Streams.runToMemory(dd, "q_stream_curate_sink", OutputMode.Complete())
         .orderBy(col("doc_id"))
       finally {
@@ -906,7 +906,7 @@ object StreamingQ {
       // micro-batch (the q_stream_domain_cap discipline: a one-file
       // chunk is otherwise ONE scan split and the per-doc kernel runs
       // on a single core)
-      s.conf.set("spark.sql.files.maxPartitionBytes", (16 * 1024).toString)
+      s.conf.set("spark.sql.files.maxPartitionBytes", (64 * 1024).toString)
       val q = graft.streaming.StreamDedup.lshAdmit(
         stream, root.toString, ck.toString)
       try { q.processAllAvailable() } finally {
@@ -1067,7 +1067,7 @@ object StreamingQ {
       s.conf.set("spark.sql.shuffle.partitions", "4")
       // scan-split cap: the per-doc shingle kernel parallelizes per
       // micro-batch (the q_stream_domain_cap discipline)
-      s.conf.set("spark.sql.files.maxPartitionBytes", (16 * 1024).toString)
+      s.conf.set("spark.sql.files.maxPartitionBytes", (64 * 1024).toString)
       val q = graft.streaming.StreamDedup.containAdmit(
         stream, root.toString, ck.toString)
       try { q.processAllAvailable() } finally {
@@ -1233,7 +1233,7 @@ object StreamingQ {
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       val prevSplit = s.conf.get("spark.sql.files.maxPartitionBytes")
       s.conf.set("spark.sql.shuffle.partitions", "4")
-      s.conf.set("spark.sql.files.maxPartitionBytes", (16 * 1024).toString)
+      s.conf.set("spark.sql.files.maxPartitionBytes", (64 * 1024).toString)
       try Corpus.domainCapUnpack(
         Streams.runToMemory(top, "q_stream_domain_cap_sink",
           OutputMode.Complete()))

@@ -397,6 +397,11 @@ object StreamDedup {
     d.select(col("doc_id"),
         explode(transform(col("sh"), s => xxhash64(s))).as("g"))
       .withColumn("b", postBucket(col("g")))
+      // one file per trigger dir: the per-batch state is bounded and the
+      // serving read pays O(files) open cost per batch otherwise (the
+      // finer kernel scan splits would fan each dir to ~11 files);
+      // at-rest sizing beyond the trigger is compactState's job
+      .coalesce(1)
       .write.mode("overwrite").parquet(s"$stateRoot/post/batch=$batchId")
 
   /** Bucket-PRUNED posting state strictly before `batchId`: the batch's
@@ -470,7 +475,7 @@ object StreamDedup {
             (s"contain b$batchId: post", () =>
               writePostState(d, stateRoot, batchId)),
             (s"contain b$batchId: sh", () =>
-              d.select(col("doc_id"), col("sh"), col("nsh"))
+              d.select(col("doc_id"), col("sh"), col("nsh")).coalesce(1)
                 .write.mode("overwrite")
                 .parquet(s"$stateRoot/sh/batch=$batchId"))))
         } finally { d.unpersist(); () }
@@ -517,10 +522,11 @@ object StreamDedup {
           // the replay blind to them) — the two kinds are independent,
           // so they land concurrently (see writeAll)
           writeAll(sp, Seq(
-            (s"lsh b$batchId: bands", () => banded.write.mode("overwrite")
+            (s"lsh b$batchId: bands", () => banded.coalesce(1)
+              .write.mode("overwrite")
               .parquet(s"${bandsRoot(stateRoot)}/batch=$batchId")),
             (s"lsh b$batchId: sh", () =>
-              d.select(col("doc_id"), col("sh"), col("nsh"))
+              d.select(col("doc_id"), col("sh"), col("nsh")).coalesce(1)
                 .write.mode("overwrite")
                 .parquet(s"${shRoot(stateRoot)}/batch=$batchId"))))
         } finally { d.unpersist(); banded.unpersist() }
@@ -582,6 +588,13 @@ object StreamDedup {
         val sp = batch.sparkSession
         val bfps = graft.queries.TextAnalysis.winnowFps(batch.toDF()).cache()
         try {
+          // materialize the fingerprint kernel ONCE before the match
+          // plan's broadcast builds fan out: two broadcast jobs racing
+          // on the unpopulated cache each ran the full md5 kernel
+          // (round-17 profile: identical 3.8 s stage pairs per batch)
+          sp.sparkContext.setJobDescription(s"winnow b$batchId: kernel")
+          bfps.count()
+          sp.sparkContext.setJobDescription(null)
           val matched =
             readState(sp, stateRoot, "fps", batchId, Seq("doc_id", "fp"))
               .map(winnowMatched(bfps, _, maxDf, minShared))
@@ -591,7 +604,7 @@ object StreamDedup {
             .join(broadcast(matched), Seq("doc_id"), "left_anti")
             .write.mode("overwrite").parquet(s"$outRoot/batch=${batchId + 1}")
           sp.sparkContext.setJobDescription(s"winnow b$batchId: fps")
-          bfps.write.mode("overwrite")
+          bfps.coalesce(1).write.mode("overwrite")
             .parquet(s"$stateRoot/fps/batch=$batchId")
           sp.sparkContext.setJobDescription(null)
         } finally { bfps.unpersist(); () }
@@ -644,6 +657,18 @@ object StreamDedup {
         val bfps = graft.queries.TextAnalysis.winnowFps(b).cache()
         val bh = b.select(col("doc_id"), xxhash64(col("text")).as("h"))
         try {
+          // the two INDEPENDENT kernels (shingles, winnow fingerprints)
+          // materialize concurrently on the write pool; banded derives
+          // from d's now-populated cache. Without this, the four tiers'
+          // broadcast builds race on the cold caches and each racer runs
+          // the full kernel (round-17 profile: duplicated 2.3 s stage
+          // pairs per batch in the admit phase).
+          writeAll(sp, Seq(
+            (s"ladder b$batchId: shingle kernel", () => { d.count(); () }),
+            (s"ladder b$batchId: fps kernel", () => { bfps.count(); () })))
+          sp.sparkContext.setJobDescription(s"ladder b$batchId: band kernel")
+          banded.count()
+          sp.sparkContext.setJobDescription(null)
           def none = sp.range(0).select(col("id").as("doc_id"))
           val psh =
             readState(sp, stateRoot, "sh", batchId, Seq("doc_id", "sh", "nsh"))
@@ -676,20 +701,24 @@ object StreamDedup {
           sp.sparkContext.setJobDescription(s"ladder b$batchId: admit")
           b.select(col("doc_id"))
             .join(broadcast(matched), Seq("doc_id"), "left_anti")
+            .coalesce(1)
             .write.mode("overwrite").parquet(s"$outRoot/batch=${batchId + 1}")
           sp.sparkContext.setJobDescription(null)
           // five independent state kinds — land them concurrently
           // (nothing reads them until the next trigger; see writeAll)
           writeAll(sp, Seq(
-            (s"ladder b$batchId: hashes", () => bh.write.mode("overwrite")
+            (s"ladder b$batchId: hashes", () => bh.coalesce(1)
+              .write.mode("overwrite")
               .parquet(s"$stateRoot/hashes/batch=$batchId")),
-            (s"ladder b$batchId: bands", () => banded.write.mode("overwrite")
+            (s"ladder b$batchId: bands", () => banded.coalesce(1)
+              .write.mode("overwrite")
               .parquet(s"${bandsRoot(stateRoot)}/batch=$batchId")),
             (s"ladder b$batchId: sh", () =>
-              d.select(col("doc_id"), col("sh"), col("nsh"))
+              d.select(col("doc_id"), col("sh"), col("nsh")).coalesce(1)
                 .write.mode("overwrite")
                 .parquet(s"${shRoot(stateRoot)}/batch=$batchId")),
-            (s"ladder b$batchId: fps", () => bfps.write.mode("overwrite")
+            (s"ladder b$batchId: fps", () => bfps.coalesce(1)
+              .write.mode("overwrite")
               .parquet(s"$stateRoot/fps/batch=$batchId")),
             (s"ladder b$batchId: post", () =>
               writePostState(d, stateRoot, batchId))))
