@@ -146,7 +146,19 @@ object Bench {
     val nPasses = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
       .flatMap(_.toIntOption).getOrElse(3).max(1)
     val calibPre = (1 to 3).map(_ => calibProbe())
-    val passes = (1 to nPasses).map(_ => pass())
+    // entry-result-class caches (workflow stage caches, lm_score
+    // survivors — graft.core.Caches.cachedTransient) are released before
+    // EVERY timed pass (round 18, the r17 gaming-flag fix): those frames
+    // are a query's own intermediates, cached for within-execution reuse,
+    // and leaving them warm from the priming pass would price the curate
+    // entries at cache-hit cost instead of per-execution cost. The
+    // serving-structure primes (ANN index models, tf/df postings, BPE,
+    // LSH tables — Caches.cached + memoized) stay warm by design: they
+    // are cross-query serving state, built once per deployment.
+    val passes = (1 to nPasses).map { _ =>
+      graft.core.Caches.clearTransient(spark)
+      pass()
+    }
     val calibPost = (1 to 3).map(_ => calibProbe())
     val calibBrackets = (calibPre ++ calibPost).sorted
     val calib = calibBrackets.head

