@@ -191,13 +191,17 @@ object FuzzRecursion {
       topo match {
         case 0 =>
           Tables(s, dir, "supplier").createOrReplaceTempView("supplier")
-          s.sql(treeSql)
+          Recursion.runScoped(s,
+            Recursion.recursionParts(s, dir, "supplier"))(s.sql(treeSql))
         case 1 =>
           Tables(s, dir, "orders").createOrReplaceTempView("orders")
-          val nxt = graft.core.Caches.cached(s.sql(nxtSql("orders")))
-          val view = s"nxt_fuzzr_$seed"
-          nxt.createOrReplaceTempView(view)
-          s.sql(chainWalkSql(view))
+          Recursion.runScoped(s,
+            Recursion.recursionParts(s, dir, "orders")) {
+            val nxt = graft.core.Caches.cached(s.sql(nxtSql("orders")))
+            val view = s"nxt_fuzzr_$seed"
+            nxt.createOrReplaceTempView(view)
+            s.sql(chainWalkSql(view))
+          }
         case _ if reach =>
           // Spark rejects UNION-distinct recursion — composed loop
           // (Recursion.reachable) with identical frontier-dedup semantics
@@ -210,7 +214,8 @@ object FuzzRecursion {
           Recursion.reachable(edges, startNode.toLong).orderBy(col("node"))
         case _ =>
           Tables(s, dir, "nation").createOrReplaceTempView("nation")
-          s.sql(graphSql)
+          Recursion.runScoped(s,
+            Recursion.recursionParts(s, dir, "nation"))(s.sql(graphSql))
       }
     }
 

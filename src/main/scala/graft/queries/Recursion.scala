@@ -52,13 +52,60 @@ object Recursion {
   private[queries] def levelLimit(s: SparkSession): Unit =
     s.conf.set("spark.sql.cteRecursionLevelLimit", "10000")
 
+  /** Execute a recursive statement EAGERLY under a scoped shuffle-
+    * partition count and return the materialized result (round 18): the
+    * conf must hold while the per-level jobs actually run — a lazily
+    * returned frame executes after the caller's finally restored it.
+    * The materialization is an entry-result-class cache (released
+    * between bench passes, so every timed pass pays the full recursion);
+    * the consumer's action reads the cache built here, within the same
+    * invocation. */
+  private[queries] def runScoped(s: SparkSession, parts: Int)(
+      build: => DataFrame): DataFrame = {
+    // measured and REJECTED (round 18): raising
+    // spark.sql.cteRecursionAnchorRowsLimitToConvertToLocalRelation to
+    // 100k so bounded frontiers ride the loop as driver-local relations
+    // — chain 5.2 → 6.5 s, fuzzr_18 3.0 → 4.2 s (min-of-3 standalone,
+    // idle host): the per-level driver collect + LocalRelation planning
+    // costs more than the per-level broadcast jobs it removes.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try {
+      val df = graft.core.Caches.cachedTransient(build)
+      df.count()
+      df
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  /** Shuffle-partition count for a recursion whose per-level work is one
+    * bounded join: sized from the INPUT's bytes (⌈bytes/64 MB⌉, capped
+    * at the session's configured shuffle partitions), never from the
+    * core count. UnionLoop replans and schedules several jobs per level,
+    * so every extra partition multiplies per-level task overhead across
+    * all levels — the r17 scaling row measured q_recursive_chain's
+    * 32-core wall at 2.8× its 8-core wall on identical data (pure
+    * scheduling cost). At sf0.1 this derives 1; at a 100 TB input
+    * bytes/64 MB saturates the cap and the session's cluster-tuned
+    * value wins. */
+  private[queries] def recursionParts(s: SparkSession, dir: String,
+      table: String): Int = {
+    val bytes =
+      try java.nio.file.Files.size(
+        java.nio.file.Paths.get(s"$dir/$table.parquet"))
+      catch { case _: Throwable => 0L }
+    val cap = s.conf.get("spark.sql.shuffle.partitions").toInt
+    math.max(1, math.min(cap, (bytes / (64L * 1024 * 1024)).toInt + 1))
+  }
+
   /** Register the tables an entry's SQL references under stable view
-    * names (idempotent per session — `createOrReplaceTempView`). */
+    * names (idempotent per session — `createOrReplaceTempView`), then
+    * run the recursive statement under the size-derived partition scope
+    * (first named table = the recursion's input). */
   private def withViews(s: SparkSession, dir: String, names: String*)(
       sql: String): DataFrame = {
     levelLimit(s)
     names.foreach(n => Tables(s, dir, n).createOrReplaceTempView(n))
-    s.sql(sql)
+    runScoped(s, recursionParts(s, dir, names.head))(s.sql(sql))
   }
 
   /** Org-chart walk over the supplier table arranged as a binary heap
@@ -316,9 +363,16 @@ object Recursion {
     (s, dir) => {
       levelLimit(s)
       Tables(s, dir, "orders").createOrReplaceTempView("orders")
-      val nxt = graft.core.Caches.cached(s.sql(nxtSql))
-      nxt.createOrReplaceTempView("nxt_chain")
-      s.sql(walkOverNxtSql)
+      // eager, size-scoped recursion (see runScoped): the successor
+      // table materializes once (Spark inlines non-recursive CTEs per
+      // level — see nxtSql), then the ~25-level walk runs under the
+      // derived partition count instead of the session's scan
+      // parallelism
+      runScoped(s, recursionParts(s, dir, "orders")) {
+        val nxt = graft.core.Caches.cached(s.sql(nxtSql))
+        nxt.createOrReplaceTempView("nxt_chain")
+        s.sql(walkOverNxtSql)
+      }
     },
     Some(chainSql))
 
