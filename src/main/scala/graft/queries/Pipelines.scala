@@ -121,7 +121,18 @@ object Pipelines {
   val q_multimodal_embed = Q(
     "q_multimodal_embed",
     (s, dir) => {
-      val docs = Tables.spread(Tables(s, dir, "documents"))
+      // ONE spread scan shared by featurize's modality branches
+      // (round 18): the per-modality union used to re-scan + re-shuffle
+      // the single-row-group file once PER BRANCH (two 1-task scan
+      // stages in the profile, 1.4 s each at sf0.1); pre-materializing
+      // the pruned (doc_id, text) base makes both branches read the
+      // 32-way cache. Entry-result-class cache — released between bench
+      // passes, rebuilt inside every timed execution.
+      val base = graft.core.Caches.cachedTransient(
+        Tables.spread(Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text"))))
+      base.count()
+      val docs = base
         .select(col("doc_id").as("id"),
           element_at(array(lit("text"), lit("image"), lit("audio"), lit("video")),
             (col("doc_id") % 4 + 1).cast("int")).as("modality"),
