@@ -104,7 +104,56 @@ object Scale {
     embCopies.reduce(_.unionByName(_))
       .repartition(32).write.mode("overwrite")
       .parquet(s"$out/embeddings.parquet")
+
+    // round 18 — heavy-family tables (the r17 verdict's #2: a
+    // heavier-scale leg for the events/orders/customer consumers that
+    // the documents-only corpus can't feed). Per-copy KEY OFFSETS keep
+    // every copy's join/chain/session structure identical to the 1×
+    // baseline (same per-user event sequences, same per-customer order
+    // chains, same timestamps), so the workload grows linearly and the
+    // measured ratio is attributable to the engine, not to changed
+    // data shape.
+    val orders = spark.read.parquet(s"$base/orders.parquet")
+    (0 until factor).map { k =>
+      if (k == 0) orders
+      else orders
+        .withColumn("o_orderkey", col("o_orderkey") + lit(k * 100000000L))
+        .withColumn("o_custkey", col("o_custkey") + lit(k * 10000000L))
+    }.reduce(_.unionByName(_))
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$out/orders.parquet")
+
+    val events = graft.core.Tables(spark, base, "events")
+    (0 until factor).map { k =>
+      if (k == 0) events
+      else events
+        .withColumn("event_id", col("event_id") + lit(k * 100000000L))
+        .withColumn("user_id", col("user_id") + lit(k * 10000000L))
+    }.reduce(_.unionByName(_))
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$out/events.parquet")
+
+    // customer copies share the 25 nation hubs (hub degree ×N — the
+    // realistic bipartite growth for the pagerank/fastrp graph)
+    val cust = spark.read.parquet(s"$base/customer.parquet")
+    (0 until factor).map { k =>
+      if (k == 0) cust
+      else cust.withColumn("c_custkey", col("c_custkey") + lit(k * 10000000L))
+    }.reduce(_.unionByName(_))
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$out/customer.parquet")
   }
+
+  /** Heavy non-document families (round 18): entries whose inputs are
+    * the orders / events / customer tables buildScaled now scales.
+    * Measured on demand (`runMain graft.Scale 10 q_recursive_chain …`),
+    * recorded in OPTIMIZATION_r18.md / SCALE.md rather than the
+    * MeasuredQueries table (whose history is documents-only). */
+  private val HeavyQueries = Seq(
+    "q_recursive_chain", "q_recursive_tree", "q_pagerank",
+    "q_stream_join", "q_stream_join_outer", "q_stream_join_full",
+    "q_stream_sessions", "q_stream_sessions_gap", "q_stream_windowed",
+    "q_fuzzr_18")
 
   /** min over SPARK_GRAFT_SCALE_REPS runs (default 1 — the historical
     * single-shot). Reps share the caches rep 1 builds, so the min is the
@@ -132,11 +181,13 @@ object Scale {
     // would otherwise yield a partial run that looks complete.
     // "skew_fixture" / "reach_fixture" address the synthetic blocks below.
     val fixtures = Set("skew_fixture", "reach_fixture", "ivf_drift_fixture")
-    val unknown = only.diff(MeasuredQueries.toSet ++ fixtures)
+    val known = MeasuredQueries.toSet ++ HeavyQueries ++ fixtures
+    val unknown = only.diff(known)
     require(unknown.isEmpty,
       s"unknown MeasuredQueries: ${unknown.toSeq.sorted.mkString(", ")}")
     val measured =
-      if (only.isEmpty) MeasuredQueries else MeasuredQueries.filter(only)
+      if (only.isEmpty) MeasuredQueries
+      else (MeasuredQueries ++ HeavyQueries).filter(only)
     require(measured.nonEmpty || only.exists(fixtures),
       s"no MeasuredQueries match $only")
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

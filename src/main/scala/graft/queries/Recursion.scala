@@ -89,10 +89,16 @@ object Recursion {
     * value wins. */
   private[queries] def recursionParts(s: SparkSession, dir: String,
       table: String): Int = {
+    // Hadoop content summary, not Files.size: a production table is a
+    // DIRECTORY of part files (so is the 10x scale corpus), and the
+    // flat-file size of a directory entry would derive 1 partition for
+    // an arbitrarily large input
     val bytes =
-      try java.nio.file.Files.size(
-        java.nio.file.Paths.get(s"$dir/$table.parquet"))
-      catch { case _: Throwable => 0L }
+      try {
+        val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+        p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .getContentSummary(p).getLength
+      } catch { case _: Throwable => 0L }
     val cap = s.conf.get("spark.sql.shuffle.partitions").toInt
     math.max(1, math.min(cap, (bytes / (64L * 1024 * 1024)).toInt + 1))
   }

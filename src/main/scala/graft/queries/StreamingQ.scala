@@ -83,9 +83,11 @@ object StreamingQ {
     stagedMemo.computeIfAbsent(s"$dir#doc#$tag#$numFiles",
       _ => {
         val srcBytes =
-          try java.nio.file.Files.size(
-            java.nio.file.Paths.get(s"$dir/documents.parquet"))
-          catch { case _: Throwable => 0L }
+          try {
+            val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+            p.getFileSystem(s.sparkContext.hadoopConfiguration)
+              .getContentSummary(p).getLength
+          } catch { case _: Throwable => 0L }
         val rowGroup = math.max(16L * 1024,
           srcBytes / numFiles / math.max(1, s.sparkContext.defaultParallelism))
         stageFrameChunks(graft.core.Tables(s, dir, "documents"),
